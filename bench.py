@@ -1,0 +1,55 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count + a small collect) so the
+timing includes the full scan->score->topk->join pipeline, not just plan
+construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vector_db_service_spark.session import get_spark  # noqa: E402
+from vector_db_service_spark import entrypoints  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("vdbs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # execution, not first-touch JIT/IO setup
+    entrypoints.flagship(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(entrypoints.QUERIES.items()):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        df.limit(5).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,46 @@
+"""Run every queries() entry against its oracle_sql() via DuckDB —
+the same check the driver performs at sf0.01 (exact value equality)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from tests.oracle_harness import compare, duckdb_con  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.001")
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_con(SF)
+    yield c
+    c.close()
+
+
+def test_every_query_has_callable():
+    assert QUERIES, "no queries registered"
+    for name, fn in QUERIES.items():
+        assert callable(fn), name
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, con, name):
+    sdf = QUERIES[name](spark, SF)
+    odf = con.sql(ORACLES[name]).df()
+    problems = compare(sdf, odf)
+    assert not problems, f"{name}: " + "; ".join(problems[:6])
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema) > 0

@@ -1,0 +1,127 @@
+"""Flat (exact) k-NN search — the flagship query path.
+
+Parity target: reference FlatIndex.search (vector_db/algorithms.py:161-193)
++ VectorService.search_similar_chunks (services/vector_service.py:184-310):
+scope to a library, score every vector under a metric, exact top-k, then
+hydrate result rows with an inner join that silently drops index orphans
+(services/vector_service.py:254-278).
+
+Spark shape of the plan (what .explain should show):
+  partition/filter-pruned parquet scan of embeddings
+  -> whole-stage-codegen'd score projection (functions/similarity.py)
+  -> TakeOrderedAndProject (the built-in partial top-k: per-partition
+     heap + driver merge, same O(n log k) the reference hand-rolls at
+     similarity.py:347-395 and argpartition-optimizes at :464-470 — O2/O3
+     in SURVEY §4 come free)
+  -> BroadcastHashJoin against the row table (k <= 100 rows, J1)
+
+At 100 TB: embeddings partitioned by library -> the filter is partition
+pruning; top-k never shuffles the full table (each partition emits <= k
+rows); the hydration join broadcasts the k-row side, never the row table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import similarity as sim
+from ..sources.tables import load
+
+K_MIN, K_MAX = 1, 100  # reference schemas/search_schema.py:26
+
+
+def validate_k(k: int) -> None:
+    """k ∈ [1,100] — reference request validation (search_schema.py:26),
+    422 on violation; here a ValueError in driver code."""
+    if not K_MIN <= k <= K_MAX:
+        raise ValueError(f"k must be in [{K_MIN},{K_MAX}], got {k}")
+
+
+def query_vector(spark: SparkSession, sf_dir: str, query_id: int) -> list[float]:
+    """Materialize one stored embedding as the query parameter — the
+    analog of the reference embedding a query string before planning
+    (services/vector_service.py:243-252); the vector enters the plan as
+    a literal."""
+    row = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == F.lit(query_id))
+        .select("embedding")
+        .head()
+    )
+    if row is None:
+        raise KeyError(f"query vector {query_id} not found")
+    return list(row[0])
+
+
+def score_all(
+    emb: DataFrame,
+    qvec: Sequence[float],
+    metric: str = "cosine",
+    library: int | None = None,
+) -> DataFrame:
+    """Score every (in-library) vector against the query. Scores are
+    rounded to 6 decimals *before* ranking so the top-k frontier is
+    deterministic and oracle-stable (SURVEY §7 hard part #1)."""
+    if library is not None:
+        emb = emb.filter(F.col("label") == F.lit(library))
+    q = sim.vector_lit(qvec)
+    return emb.withColumn("score", F.round(sim.score(metric, F.col("embedding"), q), 6))
+
+
+def knn(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    query_id: int = 0,
+    k: int = 10,
+    metric: str = "cosine",
+    library: int | None = None,
+    hydrate: bool = False,
+) -> DataFrame:
+    """Exact k-NN: top-k by (score desc, vec_id asc) — total order matches
+    the reference's heap tie-break on (similarity, chunk_id)
+    (similarity.py:389-392) made explicit for determinism."""
+    validate_k(k)
+    qvec = query_vector(spark, sf_dir, query_id)
+    scored = score_all(load(spark, sf_dir, "embeddings"), qvec, metric, library)
+    topk = (
+        scored.orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "label", "score")
+    )
+    if not hydrate:
+        return topk
+    # J1 hydration: inner join => index-orphan rows are dropped, matching
+    # services/vector_service.py:265-278. The k-row side is broadcast.
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("text"), F.col("lang"), F.col("source")
+    )
+    return (
+        docs.join(F.broadcast(topk), docs.doc_id == topk.vec_id, "inner")
+        .select("vec_id", "label", "score", "text", "lang", "source")
+    )
+
+
+def knn_distance(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    query_id: int = 0,
+    k: int = 10,
+    metric: str = "euclidean",
+) -> DataFrame:
+    """Distance-ordered variant (lower = closer), K3/K5 surface."""
+    validate_k(k)
+    qvec = query_vector(spark, sf_dir, query_id)
+    emb = load(spark, sf_dir, "embeddings")
+    q = sim.vector_lit(qvec)
+    dist = F.round(sim.DISTANCES[metric](F.col("embedding"), q), 6)
+    return (
+        emb.withColumn("dist", dist)
+        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "label", "dist")
+    )
