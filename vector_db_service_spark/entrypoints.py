@@ -14,8 +14,12 @@ from functools import partial
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from . import oracles
+from .operators import catalog, relational
 from .operators import knn as knn_ops
+from .sources.tables import load
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -57,6 +61,315 @@ register(
     "knn_search_hydrated",
     lambda s, d: knn_ops.knn(s, d, query_id=0, k=10, metric="cosine", hydrate=True),
     oracles.knn_sql(query_id=0, k=10, metric="cosine", hydrate=True),
+)
+
+
+# --- S1-S4 / P2-P5: scans, lookups, predicate filters ---------------------
+register(
+    "s1_point_lookup",
+    lambda s, d: load(s, d, "documents").filter(F.col("doc_id") == 42)
+    .select("doc_id", "text", "lang", "source", "n_chars"),
+    "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id = 42",
+)
+register(
+    "s2_batch_lookup",
+    lambda s, d: load(s, d, "embeddings")
+    .filter(F.col("vec_id").isin([1, 5, 9, 13, 101]))
+    .select("vec_id", "label"),
+    "SELECT vec_id, label FROM embeddings WHERE vec_id IN (1, 5, 9, 13, 101)",
+)
+register(
+    "s3_scan_by_library",
+    lambda s, d: load(s, d, "embeddings").filter(F.col("label") == 3).select("vec_id", "label"),
+    "SELECT vec_id, label FROM embeddings WHERE label = 3",
+)
+register(
+    "p2_conjunctive_filter",
+    lambda s, d: load(s, d, "events")
+    .filter((F.col("event_type") == "purchase") & (F.col("value") > 100))
+    .select("event_id", "user_id", F.round("value", 2).alias("value")),
+    "SELECT event_id, user_id, round(value, 2) AS value FROM events "
+    "WHERE event_type = 'purchase' AND value > 100",
+)
+register(
+    "p3_dynamic_filter",
+    lambda s, d: catalog.filter_by(load(s, d, "documents"), {"lang": "en", "source": "src7"})
+    .select("doc_id", "lang", "source"),
+    "SELECT doc_id, lang, source FROM documents WHERE lang = 'en' AND source = 'src7'",
+)
+register(
+    "p4_exists_probe",
+    lambda s, d: catalog.exists(load(s, d, "documents"), F.col("doc_id") == 7),
+    "SELECT count(*) > 0 AS found FROM (SELECT 1 FROM documents WHERE doc_id = 7 LIMIT 1)",
+)
+
+# --- S10-S13: mutations as post-state transforms ---------------------------
+def _upsert_poststate(s: SparkSession, d: str) -> DataFrame:
+    emb = load(s, d, "embeddings")
+    updates = (
+        emb.filter(F.col("vec_id") < 5)
+        .withColumn("embedding", F.transform("embedding", lambda x: x * F.lit(2.0)))
+    )
+    after = catalog.upsert_vectors(emb, updates)
+    from .functions import similarity as sim
+    return (
+        after.filter(F.col("vec_id") < 10)
+        .select("vec_id", "label", F.round(sim.norm(F.col("embedding")), 6).alias("vnorm"))
+    )
+
+register(
+    "s10_vector_upsert",
+    _upsert_poststate,
+    f"""
+WITH updates AS (
+  SELECT vec_id, list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS embedding, label
+  FROM embeddings WHERE vec_id < 5
+),
+merged AS (
+  SELECT vec_id, embedding, label, 0 AS _v FROM embeddings
+  UNION ALL
+  SELECT vec_id, embedding, label, 1 AS _v FROM updates
+),
+latest AS (
+  SELECT vec_id, embedding, label FROM merged
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY _v DESC) = 1
+)
+SELECT vec_id, label, round({oracles.norm_sql('embedding')}, 6) AS vnorm
+FROM latest WHERE vec_id < 10
+""",
+)
+register(
+    "s11_delete_by_predicate",
+    lambda s, d: catalog.delete_where(load(s, d, "embeddings"), F.col("label") == 0)
+    .groupBy("label").agg(F.count("*").alias("n_vectors")),
+    "SELECT label, count(*) AS n_vectors FROM embeddings WHERE NOT (label = 0) GROUP BY label",
+)
+
+def _cascade_poststate(s: SparkSession, d: str) -> DataFrame:
+    emb_after, docs_after = catalog.cascade_delete_library(
+        load(s, d, "embeddings"), load(s, d, "documents"), library=2
+    )
+    return (
+        emb_after.agg(F.count("*").alias("n")).withColumn("tbl", F.lit("embeddings"))
+        .unionByName(docs_after.agg(F.count("*").alias("n")).withColumn("tbl", F.lit("documents")))
+    )
+
+register(
+    "s12_cascade_delete",
+    _cascade_poststate,
+    """
+SELECT count(*) AS n, 'embeddings' AS tbl FROM embeddings WHERE label != 2
+UNION ALL
+SELECT count(*) AS n, 'documents' AS tbl FROM documents
+WHERE doc_id NOT IN (SELECT vec_id FROM embeddings WHERE label = 2)
+""",
+)
+register(
+    "s13_partial_update",
+    lambda s, d: catalog.update_where(
+        load(s, d, "documents"), F.col("source") == "src1", {"lang": F.lit("xx")}
+    ).groupBy("lang").agg(F.count("*").alias("n_docs")),
+    "SELECT CASE WHEN source = 'src1' THEN 'xx' ELSE lang END AS lang, "
+    "count(*) AS n_docs FROM documents GROUP BY 1",
+)
+
+# --- J2/J3: semi/anti joins -------------------------------------------------
+register(
+    "j2_semi_join",
+    lambda s, d: load(s, d, "embeddings").join(
+        load(s, d, "documents").filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id")),
+        "vec_id",
+        "left_semi",
+    ).select("vec_id", "label"),
+    "SELECT vec_id, label FROM embeddings e WHERE EXISTS "
+    "(SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id AND d.lang = 'en')",
+)
+register(
+    "j3_orphan_anti_join",
+    lambda s, d: catalog.orphan_vectors(
+        load(s, d, "embeddings"),
+        load(s, d, "documents").filter(F.col("doc_id") < 400),
+    ).select("vec_id", "label"),
+    "SELECT vec_id, label FROM embeddings e WHERE NOT EXISTS "
+    "(SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id AND d.doc_id < 400)",
+)
+
+# --- A1-A7: stats aggregates ------------------------------------------------
+register(
+    "a1_count_by_library",
+    lambda s, d: catalog.count_by_library(load(s, d, "embeddings")),
+    "SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label",
+)
+register(
+    "a2_chunk_stats",
+    lambda s, d: catalog.chunk_stats(load(s, d, "documents")),
+    """
+SELECT count(*) AS total_docs,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       sum(n_chars) AS total_chars,
+       round(avg(n_chars), 4) AS avg_chars,
+       sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS n_long
+FROM documents
+""",
+)
+register(
+    "a5_vector_stats",
+    lambda s, d: catalog.vector_stats(load(s, d, "embeddings")),
+    """
+SELECT count(*) AS total_vectors,
+       min(len(embedding)) AS min_dim,
+       max(len(embedding)) AS max_dim,
+       count(DISTINCT label) AS n_libraries
+FROM embeddings
+""",
+)
+register(
+    "a6_memory_stats",
+    lambda s, d: catalog.memory_stats(load(s, d, "embeddings")),
+    "SELECT sum(len(embedding)) * 4 AS vector_bytes, count(*) AS n_vectors FROM embeddings",
+)
+register(
+    "a7_dim_minmax",
+    lambda s, d: catalog.dim_minmax(load(s, d, "embeddings")),
+    """
+WITH ex AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS x
+  FROM embeddings
+)
+SELECT dim, round(min(CAST(x AS DOUBLE)), 6) AS dim_min,
+       round(max(CAST(x AS DOUBLE)), 6) AS dim_max
+FROM ex GROUP BY dim
+""",
+)
+
+# --- relational surface (joins, rollup, pivot, windows, JSON, sessions) ----
+register(
+    "rel_pricing_summary",
+    relational.pricing_summary,
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+register(
+    "rel_revenue_by_nation",
+    relational.revenue_by_nation,
+    """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+register(
+    "rel_top_customers",
+    relational.top_customers,
+    """
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 4) AS total_spent, count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, total_spent, n_orders
+FROM spend JOIN customer ON o_custkey = c_custkey
+QUALIFY row_number() OVER (ORDER BY total_spent DESC, c_custkey) <= 10
+""",
+)
+register(
+    "rel_order_priority_rollup",
+    relational.order_priority_rollup,
+    """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+register(
+    "rel_status_pivot",
+    relational.status_pivot,
+    """
+SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority
+""",
+)
+register(
+    "rel_docs_top_by_length",
+    relational.docs_top_by_length,
+    """
+SELECT lang, doc_id, n_chars,
+       row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rnk
+FROM documents
+QUALIFY rnk <= 3
+""",
+)
+register(
+    "rel_events_json_stats",
+    relational.events_json_stats,
+    """
+SELECT event_type, count(*) AS n_events,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+register(
+    "rel_events_hourly",
+    relational.events_hourly,
+    """
+SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_id,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1
+""",
+)
+register(
+    "rel_sessionize_events",
+    relational.sessionize_events,
+    """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+              OR ts_us - lag(ts_us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sessioned AS (
+  SELECT user_id, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM sessioned GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+       max(n_events) AS max_session_events
+FROM per_session GROUP BY user_id
+""",
 )
 
 

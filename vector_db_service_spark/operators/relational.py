@@ -1,0 +1,183 @@
+"""General relational surface over the driver's TPC-H-ish tables.
+
+The reference has no general query surface (its four join patterns are
+hard-coded, SURVEY §2.3) — these operators demonstrate that the engine
+this package wraps IS a general analytics engine: multi-way joins with
+broadcast dims, grouped/rollup aggregation, window functions, JSON
+extraction, sessionization. Every plan is declarative so Catalyst does
+join reordering, predicate pushdown, and partial aggregation; at 100 TB
+the fact tables (lineitem, orders, events) shuffle at most once on their
+join/group keys and every dimension table is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation; only the
+    post-aggregation rows (a handful of groups) shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact-fact join (orders x lineitem) shuffles on
+    orderkey; customer/nation/region are broadcast so they never force
+    a shuffle of the big side."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+def top_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Join + grouped agg + deterministic top-k (TakeOrderedAndProject)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
+             F.count("*").alias("n_orders"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select(F.col("c_custkey"), F.col("c_name"), F.col("total_spent"), F.col("n_orders"))
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (orderstatus, orderpriority) — grouping-set
+    surface the reference lacks entirely (SURVEY §2.4 'no grouping
+    sets'); one pass with partial aggregation per grouping set."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 4).alias("total_price"))
+    )
+
+
+def status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority pivoted on status (explicit
+    pivot values keep the plan static — no extra distinct-scan job)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("n_f"),
+            F.col("O").alias("n_o"),
+            F.col("P").alias("n_p"),
+        )
+    )
+
+
+def docs_top_by_length(spark: SparkSession, sf_dir: str, per_group: int = 3) -> DataFrame:
+    """Window rank: top-N docs by length per language; ROWS-framed,
+    unique tie-break so the frontier is deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= per_group)
+        .select("lang", "doc_id", "n_chars", "rnk")
+    )
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props column + grouped stats — the
+    engine-side analog of the reference's free-form extra_metadata
+    passthrough (models.py:38,87), queried instead of opaque."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate over event time (batch form of the
+    Structured Streaming windowed agg; same plan modulo the watermark).
+    The window key is epoch-micros integer arithmetic — timezone-free,
+    so the result doesn't depend on driver session timezone."""
+    ev = load(spark, sf_dir, "events")
+    hour_id = F.floor(F.col("ts_us") / F.lit(3_600_000_000)).alias("hour_id")
+    return (
+        ev.groupBy(hour_id)
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: per-user sessions split on >gap inactivity.
+    lag -> new-session flag -> running sum = session id; per-user
+    session stats. One shuffle on user_id; within-partition sort only.
+    (Streaming form: session_window / applyInPandasWithState —
+    streaming/maintenance.py.)"""
+    ev = load(spark, sf_dir, "events")
+    order = [F.asc("ts_us"), F.asc("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = gap_minutes * 60 * 1_000_000
+    with_sess = (
+        ev.withColumn("prev_ts", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ts").isNull()
+                | ((F.col("ts_us") - F.col("prev_ts")) > F.lit(gap_us)),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_sess").over(wrows))
+    )
+    per_session = with_sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+    )

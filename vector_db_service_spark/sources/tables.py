@@ -16,6 +16,7 @@ Entity mapping onto the driver tables (SURVEY.md §1.4):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -33,9 +34,20 @@ TABLES = (
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table. Column pruning + predicate pushdown reach the
-    parquet scan because this stays a plain declarative read."""
+    parquet scan because this stays a plain declarative read.
+
+    `events` is written with nanosecond timestamps, which Spark's parquet
+    reader rejects by default; we read them as raw int64 nanos
+    (legacy.parquet.nanosAsLong) and expose `ts_us` = epoch microseconds
+    (truncating, matching DuckDB's ns->us parquet conversion). Epoch
+    arithmetic is timezone-free, so results don't depend on the session
+    timezone the driver happens to configure."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts_us", F.floor(F.col("ts") / F.lit(1000))).drop("ts")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
