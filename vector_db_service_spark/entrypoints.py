@@ -373,6 +373,51 @@ FROM per_session GROUP BY user_id
 )
 
 
+# --- I3-I6: LSH index (reference single-bit-table semantics) ---------------
+from .operators import grid as grid_ops  # noqa: E402
+from .operators import lsh as lsh_ops  # noqa: E402
+
+_DIM = 64  # driver embeddings.parquet dimension (TESTDATA.md)
+_PLANES = lsh_ops.hyperplanes(_DIM)
+
+register(
+    "lsh_signatures",
+    lambda s, d: lsh_ops.signatures(load(s, d, "embeddings"), _PLANES),
+    oracles.lsh_signatures_sql(_PLANES),
+)
+register(
+    "lsh_bucket_stats",
+    lambda s, d: lsh_ops.bucket_stats(load(s, d, "embeddings"), _PLANES),
+    oracles.lsh_bucket_stats_sql(_PLANES),
+)
+register(
+    "knn_lsh_cosine",
+    lambda s, d: lsh_ops.search(s, d, query_id=0, k=10, metric="cosine"),
+    oracles.lsh_search_sql(_PLANES, query_id=0, k=10, metric="cosine"),
+)
+
+# --- I7-I10: Grid index -----------------------------------------------------
+def _grid_cells(s: SparkSession, d: str) -> DataFrame:
+    emb = load(s, d, "embeddings")
+    mins, maxs = grid_ops.bounds(emb)
+    return grid_ops.build_index(emb, mins, maxs)
+
+
+def _grid_stats(s: SparkSession, d: str) -> DataFrame:
+    emb = load(s, d, "embeddings")
+    mins, maxs = grid_ops.bounds(emb)
+    return grid_ops.cell_stats(emb, mins, maxs)
+
+
+register("grid_cells", _grid_cells, oracles.grid_cells_sql())
+register("grid_cell_stats", _grid_stats, oracles.grid_cell_stats_sql())
+register(
+    "knn_grid_euclidean",
+    lambda s, d: grid_ops.search(s, d, query_id=0, k=10, metric="euclidean"),
+    oracles.grid_search_sql(query_id=0, k=10, metric="euclidean"),
+)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """entry() target: the §3.1 flagship read path end-to-end."""
     return knn_ops.knn(spark, sf_dir, query_id=0, k=10, metric="cosine", hydrate=True)

@@ -1,0 +1,180 @@
+"""Grid index (I7-I10) with the reference's exact semantics.
+
+Parity target: reference GridIndex (vector_db/algorithms.py:443-705):
+- Per-dimension min/max over all vectors normalizes each coordinate to
+  [0,1]; zero ranges are replaced by 1 (algorithms.py:510-517).
+- cell_i = floor(normalized_i / cell_size), default cell_size=0.1
+  (algorithms.py:519-521; factory default services/vector_service.py:34-37).
+- Neighbor enumeration for dim > 4 is a Manhattan-ball: the center cell
+  plus cells differing in EXACTLY ONE dimension by <= radius
+  (algorithms.py:540-550) — not a full hypercube.
+- Search expands radius 0,1,2,.. collecting candidates until
+  >= 2k candidates or radius > 3 (algorithms.py:649-660), then exact
+  re-ranks; default metric euclidean (1/(1+dist)).
+
+Spark design — the expanding-radius LOOP becomes a one-shot declarative
+plan: for every vector compute `r_needed` = the smallest radius at which
+the reference's loop would first include its cell (0 if same cell as the
+query, |delta| if it differs in exactly one dim, unreachable otherwise).
+A 4-row aggregate of candidate counts per radius picks the stopping
+radius R exactly as the loop's `while len(candidates) < 2k` does; the
+candidate set is then `r_needed <= R`. Same result, no driver iteration,
+one pass over the data — and the radius-selection aggregate is tiny, so
+at 100 TB this is scan + filter + top-k, nothing else.
+
+Bounds (min/max per dim) are 2*dim doubles — driver-side constants
+broadcast into the plan, the analog of the reference's min_coords/
+max_coords arrays (algorithms.py:607-608).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import similarity as sim
+from ..sources.tables import load
+from .knn import query_vector, validate_k
+
+CELL_SIZE = 0.1  # reference default, services/vector_service.py:34-37
+MAX_RADIUS = 3  # algorithms.py:651
+
+
+def bounds(emb: DataFrame) -> tuple[list[float], list[float]]:
+    """Per-dimension min/max (A7) — exact (no FP accumulation), so the
+    DuckDB oracle recomputes identical values. Collected to the driver:
+    2*dim scalars, the broadcast normalization constant."""
+    rows = (
+        emb.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min(F.col("x").cast("double")).alias("mn"),
+             F.max(F.col("x").cast("double")).alias("mx"))
+        .orderBy("dim")
+        .collect()
+    )
+    return [r.mn for r in rows], [r.mx for r in rows]
+
+
+def cell_coords_expr(
+    vec_col: Column, mins: list[float], maxs: list[float], cell_size: float = CELL_SIZE
+) -> Column:
+    """I7 cell assignment as an array<long> column: floor(((x-mn)/range)
+    / cell_size), zero range -> 1 (algorithms.py:510-521)."""
+    mins_lit = sim.vector_lit(mins)
+    ranges_lit = F.array(
+        *[F.lit(1.0 if mx - mn == 0 else mx - mn) for mn, mx in zip(mins, maxs)]
+    )
+    idx = F.sequence(F.lit(0), F.size(vec_col) - 1)
+    return F.transform(
+        idx,
+        lambda i: F.floor(
+            (
+                (F.element_at(vec_col, i + 1).cast("double") - F.element_at(mins_lit, i + 1))
+                / F.element_at(ranges_lit, i + 1)
+            )
+            / F.lit(float(cell_size))
+        ),
+    )
+
+
+def cell_key_expr(cells_col: Column) -> Column:
+    """Grid tuple key at 384-d as a string (SURVEY §7 hard part #3):
+    Spark can't cheaply group on a 384-tuple, concat_ws can."""
+    return F.concat_ws("_", F.transform(cells_col, lambda c: c.cast("string")))
+
+
+def query_cell(qvec: list[float], mins: list[float], maxs: list[float],
+               cell_size: float = CELL_SIZE) -> list[int]:
+    """Query cell computed driver-side with identical float64 ops."""
+    import math
+
+    out = []
+    for x, mn, mx in zip(qvec, mins, maxs):
+        rng = mx - mn if mx - mn != 0 else 1.0
+        out.append(int(math.floor(((float(x) - mn) / rng) / cell_size)))
+    return out
+
+
+def build_index(emb: DataFrame, mins: list[float], maxs: list[float],
+                cell_size: float = CELL_SIZE) -> DataFrame:
+    """I9: the index as (vec_id, label, cell_key) — one narrow projection,
+    no shuffle; persisted + partitioned by library at scale."""
+    cells = cell_coords_expr(F.col("embedding"), mins, maxs, cell_size)
+    return emb.select("vec_id", "label", cell_key_expr(cells).alias("cell_key"))
+
+
+def _r_needed(cells_col: Column, qcell: list[int]) -> Column:
+    """Smallest radius at which the reference's Manhattan-ball enumeration
+    (algorithms.py:540-550) reaches this cell; NULL if unreachable (cells
+    differing in >= 2 dims are never enumerated for dim > 4)."""
+    qc = F.array(*[F.lit(c).cast("long") for c in qcell])
+    diffs = F.zip_with(cells_col, qc, lambda a, b: F.abs(a - b))
+    nz = F.filter(diffs, lambda d: d != 0)
+    return (
+        F.when(F.size(nz) == 0, F.lit(0))
+        .when(F.size(nz) == 1, F.element_at(nz, 1))
+        .otherwise(F.lit(None))
+    )
+
+
+def search(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    query_id: int = 0,
+    k: int = 10,
+    metric: str = "euclidean",
+    cell_size: float = CELL_SIZE,
+) -> DataFrame:
+    """I10: expanding-radius candidate collection + exact re-rank,
+    expressed as one declarative plan (see module docstring)."""
+    validate_k(k)
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = query_vector(spark, sf_dir, query_id)
+    mins, maxs = bounds(emb)
+    qcell = query_cell(qvec, mins, maxs, cell_size)
+
+    cells = cell_coords_expr(F.col("embedding"), mins, maxs, cell_size)
+    with_r = emb.withColumn("r_needed", _r_needed(cells, qcell)).filter(
+        F.col("r_needed").isNotNull() & (F.col("r_needed") <= MAX_RADIUS)
+    )
+
+    # Stopping radius R: the loop (algorithms.py:653-660) checks the
+    # candidate count BEFORE each expansion, so R = min r in [0,3] with
+    # cumulative count(<= r) >= 2k, else 3. Tiny aggregate, cross-joined
+    # back as a scalar.
+    counts = with_r.groupBy("r_needed").agg(F.count("*").alias("n"))
+    wcum = Window.orderBy("r_needed").rowsBetween(Window.unboundedPreceding, 0)
+    stop_r = (
+        counts.withColumn("cum", F.sum("n").over(wcum))
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("cum") >= 2 * k, F.col("r_needed"))),
+                F.lit(MAX_RADIUS),
+            ).alias("stop_r")
+        )
+    )
+
+    cand = with_r.crossJoin(F.broadcast(stop_r)).filter(F.col("r_needed") <= F.col("stop_r"))
+    scored = cand.withColumn(
+        "score", F.round(sim.score(metric, F.col("embedding"), sim.vector_lit(qvec)), 6)
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "label", "score")
+    )
+
+
+def cell_stats(emb: DataFrame, mins: list[float], maxs: list[float],
+               cell_size: float = CELL_SIZE) -> DataFrame:
+    """I12/A8 grid stats (algorithms.py:688-705): non-empty cells,
+    avg/max cell size."""
+    idx = build_index(emb, mins, maxs, cell_size)
+    per_cell = idx.groupBy("cell_key").agg(F.count("*").alias("cell_n"))
+    return per_cell.agg(
+        F.count("*").alias("non_empty_cells"),
+        F.round(F.avg("cell_n"), 4).alias("avg_cell_size"),
+        F.max("cell_n").alias("max_cell_size"),
+        F.sum("cell_n").alias("vector_count"),
+    )

@@ -1,0 +1,158 @@
+"""LSH index (I3-I6) with the reference's exact — nonstandard — semantics.
+
+Parity target: reference LSHIndex (vector_db/algorithms.py:196-455):
+- `num_hashes` random unit hyperplanes from np.random.seed(seed), drawn
+  normal(0,1,dim) then L2-normalized (algorithms.py:271-283).
+- bit_i = (v . plane_i >= 0)  (algorithms.py:285-302).
+- Each hash table i is keyed by that SINGLE bit, so a table has at most
+  two buckets (algorithms.py:345-355). Candidates = union over tables of
+  the query's same-bit bucket (algorithms.py:387-391) — deliberately
+  low-selectivity (~ n/2 per table unioned across tables); replicated
+  literally, NOT replaced by MLlib's BucketedRandomProjectionLSH, whose
+  Euclidean-bucket semantics would change candidate sets (SURVEY §7
+  hard part #2).
+- Exact re-rank of candidates under the requested metric
+  (algorithms.py:400-415), top-k by (score desc, id asc).
+
+Spark design:
+- Hyperplanes are generated driver-side (same numpy calls, same seed —
+  O15) and enter the plan as literal arrays: ~dim*num_hashes doubles,
+  trivially broadcast to every executor.
+- The index is a DataFrame (vec_id, label, table_idx, bit) built by one
+  narrow projection + posexplode — no shuffle. At 100 TB it is written
+  once, partitioned by (library, table_idx, bit), and probes become
+  partition-pruned scans.
+- A probe is: build the query's 10 (table_idx, bit) pairs driver-side,
+  semi-join the index (broadcast of 10 rows), re-rank survivors with the
+  exact kernel. The union-of-buckets is the semi-join; no driver-side
+  set materialization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import similarity as sim
+from ..sources.tables import load
+from .knn import query_vector, validate_k
+
+NUM_HASHES = 10  # reference default, services/vector_service.py:29-32
+SEED = 42
+
+
+def hyperplanes(dim: int, num_hashes: int = NUM_HASHES, seed: int = SEED) -> list[list[float]]:
+    """I3: deterministic random unit hyperplanes — same numpy sequence as
+    the reference (algorithms.py:271-283)."""
+    rng_state = np.random.RandomState(seed)
+    planes = []
+    for _ in range(num_hashes):
+        h = rng_state.normal(0, 1, dim)
+        h = h / np.linalg.norm(h)
+        planes.append([float(x) for x in h])
+    return planes
+
+
+def _plane_dot(vec_col: Column, plane: list[float]) -> Column:
+    return sim.dot(vec_col, sim.vector_lit(plane))
+
+
+def signature_bits(vec_col: Column, planes: list[list[float]]) -> Column:
+    """I4: array of per-plane sign bits (algorithms.py:285-302)."""
+    return F.array(
+        *[
+            F.when(_plane_dot(vec_col, p) >= F.lit(0.0), F.lit(1)).otherwise(F.lit(0))
+            for p in planes
+        ]
+    )
+
+
+def bucket_key(bits_col: Column) -> Column:
+    """Pack bits into one integer key, sum(bit_i * 2^i)
+    (algorithms.py:304-310). Used for bucket-level stats (A8)."""
+    # fold over the reversed bits: acc*2 + bit == sum(bit_i * 2^i)
+    return F.aggregate(
+        F.reverse(bits_col),
+        F.lit(0).cast("long"),
+        lambda acc, bit: acc * F.lit(2).cast("long") + bit.cast("long"),
+    )
+
+
+def build_index(emb: DataFrame, planes: list[list[float]]) -> DataFrame:
+    """I5: the index as a DataFrame (vec_id, label, table_idx, bit) —
+    posexplode of the signature replaces the per-table dict inserts
+    (algorithms.py:345-355)."""
+    return emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(signature_bits(F.col("embedding"), planes)).alias("table_idx", "bit"),
+    )
+
+
+def query_bits(qvec: list[float], planes: list[list[float]]) -> list[int]:
+    """Query-side signature, computed driver-side with the same float64
+    arithmetic the executors use."""
+    q = np.asarray(qvec, dtype=np.float64)
+    return [int(float(np.dot(q, np.asarray(p))) >= 0.0) for p in planes]
+
+
+def candidates(emb: DataFrame, qvec: list[float], planes: list[list[float]]) -> DataFrame:
+    """I6 candidate set: union over tables of the query's same-bit bucket
+    == rows whose signature agrees with the query on ANY plane. Expressed
+    as a single predicate over the signature column, so candidate pruning
+    happens inside the scan projection — no join, no shuffle."""
+    qb = query_bits(qvec, planes)
+    match = None
+    for plane, bit in zip(planes, qb):
+        side = _plane_dot(F.col("embedding"), plane) >= F.lit(0.0)
+        agree = side if bit == 1 else ~side
+        match = agree if match is None else (match | agree)
+    return emb.filter(match)
+
+
+def search(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    query_id: int = 0,
+    k: int = 10,
+    metric: str = "cosine",
+    num_hashes: int = NUM_HASHES,
+    seed: int = SEED,
+) -> DataFrame:
+    """I6: LSH probe + exact re-rank, same result contract as flat kNN."""
+    validate_k(k)
+    qvec = query_vector(spark, sf_dir, query_id)
+    planes = hyperplanes(len(qvec), num_hashes, seed)
+    cand = candidates(load(spark, sf_dir, "embeddings"), qvec, planes)
+    scored = cand.withColumn(
+        "score", F.round(sim.score(metric, F.col("embedding"), sim.vector_lit(qvec)), 6)
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "label", "score")
+    )
+
+
+def bucket_stats(emb: DataFrame, planes: list[list[float]]) -> DataFrame:
+    """I12/A8: per-table bucket histogram (algorithms.py:420-440):
+    bucket count, sizes — one groupBy over the index DataFrame."""
+    idx = build_index(emb, planes)
+    per_bucket = idx.groupBy("table_idx", "bit").agg(F.count("*").alias("bucket_size"))
+    return per_bucket.groupBy("table_idx").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("bucket_size").alias("n_vectors"),
+        F.max("bucket_size").alias("max_bucket"),
+        F.min("bucket_size").alias("min_bucket"),
+    )
+
+
+def signatures(emb: DataFrame, planes: list[list[float]]) -> DataFrame:
+    """Per-vector packed bucket key — the inspectable index surface."""
+    return emb.select(
+        "vec_id",
+        "label",
+        bucket_key(signature_bits(F.col("embedding"), planes)).alias("bucket"),
+    )

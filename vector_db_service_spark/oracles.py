@@ -93,6 +93,151 @@ topk AS (
     )
 
 
+def _plane_lit(plane: list[float]) -> str:
+    """DOUBLE[] literal — repr() round-trips each float64 exactly, so
+    DuckDB parses the same IEEE value Spark gets via F.lit."""
+    return "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+
+
+def _bit_sql(vec_expr: str, plane: list[float]) -> str:
+    return f"CASE WHEN {dot_sql(vec_expr, _plane_lit(plane))} >= 0 THEN 1 ELSE 0 END"
+
+
+def lsh_signatures_sql(planes: list[list[float]]) -> str:
+    """Packed bucket key per vector — sum(bit_i * 2^i), mirroring
+    operators/lsh.py::signatures."""
+    terms = " + ".join(
+        f"CAST({_bit_sql('embedding', p)} AS BIGINT) * {1 << i}"
+        for i, p in enumerate(planes)
+    )
+    return f"SELECT vec_id, label, {terms} AS bucket FROM embeddings"
+
+
+def lsh_bucket_stats_sql(planes: list[list[float]]) -> str:
+    """Per-table bucket histogram, mirroring operators/lsh.py::bucket_stats."""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS table_idx, {_bit_sql('embedding', p)} AS bit FROM embeddings"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH bits AS ({unions}),
+per_bucket AS (
+  SELECT table_idx, bit, count(*) AS bucket_size FROM bits GROUP BY table_idx, bit
+)
+SELECT table_idx, count(*) AS n_buckets, sum(bucket_size) AS n_vectors,
+       max(bucket_size) AS max_bucket, min(bucket_size) AS min_bucket
+FROM per_bucket GROUP BY table_idx
+"""
+
+
+def lsh_search_sql(planes: list[list[float]], query_id: int = 0, k: int = 10,
+                   metric: str = "cosine") -> str:
+    """LSH probe + exact re-rank, mirroring operators/lsh.py::search:
+    candidate iff the signature agrees with the query's on ANY plane."""
+    agree_terms = " OR ".join(
+        f"({_bit_sql('e.embedding', p)} = {_bit_sql('q.qv', p)})" for p in planes
+    )
+    score = METRIC_SQL[metric]("e.embedding", "q.qv")
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_id}),
+cand AS (
+  SELECT e.vec_id, e.label, round({score}, 6) AS score
+  FROM embeddings e, q
+  WHERE {agree_terms}
+)
+SELECT vec_id, label, score FROM cand
+QUALIFY row_number() OVER (ORDER BY score DESC, vec_id) <= {k}
+"""
+
+
+def grid_cells_sql(cell_size: float = 0.1) -> str:
+    """Cell key per vector, mirroring operators/grid.py::build_index."""
+    return f"""
+WITH ex AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+b AS (
+  SELECT i, min(x) AS mn,
+         CASE WHEN max(x) - min(x) = 0 THEN 1 ELSE max(x) - min(x) END AS rng
+  FROM ex GROUP BY i
+),
+cells AS (
+  SELECT e.vec_id, e.label, e.i,
+         CAST(floor(((e.x - b.mn) / b.rng) / {cell_size!r}) AS BIGINT) AS c
+  FROM ex e JOIN b USING (i)
+)
+SELECT vec_id, label, string_agg(c::VARCHAR, '_' ORDER BY i) AS cell_key
+FROM cells GROUP BY vec_id, label
+"""
+
+
+def grid_cell_stats_sql(cell_size: float = 0.1) -> str:
+    return f"""
+WITH keys AS ({grid_cells_sql(cell_size)}),
+per_cell AS (SELECT cell_key, count(*) AS cell_n FROM keys GROUP BY cell_key)
+SELECT count(*) AS non_empty_cells, round(avg(cell_n), 4) AS avg_cell_size,
+       max(cell_n) AS max_cell_size, sum(cell_n) AS vector_count
+FROM per_cell
+"""
+
+
+def grid_search_sql(query_id: int = 0, k: int = 10, metric: str = "euclidean",
+                    cell_size: float = 0.1, max_radius: int = 3) -> str:
+    """Grid expanding-radius probe + exact re-rank, mirroring
+    operators/grid.py::search (same stopping-radius rule)."""
+    score = METRIC_SQL[metric]("e.embedding", "q.qv")
+    return f"""
+WITH ex AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+b AS (
+  SELECT i, min(x) AS mn,
+         CASE WHEN max(x) - min(x) = 0 THEN 1 ELSE max(x) - min(x) END AS rng
+  FROM ex GROUP BY i
+),
+cells AS (
+  SELECT e.vec_id, e.label, e.i,
+         CAST(floor(((e.x - b.mn) / b.rng) / {cell_size!r}) AS BIGINT) AS c
+  FROM ex e JOIN b USING (i)
+),
+qcells AS (SELECT i, c FROM cells WHERE vec_id = {query_id}),
+diffs AS (
+  SELECT c.vec_id, c.label,
+         sum(CASE WHEN c.c != q.c THEN 1 ELSE 0 END) AS ndiff,
+         max(abs(c.c - q.c)) AS maxdiff
+  FROM cells c JOIN qcells q USING (i)
+  GROUP BY c.vec_id, c.label
+),
+rneed AS (
+  SELECT vec_id, label,
+         CASE WHEN ndiff = 0 THEN 0 ELSE maxdiff END AS r_needed
+  FROM diffs WHERE ndiff <= 1
+),
+reachable AS (SELECT * FROM rneed WHERE r_needed <= {max_radius}),
+rcount AS (SELECT r_needed, count(*) AS n FROM reachable GROUP BY r_needed),
+cum AS (
+  SELECT r_needed, sum(n) OVER (ORDER BY r_needed
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+  FROM rcount
+),
+stop AS (
+  SELECT coalesce(min(CASE WHEN cum_n >= {2 * k} THEN r_needed END), {max_radius}) AS stop_r
+  FROM cum
+),
+cand AS (
+  SELECT r.vec_id, r.label FROM reachable r, stop s WHERE r.r_needed <= s.stop_r
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_id})
+SELECT c.vec_id, c.label, round({score}, 6) AS score
+FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, q
+QUALIFY row_number() OVER (ORDER BY score DESC, c.vec_id) <= {k}
+"""
+
+
 def knn_distance_sql(query_id: int = 0, k: int = 10, metric: str = "euclidean") -> str:
     dist = DISTANCE_SQL[metric]("e.embedding", "q.qv")
     return f"""
