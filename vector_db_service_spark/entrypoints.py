@@ -418,6 +418,89 @@ register(
 )
 
 
+# --- training-data pipeline: dedup / ANN / text analysis / multimodal ------
+from . import oracles_pipeline as opl  # noqa: E402
+from .operators import ann, dedup, multimodal, textops  # noqa: E402
+
+register(
+    "dedup_exact_summary",
+    lambda s, d: dedup.exact_dedup_summary(load(s, d, "documents")),
+    opl.exact_dedup_summary_sql(),
+)
+register(
+    "dedup_exact_keep_first",
+    lambda s, d: dedup.exact_dedup_keep_first(load(s, d, "documents")),
+    opl.exact_dedup_keep_first_sql(),
+)
+register(
+    "dedup_minhash_signatures",
+    lambda s, d: dedup.minhash_signatures(load(s, d, "documents")),
+    opl.minhash_signatures_sql(),
+)
+register(
+    "dedup_minhash_pairs",
+    lambda s, d: dedup.minhash_near_dups(load(s, d, "documents"), threshold=0.2),
+    opl.minhash_near_dups_sql(threshold=0.2),
+)
+register(
+    "dedup_ngram_jaccard_topk",
+    lambda s, d: dedup.ngram_jaccard_topk(load(s, d, "documents"), k=20),
+    opl.ngram_jaccard_topk_sql(k=20),
+)
+register(
+    "dedup_simhash_fingerprints",
+    lambda s, d: dedup.simhash_fingerprints(load(s, d, "documents")),
+    opl.simhash_fingerprints_sql(),
+)
+register(
+    "dedup_simhash_pairs",
+    lambda s, d: dedup.simhash_near_dups(load(s, d, "documents"), max_hamming=3),
+    opl.simhash_near_dups_sql(max_hamming=3),
+)
+register(
+    "dedup_embedding_pairs",
+    lambda s, d: dedup.embedding_near_dups(load(s, d, "embeddings"), threshold=0.8),
+    opl.embedding_near_dups_sql(threshold=0.8),
+)
+register(
+    "ann_brute_force_topk",
+    lambda s, d: ann.brute_force_topk(s, d, query_ids=[0, 1, 2, 3, 4], k=5),
+    opl.brute_force_topk_sql(query_ids=[0, 1, 2, 3, 4], k=5),
+)
+register(
+    "ann_ivf_topk",
+    lambda s, d: ann.ivf_topk(s, d, query_id=0, k=10, nprobe=1),
+    opl.ivf_topk_sql(query_id=0, k=10, nprobe=1),
+)
+register(
+    "text_token_stats",
+    lambda s, d: textops.token_stats(load(s, d, "documents")),
+    opl.token_stats_sql(),
+)
+register(
+    "text_quality_scores",
+    lambda s, d: textops.quality_scores(load(s, d, "documents")),
+    opl.quality_scores_sql(),
+)
+register(
+    "text_language_id",
+    lambda s, d: textops.language_id(load(s, d, "documents")),
+    opl.language_id_sql(),
+)
+register(
+    "text_language_summary",
+    lambda s, d: textops.corpus_language_summary(load(s, d, "documents")),
+    opl.corpus_language_summary_sql(),
+)
+register(
+    "text_fingerprints",
+    lambda s, d: textops.fingerprints(load(s, d, "documents")),
+    opl.fingerprints_sql(),
+)
+register("mm_blob_features", multimodal.blob_features, opl.blob_features_sql())
+register("mm_frame_stats", multimodal.frame_stats, opl.frame_stats_sql())
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """entry() target: the §3.1 flagship read path end-to-end."""
     return knn_ops.knn(spark, sf_dir, query_id=0, k=10, metric="cosine", hydrate=True)

@@ -1,0 +1,149 @@
+"""MinHash and SimHash column expressions for near-duplicate detection.
+
+Standard constructions (Broder 1997 resemblance sketches; Charikar 2002
+simhash), parameterized for exact cross-engine reproducibility:
+- base string hash: md5-prefix int64 mod p (functions/text.py).
+- minhash permutations: h_j(x) = (a_j * x + b_j) mod p with (a_j, b_j)
+  drawn once from python random.Random(seed) and embedded as literals in
+  both the Spark plan and the oracle SQL. a*x stays < 2^63 because both
+  factors are < p = 2^31-1 (ANSI-mode safe).
+- simhash: 16-bit, bit_b = sign of sum over tokens of ±1 by bit b of the
+  token hash; bit extraction via floor(h / 2^b) % 2, which is exact in
+  double for h < 2^31 and identical in DuckDB.
+
+LSH banding note (the 100 TB path): minhash rows are split into bands —
+near-dup candidates share at least one full band, so the pair join is an
+equi-join on (band_idx, band_key), never a cross join. For simhash with
+hamming radius r, splitting the fingerprint into r+1 blocks guarantees
+(pigeonhole) every true pair shares a block — the blocked equi-join is
+LOSSLESS, which is why the naive-quadratic oracle returns the identical
+pair set.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .text import MOD_P, token_hashes, tokens
+
+NUM_MINHASH = 16
+MINHASH_BANDS = 4  # 4 bands x 4 rows
+SIMHASH_BITS = 16
+SIMHASH_BLOCKS = 4  # lossless for hamming <= 3
+SEED = 42
+
+
+def minhash_params(num: int = NUM_MINHASH, seed: int = SEED) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MOD_P), rng.randrange(0, MOD_P)) for _ in range(num)]
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles; short docs fall back to the whole text as a
+    single shingle (mirrored in the oracle). The token array is let-bound:
+    element_at inside the gram lambda must not re-split the string per
+    element (that would be O(len^2) per row)."""
+    def _grams(toks: Column) -> Column:
+        size = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), size - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        )
+        return F.when(size >= n, grams).otherwise(F.array(F.lower(text)))
+
+    return let(tokens(text), _grams)
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    from .text import token_hash
+
+    return F.transform(shingles(text, n), token_hash)
+
+
+def _perm(a: int, b: int):
+    # factory (not default-arg closure): PySpark counts lambda params via
+    # inspect.signature, so extra default args break higher-order fns
+    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MOD_P)
+
+
+def let(value: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate `value` ONCE and bind
+    it as a lambda variable in `body`. Spark's codegen subexpression
+    elimination skips trees containing LambdaFunctions, so a sub-expression
+    referenced N times is otherwise recomputed N times — for the md5
+    shingle pipeline that turns into a 256x per-row blowup."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def minhash_signature(text: Column, params: list[tuple[int, int]] | None = None) -> Column:
+    """Array of NUM_MINHASH minima over the permuted shingle hashes.
+    The shingle-hash array is computed once (let-bound); each permutation
+    is then a cheap pass over the materialized longs."""
+    params = params or minhash_params()
+
+    def _sig(base: Column) -> Column:
+        return F.array(*[F.array_min(F.transform(base, _perm(a, b))) for a, b in params])
+
+    return let(shingle_hashes(text), _sig)
+
+
+def minhash_bands(sig: Column, bands: int = MINHASH_BANDS,
+                  rows: int = NUM_MINHASH // MINHASH_BANDS) -> Column:
+    """Band keys: concat of each band's minima — the LSH bucket keys.
+    `sig` is let-bound so the signature is computed once, not once per
+    band-key element."""
+    def _keys(s: Column) -> Column:
+        return F.array(
+            *[
+                F.concat_ws(
+                    "-", *[F.element_at(s, b * rows + r + 1).cast("string") for r in range(rows)]
+                )
+                for b in range(bands)
+            ]
+        )
+
+    return let(sig, _keys)
+
+
+def _bit(h: Column, b: int) -> Column:
+    # floor(h / 2^b) % 2 — exact in double for h < 2^31, identical in DuckDB
+    return F.floor(h / F.lit(float(1 << b))).cast("long") % F.lit(2)
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """16-bit simhash over token hashes as a single long."""
+    def _signed_sum(hs: Column, b: int) -> Column:
+        def _merge(acc: Column, h: Column) -> Column:
+            return acc + (_bit(h, b) * F.lit(2) - F.lit(1))
+        return F.aggregate(hs, F.lit(0).cast("long"), _merge)
+
+    def _fp(hs: Column) -> Column:
+        out = F.lit(0).cast("long")
+        for b in range(bits):
+            bit_sum = _signed_sum(hs, b)
+            bit_b = F.when(bit_sum >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            out = out + bit_b * F.lit(1 << b).cast("long")
+        return out
+
+    # let-bind: 16 aggregate passes over ONE materialized md5-hash array
+    return let(token_hashes(text), _fp)
+
+
+def simhash_blocks(sh: Column, blocks: int = SIMHASH_BLOCKS,
+                   bits: int = SIMHASH_BITS) -> Column:
+    """Split the fingerprint into `blocks` equal bit-blocks (the lossless
+    hamming-LSH bucket keys)."""
+    width = bits // blocks
+    return F.array(
+        *[
+            (F.floor(sh / F.lit(float(1 << (i * width)))).cast("long") % F.lit(1 << width))
+            for i in range(blocks)
+        ]
+    )
+
+
+def hamming(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

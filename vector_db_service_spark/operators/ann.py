@@ -1,0 +1,100 @@
+"""Approximate-nearest-neighbor search operators beyond the reference's
+index surface — the scale path for embedding similarity at 100 TB.
+
+- brute_force_topk: exact batch k-NN for MANY queries at once (the
+  reference only ever probes one query; batching amortizes the scan —
+  K7's matmul generalized). Queries are a broadcast side; scoring stays
+  inside one codegen'd projection; per-query top-k via window.
+- ivf_topk: IVF-style two-stage search: coarse quantizer = per-library
+  centroid (deterministic "trained" clustering using the label structure),
+  probe the nearest nprobe partitions only, exact re-rank inside them.
+  At scale the embedding table is partitioned by list id, so the probe
+  is partition pruning — the scan never touches the other partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import similarity as sim
+from ..sources.tables import load
+
+
+def brute_force_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact multi-query top-k: queries x corpus scored in one pass."""
+    query_ids = query_ids or [0, 1, 2, 3, 4]
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+    scored = (
+        emb.join(F.broadcast(queries))
+        .withColumn("score", F.round(sim.score(metric, F.col("embedding"), F.col("qv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "label", "score", "rnk")
+    )
+
+
+def centroids(emb: DataFrame) -> DataFrame:
+    """Per-library centroids (the IVF coarse quantizer): per-dimension
+    mean via posexplode + groupBy — fully distributed, no driver matrix."""
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    )
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    nprobe: int = 1,
+    metric: str = "cosine",
+) -> DataFrame:
+    """IVF search: rank centroids by similarity to the query, keep the
+    best `nprobe` lists, exact-search only those lists. The centroid
+    ranking is a tiny aggregate; the corpus scan is pruned to the probed
+    partitions."""
+    emb = load(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == query_id).select("embedding").head()
+    if qrow is None:
+        raise KeyError(f"query vector {query_id} not found")
+    q = sim.vector_lit(list(qrow[0]))
+
+    cent = centroids(emb)
+    probe_w = Window.orderBy(F.desc("c_score"), F.asc("label"))
+    probed = (
+        cent.withColumn("c_score", sim.score(metric, F.col("centroid"), q))
+        .withColumn("c_rnk", F.row_number().over(probe_w))
+        .filter(F.col("c_rnk") <= nprobe)
+        .select("label")
+    )
+    return (
+        emb.join(F.broadcast(probed), "label")
+        .withColumn("score", F.round(sim.score(metric, F.col("embedding"), q), 6))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "label", "score")
+    )

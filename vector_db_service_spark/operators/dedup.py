@@ -1,0 +1,157 @@
+"""Deduplication operators over the documents/embeddings tables —
+the training-data-pipeline surface (BASELINE.json north_star).
+
+Five families, each designed so the pair-generation step is an equi-join
+on a bucket key (never a cross join), which is what survives 100 TB:
+
+  exact        md5(text) group-by                      (hash dedup)
+  minhash      shingle -> minhash -> band -> bucket join -> exact jaccard
+  simhash      16-bit fingerprint -> block join (lossless for r<=3)
+               -> hamming verify
+  ngram        word-3-gram jaccard, minhash-band blocked
+  embedding    cosine near-dup, library(label)-blocked
+
+The oracle SQL for the blocked operators deliberately uses the naive
+quadratic formulation — the blocked join must return the IDENTICAL pair
+set (banding is a candidate superset + exact verify; simhash blocking is
+lossless by pigeonhole), so hash-equality against the naive oracle
+proves the pruning is sound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import similarity as sim
+from ..functions.text import tokens
+
+
+def exact_dedup_summary(docs: DataFrame) -> DataFrame:
+    """Exact dedup accounting: total rows vs distinct texts vs distinct
+    normalized texts (lower + squeezed whitespace)."""
+    norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+    return docs.agg(
+        F.count("*").alias("total_docs"),
+        F.countDistinct(F.md5("text")).alias("distinct_texts"),
+        F.countDistinct(F.md5(norm)).alias("distinct_normalized"),
+    )
+
+
+def exact_dedup_keep_first(docs: DataFrame) -> DataFrame:
+    """Canonicalization: keep the min doc_id per distinct text — the
+    standard keep-one policy. Post-state row count per source."""
+    w_key = F.md5(F.col("text"))
+    keep = (
+        docs.groupBy(w_key.alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    )
+    return (
+        docs.join(keep.select("doc_id"), "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _pair_join(keyed: DataFrame, key_cols: list[str], payload: list[str]) -> DataFrame:
+    """Candidate pairs sharing a bucket key: equi-self-join, id1 < id2,
+    distinct. The only shuffle is on the bucket key."""
+    left = keyed.select(*key_cols, *[F.col(c).alias(f"{c}_1") for c in payload])
+    right = keyed.select(*key_cols, *[F.col(c).alias(f"{c}_2") for c in payload])
+    return (
+        left.join(right, key_cols)
+        .filter(F.col(f"{payload[0]}_1") < F.col(f"{payload[0]}_2"))
+        .select([f"{c}_1" for c in payload] + [f"{c}_2" for c in payload])
+        .distinct()
+    )
+
+
+def minhash_near_dups(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: band-bucket candidate join,
+    then EXACT jaccard on distinct-shingle sets as the verify step."""
+    sig = H.minhash_signature(F.col("text"))
+    keyed = docs.select(
+        "doc_id",
+        F.posexplode(H.minhash_bands(sig)).alias("band_idx", "band_key"),
+    )
+    pairs = _pair_join(keyed, ["band_idx", "band_key"], ["doc_id"])
+    sh = docs.select("doc_id", F.array_distinct(H.shingles(F.col("text"))).alias("sh"))
+    j = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_id_1").withColumnRenamed("sh", "sh_1"), "doc_id_1")
+        .join(sh.withColumnRenamed("doc_id", "doc_id_2").withColumnRenamed("sh", "sh_2"), "doc_id_2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_1", "sh_2")).cast("double")
+                / F.size(F.array_union("sh_1", "sh_2")).cast("double"),
+                6,
+            ),
+        )
+    )
+    return (
+        j.filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_id_1", "doc_id_2", "jaccard")
+    )
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs within hamming <= 3 of 16 bits. The block
+    join (4 blocks) is lossless for this radius, so results equal the
+    all-pairs scan the oracle performs."""
+    fingered = docs.select("doc_id", H.simhash(F.col("text")).alias("sh"))
+    keyed = fingered.select(
+        "doc_id", "sh", F.posexplode(H.simhash_blocks(F.col("sh"))).alias("block_idx", "block_key")
+    )
+    pairs = _pair_join(keyed, ["block_idx", "block_key"], ["doc_id", "sh"])
+    return (
+        pairs.withColumn("hamming", H.hamming(F.col("sh_1"), F.col("sh_2")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_1", "doc_id_2", "hamming")
+    )
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", H.simhash(F.col("text")).alias("simhash"))
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """Inspectable minhash signatures (first 4 components as columns)."""
+    sig = H.minhash_signature(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[F.element_at(sig, i + 1).alias(f"mh{i}") for i in range(4)],
+    )
+
+
+def ngram_jaccard_topk(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k most similar doc pairs by word-3-gram jaccard. Candidates
+    come from minhash bands (scale path); the exact-jaccard verify makes
+    the band choice a recall knob, and top-k ordering is total."""
+    near = minhash_near_dups(docs, threshold=0.0)
+    return (
+        near.orderBy(F.desc("jaccard"), F.asc("doc_id_1"), F.asc("doc_id_2"))
+        .limit(k)
+    )
+
+
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by library (label) — the
+    partition-pruned form: each label's block joins only against itself,
+    so the shuffle is per-partition and skew-bounded."""
+    a = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_id_1"),
+        F.col("embedding").alias("e1"),
+    )
+    b = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_id_2"),
+        F.col("embedding").alias("e2"),
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_id_1") < F.col("vec_id_2"))
+        .withColumn("cos", F.round(sim.cosine(F.col("e1"), F.col("e2")), 6))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("label", "vec_id_1", "vec_id_2", "cos")
+    )

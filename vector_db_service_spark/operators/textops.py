@@ -1,0 +1,75 @@
+"""Text-analysis queries over the documents table (training-data
+pipeline surface): token stats, quality scoring, language-ID,
+fingerprinting. All pure column expressions — one codegen'd projection
+per document, embarrassingly parallel at any scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    toks = T.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        T.word_count(F.col("text")).alias("n_words"),
+        T.alpha_chars(F.col("text")).alias("n_alpha"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features: mean token length, stopword ratio,
+    alpha density — the standard cheap pre-filters for corpus curation."""
+    toks = T.tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("double")
+    mean_tok_len = F.round(
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double"))
+        / n_tokens,
+        6,
+    )
+    stop_ratio = F.round(T.stopword_hits(F.col("text"), "en").cast("double") / n_tokens, 6)
+    alpha_density = F.round(
+        T.alpha_chars(F.col("text")).cast("double") / F.length("text").cast("double"), 6
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        mean_tok_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_density.alias("alpha_density"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Stopword-hit language heuristic with per-language hit counts and
+    the arg-max prediction (alphabetical tie-break)."""
+    cols = [F.col("doc_id"), F.col("lang").alias("actual_lang")]
+    for lang in T.LANGS:
+        cols.append(T.stopword_hits(F.col("text"), lang).alias(f"hits_{lang}"))
+    cols.append(T.predicted_lang(F.col("text")).alias("pred_lang"))
+    return docs.select(*cols)
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Document fingerprints: md5 + rolling token-polynomial hash."""
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        T.rolling_fingerprint(F.col("text")).alias("roll_hash"),
+    )
+
+
+def corpus_language_summary(docs: DataFrame) -> DataFrame:
+    """Predicted-vs-actual language confusion counts — grouped agg over
+    the language-ID projection."""
+    pred = T.predicted_lang(F.col("text"))
+    return (
+        docs.select(F.col("lang").alias("actual_lang"), pred.alias("pred_lang"))
+        .groupBy("actual_lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )

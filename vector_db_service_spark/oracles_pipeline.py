@@ -1,0 +1,297 @@
+"""DuckDB oracle SQL for the training-data pipeline operators
+(dedup / ANN / text analysis / multimodal plumbing).
+
+Mirrors functions/text.py, functions/hashing.py, operators/dedup.py,
+operators/ann.py, operators/multimodal.py fragment-for-fragment. The
+blocked/banded Spark implementations are checked against NAIVE
+quadratic SQL here — equality proves the pruning is lossless.
+"""
+
+from __future__ import annotations
+
+from .functions.hashing import (
+    MINHASH_BANDS,
+    NUM_MINHASH,
+    SIMHASH_BITS,
+    SIMHASH_BLOCKS,
+    minhash_params,
+)
+from .functions.text import MOD_P, STOPWORDS, LANGS
+from .oracles import METRIC_SQL
+
+TOKS = "string_split(lower(text), ' ')"
+
+
+def _token_hash(t: str) -> str:
+    return f"CAST(concat('0x', substr(md5({t}), 1, 8)) AS BIGINT) % {MOD_P}"
+
+
+SHINGLES = f"""
+CASE WHEN len({TOKS}) >= 3
+     THEN list_transform(generate_series(1, len({TOKS}) - 2),
+          i -> {TOKS}[i] || ' ' || {TOKS}[i+1] || ' ' || {TOKS}[i+2])
+     ELSE [lower(text)] END
+"""
+
+SHINGLE_HASHES = f"list_transform({SHINGLES}, s -> {_token_hash('s')})"
+TOKEN_HASHES = f"list_transform({TOKS}, t -> {_token_hash('t')})"
+
+
+def _stop_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{s}'" for s in STOPWORDS[lang]) + "]"
+
+
+def _hits(lang: str) -> str:
+    return f"len(list_intersect({TOKS}, {_stop_list(lang)}))"
+
+
+def _pred_lang(prefix: str = "h_") -> str:
+    # same cascade as functions/text.py::predicted_lang (alphabetical
+    # tie-break: de > en > es evaluation order)
+    h = {lang: f"{prefix}{lang}" for lang in LANGS}
+    return (
+        f"CASE WHEN {h['de']} >= {h['en']} AND {h['de']} >= {h['es']} THEN 'de' "
+        f"WHEN {h['en']} >= {h['es']} THEN 'en' ELSE 'es' END"
+    )
+
+
+def _minhash_cols() -> list[str]:
+    return [
+        f"list_min(list_transform(base, h -> ({a} * h + {b}) % {MOD_P}))"
+        for a, b in minhash_params()
+    ]
+
+
+def _band_exprs() -> list[str]:
+    rows = NUM_MINHASH // MINHASH_BANDS
+    return [
+        "concat_ws('-', " + ", ".join(f"mh{b * rows + r}::VARCHAR" for r in range(rows)) + ")"
+        for b in range(MINHASH_BANDS)
+    ]
+
+
+def _sig_cte() -> str:
+    mh = ", ".join(f"{e} AS mh{i}" for i, e in enumerate(_minhash_cols()))
+    bands = ", ".join(f"{e} AS band{b}" for b, e in enumerate(_band_exprs()))
+    return f"""
+base_t AS (SELECT doc_id, {SHINGLE_HASHES} AS base,
+                  list_distinct({SHINGLES}) AS sh FROM documents),
+sigs AS (SELECT doc_id, sh, {mh} FROM base_t),
+banded AS (SELECT doc_id, sh, {bands} FROM sigs)
+"""
+
+
+def minhash_signatures_sql() -> str:
+    mh4 = ", ".join(f"{e} AS mh{i}" for i, e in enumerate(_minhash_cols()[:4]))
+    return f"""
+WITH base_t AS (SELECT doc_id, {SHINGLE_HASHES} AS base FROM documents)
+SELECT doc_id, {mh4} FROM base_t
+"""
+
+
+def minhash_near_dups_sql(threshold: float = 0.2) -> str:
+    band_match = " OR ".join(f"a.band{b} = b.band{b}" for b in range(MINHASH_BANDS))
+    return f"""
+WITH {_sig_cte()},
+pairs AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+  FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ({band_match})
+)
+SELECT doc_id_1, doc_id_2, jaccard FROM pairs WHERE jaccard >= {threshold!r}
+"""
+
+
+def ngram_jaccard_topk_sql(k: int = 20) -> str:
+    band_match = " OR ".join(f"a.band{b} = b.band{b}" for b in range(MINHASH_BANDS))
+    return f"""
+WITH {_sig_cte()},
+pairs AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+  FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ({band_match})
+)
+SELECT doc_id_1, doc_id_2, jaccard FROM pairs
+QUALIFY row_number() OVER (ORDER BY jaccard DESC, doc_id_1, doc_id_2) <= {k}
+"""
+
+
+_ZEROS = "[" + ", ".join(["CAST(0 AS BIGINT)"] * SIMHASH_BITS) + "]"
+
+SIMHASH = f"""
+list_sum(list_transform(generate_series(1, {SIMHASH_BITS}), i ->
+  CASE WHEN list_reduce(
+         list_prepend({_ZEROS},
+           list_transform({TOKEN_HASHES}, h ->
+             list_transform(generate_series(0, {SIMHASH_BITS - 1}), b ->
+               (CAST(floor(h / pow(2, b)) AS BIGINT) % 2) * 2 - 1))),
+         (acc, x) -> list_transform(generate_series(1, {SIMHASH_BITS}), j -> acc[j] + x[j])
+       )[i] >= 0
+  THEN CAST(pow(2, i - 1) AS BIGINT) ELSE 0 END))
+"""
+
+
+def simhash_fingerprints_sql() -> str:
+    return f"SELECT doc_id, {SIMHASH} AS simhash FROM documents"
+
+
+def simhash_near_dups_sql(max_hamming: int = 3) -> str:
+    """NAIVE all-pairs hamming scan — the Spark side uses the lossless
+    4-block LSH join; identical results prove losslessness."""
+    return f"""
+WITH fp AS (SELECT doc_id, {SIMHASH} AS sh FROM documents)
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       bit_count(xor(a.sh, b.sh)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
+
+
+def exact_dedup_summary_sql() -> str:
+    return """
+SELECT count(*) AS total_docs,
+       count(DISTINCT md5(text)) AS distinct_texts,
+       count(DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS distinct_normalized
+FROM documents
+"""
+
+
+def exact_dedup_keep_first_sql() -> str:
+    return """
+WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT source, count(*) AS n_docs FROM documents
+WHERE doc_id IN (SELECT doc_id FROM keep)
+GROUP BY source
+"""
+
+
+def embedding_near_dups_sql(threshold: float = 0.8) -> str:
+    cos = METRIC_SQL["cosine"]("a.embedding", "b.embedding")
+    return f"""
+WITH pairs AS (
+  SELECT a.label, a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+         round({cos}, 6) AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT label, vec_id_1, vec_id_2, cos FROM pairs WHERE cos >= {threshold!r}
+"""
+
+
+def brute_force_topk_sql(query_ids: list[int] | None = None, k: int = 5,
+                         metric: str = "cosine") -> str:
+    query_ids = query_ids or [0, 1, 2, 3, 4]
+    ids = ", ".join(str(i) for i in query_ids)
+    score = METRIC_SQL[metric]("e.embedding", "q.qv")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id IN ({ids}))
+SELECT q.query_id, e.vec_id, e.label, round({score}, 6) AS score,
+       row_number() OVER (PARTITION BY q.query_id
+                          ORDER BY round({score}, 6) DESC, e.vec_id) AS rnk
+FROM embeddings e, q
+QUALIFY rnk <= {k}
+"""
+
+
+def ivf_topk_sql(query_id: int = 0, k: int = 10, nprobe: int = 1,
+                 metric: str = "cosine") -> str:
+    cscore = METRIC_SQL[metric]("c.centroid", "q.qv")
+    score = METRIC_SQL[metric]("e.embedding", "q.qv")
+    return f"""
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT label, list(m ORDER BY i) AS centroid
+  FROM (SELECT label, i, avg(x) AS m FROM ex GROUP BY label, i)
+  GROUP BY label
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_id}),
+probed AS (
+  SELECT c.label FROM cent c, q
+  QUALIFY row_number() OVER (ORDER BY {cscore} DESC, c.label) <= {nprobe}
+)
+SELECT e.vec_id, e.label, round({score}, 6) AS score
+FROM embeddings e JOIN probed USING (label), q
+QUALIFY row_number() OVER (ORDER BY score DESC, e.vec_id) <= {k}
+"""
+
+
+def token_stats_sql() -> str:
+    return f"""
+SELECT doc_id,
+       len({TOKS}) AS n_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+       length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+       length(text) AS n_chars_actual
+FROM documents
+"""
+
+
+def quality_scores_sql() -> str:
+    return f"""
+SELECT doc_id,
+       len({TOKS}) AS n_tokens,
+       round(list_sum(list_transform({TOKS}, t -> CAST(length(t) AS DOUBLE)))
+             / CAST(len({TOKS}) AS DOUBLE), 6) AS mean_token_len,
+       round(CAST({_hits('en')} AS DOUBLE) / CAST(len({TOKS}) AS DOUBLE), 6) AS stopword_ratio,
+       round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE), 6) AS alpha_density
+FROM documents
+"""
+
+
+def language_id_sql() -> str:
+    hit_cols = ", ".join(f"{_hits(lang)} AS hits_{lang}" for lang in LANGS)
+    return f"""
+WITH scored AS (SELECT doc_id, lang AS actual_lang, {hit_cols} FROM documents)
+SELECT doc_id, actual_lang, hits_de, hits_en, hits_es,
+       {_pred_lang('hits_')} AS pred_lang
+FROM scored
+"""
+
+
+def corpus_language_summary_sql() -> str:
+    hit_cols = ", ".join(f"{_hits(lang)} AS h_{lang}" for lang in LANGS)
+    return f"""
+WITH scored AS (SELECT lang AS actual_lang, {hit_cols} FROM documents)
+SELECT actual_lang, {_pred_lang()} AS pred_lang, count(*) AS n_docs
+FROM scored GROUP BY actual_lang, pred_lang
+"""
+
+
+def fingerprints_sql() -> str:
+    return f"""
+SELECT doc_id, md5(text) AS md5_hex,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), {TOKEN_HASHES}),
+                   (acc, h) -> (acc * 31 + h) % {MOD_P}) AS roll_hash
+FROM documents
+"""
+
+
+def blob_features_sql() -> str:
+    """Scalar checks for the mapInPandas featurizer: byte length, frame
+    count, mean byte over utf-8 codes (documents text is ascii, so bytes
+    == ascii codes)."""
+    return """
+SELECT doc_id,
+       strlen(text) AS n_bytes,
+       CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS n_frames,
+       round(list_sum(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS DOUBLE)))
+             / CAST(strlen(text) AS DOUBLE), 6) AS mean_byte
+FROM documents
+"""
+
+
+def frame_stats_sql() -> str:
+    return """
+SELECT doc_id,
+       CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS n_frames,
+       CAST(strlen(text) - (ceil(strlen(text) / 256.0) - 1) * 256 AS BIGINT) AS tail_bytes
+FROM documents
+"""
