@@ -501,6 +501,224 @@ register("mm_blob_features", multimodal.blob_features, opl.blob_features_sql())
 register("mm_frame_stats", multimodal.frame_stats, opl.frame_stats_sql())
 
 
+# --- remaining §2 surface: scans, inserts, flag updates, stats, kernels ----
+from .functions import similarity as sim  # noqa: E402
+
+register(
+    "s4_scan_by_parent",
+    lambda s, d: load(s, d, "events").filter(F.col("user_id") == 5)
+    .select("event_id", "user_id", "event_type", F.round("value", 4).alias("value")),
+    "SELECT event_id, user_id, event_type, round(value, 4) AS value "
+    "FROM events WHERE user_id = 5",
+)
+register(
+    "s5_full_scan",
+    lambda s, d: load(s, d, "region"),
+    "SELECT r_regionkey, r_name FROM region",
+)
+register(
+    "s6_vector_store_scan",
+    lambda s, d: load(s, d, "embeddings")
+    .select("vec_id", "label", F.round(sim.norm(F.col("embedding")), 6).alias("vnorm")),
+    f"SELECT vec_id, label, round({oracles.norm_sql('embedding')}, 6) AS vnorm FROM embeddings",
+)
+
+
+def _insert_poststate(s: SparkSession, d: str) -> DataFrame:
+    docs = load(s, d, "documents")
+    new_rows = s.createDataFrame(
+        [(1_000_001, "inserted row one", "en", "__new__", 16),
+         (1_000_002, "inserted row two", "en", "__new__", 16)],
+        schema=docs.schema,
+    )
+    return (
+        docs.unionByName(new_rows)
+        .groupBy("source").agg(F.count("*").alias("n_docs"), F.max("doc_id").alias("max_id"))
+    )
+
+
+register(
+    "s8_insert",
+    _insert_poststate,
+    """
+WITH post AS (
+  SELECT doc_id, source FROM documents
+  UNION ALL SELECT 1000001, '__new__' UNION ALL SELECT 1000002, '__new__'
+)
+SELECT source, count(*) AS n_docs, max(doc_id) AS max_id FROM post GROUP BY source
+""",
+)
+
+
+def _batch_insert_poststate(s: SparkSession, d: str) -> DataFrame:
+    emb = load(s, d, "embeddings")
+    batch = (
+        emb.filter(F.col("vec_id") < 10)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding",
+                F.lit(99).cast("int").alias("label"))
+    )
+    return emb.unionByName(batch).groupBy("label").agg(F.count("*").alias("n_vectors"))
+
+
+register(
+    "s9_batch_insert",
+    _batch_insert_poststate,
+    """
+WITH post AS (
+  SELECT vec_id, label FROM embeddings
+  UNION ALL SELECT vec_id + 1000000, 99 FROM embeddings WHERE vec_id < 10
+)
+SELECT label, count(*) AS n_vectors FROM post GROUP BY label
+""",
+)
+register(
+    "s14_flag_update",
+    lambda s, d: load(s, d, "embeddings").select("label").distinct()
+    .withColumn("indexed", F.col("label").isin([0, 1, 2])),
+    "SELECT DISTINCT label, label IN (0, 1, 2) AS indexed FROM embeddings",
+)
+register(
+    "p1_projection",
+    lambda s, d: load(s, d, "lineitem")
+    .select("l_orderkey", "l_linenumber", F.round("l_quantity", 4).alias("qty")),
+    "SELECT l_orderkey, l_linenumber, round(l_quantity, 4) AS qty FROM lineitem",
+)
+register(
+    "p5_title_match",
+    lambda s, d: load(s, d, "documents")
+    .filter((F.col("source") == "src3") & (F.col("lang") == "en"))
+    .select("doc_id", "source", "lang"),
+    "SELECT doc_id, source, lang FROM documents WHERE source = 'src3' AND lang = 'en'",
+)
+register(
+    "a3_library_stats",
+    lambda s, d: load(s, d, "embeddings").groupBy("label")
+    .agg(F.count("*").alias("n"))
+    .agg(
+        F.count("*").alias("total_libraries"),
+        F.sum(F.when(F.col("n") >= 50, 1).otherwise(0)).alias("n_indexed"),
+    ),
+    """
+WITH per AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+SELECT count(*) AS total_libraries,
+       sum(CASE WHEN n >= 50 THEN 1 ELSE 0 END) AS n_indexed
+FROM per
+""",
+)
+register(
+    "a4_document_stats",
+    lambda s, d: load(s, d, "documents").agg(
+        F.count("*").alias("total_docs"),
+        F.countDistinct("source").alias("n_sources_with_docs"),
+        F.countDistinct("lang").alias("n_langs_with_docs"),
+    ),
+    "SELECT count(*) AS total_docs, count(DISTINCT source) AS n_sources_with_docs, "
+    "count(DISTINCT lang) AS n_langs_with_docs FROM documents",
+)
+
+
+def _kernel_pairwise(s: SparkSession, d: str) -> DataFrame:
+    """K1-K6 as a row-wise kernel sweep: consecutive-id vector pairs
+    scored under every metric + distance form in one projection."""
+    emb = load(s, d, "embeddings")
+    a = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("vec_id_1"), F.col("embedding").alias("e1")
+    )
+    b = emb.select((F.col("vec_id") - 1).alias("vec_id_1"),
+                   F.col("vec_id").alias("vec_id_2"), F.col("embedding").alias("e2"))
+    e1, e2 = F.col("e1"), F.col("e2")
+    return (
+        a.join(b, "vec_id_1")
+        .select(
+            "vec_id_1", "vec_id_2",
+            F.round(sim.cosine(e1, e2), 6).alias("cos_sim"),
+            F.round(sim.dot(e1, e2), 6).alias("dot_sim"),
+            F.round(sim.euclidean_distance(e1, e2), 6).alias("eu_dist"),
+            F.round(sim.euclidean_similarity(e1, e2), 6).alias("eu_sim"),
+            F.round(sim.manhattan_distance(e1, e2), 6).alias("man_dist"),
+            F.round(sim.manhattan_similarity(e1, e2), 6).alias("man_sim"),
+        )
+    )
+
+
+def _kernel_pairwise_sql() -> str:
+    a, b = "a.embedding", "b.embedding"
+    return f"""
+SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+       round({oracles.cosine_sql(a, b)}, 6) AS cos_sim,
+       round({oracles.dot_sql(a, b)}, 6) AS dot_sim,
+       round({oracles.euclidean_distance_sql(a, b)}, 6) AS eu_dist,
+       round({oracles.euclidean_similarity_sql(a, b)}, 6) AS eu_sim,
+       round({oracles.manhattan_distance_sql(a, b)}, 6) AS man_dist,
+       round({oracles.manhattan_similarity_sql(a, b)}, 6) AS man_sim
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+WHERE a.vec_id < 50
+"""
+
+
+register("kernel_pairwise", _kernel_pairwise, _kernel_pairwise_sql())
+
+
+def _kernel_zero_guard(s: SparkSession, d: str) -> DataFrame:
+    """Zero-vector guard semantics (similarity.py:47-52,167-181): cosine
+    against an all-zero vector is 0.0, never a division error; the
+    1/(1+dist) forms stay finite."""
+    emb = load(s, d, "embeddings").filter(F.col("vec_id") < 5)
+    zero = F.transform(F.col("embedding"), lambda x: F.lit(0.0))
+    return emb.select(
+        "vec_id",
+        F.round(sim.cosine(F.col("embedding"), zero), 6).alias("cos_vs_zero"),
+        F.round(sim.cosine(zero, zero), 6).alias("cos_zero_zero"),
+        F.round(sim.euclidean_similarity(F.col("embedding"), zero), 6).alias("eu_sim_vs_zero"),
+    )
+
+
+register(
+    "kernel_zero_guard",
+    _kernel_zero_guard,
+    f"""
+WITH z AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x -> CAST(0.0 AS DOUBLE)) AS zv
+  FROM embeddings WHERE vec_id < 5
+)
+SELECT vec_id,
+       round({oracles.cosine_sql('embedding', 'zv')}, 6) AS cos_vs_zero,
+       round({oracles.cosine_sql('zv', 'zv')}, 6) AS cos_zero_zero,
+       round({oracles.euclidean_similarity_sql('embedding', 'zv')}, 6) AS eu_sim_vs_zero
+FROM z
+""",
+)
+
+# T5: k > n returns all n rows (similarity.py:464-466); library 1 has
+# fewer than 100 vectors at small SFs, so k=100 returns the whole library
+register(
+    "t5_k_exceeds_n",
+    lambda s, d: knn_ops.knn(s, d, query_id=0, k=100, metric="cosine", library=1),
+    oracles.knn_sql(query_id=0, k=100, metric="cosine", library=1),
+)
+
+# I12: per-library index info (vector_service.py:394-431) — count, dim,
+# and the library's preferred algorithm (config-driven dispatch modeled
+# as a deterministic label -> algorithm mapping)
+register(
+    "i12_index_info",
+    lambda s, d: load(s, d, "embeddings").groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.first(F.size("embedding")).alias("dim"),
+    ).withColumn(
+        "algorithm",
+        F.element_at(F.array(F.lit("flat"), F.lit("lsh"), F.lit("grid")),
+                     (F.col("label") % 3 + 1).cast("int")),
+    ),
+    """
+SELECT label, count(*) AS n_vectors, first(len(embedding)) AS dim,
+       ['flat', 'lsh', 'grid'][(label % 3) + 1] AS algorithm
+FROM embeddings GROUP BY label
+""",
+)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """entry() target: the §3.1 flagship read path end-to-end."""
     return knn_ops.knn(spark, sf_dir, query_id=0, k=10, metric="cosine", hydrate=True)
