@@ -501,6 +501,66 @@ register("mm_blob_features", multimodal.blob_features, opl.blob_features_sql())
 register("mm_frame_stats", multimodal.frame_stats, opl.frame_stats_sql())
 
 
+# --- §2.11 streaming / background-task analogs + S15 embedding stand-in ---
+from .functions.embed import hash_embedding  # noqa: E402
+from .streaming import pipeline as stream_ops  # noqa: E402
+
+register(
+    "stream_windowed_event_counts",
+    lambda s, d: stream_ops.windowed_event_counts(s, d),
+    opl.windowed_event_counts_sql(),
+)
+
+
+def _embed_components(s: SparkSession, d: str) -> DataFrame:
+    from .functions.hashing import let
+
+    def _proj(e):
+        n = F.sqrt(F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x))
+        return F.struct(
+            *[F.element_at(e, i + 1).alias(f"e{i}") for i in range(4)],
+            F.round(F.when(n == 0.0, F.lit(0.0)).otherwise(F.lit(1.0)), 6).alias("unit_norm"),
+        )
+
+    return (
+        load(s, d, "documents")
+        .select("doc_id", let(hash_embedding(F.col("text")), _proj).alias("st"))
+        .select("doc_id", "st.*")
+    )
+
+
+register("s15_embed_documents", _embed_components, opl.embed_components_sql())
+
+
+def _stream_embed_pending(s: SparkSession, d: str) -> DataFrame:
+    out = stream_ops.embed_pending_stream(s, d)
+    return out.select(
+        "doc_id",
+        *[F.round(F.element_at("embedding", i + 1), 6).alias(f"e{i}") for i in range(4)],
+    )
+
+
+register(
+    "stream_embed_pending",
+    _stream_embed_pending,
+    opl.embed_components_sql(include_norm=False),
+)
+register(
+    "o10_pending_anti_join",
+    lambda s, d: load(s, d, "documents").join(
+        load(s, d, "embeddings").filter(F.col("vec_id") < 300)
+        .select(F.col("vec_id").alias("doc_id")),
+        "doc_id", "left_anti",
+    ).select("doc_id", "source"),
+    opl.pending_anti_join_sql(limit_ids=300),
+)
+register(
+    "startup_rebuild_report",
+    stream_ops.startup_rebuild,
+    opl.startup_rebuild_sql(),
+)
+
+
 # --- remaining §2 surface: scans, inserts, flag updates, stats, kernels ----
 from .functions import similarity as sim  # noqa: E402
 

@@ -288,6 +288,60 @@ FROM documents
 """
 
 
+def embed_components_sql(n_components: int = 4, dim: int = 16,
+                         include_norm: bool = True) -> str:
+    """Oracle for the S15 hash-embedding stand-in (functions/embed.py):
+    signed hashed bag-of-words, L2-normalized, components rounded to 6.
+    All sums are over exact ±1 integers, so double math is noise-free."""
+    raw = f"""
+list_transform(generate_series(0, {dim - 1}), i ->
+  CAST(list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(hs, h ->
+    CASE WHEN h % {dim} = i
+         THEN (CAST(floor(h / {dim}.0) AS BIGINT) % 2) * 2 - 1
+         ELSE CAST(0 AS BIGINT) END))) AS DOUBLE))
+"""
+    comps = ", ".join(
+        f"round(CASE WHEN nrm = 0 THEN raw[{i + 1}] ELSE raw[{i + 1}] / nrm END, 6) AS e{i}"
+        for i in range(n_components)
+    )
+    norm_col = ", round(CASE WHEN nrm = 0 THEN 0.0 ELSE 1.0 END, 6) AS unit_norm" \
+        if include_norm else ""
+    return f"""
+WITH hashed AS (SELECT doc_id, {TOKEN_HASHES} AS hs FROM documents),
+rawv AS (SELECT doc_id, {raw} AS raw FROM hashed),
+normed AS (SELECT doc_id, raw,
+                  sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
+           FROM rawv)
+SELECT doc_id, {comps}{norm_col}
+FROM normed
+"""
+
+
+def windowed_event_counts_sql() -> str:
+    return """
+SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_id,
+       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def pending_anti_join_sql(limit_ids: int = 300) -> str:
+    return f"""
+SELECT d.doc_id, d.source FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+                  WHERE e.vec_id = d.doc_id AND e.vec_id < {limit_ids})
+"""
+
+
+def startup_rebuild_sql() -> str:
+    return """
+SELECT label, count(*) AS n_vectors,
+       count(DISTINCT len(embedding)) = 1 AS dim_consistent,
+       count(*) > 0 AS index_ready
+FROM embeddings GROUP BY label
+"""
+
+
 def frame_stats_sql() -> str:
     return """
 SELECT doc_id,

@@ -1,0 +1,161 @@
+"""Structured Streaming analogs of the reference's background-task
+machinery (SURVEY §2.11).
+
+The reference has no streams — its incremental work is FastAPI
+BackgroundTasks: embed-and-index on chunk create
+(reference routers/chunk_router.py:66, services/background_tasks.py:14-38),
+batch pipeline on document create (background_tasks.py:260-311), and a
+startup catch-up pass (background_tasks.py:314-404). Here those become:
+
+  readStream (file source) -> foreachBatch micro-batch:
+      embed pending rows (functions/embed.py, the S15 stand-in)
+      -> append to the durable embeddings table
+  (the reference's "one rebuild per batch" amortization, O9, is the
+  foreachBatch granularity; affected-library-only recompute is O10's
+  pending-set anti-join inside the batch function)
+
+plus a genuinely-streaming operator the reference lacks: watermarked
+windowed aggregation over the events table (late data dropped once the
+watermark passes), run with Trigger.AvailableNow so it is testable as a
+finite job and returns a batch DataFrame.
+
+At scale: the file source is the append-only mutation log (a cloud
+bucket prefix or a Kafka topic — swap `readStream.parquet` for
+`readStream.format("kafka")`, nothing downstream changes); foreachBatch
+writes partition-scoped appends, and state for the windowed agg is
+bounded by the watermark.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.embed import hash_embedding
+from ..sources.tables import load
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet with proper event-time.
+    The driver's events table carries nanosecond timestamps; they are read
+    as int64 nanos (legacy.parquet.nanosAsLong) and converted to a real
+    timestamp column for windowing."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the streaming file source needs a directory; glob-filter to the table
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "event_time", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    watermark: str = "30 minutes",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type, executed as a
+    real streaming query (AvailableNow, complete mode, memory sink) and
+    returned as the finished batch result. Windows align to the epoch, so
+    `hour_id = unix_micros(window.start) / 3600e6` matches the batch/oracle
+    bucketing exactly, independent of session timezone."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    name = f"win_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        (F.unix_micros(F.col("window.start")) / F.lit(3_600_000_000)).cast("long").alias("hour_id"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def embed_pending_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    out_dir: str | None = None,
+    already: DataFrame | None = None,
+) -> DataFrame:
+    """The reference's embed-pending background pipeline as a streaming
+    job: stream the documents table, and per micro-batch embed only rows
+    not already embedded (O10 pending-set anti-join — `has_embedding`
+    flag as an id set) and append to the durable embeddings store. Returns
+    the post-state embeddings table (doc_id, embedding).
+
+    foreachBatch = the reference's one-rebuild-per-batch amortization
+    (background_tasks.py:304-306): work happens once per micro-batch, not
+    once per row."""
+    out_dir = out_dir or tempfile.mkdtemp(prefix="vdbs_embed_")
+    sink = os.path.join(out_dir, "embeddings_out")
+    ckpt = os.path.join(out_dir, "ckpt")
+
+    docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+    already_ids = already.select("doc_id") if already is not None else None
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        pending = batch
+        if already_ids is not None:
+            pending = batch.join(already_ids, "doc_id", "left_anti")
+        (
+            pending.select("doc_id", hash_embedding(F.col("text")).alias("embedding"))
+            .write.mode("append").parquet(sink)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)
+
+
+def startup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 startup recovery as one batch job: for every library, count
+    vectors, verify dimensions, and report index readiness — the Spark
+    analog of background_tasks.py:314-404's per-library catch-up loop,
+    executed as a single grouped aggregation instead of a Python loop."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.countDistinct(F.size("embedding")).alias("n_dims"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            (F.col("n_dims") == 1).alias("dim_consistent"),
+            (F.col("n_vectors") > 0).alias("index_ready"),
+        )
+    )
