@@ -40,6 +40,15 @@ def test_oracle_parity(spark, con, name):
     assert not problems, f"{name}: " + "; ".join(problems[:6])
 
 
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_smoke(spark, name):
+    """Queries without a SQL-expressible oracle (MLlib seeded hashes) get
+    the driver's weaker rows-only check: they must run and be stable."""
+    df = QUERIES[name](spark, SF)
+    assert df.count() >= 0
+    assert len(df.schema) > 0
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0

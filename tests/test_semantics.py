@@ -1,0 +1,88 @@
+"""Reference-semantics unit tests beyond oracle parity (SURVEY §5):
+validation error paths (the reference's 422s -> ValueError/KeyError),
+empty-library short-circuit, k-bounds, score-range invariants, and
+tie-break determinism.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from vector_db_service_spark.operators import knn as knn_ops  # noqa: E402
+from vector_db_service_spark.operators import lsh as lsh_ops  # noqa: E402
+from vector_db_service_spark.functions import similarity as sim  # noqa: E402
+from vector_db_service_spark.sources.tables import load  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.001")
+
+
+@pytest.mark.parametrize("bad_k", [0, -1, 101, 1000])
+def test_k_out_of_bounds_raises(spark, bad_k):
+    # reference schemas/search_schema.py:26 -> HTTP 422; here ValueError
+    with pytest.raises(ValueError, match=r"k must be in \[1,100\]"):
+        knn_ops.knn(spark, SF, query_id=0, k=bad_k)
+
+
+def test_unknown_metric_raises(spark):
+    # reference similarity.py:341 ValueError on unknown metric
+    with pytest.raises(ValueError, match="unknown metric"):
+        knn_ops.knn(spark, SF, query_id=0, k=5, metric="chebyshev")
+
+
+def test_missing_query_vector_raises(spark):
+    with pytest.raises(KeyError, match="not found"):
+        knn_ops.knn(spark, SF, query_id=10_000_000, k=5)
+
+
+def test_empty_library_short_circuits_to_zero_rows(spark):
+    # reference vector_service.py:226-241: empty library -> empty response
+    df = knn_ops.knn(spark, SF, query_id=0, k=10, metric="cosine", library=987654)
+    assert df.count() == 0
+
+
+def test_k_greater_than_n_returns_all(spark):
+    # reference similarity.py:464-466 (T5)
+    n_lib1 = load(spark, SF, "embeddings").filter(F.col("label") == 1).count()
+    assert n_lib1 < 100
+    df = knn_ops.knn(spark, SF, query_id=0, k=100, metric="cosine", library=1)
+    assert df.count() == n_lib1
+
+
+def test_score_range_invariants(spark):
+    # reference tests/test_integration_algorithms.py:219-232: cosine in
+    # [-1,1]; euclidean/manhattan similarity in (0,1]; distances >= 0
+    emb = load(spark, SF, "embeddings").limit(200)
+    e = F.col("embedding")
+    q = sim.vector_lit([1.0] * 64)
+    row = emb.select(
+        F.min(sim.cosine(e, q)).alias("cmin"), F.max(sim.cosine(e, q)).alias("cmax"),
+        F.min(sim.euclidean_similarity(e, q)).alias("esmin"),
+        F.max(sim.euclidean_similarity(e, q)).alias("esmax"),
+        F.min(sim.euclidean_distance(e, q)).alias("edmin"),
+        F.min(sim.manhattan_distance(e, q)).alias("mdmin"),
+    ).head()
+    assert -1.0 <= row["cmin"] <= row["cmax"] <= 1.0
+    assert 0.0 < row["esmin"] <= row["esmax"] <= 1.0
+    assert row["edmin"] >= 0.0 and row["mdmin"] >= 0.0
+
+
+def test_topk_deterministic_across_runs(spark):
+    a = [r.asDict() for r in knn_ops.knn(spark, SF, query_id=3, k=10).collect()]
+    b = [r.asDict() for r in knn_ops.knn(spark, SF, query_id=3, k=10).collect()]
+    assert a == b
+
+
+def test_lsh_candidates_superset_contains_exact_top1(spark):
+    # reference LSH is approximate, but the query's own vector always
+    # agrees with itself on every plane, so it must be in the candidates
+    qvec = knn_ops.query_vector(spark, SF, 7)
+    planes = lsh_ops.hyperplanes(len(qvec))
+    cand = lsh_ops.candidates(load(spark, SF, "embeddings"), qvec, planes)
+    assert cand.filter(F.col("vec_id") == 7).count() == 1

@@ -501,6 +501,44 @@ register("mm_blob_features", multimodal.blob_features, opl.blob_features_sql())
 register("mm_frame_stats", multimodal.frame_stats, opl.frame_stats_sql())
 
 
+# --- I11: index lifecycle (algorithm switch + partition-scoped rebuild) ---
+from .operators import lifecycle  # noqa: E402
+
+register(
+    "i11_index_lifecycle",
+    lambda s, d: lifecycle.index_state_after_switch(s, d, library=2, new_algorithm="grid"),
+    """
+WITH reg AS (
+  SELECT DISTINCT label,
+         CASE WHEN label = 2 THEN 'grid'
+              ELSE ['flat', 'lsh', 'grid'][(label % 3) + 1] END AS algorithm
+  FROM embeddings
+),
+per AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+SELECT reg.label, reg.algorithm,
+       CASE reg.algorithm WHEN 'flat' THEN 0
+                          WHEN 'lsh' THEN per.n * 10
+                          ELSE per.n END AS n_index_rows
+FROM reg JOIN per ON reg.label = per.label
+""",
+)
+
+
+# --- MLlib batch index builds (north-star scale path; rows-only checks:
+# MLlib's seeded hash coefficients are not SQL-reproducible) --------------
+from .operators import mllib_index  # noqa: E402
+
+register("mllib_brp_bucket_index", mllib_index.brp_bucket_index)
+register(
+    "mllib_brp_approx_knn",
+    lambda s, d: mllib_index.brp_approx_knn(s, d, query_id=0, k=10),
+)
+register(
+    "mllib_minhash_jaccard_join",
+    lambda s, d: mllib_index.minhash_jaccard_join(s, d, threshold=0.5),
+)
+
+
 # --- §2.11 streaming / background-task analogs + S15 embedding stand-in ---
 from .functions.embed import hash_embedding  # noqa: E402
 from .streaming import pipeline as stream_ops  # noqa: E402

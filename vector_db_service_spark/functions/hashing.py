@@ -31,8 +31,12 @@ from .text import MOD_P, token_hashes, tokens
 
 NUM_MINHASH = 16
 MINHASH_BANDS = 4  # 4 bands x 4 rows
-SIMHASH_BITS = 16
-SIMHASH_BLOCKS = 4  # lossless for hamming <= 3
+# 28 bits (token hashes carry 31; bit extraction via floor(h/2^b)%2 stays
+# exact in double): coarse 16-bit prints made near-everything a "near-dup"
+# pair on similar corpora — 28 bits keeps the hamming<=3 pair set sparse
+# and the 7-bit block buckets selective
+SIMHASH_BITS = 28
+SIMHASH_BLOCKS = 4  # lossless for hamming <= 3 (pigeonhole)
 SEED = 42
 
 

@@ -138,20 +138,26 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by library (label) — the
     partition-pruned form: each label's block joins only against itself,
     so the shuffle is per-partition and skew-bounded."""
-    a = emb.select(
-        F.col("label"),
-        F.col("vec_id").alias("vec_id_1"),
-        F.col("embedding").alias("e1"),
+    # norms are per-VECTOR, not per-pair: compute once on each join side
+    # (n vs n^2 norm evaluations), pairs then need only the dot product
+    normed = emb.select(
+        "label", "vec_id", "embedding", sim.norm(F.col("embedding")).alias("nrm")
     )
-    b = emb.select(
-        F.col("label"),
-        F.col("vec_id").alias("vec_id_2"),
-        F.col("embedding").alias("e2"),
+    a = normed.select(
+        "label", F.col("vec_id").alias("vec_id_1"),
+        F.col("embedding").alias("e1"), F.col("nrm").alias("n1"),
     )
+    b = normed.select(
+        "label", F.col("vec_id").alias("vec_id_2"),
+        F.col("embedding").alias("e2"), F.col("nrm").alias("n2"),
+    )
+    cos = F.when(
+        (F.col("n1") == F.lit(0.0)) | (F.col("n2") == F.lit(0.0)), F.lit(0.0)
+    ).otherwise(sim.dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")))
     return (
         a.join(b, "label")
         .filter(F.col("vec_id_1") < F.col("vec_id_2"))
-        .withColumn("cos", F.round(sim.cosine(F.col("e1"), F.col("e2")), 6))
+        .withColumn("cos", F.round(cos, 6))
         .filter(F.col("cos") >= F.lit(threshold))
         .select("label", "vec_id_1", "vec_id_2", "cos")
     )

@@ -64,11 +64,31 @@ def score_all(
 ) -> DataFrame:
     """Score every (in-library) vector against the query. Scores are
     rounded to 6 decimals *before* ranking so the top-k frontier is
-    deterministic and oracle-stable (SURVEY §7 hard part #1)."""
+    deterministic and oracle-stable (SURVEY §7 hard part #1).
+
+    The query norm is a constant, but Catalyst can't fold it (lambda
+    expressions are never foldable), so for cosine it is computed
+    driver-side and enters the plan as a literal — cuts the per-row array
+    passes from 5 to 3. Left-to-right Python double sum == Spark's
+    aggregate fold, so scores are bit-identical to the unfolded form."""
     if library is not None:
         emb = emb.filter(F.col("label") == F.lit(library))
     q = sim.vector_lit(qvec)
-    return emb.withColumn("score", F.round(sim.score(metric, F.col("embedding"), q), 6))
+    e = F.col("embedding")
+    if metric == "cosine":
+        import math
+
+        qn = math.sqrt(sum(float(v) * float(v) for v in qvec))
+        if qn == 0.0:
+            score = F.lit(0.0)
+        else:
+            na = sim.norm(e)
+            score = F.when(na == F.lit(0.0), F.lit(0.0)).otherwise(
+                sim.dot(e, q) / (na * F.lit(qn))
+            )
+    else:
+        score = sim.score(metric, e, q)
+    return emb.withColumn("score", F.round(score, 6))
 
 
 def knn(

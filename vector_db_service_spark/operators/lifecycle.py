@@ -1,0 +1,114 @@
+"""Index lifecycle orchestration (I11) — per-library algorithm registry,
+algorithm switch, and rebuild-affected-partitions-only recompute.
+
+Parity target: reference VectorService's registry + rebuild machinery
+(services/vector_service.py:54-464): per-library index instances keyed by
+algorithm (factory defaults :19-40), `set_library_algorithm` (:314-346)
+recreating the index object, `_rebuild_library_index` (:350-390) doing a
+full per-library rebuild on every mutation, `delete_library_index`
+(:435-464).
+
+Spark design: the registry is a tiny config frame (label, algorithm); an
+index "instance" is a derived DataFrame — flat needs no structure
+(SURVEY I1: the cached embedding partition IS the flat index), lsh is the
+(vec_id, table_idx, bit) signature frame, grid is the (vec_id, cell) cell
+frame. A rebuild touches ONLY the affected library's rows: at scale the
+index tables are written partitionBy(label), so `rebuild_library` is a
+single-partition overwrite — the reference's "one rebuild per batch"
+amortization (O9) with partition-scoped I/O instead of a global rebuild.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+from . import grid as grid_ops
+from . import lsh as lsh_ops
+
+ALGORITHMS = ("flat", "lsh", "grid")
+
+
+def algorithm_registry(emb: DataFrame) -> DataFrame:
+    """Default per-library algorithm config: deterministic label -> algo
+    mapping (the analog of Library.preferred_index_algorithm,
+    reference database/models.py:28-34)."""
+    return (
+        emb.select("label").distinct()
+        .withColumn(
+            "algorithm",
+            F.element_at(
+                F.array(*[F.lit(a) for a in ALGORITHMS]),
+                (F.col("label") % len(ALGORITHMS) + 1).cast("int"),
+            ),
+        )
+    )
+
+
+def switch_algorithm(registry: DataFrame, library: int, new_algorithm: str) -> DataFrame:
+    """set_library_algorithm (vector_service.py:314-346): config row
+    update; the rebuild of that library's index follows."""
+    if new_algorithm not in ALGORITHMS:
+        raise ValueError(f"unknown algorithm {new_algorithm!r}; expected {ALGORITHMS}")
+    return registry.withColumn(
+        "algorithm",
+        F.when(F.col("label") == library, F.lit(new_algorithm)).otherwise(F.col("algorithm")),
+    )
+
+
+def rebuild_library(spark: SparkSession, sf_dir: str, library: int,
+                    algorithm: str) -> DataFrame:
+    """_rebuild_library_index (vector_service.py:350-390) for ONE library:
+    recompute only the affected partition's index rows. Returns the index
+    frame (empty for flat — I1 needs no structure)."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("label") == library)
+    if algorithm == "flat":
+        return emb.select("vec_id", "label").limit(0)
+    if algorithm == "lsh":
+        planes = lsh_ops.hyperplanes(64)
+        return lsh_ops.build_index(emb, planes).select("vec_id", "label")
+    if algorithm == "grid":
+        mins, maxs = grid_ops.bounds(load(spark, sf_dir, "embeddings"))
+        return grid_ops.build_index(emb, mins, maxs).select("vec_id", "label")
+    raise ValueError(f"unknown algorithm {algorithm!r}; expected {ALGORITHMS}")
+
+
+def index_state_after_switch(spark: SparkSession, sf_dir: str, *,
+                             library: int = 2, new_algorithm: str = "grid") -> DataFrame:
+    """I11 end-to-end as one checkable post-state: switch `library` to
+    `new_algorithm`, rebuild every library's index under its (possibly
+    new) algorithm, and report per-library (algorithm, n_index_rows).
+    Index cardinalities are structural (flat: 0, lsh: n*num_hashes,
+    grid: n), so the oracle verifies the rebuild fan-out exactly."""
+    emb = load(spark, sf_dir, "embeddings")
+    registry = switch_algorithm(algorithm_registry(emb), library, new_algorithm)
+    planes = lsh_ops.hyperplanes(64)
+    mins, maxs = grid_ops.bounds(emb)
+
+    lsh_rows = lsh_ops.build_index(emb, planes).groupBy("label").agg(
+        F.count("*").alias("n_lsh")
+    )
+    grid_rows = grid_ops.build_index(emb, mins, maxs).groupBy("label").agg(
+        F.count("*").alias("n_grid")
+    )
+    return (
+        registry.join(lsh_rows, "label", "left")
+        .join(grid_rows, "label", "left")
+        .select(
+            "label",
+            "algorithm",
+            F.when(F.col("algorithm") == "flat", F.lit(0))
+            .when(F.col("algorithm") == "lsh", F.coalesce("n_lsh", F.lit(0)))
+            .otherwise(F.coalesce("n_grid", F.lit(0)))
+            .cast("long")
+            .alias("n_index_rows"),
+        )
+    )
+
+
+def drop_library_index(index_df: DataFrame, library: int) -> DataFrame:
+    """delete_library_index (vector_service.py:435-464): post-state of the
+    index table with the library's partition removed (at scale: drop the
+    partition directory, no data rewrite)."""
+    return index_df.filter(F.col("label") != library)
