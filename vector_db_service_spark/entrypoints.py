@@ -501,6 +501,73 @@ register("mm_blob_features", multimodal.blob_features, opl.blob_features_sql())
 register("mm_frame_stats", multimodal.frame_stats, opl.frame_stats_sql())
 
 
+register(
+    "rel_token_heavy_hitters",
+    relational.token_heavy_hitters,
+    """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 25
+""",
+)
+register(
+    "rel_asof_purchase_click",
+    relational.asof_join_purchase_click,
+    """
+WITH base AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+carried AS (
+  SELECT event_id, user_id, event_type, ts_us,
+         last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+  FROM base
+)
+SELECT event_id, user_id, ts_us, last_click_ts,
+       CASE WHEN last_click_ts IS NOT NULL
+            THEN (ts_us - last_click_ts) / 1000000.0 END AS secs_since_click
+FROM carried WHERE event_type = 'purchase'
+""",
+)
+register(
+    "rel_range_join_context",
+    relational.range_join_purchase_context,
+    """
+WITH base AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+p AS (SELECT user_id, event_id AS p_event_id, ts_us AS p_ts FROM base
+      WHERE event_type = 'purchase')
+SELECT p.p_event_id, p.user_id, count(*) AS n_context_events
+FROM p JOIN base c ON p.user_id = c.user_id
+WHERE c.ts_us >= p.p_ts - 3600000000 AND c.ts_us < p.p_ts
+GROUP BY p.p_event_id, p.user_id
+""",
+)
+register(
+    "rel_parts_by_type_size",
+    relational.parts_by_type_size,
+    """
+SELECT p_type, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price,
+       max(p_size) AS max_size
+FROM part GROUP BY p_type
+""",
+)
+register(
+    "rel_top_suppliers_per_nation",
+    relational.top_suppliers_per_nation,
+    """
+SELECT n_name, s_suppkey, s_name, round(s_acctbal, 4) AS acctbal,
+       row_number() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey) AS rnk
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+QUALIFY rnk <= 3
+""",
+)
+
+
 # --- I11: index lifecycle (algorithm switch + partition-scoped rebuild) ---
 from .operators import lifecycle  # noqa: E402
 

@@ -181,3 +181,97 @@ def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
         F.sum("n_events").alias("n_events"),
         F.max("n_events").alias("max_session_events"),
     )
+
+
+def token_heavy_hitters(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
+    """Corpus-wide top-k token frequencies — the canonical heavy-hitters
+    sweep. explode -> groupBy gets map-side partial aggregation, so the
+    shuffle carries one row per distinct token per partition, not one per
+    token occurrence; top-k is TakeOrderedAndProject. At 100 TB this is
+    the exact shape of vocabulary building over a corpus."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: for every purchase, the user's most recent STRICTLY
+    PRIOR click. Expressed as a window over the unioned event stream
+    (last-non-null carried forward) instead of a range join — one shuffle
+    on user_id, no pair explosion, which is what survives at scale."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts_us")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("last_click_ts", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "last_click_ts",
+            F.when(
+                F.col("last_click_ts").isNotNull(),
+                (F.col("ts_us") - F.col("last_click_ts")) / F.lit(1_000_000.0),
+            ).alias("secs_since_click"),
+        )
+    )
+
+
+def range_join_purchase_context(spark: SparkSession, sf_dir: str,
+                                window_s: int = 3600) -> DataFrame:
+    """Interval/range join: count each user's events in the hour BEFORE
+    each of their purchases. The equi-key (user_id) bounds the shuffle;
+    the range predicate prunes inside each key group. At scale, add a
+    coarse time-bucket to the equi-key so a key-group never holds more
+    than ~2 buckets of rows."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_event_id"), F.col("ts_us").alias("p_ts")
+    )
+    context = ev.select("user_id", F.col("ts_us").alias("c_ts"))
+    win_us = window_s * 1_000_000
+    return (
+        purchases.join(context, "user_id")
+        .filter((F.col("c_ts") >= F.col("p_ts") - F.lit(win_us)) & (F.col("c_ts") < F.col("p_ts")))
+        .groupBy("p_event_id", "user_id")
+        .agg(F.count("*").alias("n_context_events"))
+    )
+
+
+def parts_by_type_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped stats over the part dimension."""
+    return (
+        load(spark, sf_dir, "part")
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
+def top_suppliers_per_nation(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Window top-k per group with a broadcast dimension join."""
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    w = Window.partitionBy("n_name").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("n_name", "s_suppkey", "s_name",
+                F.round("s_acctbal", 4).alias("acctbal"), "rnk")
+    )

@@ -47,7 +47,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts_us", F.floor(F.col("ts") / F.lit(1000))).drop("ts")
+        # integer `div`, not `/`: nanos exceed 2^53, so double division
+        # loses the low microsecond bits
+        return df.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -52,9 +52,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "event_time", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # integer `div` (not `/`): nanos exceed 2^53, double division would
+    # lose the low microsecond bits
+    return raw.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_event_counts(
