@@ -35,10 +35,12 @@ def main() -> None:
     for name, fn in sorted(entrypoints.QUERIES.items()):
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
-        df.limit(5).collect()
+        # noop sink: forces FULL materialization of every output column in
+        # one job (count() would let Catalyst prune the expressions being
+        # measured; limit(k) would compute only k rows)
+        df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({

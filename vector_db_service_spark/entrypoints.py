@@ -557,6 +557,12 @@ FROM part GROUP BY p_type
 """,
 )
 register(
+    "rel_salted_user_counts",
+    relational.user_event_counts_salted,
+    "SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value "
+    "FROM events GROUP BY user_id",
+)
+register(
     "rel_top_suppliers_per_nation",
     relational.top_suppliers_per_nation,
     """
@@ -571,6 +577,21 @@ QUALIFY rnk <= 3
 # --- I11: index lifecycle (algorithm switch + partition-scoped rebuild) ---
 from .operators import lifecycle  # noqa: E402
 
+register(
+    "knn_dispatch_flat",
+    lambda s, d: lifecycle.knn_auto(s, d, library=0, query_id=0, k=10),
+    oracles.knn_sql(query_id=0, k=10, metric="cosine", library=0),
+)
+register(
+    "knn_dispatch_lsh",
+    lambda s, d: lifecycle.knn_auto(s, d, library=1, query_id=0, k=10),
+    oracles.lsh_search_sql(_PLANES, query_id=0, k=10, metric="cosine", library=1),
+)
+register(
+    "knn_dispatch_grid",
+    lambda s, d: lifecycle.knn_auto(s, d, library=2, query_id=0, k=10),
+    oracles.grid_search_sql(query_id=0, k=10, metric="euclidean", library=2),
+)
 register(
     "i11_index_lifecycle",
     lambda s, d: lifecycle.index_state_after_switch(s, d, library=2, new_algorithm="grid"),

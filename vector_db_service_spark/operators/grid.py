@@ -43,16 +43,27 @@ MAX_RADIUS = 3  # algorithms.py:651
 def bounds(emb: DataFrame) -> tuple[list[float], list[float]]:
     """Per-dimension min/max (A7) — exact (no FP accumulation), so the
     DuckDB oracle recomputes identical values. Collected to the driver:
-    2*dim scalars, the broadcast normalization constant."""
-    rows = (
-        emb.select(F.posexplode("embedding").alias("dim", "x"))
-        .groupBy("dim")
-        .agg(F.min(F.col("x").cast("double")).alias("mn"),
-             F.max(F.col("x").cast("double")).alias("mx"))
-        .orderBy("dim")
-        .collect()
-    )
-    return [r.mn for r in rows], [r.mx for r in rows]
+    2*dim scalars, the broadcast normalization constant.
+
+    Single-pass wide aggregate (2*dim agg columns) instead of
+    posexplode+groupBy: no n*d-row shuffle, map-side partials reduce to
+    ONE row — the shape that holds at any corpus size. Dimension is
+    inferred from the first vector, like the reference
+    (algorithms.py:155-156)."""
+    first = emb.select(F.size("embedding").alias("d")).head()
+    if first is None:
+        return [], []
+    dim = first["d"]
+    e = F.col("embedding")
+    row = emb.agg(
+        F.array(
+            *[F.min(F.element_at(e, i + 1).cast("double")) for i in range(dim)]
+        ).alias("mins"),
+        F.array(
+            *[F.max(F.element_at(e, i + 1).cast("double")) for i in range(dim)]
+        ).alias("maxs"),
+    ).head()
+    return list(row["mins"]), list(row["maxs"])
 
 
 def cell_coords_expr(
@@ -125,13 +136,21 @@ def search(
     k: int = 10,
     metric: str = "euclidean",
     cell_size: float = CELL_SIZE,
+    library: int | None = None,
 ) -> DataFrame:
     """I10: expanding-radius candidate collection + exact re-rank,
-    expressed as one declarative plan (see module docstring)."""
+    expressed as one declarative plan (see module docstring). `library`
+    scopes index AND bounds to one library's vectors — the reference
+    builds one GridIndex per library (services/vector_service.py:66), so
+    normalization bounds are per-library too."""
     validate_k(k)
     emb = load(spark, sf_dir, "embeddings")
+    if library is not None:
+        emb = emb.filter(F.col("label") == F.lit(library))
     qvec = query_vector(spark, sf_dir, query_id)
     mins, maxs = bounds(emb)
+    if not mins:  # empty library short-circuit (vector_service.py:226-241)
+        return emb.select("vec_id", "label", F.lit(0.0).alias("score")).limit(0)
     qcell = query_cell(qvec, mins, maxs, cell_size)
 
     cells = cell_coords_expr(F.col("embedding"), mins, maxs, cell_size)

@@ -112,3 +112,26 @@ def drop_library_index(index_df: DataFrame, library: int) -> DataFrame:
     index table with the library's partition removed (at scale: drop the
     partition directory, no data rewrite)."""
     return index_df.filter(F.col("label") != library)
+
+
+def knn_auto(spark: SparkSession, sf_dir: str, *, library: int,
+             query_id: int = 0, k: int = 10) -> DataFrame:
+    """§2.7 steps 1-5: resolve the library's preferred algorithm from the
+    registry, lazy-build its index, dispatch the probe — the Spark form
+    of VectorService.search_similar_chunks' config-driven dispatch
+    (services/vector_service.py:214-241, SURVEY hard part #4). Metric
+    defaults follow the factory (vector_service.py:19-40): flat/lsh ->
+    cosine, grid -> euclidean. An empty library short-circuits to zero
+    rows. Index "lazy build" is inherent: the index frames are derived
+    plans, materialized on first use."""
+    from . import knn as knn_ops
+
+    algorithm = ALGORITHMS[library % len(ALGORITHMS)]
+    if algorithm == "flat":
+        return knn_ops.knn(spark, sf_dir, query_id=query_id, k=k,
+                           metric="cosine", library=library)
+    if algorithm == "lsh":
+        return lsh_ops.search(spark, sf_dir, query_id=query_id, k=k,
+                              metric="cosine", library=library)
+    return grid_ops.search(spark, sf_dir, query_id=query_id, k=k,
+                           metric="euclidean", library=library)

@@ -120,12 +120,18 @@ def search(
     metric: str = "cosine",
     num_hashes: int = NUM_HASHES,
     seed: int = SEED,
+    library: int | None = None,
 ) -> DataFrame:
-    """I6: LSH probe + exact re-rank, same result contract as flat kNN."""
+    """I6: LSH probe + exact re-rank, same result contract as flat kNN.
+    `library` scopes the probe to one library's partition (the reference
+    keeps one LSHIndex per library, services/vector_service.py:66)."""
     validate_k(k)
     qvec = query_vector(spark, sf_dir, query_id)
     planes = hyperplanes(len(qvec), num_hashes, seed)
-    cand = candidates(load(spark, sf_dir, "embeddings"), qvec, planes)
+    emb = load(spark, sf_dir, "embeddings")
+    if library is not None:
+        emb = emb.filter(F.col("label") == F.lit(library))
+    cand = candidates(emb, qvec, planes)
     scored = cand.withColumn(
         "score", F.round(sim.score(metric, F.col("embedding"), sim.vector_lit(qvec)), 6)
     )

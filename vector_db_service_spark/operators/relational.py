@@ -275,3 +275,23 @@ def top_suppliers_per_nation(spark: SparkSession, sf_dir: str, k: int = 3) -> Da
         .select("n_name", "s_suppkey", "s_name",
                 F.round("s_acctbal", 4).alias("acctbal"), "rnk")
     )
+
+
+def user_event_counts_salted(spark: SparkSession, sf_dir: str, salt: int = 8) -> DataFrame:
+    """Skew-safe two-stage aggregation: stage 1 aggregates (user_id, salt)
+    partials, stage 2 combines per user. For algebraic aggs Catalyst's
+    map-side partials already bound reducer load; explicit salting is the
+    pattern for hot keys feeding holistic aggs (collect_list, exact
+    median) where ONE reducer would otherwise receive a whole key. The
+    oracle is the plain single-stage GROUP BY — identical results prove
+    the decomposition."""
+    ev = load(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(salt)))
+        .groupBy("user_id", "_salt")
+        .agg(F.count("*").alias("pn"), F.sum("value").alias("pv"))
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("pv"), 4).alias("sum_value"),
+    )

@@ -131,19 +131,20 @@ FROM per_bucket GROUP BY table_idx
 
 
 def lsh_search_sql(planes: list[list[float]], query_id: int = 0, k: int = 10,
-                   metric: str = "cosine") -> str:
+                   metric: str = "cosine", library: int | None = None) -> str:
     """LSH probe + exact re-rank, mirroring operators/lsh.py::search:
     candidate iff the signature agrees with the query's on ANY plane."""
     agree_terms = " OR ".join(
         f"({_bit_sql('e.embedding', p)} = {_bit_sql('q.qv', p)})" for p in planes
     )
     score = METRIC_SQL[metric]("e.embedding", "q.qv")
+    lib_filter = f"AND e.label = {library}" if library is not None else ""
     return f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_id}),
 cand AS (
   SELECT e.vec_id, e.label, round({score}, 6) AS score
   FROM embeddings e, q
-  WHERE {agree_terms}
+  WHERE ({agree_terms}) {lib_filter}
 )
 SELECT vec_id, label, score FROM cand
 QUALIFY row_number() OVER (ORDER BY score DESC, vec_id) <= {k}
@@ -184,15 +185,20 @@ FROM per_cell
 
 
 def grid_search_sql(query_id: int = 0, k: int = 10, metric: str = "euclidean",
-                    cell_size: float = 0.1, max_radius: int = 3) -> str:
+                    cell_size: float = 0.1, max_radius: int = 3,
+                    library: int | None = None) -> str:
     """Grid expanding-radius probe + exact re-rank, mirroring
-    operators/grid.py::search (same stopping-radius rule)."""
+    operators/grid.py::search (same stopping-radius rule). With `library`
+    set, index AND normalization bounds cover only that library; the
+    query cell is computed from the query's own vector under those
+    bounds (the query need not belong to the library)."""
     score = METRIC_SQL[metric]("e.embedding", "q.qv")
+    lib_filter = f"WHERE label = {library}" if library is not None else ""
     return f"""
 WITH ex AS (
   SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
          CAST(unnest(embedding) AS DOUBLE) AS x
-  FROM embeddings
+  FROM embeddings {lib_filter}
 ),
 b AS (
   SELECT i, min(x) AS mn,
@@ -204,7 +210,14 @@ cells AS (
          CAST(floor(((e.x - b.mn) / b.rng) / {cell_size!r}) AS BIGINT) AS c
   FROM ex e JOIN b USING (i)
 ),
-qcells AS (SELECT i, c FROM cells WHERE vec_id = {query_id}),
+qex AS (
+  SELECT generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE vec_id = {query_id}
+),
+qcells AS (
+  SELECT q.i, CAST(floor(((q.x - b.mn) / b.rng) / {cell_size!r}) AS BIGINT) AS c
+  FROM qex q JOIN b USING (i)
+),
 diffs AS (
   SELECT c.vec_id, c.label,
          sum(CASE WHEN c.c != q.c THEN 1 ELSE 0 END) AS ndiff,
