@@ -618,6 +618,10 @@ from .operators import mllib_index  # noqa: E402
 
 register("mllib_brp_bucket_index", mllib_index.brp_bucket_index)
 register(
+    "mllib_ivf_kmeans_topk",
+    lambda s, d: ann.ivf_kmeans_topk(s, d, query_id=0, k=10, nprobe=2),
+)
+register(
     "mllib_brp_approx_knn",
     lambda s, d: mllib_index.brp_approx_knn(s, d, query_id=0, k=10),
 )

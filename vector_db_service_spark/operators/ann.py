@@ -98,3 +98,55 @@ def ivf_topk(
         .limit(k)
         .select("vec_id", "label", "score")
     )
+
+
+def ivf_kmeans_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 2,
+    metric: str = "cosine",
+) -> DataFrame:
+    """IVF with a PROPERLY TRAINED coarse quantizer: MLlib KMeans (seeded)
+    partitions the corpus into n_lists cells; search scores the query
+    against the n_lists centroids (tiny), keeps the best nprobe lists, and
+    exact-ranks only those lists' vectors. At 100 TB the assignment column
+    is the partition key of the embedding table, so the probe is partition
+    pruning; training samples the corpus. Rows-only check: KMeans
+    initialization is not SQL-reproducible."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "vec", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    km = KMeans(k=n_lists, seed=42, featuresCol="vec", predictionCol="list_id")
+    model = km.fit(emb)
+    assigned = model.transform(emb)
+
+    qrow = emb.filter(F.col("vec_id") == query_id).select("embedding").head()
+    if qrow is None:
+        raise KeyError(f"query vector {query_id} not found")
+    q = sim.vector_lit([float(x) for x in qrow[0]])
+
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "list_id int, centroid array<double>",
+    )
+    w = Window.orderBy(F.desc("c_score"), F.asc("list_id"))
+    probed = (
+        centers.withColumn("c_score", sim.score(metric, F.col("centroid"), q))
+        .withColumn("c_rnk", F.row_number().over(w))
+        .filter(F.col("c_rnk") <= nprobe)
+        .select("list_id")
+    )
+    return (
+        assigned.join(F.broadcast(probed), "list_id")
+        .withColumn("score", F.round(sim.score(metric, F.col("embedding"), q), 6))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "label", "list_id", "score")
+    )
