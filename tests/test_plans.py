@@ -16,15 +16,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from vector_db_service_spark import entrypoints as E  # noqa: E402
 from vector_db_service_spark.operators import knn as knn_ops  # noqa: E402
+from vector_db_service_spark.plans.inspect import explain_str as _plan  # noqa: E402
 from vector_db_service_spark.sources.tables import load  # noqa: E402
 
 SF = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.001")
-
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().explainString(
-        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
 
 
 def test_library_scan_pushes_filter_to_parquet(spark):

@@ -557,6 +557,21 @@ FROM part GROUP BY p_type
 """,
 )
 register(
+    "rel_value_percentiles",
+    lambda s, d: load(s, d, "events").groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    ),
+    """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(max(value), 4) AS vmax
+FROM events GROUP BY event_type
+""",
+)
+register(
     "rel_salted_user_counts",
     relational.user_event_counts_salted,
     "SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value "
