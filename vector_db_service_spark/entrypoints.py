@@ -473,6 +473,32 @@ register(
     opl.ivf_topk_sql(query_id=0, k=10, nprobe=1),
 )
 register(
+    "ann_scalar_quantize",
+    lambda s, d: ann.scalar_quantize(s, d),
+    """
+WITH ex AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+b AS (
+  SELECT i, min(x) AS mn,
+         CASE WHEN max(x) - min(x) = 0 THEN 1 ELSE max(x) - min(x) END AS rng
+  FROM ex GROUP BY i
+),
+n AS (
+  SELECT e.vec_id, e.label, e.i, (e.x - b.mn) / b.rng AS nx,
+         CAST(floor(((e.x - b.mn) / b.rng) * 255 + 0.5) AS BIGINT) AS c
+  FROM ex e JOIN b USING (i)
+)
+SELECT vec_id, label,
+       max(CASE WHEN i = 1 THEN c END) AS c0,
+       max(CASE WHEN i = 2 THEN c END) AS c1,
+       round(sum((nx - c / 255.0) * (nx - c / 255.0)) / count(*), 9) AS mse_norm
+FROM n GROUP BY vec_id, label
+""",
+)
+register(
     "text_token_stats",
     lambda s, d: textops.token_stats(load(s, d, "documents")),
     opl.token_stats_sql(),
