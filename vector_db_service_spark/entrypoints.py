@@ -717,6 +717,12 @@ register(
     opl.embed_components_sql(include_norm=False),
 )
 register(
+    "stream_stateful_user_totals",
+    stream_ops.stateful_user_totals,
+    "SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value "
+    "FROM events GROUP BY user_id",
+)
+register(
     "o10_pending_anti_join",
     lambda s, d: load(s, d, "documents").join(
         load(s, d, "embeddings").filter(F.col("vec_id") < 300)

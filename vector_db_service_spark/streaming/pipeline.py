@@ -159,3 +159,65 @@ def startup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_vectors") > 0).alias("index_ready"),
         )
     )
+
+
+def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator via applyInPandasWithState —
+    the §2.11 capability the reference entirely lacks: per-user running
+    (n_events, sum_value) accumulators maintained in keyed state across
+    micro-batches, emitted in update mode. Run with AvailableNow and a
+    memory sink; the final per-user row equals the batch aggregate (the
+    oracle), which proves state accumulation is exact.
+
+    At scale this is the shape of any online feature store / per-entity
+    accumulator: state is partitioned by key across executors, bounded by
+    the key cardinality, and checkpointed for exactly-once recovery."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+    ])
+
+    def _update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    stream = _events_stream(spark, sf_dir).select("user_id", "value")
+    totals = stream.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"state_{uuid.uuid4().hex[:12]}"
+    q = (
+        totals.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per key per batch; keep the final row
+    # (max n_events) per user
+    snap = spark.table(name)
+    return (
+        snap.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+        .select("user_id", "n_events", F.round("sum_value", 4).alias("sum_value"))
+    )
