@@ -73,3 +73,32 @@ def test_partitioned_write_enables_pruning(spark, tmp_path):
     n = df.count()
     expected = load(spark, SF, "embeddings").filter(F.col("label") == 3).count()
     assert n == expected
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """At 100 TB the embeddings and documents tables are bucketed on the
+    join key so hydration joins are exchange-free. Verify: two tables
+    bucketed by the same key join with NO Exchange operator in the plan
+    (sort-merge over co-located buckets)."""
+    import uuid
+
+    # (warehouse dir is a static conf — tables land in ./spark-warehouse,
+    # dropped in the finally; the dir is gitignored)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        suffix = uuid.uuid4().hex[:8]
+        emb_t, doc_t = f"emb_b_{suffix}", f"doc_b_{suffix}"
+        load(spark, SF, "embeddings").write.bucketBy(8, "vec_id").sortBy("vec_id") \
+            .saveAsTable(emb_t)
+        load(spark, SF, "documents").withColumnRenamed("doc_id", "vec_id") \
+            .write.bucketBy(8, "vec_id").sortBy("vec_id").saveAsTable(doc_t)
+        joined = spark.table(emb_t).join(spark.table(doc_t), "vec_id").select(
+            "vec_id", "label", "lang"
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {emb_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {doc_t}")
