@@ -499,9 +499,29 @@ FROM n GROUP BY vec_id, label
 """,
 )
 register(
+    "ann_index_recall_report",
+    lambda s, d: ann.index_recall_report(s, d, k=10, nprobe=2),
+    opl.index_recall_report_sql(k=10, nprobe=2),
+)
+register(
     "text_token_stats",
     lambda s, d: textops.token_stats(load(s, d, "documents")),
     opl.token_stats_sql(),
+)
+register(
+    "text_bpe_token_estimate",
+    lambda s, d: textops.bpe_token_estimate(load(s, d, "documents")),
+    f"""
+SELECT doc_id,
+       len({opl.TOKS}) AS n_ws_tokens,
+       list_sum(list_prepend(CAST(0 AS BIGINT),
+         list_transform({opl.TOKS}, t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))) AS n_bpe_est,
+       len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
+       list_sum(list_prepend(CAST(0 AS BIGINT),
+         list_transform({opl.TOKS}, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))))
+         + len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_total_est
+FROM documents
+""",
 )
 register(
     "text_quality_scores",

@@ -200,3 +200,83 @@ def scalar_quantize(
         F.element_at(codes, 2).alias("c1"),
         F.round(let(codes, _recon_err), 9).alias("mse_norm"),
     )
+
+
+def index_recall_report(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Recall@k of the approximate indexes vs exact search — the
+    measured counterpart of the reference's claimed LSH ~90-95% / Grid
+    ~95-98% accuracy (reference README.md:145-155). One plan computes
+    exact top-k, LSH-candidate top-k (sign-agreement on ANY hyperplane,
+    the reference's union-of-single-bit-buckets), and IVF top-k for every
+    query, then joins overlaps. All set math stays distributed."""
+    from .lsh import NUM_HASHES, SEED, hyperplanes
+
+    query_ids = query_ids or [0, 1, 2, 3, 4]
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    pairs = emb.join(F.broadcast(queries)).withColumn(
+        "score", F.round(sim.score("cosine", F.col("embedding"), F.col("qv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+
+    exact = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id")
+    )
+
+    planes = hyperplanes(64, NUM_HASHES, SEED)
+    agree = None
+    for p in planes:
+        p_lit = sim.vector_lit(p)
+        same = (sim.dot(F.col("embedding"), p_lit) >= 0.0) == (
+            sim.dot(F.col("qv"), p_lit) >= 0.0
+        )
+        agree = same if agree is None else (agree | same)
+    lsh_topk = (
+        pairs.filter(agree)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id")
+    )
+
+    cent = centroids(emb)
+    cq = cent.crossJoin(F.broadcast(queries)).withColumn(
+        "c_score", sim.score("cosine", F.col("centroid"), F.col("qv"))
+    )
+    cw = Window.partitionBy("query_id").orderBy(F.desc("c_score"), F.asc("label"))
+    probed = (
+        cq.withColumn("c_rnk", F.row_number().over(cw))
+        .filter(F.col("c_rnk") <= nprobe)
+        .select("query_id", "label")
+    )
+    ivf_topk_df = (
+        pairs.join(probed, ["query_id", "label"])
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id")
+    )
+
+    def _recall(approx: DataFrame, method: str) -> DataFrame:
+        overlap = exact.join(approx, ["query_id", "vec_id"]).groupBy("query_id").agg(
+            F.count("*").alias("n_overlap")
+        )
+        return (
+            queries.select("query_id").join(overlap, "query_id", "left")
+            .select(
+                "query_id",
+                F.lit(method).alias("method"),
+                F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+                F.round(F.coalesce("n_overlap", F.lit(0)) / F.lit(float(k)), 4).alias("recall"),
+            )
+        )
+
+    return _recall(lsh_topk, "lsh").unionByName(_recall(ivf_topk_df, "ivf"))

@@ -73,3 +73,25 @@ def corpus_language_summary(docs: DataFrame) -> DataFrame:
         .groupBy("actual_lang", "pred_lang")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def bpe_token_estimate(docs: DataFrame) -> DataFrame:
+    """BPE-ish token counting: whitespace tokens plus a subword estimate
+    (ceil(len/4) pieces per word — the ~4-chars-per-token heuristic of
+    byte-pair vocabularies) and a punctuation count. The cheap
+    token-budget estimator a corpus pipeline runs before expensive real
+    tokenization."""
+    toks = T.tokens(F.col("text"))
+    subword = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("long"),
+    )
+    punct = F.regexp_count(F.lower(F.col("text")), F.lit("[^a-z0-9 ]"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_ws_tokens"),
+        subword.alias("n_bpe_est"),
+        punct.alias("n_punct"),
+        (subword + punct.cast("long")).alias("n_total_est"),
+    )

@@ -317,6 +317,74 @@ FROM normed
 """
 
 
+def index_recall_report_sql(query_ids: list[int] | None = None, k: int = 10,
+                            nprobe: int = 2) -> str:
+    """Oracle for operators/ann.py::index_recall_report — same exact/LSH/
+    IVF top-k construction, same overlap math."""
+    from .oracles import _bit_sql
+    from .operators.lsh import NUM_HASHES, SEED, hyperplanes
+
+    query_ids = query_ids or [0, 1, 2, 3, 4]
+    ids = ", ".join(str(i) for i in query_ids)
+    planes = hyperplanes(64, NUM_HASHES, SEED)
+    cos = METRIC_SQL["cosine"]("e.embedding", "q.qv")
+    agree = " OR ".join(
+        f"({_bit_sql('p.embedding', pl)} = {_bit_sql('p.qv', pl)})" for pl in planes
+    )
+    ccos = METRIC_SQL["cosine"]("c.centroid", "q.qv")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id IN ({ids})),
+pairs AS (
+  SELECT q.query_id, e.vec_id, e.label, e.embedding, q.qv,
+         round({cos}, 6) AS score
+  FROM embeddings e, q
+),
+exact AS (
+  SELECT query_id, vec_id FROM pairs
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) <= {k}
+),
+lsh AS (
+  SELECT query_id, vec_id FROM pairs p WHERE {agree}
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) <= {k}
+),
+ex AS (
+  SELECT label, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT label, list(m ORDER BY i) AS centroid
+  FROM (SELECT label, i, avg(x) AS m FROM ex GROUP BY label, i)
+  GROUP BY label
+),
+probed AS (
+  SELECT q.query_id, c.label FROM cent c, q
+  QUALIFY row_number() OVER (PARTITION BY q.query_id
+                             ORDER BY {ccos} DESC, c.label) <= {nprobe}
+),
+ivf AS (
+  SELECT p.query_id, p.vec_id FROM pairs p JOIN probed USING (query_id, label)
+  QUALIFY row_number() OVER (PARTITION BY p.query_id ORDER BY score DESC, vec_id) <= {k}
+),
+ov_lsh AS (
+  SELECT e.query_id, count(*) AS n_overlap
+  FROM exact e JOIN lsh USING (query_id, vec_id) GROUP BY e.query_id
+),
+ov_ivf AS (
+  SELECT e.query_id, count(*) AS n_overlap
+  FROM exact e JOIN ivf USING (query_id, vec_id) GROUP BY e.query_id
+)
+SELECT q.query_id, 'lsh' AS method, coalesce(o.n_overlap, 0) AS n_overlap,
+       round(coalesce(o.n_overlap, 0) / {float(k)!r}, 4) AS recall
+FROM q LEFT JOIN ov_lsh o USING (query_id)
+UNION ALL
+SELECT q.query_id, 'ivf' AS method, coalesce(o.n_overlap, 0) AS n_overlap,
+       round(coalesce(o.n_overlap, 0) / {float(k)!r}, 4) AS recall
+FROM q LEFT JOIN ov_ivf o USING (query_id)
+"""
+
+
 def windowed_event_counts_sql() -> str:
     return """
 SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_id,
