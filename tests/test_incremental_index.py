@@ -1,0 +1,70 @@
+"""End-to-end incremental index maintenance (I11 + O9/O10 at the file
+level): a mutation batch touching ONE library must rewrite only that
+library's index partition — the other partitions' files stay untouched.
+This is the 100 TB contract: index maintenance cost scales with the
+mutation's blast radius, not the corpus.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from vector_db_service_spark.operators import lsh as lsh_ops  # noqa: E402
+from vector_db_service_spark.sources.tables import load  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.001")
+
+
+def _partition_state(index_dir: str) -> dict[str, tuple[str, float]]:
+    """label partition -> (file list, latest mtime)."""
+    state = {}
+    for entry in os.listdir(index_dir):
+        if not entry.startswith("label="):
+            continue
+        pdir = os.path.join(index_dir, entry)
+        files = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+        mtime = max(os.path.getmtime(os.path.join(pdir, f)) for f in files)
+        state[entry] = (",".join(files), mtime)
+    return state
+
+
+def test_mutation_rewrites_only_affected_partition(spark, tmp_path):
+    index_dir = str(tmp_path / "lsh_index")
+    emb = load(spark, SF, "embeddings")
+    planes = lsh_ops.hyperplanes(64)
+
+    # initial build: the index table partitioned by library
+    lsh_ops.build_index(emb, planes).write.partitionBy("label").parquet(index_dir)
+    before = _partition_state(index_dir)
+    assert len(before) == 10
+
+    # mutation batch: new vectors for library 3 only (ids offset to be new)
+    n3 = emb.filter(F.col("label") == 3).count()
+    mutation = (
+        emb.filter(F.col("label") == 3)
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    )
+
+    # incremental maintenance: recompute ONLY the affected partition from
+    # base + mutation, dynamic-partition-overwrite that partition
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    affected = emb.filter(F.col("label") == 3).unionByName(mutation)
+    lsh_ops.build_index(affected, planes).write.mode("overwrite") \
+        .partitionBy("label").parquet(index_dir)
+
+    after = _partition_state(index_dir)
+    # affected partition rewritten...
+    assert after["label=3"] != before["label=3"]
+    # ...every other partition byte-identical (same files, same mtimes)
+    for part in before:
+        if part != "label=3":
+            assert after[part] == before[part], f"{part} was rewritten"
+
+    # and the rebuilt index reflects the mutation: old + mutated rows
+    idx = spark.read.parquet(index_dir).filter(F.col("label") == 3)
+    assert idx.count() == 2 * n3 * lsh_ops.NUM_HASHES
