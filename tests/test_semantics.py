@@ -86,3 +86,32 @@ def test_lsh_candidates_superset_contains_exact_top1(spark):
     planes = lsh_ops.hyperplanes(len(qvec))
     cand = lsh_ops.candidates(load(spark, SF, "embeddings"), qvec, planes)
     assert cand.filter(F.col("vec_id") == 7).count() == 1
+
+
+def test_malformed_rows_swallowed_not_fatal(spark):
+    """K13 error-swallow parity (reference similarity.py:343-345 skips
+    rows that fail scoring): null or dimension-mismatched embeddings must
+    yield null scores that sort to the bottom — never a query failure."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.5, 0.5, 0.0, 0.0]),
+        (3, None),                    # missing embedding
+        (4, [1.0, 0.0]),              # wrong dimension (short)
+    ]
+    df = spark.createDataFrame(rows, schema)
+    q = sim.vector_lit([1.0, 0.0, 0.0, 0.0])
+    scored = df.withColumn("score", F.round(sim.cosine(F.col("embedding"), q), 6))
+    got = {r["vec_id"]: r["score"] for r in scored.collect()}
+    assert got[1] == 1.0
+    assert got[3] is None  # swallowed, not raised
+    # short vector: zip_with pads with null -> null score (swallowed)
+    assert got[4] is None
+    # and top-k ordering puts swallowed rows last (desc NULLS LAST)
+    order = [r["vec_id"] for r in scored.orderBy(F.desc("score"), F.asc("vec_id")).collect()]
+    assert order[:2] == [1, 2] and set(order[2:]) == {3, 4}

@@ -108,6 +108,13 @@ def candidates(emb: DataFrame, qvec: list[float], planes: list[list[float]]) -> 
         side = _plane_dot(F.col("embedding"), plane) >= F.lit(0.0)
         agree = side if bit == 1 else ~side
         match = agree if match is None else (match | agree)
+    # NOTE on the reference's empty-candidate fallback (algorithms.py:
+    # 393-398, sample-random-buckets): exclusion requires disagreeing
+    # with the query on ALL planes (~2^-num_hashes for random data), so
+    # an empty candidate set over a non-empty corpus is possible but
+    # vanishingly rare; the nondeterministic random-bucket fallback is
+    # deliberately not replicated (it would break oracle determinism).
+    # The empty-library short-circuit covers the common observable case.
     return emb.filter(match)
 
 
