@@ -115,3 +115,51 @@ def test_malformed_rows_swallowed_not_fatal(spark):
     # and top-k ordering puts swallowed rows last (desc NULLS LAST)
     order = [r["vec_id"] for r in scored.orderBy(F.desc("score"), F.asc("vec_id")).collect()]
     assert order[:2] == [1, 2] and set(order[2:]) == {3, 4}
+
+
+def test_grid_low_dim_uses_full_hypercube(spark):
+    """Reference grid neighbor enumeration: dim <= 4 explores the full
+    hypercube (algorithms.py:552-563) so a cell differing in TWO dims by
+    1 is reachable at radius 1; dim > 4 uses the Manhattan-ball
+    (algorithms.py:540-550) where that same cell is unreachable."""
+    from pyspark.sql import types as T
+    from vector_db_service_spark.operators.grid import _r_needed
+
+    schema = T.StructType([
+        T.StructField("cid", T.LongType()),
+        T.StructField("cells", T.ArrayType(T.LongType())),
+    ])
+    df3 = spark.createDataFrame(
+        [(1, [0, 0, 0]), (2, [1, 1, 0]), (3, [2, 0, 0])], schema
+    )
+    got3 = {r["cid"]: r["r"] for r in
+            df3.select("cid", _r_needed(F.col("cells"), [0, 0, 0]).alias("r")).collect()}
+    assert got3 == {1: 0, 2: 1, 3: 2}  # diag cell reachable at its Chebyshev radius
+
+    df5 = spark.createDataFrame(
+        [(1, [0, 0, 0, 0, 0]), (2, [1, 1, 0, 0, 0]), (3, [0, 3, 0, 0, 0])], schema
+    )
+    got5 = {r["cid"]: r["r"] for r in
+            df5.select("cid", _r_needed(F.col("cells"), [0, 0, 0, 0, 0]).alias("r")).collect()}
+    assert got5[1] == 0 and got5[3] == 3
+    assert got5[2] is None  # two-dim diff: outside the Manhattan ball
+
+
+def test_topk_invariant_to_input_partitioning(spark):
+    """The rounded-score total order makes top-k independent of physical
+    partitioning — the determinism contract a distributed engine must
+    keep (same result on 1 partition or 1000)."""
+    from vector_db_service_spark.operators.knn import query_vector, score_all
+
+    qvec = query_vector(spark, SF, 2)
+    emb = load(spark, SF, "embeddings")
+
+    def topk(df):
+        return [
+            (r["vec_id"], r["score"])
+            for r in score_all(df, qvec, "cosine")
+            .orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
+            .select("vec_id", "score").collect()
+        ]
+
+    assert topk(emb) == topk(emb.repartition(17)) == topk(emb.coalesce(1))

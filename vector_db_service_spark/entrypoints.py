@@ -603,6 +603,34 @@ FROM part GROUP BY p_type
 """,
 )
 register(
+    "rel_shipping_priority",
+    relational.shipping_priority,
+    """
+SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+register(
+    "rel_user_running_totals",
+    relational.user_running_totals,
+    """
+SELECT user_id, event_id,
+       count(*) OVER w AS running_n,
+       round(sum(value) OVER w, 4) AS running_value
+FROM events
+WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+register(
     "rel_value_percentiles",
     lambda s, d: load(s, d, "events").groupBy("event_type").agg(
         F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),

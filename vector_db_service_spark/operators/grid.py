@@ -115,11 +115,17 @@ def build_index(emb: DataFrame, mins: list[float], maxs: list[float],
 
 
 def _r_needed(cells_col: Column, qcell: list[int]) -> Column:
-    """Smallest radius at which the reference's Manhattan-ball enumeration
-    (algorithms.py:540-550) reaches this cell; NULL if unreachable (cells
-    differing in >= 2 dims are never enumerated for dim > 4)."""
+    """Smallest radius at which the reference's neighbor enumeration
+    reaches this cell. For dim > 4 that is the Manhattan-ball
+    (algorithms.py:540-550): center cell, or cells differing in EXACTLY
+    ONE dimension by <= r; cells differing in >= 2 dims are unreachable
+    (NULL). For dim <= 4 the reference enumerates the FULL HYPERCUBE
+    (algorithms.py:552-563), so r_needed is the Chebyshev distance
+    max|delta| — every cell is reachable."""
     qc = F.array(*[F.lit(c).cast("long") for c in qcell])
     diffs = F.zip_with(cells_col, qc, lambda a, b: F.abs(a - b))
+    if len(qcell) <= 4:
+        return F.array_max(diffs)
     nz = F.filter(diffs, lambda d: d != 0)
     return (
         F.when(F.size(nz) == 0, F.lit(0))

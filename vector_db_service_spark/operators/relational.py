@@ -295,3 +295,44 @@ def user_event_counts_salted(spark: SparkSession, sf_dir: str, salt: int = 8) ->
         F.sum("pn").alias("n_events"),
         F.round(F.sum("pv"), 4).alias("sum_value"),
     )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str, segment: str = "BUILDING",
+                      k: int = 10) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> two fact joins -> grouped
+    revenue -> top-k. Catalyst pushes the segment filter into the
+    customer scan and broadcasts the filtered dim; lineitem shuffles once
+    on the join key."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == segment)
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(revenue, 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(k)
+    )
+
+
+def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running event count and value total ordered by time —
+    the classic cumulative-window op; one shuffle on user_id, ordering is
+    intra-partition."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.filter(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            "event_id",
+            F.count("*").over(w).alias("running_n"),
+            F.round(F.sum("value").over(w), 4).alias("running_value"),
+        )
+    )
