@@ -543,6 +543,18 @@ register(
     lambda s, d: textops.fingerprints(load(s, d, "documents")),
     opl.fingerprints_sql(),
 )
+register(
+    "mm_library_centroids_pandas",
+    multimodal.library_centroids_pandas,
+    """
+SELECT label, count(*) AS n_vectors,
+       round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS c0,
+       round(avg(CAST(embedding[2] AS DOUBLE)), 6) AS c1,
+       round(avg(CAST(embedding[3] AS DOUBLE)), 6) AS c2,
+       round(avg(CAST(embedding[4] AS DOUBLE)), 6) AS c3
+FROM embeddings GROUP BY label
+""",
+)
 register("mm_blob_features", multimodal.blob_features, opl.blob_features_sql())
 register("mm_frame_stats", multimodal.frame_stats, opl.frame_stats_sql())
 
@@ -749,6 +761,11 @@ def _embed_components(s: SparkSession, d: str) -> DataFrame:
 
 
 register("s15_embed_documents", _embed_components, opl.embed_components_sql())
+register(
+    "s15_embed_pandas_batched",
+    multimodal.embed_documents_pandas,
+    opl.embed_components_sql(include_norm=False),
+)
 
 
 def _stream_embed_pending(s: SparkSession, d: str) -> DataFrame:

@@ -142,3 +142,105 @@ def frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_frames"),
         F.min("frame_bytes").alias("tail_bytes"),
     )
+
+
+EMBED_BATCH = 96  # reference Cohere batch limit, embedding_service.py:23
+
+EMBED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("e0", T.DoubleType()),
+    T.StructField("e1", T.DoubleType()),
+    T.StructField("e2", T.DoubleType()),
+    T.StructField("e3", T.DoubleType()),
+])
+
+
+def _round_half_up(x: float, digits: int = 6) -> float:
+    """Spark/DuckDB round() is HALF_UP; python/numpy round is half-even.
+    Match explicitly so the pandas path hashes identically."""
+    import math
+
+    scale = 10.0 ** digits
+    return math.copysign(math.floor(abs(x) * scale + 0.5) / scale, x)
+
+
+def _embed_batches(batches):
+    """The model-call shape of the reference's embedding service
+    (embedding_service.py:108-229): texts arrive in Arrow batches, are
+    sub-batched to <=96 (the API limit, O8), 'called' (here: the
+    deterministic hash embedding computed in numpy — swap this block for
+    the real HTTP call with tenacity retries), and returned as columns.
+    Math mirrors functions/embed.py op-for-op in float64, so results
+    hash-match the JVM expression path exactly."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    dim, mod_p = 16, 2_147_483_647
+
+    def one(text: str) -> list[float]:
+        raw = np.zeros(dim, dtype=np.float64)
+        for tok in text.lower().split(" "):
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % mod_p
+            sign = 1.0 if (h // dim) % 2 else -1.0
+            raw[h % dim] += sign
+        # left-to-right sum like the Spark fold (raw entries are exact ints)
+        n = float(np.sqrt(sum(v * v for v in raw.tolist())))
+        if n == 0.0:
+            return raw.tolist()[:4]
+        return [_round_half_up(v / n) for v in raw.tolist()[:4]]
+
+    for pdf in batches:
+        out = []
+        for start in range(0, len(pdf), EMBED_BATCH):  # <=96 per "call"
+            sub = pdf.iloc[start:start + EMBED_BATCH]
+            for doc_id, text in zip(sub["doc_id"], sub["text"]):
+                e = one(text)
+                out.append({"doc_id": int(doc_id), "e0": e[0], "e1": e[1],
+                            "e2": e[2], "e3": e[3]})
+        yield pd.DataFrame(out, columns=[f.name for f in EMBED_SCHEMA.fields])
+
+
+def embed_documents_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 via the Arrow path: mapInPandas batched 'model calls'. Same
+    oracle as the JVM-expression path (s15_embed_documents) — proving the
+    two implementations agree bit-for-bit after rounding."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(_embed_batches, EMBED_SCHEMA)
+
+
+CENTROID_SCHEMA = T.StructType([
+    T.StructField("label", T.IntegerType()),
+    T.StructField("n_vectors", T.LongType()),
+    T.StructField("c0", T.DoubleType()),
+    T.StructField("c1", T.DoubleType()),
+    T.StructField("c2", T.DoubleType()),
+    T.StructField("c3", T.DoubleType()),
+])
+
+
+def _centroid_group(pdf):
+    """Grouped-map kernel: per-library centroid over the Arrow batch.
+    Sequential float64 accumulation (math.fsum-free, plain left-to-right)
+    matches DuckDB's avg() exactly after 6-decimal rounding."""
+    import pandas as pd
+
+    vecs = pdf["embedding"].tolist()
+    n = len(vecs)
+    out = {"label": [int(pdf["label"].iloc[0])], "n_vectors": [n]}
+    for i in range(4):
+        s = 0.0
+        for v in vecs:
+            s += float(v[i])
+        out[f"c{i}"] = [_round_half_up(s / n)]
+    return pd.DataFrame(out)
+
+
+def library_centroids_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-library centroids via applyInPandas (grouped map) — the
+    partition-parallel custom-aggregation shape (one Arrow batch per
+    library lands in one Python worker). The oracle is plain SQL avg()
+    over unnested components, so the grouped-map path is exact-checked."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").applyInPandas(_centroid_group, CENTROID_SCHEMA)
