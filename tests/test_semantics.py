@@ -163,3 +163,23 @@ def test_topk_invariant_to_input_partitioning(spark):
         ]
 
     assert topk(emb) == topk(emb.repartition(17)) == topk(emb.coalesce(1))
+
+
+def test_sql_surface_matches_dataframe_kernels(spark):
+    """The pure-SQL surface (functions/sql_surface.py + temp views) must
+    produce the identical flagship result as the DataFrame API — same
+    Catalyst expressions, same plan, same rows."""
+    from vector_db_service_spark.functions import sql_surface as S
+    from vector_db_service_spark.sources.tables import register_views
+
+    register_views(spark, SF)
+    qvec = knn_ops.query_vector(spark, SF, 0)
+    q_sql = "array(" + ", ".join(f"{v!r}D" for v in qvec) + ")"
+    sql_df = spark.sql(f"""
+        SELECT vec_id, label, round({S.cosine_sql('embedding', q_sql)}, 6) AS score
+        FROM embeddings
+        ORDER BY score DESC, vec_id
+        LIMIT 10
+    """)
+    api_df = knn_ops.knn(spark, SF, query_id=0, k=10, metric="cosine")
+    assert [r.asDict() for r in sql_df.collect()] == [r.asDict() for r in api_df.collect()]
