@@ -458,6 +458,11 @@ register(
     opl.simhash_near_dups_sql(max_hamming=3),
 )
 register(
+    "dedup_components",
+    lambda s, d: dedup.near_dup_components(load(s, d, "documents")),
+    opl.near_dup_components_sql(),
+)
+register(
     "dedup_embedding_pairs",
     lambda s, d: dedup.embedding_near_dups(load(s, d, "embeddings"), threshold=0.8),
     opl.embedding_near_dups_sql(threshold=0.8),

@@ -183,3 +183,37 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.8) -> DataFrame:
         .filter(F.col("cos") >= F.lit(threshold))
         .select("label", "vec_id_1", "vec_id_2", "cos")
     )
+
+
+def near_dup_components(docs: DataFrame, max_hamming: int = 3,
+                        rounds: int = 10) -> DataFrame:
+    """Duplicate-cluster extraction: connected components over the
+    simhash near-dup pair graph via `rounds` iterations of min-label
+    propagation (each: join labels across edges, take the min). Bounded
+    iteration keeps the operator deterministic AND oracle-checkable (the
+    oracle unrolls the same rounds); it equals true components whenever
+    component diameter <= rounds. At 100 TB swap plain propagation for
+    pointer-doubling (large-star/small-star) — same join shape, O(log n)
+    rounds. Returns (comp, n_docs) per duplicate cluster."""
+    pairs = simhash_near_dups(docs, max_hamming).select("doc_id_1", "doc_id_2")
+    edges = (
+        pairs.select(F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("comp"))
+    for _ in range(rounds):
+        nbr = edges.join(labels, edges.dst == labels.node).select(
+            F.col("src").alias("node"), F.col("comp")
+        )
+        labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            # truncate lineage each round: the label frame is tiny, but a
+            # 10-round chained plan makes Catalyst analysis explode
+            .localCheckpoint(eager=False)
+        )
+    return labels.groupBy("comp").agg(F.count("*").alias("n_docs"))

@@ -149,6 +149,40 @@ WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
 """
 
 
+def near_dup_components_sql(max_hamming: int = 3, rounds: int = 10) -> str:
+    """Oracle for dedup.near_dup_components: the SAME bounded min-label
+    propagation, unrolled as `rounds` chained CTE stages."""
+    # every CTE is MATERIALIZED: DuckDB otherwise inlines CTEs per
+    # reference, and each stage references the previous one twice ->
+    # 2^rounds recomputation of the whole pair pipeline
+    stages = []
+    for r in range(rounds):
+        prev, cur = f"l{r}", f"l{r + 1}"
+        stages.append(f"""
+{cur} AS MATERIALIZED (
+  SELECT node, min(comp) AS comp FROM (
+    SELECT node, comp FROM {prev}
+    UNION ALL
+    SELECT e.src AS node, l.comp FROM edges e JOIN {prev} l ON l.node = e.dst
+  ) GROUP BY node
+)""")
+    chain = ",".join(stages)
+    return f"""
+WITH fp AS MATERIALIZED (SELECT doc_id, {SIMHASH} AS sh FROM documents),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+),
+edges AS MATERIALIZED (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION ALL SELECT d2, d1 FROM pairs
+),
+l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS comp FROM documents),{chain}
+SELECT comp, count(*) AS n_docs FROM l{rounds} GROUP BY comp
+"""
+
+
 def exact_dedup_summary_sql() -> str:
     return """
 SELECT count(*) AS total_docs,
