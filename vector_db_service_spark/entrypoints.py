@@ -728,6 +728,10 @@ register(
     lambda s, d: ann.ivf_kmeans_topk(s, d, query_id=0, k=10, nprobe=2),
 )
 register(
+    "mllib_product_quantize",
+    lambda s, d: ann.product_quantize(s, d, n_subvectors=4, codebook_k=16),
+)
+register(
     "mllib_brp_approx_knn",
     lambda s, d: mllib_index.brp_approx_knn(s, d, query_id=0, k=10),
 )

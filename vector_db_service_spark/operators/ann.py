@@ -280,3 +280,54 @@ def index_recall_report(
         )
 
     return _recall(lsh_topk, "lsh").unionByName(_recall(ivf_topk_df, "ivf"))
+
+
+def product_quantize(
+    spark: SparkSession,
+    sf_dir: str,
+    n_subvectors: int = 8,
+    codebook_k: int = 16,
+) -> DataFrame:
+    """Product quantization: split each vector into n_subvectors
+    contiguous sub-spaces, train a KMeans codebook (seeded) per
+    sub-space, and encode every vector as n_subvectors small codes —
+    64 float32 -> 8 bytes (32x). Reports per-vector reconstruction error
+    against the codebooks. Rows-only check (KMeans init is not
+    SQL-reproducible). At 100 TB the codebooks (k * dim floats) broadcast
+    and encoding is one projection; distance tables then make ANN scans
+    byte-wise."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding")).head()[0]
+    sub_dim = dim // n_subvectors
+
+    codes_cols = []
+    err_expr = F.lit(0.0)
+    for s in range(n_subvectors):
+        lo = s * sub_dim + 1  # element_at is 1-based
+        sub = F.slice(F.col("embedding"), lo, sub_dim).cast("array<double>")
+        sub_df = emb.select("vec_id", array_to_vector(sub).alias("v"))
+        km = KMeans(k=codebook_k, seed=42 + s, featuresCol="v", predictionCol="code", maxIter=8)
+        model = km.fit(sub_df)
+        centers = model.clusterCenters()
+        # broadcast codebook as a literal array of arrays
+        cb = F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]) for c in centers
+        ])
+        assigned = model.transform(sub_df).select("vec_id", F.col("code").alias(f"code{s}"))
+        emb = emb.join(assigned, "vec_id")
+        recon = F.element_at(cb, F.col(f"code{s}") + 1)
+        sub_err = F.aggregate(
+            F.zip_with(sub, recon, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0), lambda a, x: a + x,
+        )
+        err_expr = err_expr + sub_err
+        codes_cols.append(f"code{s}")
+
+    return emb.select(
+        "vec_id", "label", *codes_cols,
+        F.round(F.sqrt(err_expr), 6).alias("recon_l2"),
+    )
