@@ -96,3 +96,23 @@ def test_append_mode_watermark_holds_back_open_windows(spark):
     n_emitted = appended.count()
     assert n_emitted < total_windows  # at least the open tail window withheld
     assert n_emitted >= total_windows - 2  # but no more than the frontier
+
+
+def test_multimodal_decode_is_gated_and_frames_flatmap(spark):
+    """The image-decode step is an explicit stub (no codec libs in this
+    container) — it must raise, not silently fake. Frame sampling is the
+    1-row -> n-rows flatMap shape with exact frame arithmetic."""
+    import pytest as _pytest
+
+    from vector_db_service_spark.operators import multimodal as mm
+
+    with _pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG")
+
+    blobs = mm.blobs(spark, SF).limit(20)
+    frames = mm.sample_frames(blobs)
+    per_doc = {r["doc_id"]: r["n"] for r in
+               frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    sizes = {r["doc_id"]: r["n_bytes"] for r in
+             blobs.select("doc_id", F.length("blob").alias("n_bytes")).collect()}
+    assert per_doc == {d: -(-n // mm.FRAME_BYTES) for d, n in sizes.items()}
