@@ -462,6 +462,35 @@ register(
     lambda s, d: dedup.near_dup_components(load(s, d, "documents")),
     opl.near_dup_components_sql(),
 )
+def _containment_sql(threshold: float = 0.5) -> str:
+    band_match = " OR ".join(
+        f"a.band{b} = b.band{b}" for b in range(opl.MINHASH_BANDS)
+    )
+    return f"""
+WITH {opl._sig_cte()},
+cand AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, a.sh AS sh_1, b.sh AS sh_2
+  FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ({band_match})
+),
+meas AS (
+  SELECT doc_id_1, doc_id_2,
+         round(CAST(len(list_intersect(sh_1, sh_2)) AS DOUBLE)
+               / CAST(len(sh_1) AS DOUBLE), 6) AS containment_1_in_2,
+         round(CAST(len(list_intersect(sh_1, sh_2)) AS DOUBLE)
+               / CAST(len(sh_2) AS DOUBLE), 6) AS containment_2_in_1
+  FROM cand
+)
+SELECT DISTINCT doc_id_1, doc_id_2, containment_1_in_2, containment_2_in_1
+FROM meas
+WHERE containment_1_in_2 >= {threshold!r} OR containment_2_in_1 >= {threshold!r}
+"""
+
+
+register(
+    "dedup_containment_pairs",
+    lambda s, d: dedup.containment_pairs(load(s, d, "documents"), threshold=0.5),
+    _containment_sql(threshold=0.5),
+)
 register(
     "dedup_embedding_pairs",
     lambda s, d: dedup.embedding_near_dups(load(s, d, "embeddings"), threshold=0.8),
@@ -476,6 +505,24 @@ register(
     "ann_ivf_topk",
     lambda s, d: ann.ivf_topk(s, d, query_id=0, k=10, nprobe=1),
     opl.ivf_topk_sql(query_id=0, k=10, nprobe=1),
+)
+def _knn_join_sql(m: int = 3) -> str:
+    cos = oracles.METRIC_SQL["cosine"]("a.embedding", "b.embedding")
+    return f"""
+SELECT a.label, a.vec_id AS src, b.vec_id AS dst,
+       round({cos}, 6) AS score,
+       row_number() OVER (PARTITION BY a.vec_id
+                          ORDER BY round({cos}, 6) DESC, b.vec_id) AS rnk
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id != b.vec_id
+QUALIFY rnk <= {m}
+"""
+
+
+register(
+    "ann_knn_join",
+    lambda s, d: ann.knn_join(s, d, m=3),
+    _knn_join_sql(m=3),
 )
 register(
     "ann_scalar_quantize",

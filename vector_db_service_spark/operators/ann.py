@@ -331,3 +331,42 @@ def product_quantize(
         "vec_id", "label", *codes_cols,
         F.round(F.sqrt(err_expr), 6).alias("recon_l2"),
     )
+
+
+def knn_join(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = 3,
+    metric: str = "cosine",
+) -> DataFrame:
+    """k-NN JOIN: for EVERY vector, its top-m neighbors within its
+    library — the all-pairs batch form (the reference only ever probes
+    one query; this is the shape used for dedup graphs, recommendation
+    candidates, and embedding QA). Label-blocking bounds the pair space;
+    per-vector norms are computed once per side; ranking is a window per
+    source vector. At scale each label partition self-joins locally —
+    no global shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "label", "vec_id", "embedding", sim.norm(F.col("embedding")).alias("nrm")
+    )
+    a = normed.select(
+        "label", F.col("vec_id").alias("src"),
+        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = normed.select(
+        "label", F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    cos = F.when(
+        (F.col("na") == F.lit(0.0)) | (F.col("nb") == F.lit(0.0)), F.lit(0.0)
+    ).otherwise(sim.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn("score", F.round(cos, 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= m)
+        .select("label", "src", "dst", "score", "rnk")
+    )

@@ -217,3 +217,34 @@ def near_dup_components(docs: DataFrame, max_hamming: int = 3,
             .localCheckpoint(eager=False)
         )
     return labels.groupBy("comp").agg(F.count("*").alias("n_docs"))
+
+
+def containment_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Asymmetric near-dup detection: jaccard CONTAINMENT
+    |A∩B| / |A| — catches small documents swallowed by larger ones
+    (quote extraction, boilerplate wrapping), which symmetric jaccard
+    misses. Same banded candidate join as minhash_near_dups; both
+    directed containments are emitted per unordered candidate pair."""
+    sig = H.minhash_signature(F.col("text"))
+    pre = docs.select(
+        "doc_id",
+        H.minhash_bands(sig).alias("bands"),
+        F.array_distinct(H.shingles(F.col("text"))).alias("sh"),
+    ).localCheckpoint(eager=False)
+    keyed = pre.select("doc_id", F.posexplode("bands").alias("band_idx", "band_key"))
+    pairs = _pair_join(keyed, ["band_idx", "band_key"], ["doc_id"])
+    sh = pre.select("doc_id", "sh")
+    joined = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_id_1").withColumnRenamed("sh", "sh_1"), "doc_id_1")
+        .join(sh.withColumnRenamed("doc_id", "doc_id_2").withColumnRenamed("sh", "sh_2"), "doc_id_2")
+        .withColumn("n_common", F.size(F.array_intersect("sh_1", "sh_2")))
+    )
+    c12 = F.round(F.col("n_common").cast("double") / F.size("sh_1").cast("double"), 6)
+    c21 = F.round(F.col("n_common").cast("double") / F.size("sh_2").cast("double"), 6)
+    return (
+        joined.withColumn("containment_1_in_2", c12)
+        .withColumn("containment_2_in_1", c21)
+        .filter((F.col("containment_1_in_2") >= threshold)
+                | (F.col("containment_2_in_1") >= threshold))
+        .select("doc_id_1", "doc_id_2", "containment_1_in_2", "containment_2_in_1")
+    )
