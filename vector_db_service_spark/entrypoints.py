@@ -852,6 +852,16 @@ FROM events GROUP BY event_type
 """,
 )
 register(
+    "text_stratified_sample",
+    lambda s, d: textops.stratified_sample(load(s, d, "documents"), rate_pct=20),
+    """
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 100 < 20 THEN 1 ELSE 0 END) AS n_sampled
+FROM documents GROUP BY lang
+""",
+)
+register(
     "text_curation_funnel",
     lambda s, d: textops.curation_funnel(load(s, d, "documents")),
     f"""

@@ -121,3 +121,24 @@ def curation_funnel(docs: DataFrame) -> DataFrame:
             ).alias("keep_rate"),
         )
     )
+
+
+def stratified_sample(docs: DataFrame, rate_pct: int = 20) -> DataFrame:
+    """Deterministic stratified sampling for reproducible corpus subsets:
+    keep a doc iff md5-hash(doc_id) mod 100 < rate_pct, reported per
+    language stratum. Unlike rand()-based sampling this is stable across
+    runs, engines, partitionings, and retries — the property a
+    training-data pipeline needs for auditable subsets. (Spark's
+    df.sample() is seed-stable only for a fixed partitioning.)"""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % F.lit(100)
+    )
+    return (
+        docs.withColumn("keep", bucket < rate_pct)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_sampled"),
+        )
+    )
