@@ -710,6 +710,23 @@ FROM events GROUP BY event_type
 """,
 )
 register(
+    "rel_value_outliers",
+    relational.value_outliers,
+    """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma,
+         count(*) AS n_events
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, first(s.n_events) AS n_events,
+       round(first(s.mu), 4) AS mean_value,
+       round(first(s.sigma), 4) AS std_value,
+       sum(CASE WHEN abs(e.value - s.mu) > 3.0 * s.sigma THEN 1 ELSE 0 END) AS n_outliers
+FROM events e JOIN stats s USING (event_type)
+GROUP BY e.event_type
+""",
+)
+register(
     "rel_salted_user_counts",
     relational.user_event_counts_salted,
     "SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value "

@@ -336,3 +336,27 @@ def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value").over(w), 4).alias("running_value"),
         )
     )
+
+
+def value_outliers(spark: SparkSession, sf_dir: str, z_cut: float = 3.0) -> DataFrame:
+    """Per-type z-score outlier detection over event values — two-pass
+    (grouped moments, then a broadcast join back for the per-row z-test),
+    the standard distributed anomaly sweep: both passes are single
+    shuffles on the group key."""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.count("*").alias("n_events"),
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    is_out = F.abs(F.col("value") - F.col("mu")) > z_cut * F.col("sigma")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.first("n_events").alias("n_events"),
+            F.round(F.first("mu"), 4).alias("mean_value"),
+            F.round(F.first("sigma"), 4).alias("std_value"),
+            F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+        )
+    )
