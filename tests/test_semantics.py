@@ -183,3 +183,17 @@ def test_sql_surface_matches_dataframe_kernels(spark):
     """)
     api_df = knn_ops.knn(spark, SF, query_id=0, k=10, metric="cosine")
     assert [r.asDict() for r in sql_df.collect()] == [r.asDict() for r in api_df.collect()]
+
+
+def test_pointer_doubling_components_match_plain_propagation(spark):
+    """near_dup_components_fast (neighbor-min + pointer-jump per round)
+    must produce the identical component histogram as the plain
+    bounded-propagation version — the O(log d) scale path is exact."""
+    from vector_db_service_spark.operators import dedup
+
+    docs = load(spark, SF, "documents")
+    plain = {(r["comp"], r["n_docs"])
+             for r in dedup.near_dup_components(docs, rounds=10).collect()}
+    fast = {(r["comp"], r["n_docs"])
+            for r in dedup.near_dup_components_fast(docs, rounds=5).collect()}
+    assert plain == fast

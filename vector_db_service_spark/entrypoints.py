@@ -710,6 +710,30 @@ FROM events GROUP BY event_type
 """,
 )
 register(
+    "rel_conversion_funnel",
+    relational.conversion_funnel,
+    """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+  FROM events GROUP BY user_id
+),
+staged AS (
+  SELECT CASE
+    WHEN t_signup IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
+         AND t_signup < t_click AND t_click < t_purchase THEN 'full_funnel'
+    WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+         AND t_signup < t_click THEN 'signup_click'
+    WHEN t_signup IS NOT NULL THEN 'signup_only'
+    ELSE 'no_signup' END AS funnel_stage
+  FROM firsts
+)
+SELECT funnel_stage, count(*) AS n_users FROM staged GROUP BY funnel_stage
+""",
+)
+register(
     "rel_value_outliers",
     relational.value_outliers,
     """

@@ -248,3 +248,39 @@ def containment_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
                 | (F.col("containment_2_in_1") >= threshold))
         .select("doc_id_1", "doc_id_2", "containment_1_in_2", "containment_2_in_1")
     )
+
+
+def near_dup_components_fast(docs: DataFrame, max_hamming: int = 3,
+                             rounds: int = 5) -> DataFrame:
+    """The O(log diameter) form of near_dup_components: each round does
+    one neighbor-min propagation THEN one pointer-jump (comp <- comp of
+    comp), so label information travels 2^r hops in r rounds instead of
+    r — the 100 TB path for deep duplicate chains (plain propagation
+    needs diameter rounds; 5 doubled rounds cover diameter ~32).
+    Verified equal to the bounded-propagation version in tests."""
+    pairs = simhash_near_dups(docs, max_hamming).select("doc_id_1", "doc_id_2")
+    edges = (
+        pairs.select(F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("comp"))
+    for _ in range(rounds):
+        nbr = edges.join(labels, edges.dst == labels.node).select(
+            F.col("src").alias("node"), F.col("comp")
+        )
+        labels = (
+            labels.unionByName(nbr)
+            .groupBy("node").agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=False)
+        )
+        # pointer jump: comp <- label of comp (doubles the reach)
+        parent = labels.select(F.col("node").alias("p_node"), F.col("comp").alias("p_comp"))
+        labels = (
+            labels.join(parent, labels.comp == parent.p_node)
+            .select("node", F.col("p_comp").alias("comp"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.groupBy("comp").agg(F.count("*").alias("n_docs"))

@@ -360,3 +360,38 @@ def value_outliers(spark: SparkSession, sf_dir: str, z_cut: float = 3.0) -> Data
             F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
         )
     )
+
+
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence funnel: per user, did signup -> click -> purchase
+    happen IN ORDER (first occurrences strictly increasing)? One grouped
+    aggregation computes the three first-occurrence times; the ordering
+    predicate is a projection — no self-joins, no explosion."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts_us"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).alias("t_purchase"),
+    )
+    stage = (
+        F.when(
+            F.col("t_signup").isNotNull()
+            & F.col("t_click").isNotNull()
+            & F.col("t_purchase").isNotNull()
+            & (F.col("t_signup") < F.col("t_click"))
+            & (F.col("t_click") < F.col("t_purchase")),
+            F.lit("full_funnel"),
+        )
+        .when(
+            F.col("t_signup").isNotNull() & F.col("t_click").isNotNull()
+            & (F.col("t_signup") < F.col("t_click")),
+            F.lit("signup_click"),
+        )
+        .when(F.col("t_signup").isNotNull(), F.lit("signup_only"))
+        .otherwise(F.lit("no_signup"))
+    )
+    return (
+        firsts.select(stage.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count("*").alias("n_users"))
+    )
