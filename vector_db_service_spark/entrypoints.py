@@ -710,6 +710,32 @@ FROM events GROUP BY event_type
 """,
 )
 register(
+    "rel_customer_segments",
+    lambda s, d: load(s, d, "customer").groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        F.round(F.min("c_acctbal"), 4).alias("min_acctbal"),
+        F.round(F.max("c_acctbal"), 4).alias("max_acctbal"),
+    ),
+    """
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(avg(c_acctbal), 4) AS avg_acctbal,
+       round(min(c_acctbal), 4) AS min_acctbal,
+       round(max(c_acctbal), 4) AS max_acctbal
+FROM customer GROUP BY c_mktsegment
+""",
+)
+register(
+    "rel_order_size_distribution",
+    lambda s, d: load(s, d, "lineitem").groupBy("l_orderkey")
+    .agg(F.count("*").alias("n_items"))
+    .groupBy("n_items").agg(F.count("*").alias("n_orders")),
+    """
+WITH per AS (SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY l_orderkey)
+SELECT n_items, count(*) AS n_orders FROM per GROUP BY n_items
+""",
+)
+register(
     "rel_conversion_funnel",
     relational.conversion_funnel,
     """
