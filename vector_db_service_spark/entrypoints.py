@@ -911,6 +911,16 @@ register(
     "FROM events GROUP BY user_id",
 )
 register(
+    "stream_sliding_event_counts",
+    stream_ops.sliding_event_counts,
+    """
+SELECT CAST(floor(epoch_us(ts) / 1800000000) - d AS BIGINT) AS slide_id,
+       count(*) AS n_events
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS d)
+GROUP BY slide_id
+""",
+)
+register(
     "stream_dedup_events",
     stream_ops.dedup_events_stream,
     """

@@ -256,3 +256,28 @@ def dedup_events_stream(spark: SparkSession, sf_dir: str,
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming agg (1 h window, 30 min slide): every
+    event contributes to exactly two overlapping windows — the state
+    shape watermarks exist to bound. AvailableNow + complete mode into a
+    memory sink; window ids are epoch-aligned slide indexes so the batch
+    oracle reproduces membership arithmetic exactly."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("event_time", "30 minutes")
+        .groupBy(F.window("event_time", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = f"slide_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        (F.unix_micros(F.col("window.start")) / F.lit(1_800_000_000)).cast("long")
+        .alias("slide_id"),
+        "n_events",
+    )
