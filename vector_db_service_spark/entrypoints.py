@@ -709,6 +709,41 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """,
 )
+def _interarrival(s: SparkSession, d: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(s, d, "events")
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = (F.col("ts_us") - F.lag("ts_us").over(w)) / F.lit(1_000_000.0)
+    return (
+        ev.withColumn("gap_s", gap)
+        .filter(F.col("gap_s").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+            F.round(F.max("gap_s"), 4).alias("max_gap_s"),
+        )
+    )
+
+
+register(
+    "rel_interarrival_stats",
+    _interarrival,
+    """
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY epoch_us(ts), event_id))
+         / 1000000.0 AS gap_s
+  FROM events
+)
+SELECT event_type, count(*) AS n_gaps,
+       round(avg(gap_s), 4) AS avg_gap_s,
+       round(max(gap_s), 4) AS max_gap_s
+FROM g WHERE gap_s IS NOT NULL GROUP BY event_type
+""",
+)
 register(
     "rel_customer_segments",
     lambda s, d: load(s, d, "customer").groupBy("c_mktsegment").agg(
