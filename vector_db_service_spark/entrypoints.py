@@ -409,6 +409,34 @@ def _grid_stats(s: SparkSession, d: str) -> DataFrame:
     return grid_ops.cell_stats(emb, mins, maxs)
 
 
+def _grid_stats_by_library(s: SparkSession, d: str) -> DataFrame:
+    emb = load(s, d, "embeddings")
+    mins, maxs = grid_ops.bounds(emb)
+    idx = grid_ops.build_index(emb, mins, maxs)
+    per_cell = idx.groupBy("label", "cell_key").agg(F.count("*").alias("cell_n"))
+    return per_cell.groupBy("label").agg(
+        F.count("*").alias("non_empty_cells"),
+        F.round(F.avg("cell_n"), 4).alias("avg_cell_size"),
+        F.max("cell_n").alias("max_cell_size"),
+        F.sum("cell_n").alias("n_vectors"),
+    )
+
+
+register(
+    "grid_stats_by_library",
+    _grid_stats_by_library,
+    f"""
+WITH keys AS ({oracles.grid_cells_sql()}),
+per_cell AS (
+  SELECT label, cell_key, count(*) AS cell_n FROM keys GROUP BY label, cell_key
+)
+SELECT label, count(*) AS non_empty_cells,
+       round(avg(cell_n), 4) AS avg_cell_size,
+       max(cell_n) AS max_cell_size,
+       sum(cell_n) AS n_vectors
+FROM per_cell GROUP BY label
+""",
+)
 register("grid_cells", _grid_cells, oracles.grid_cells_sql())
 register("grid_cell_stats", _grid_stats, oracles.grid_cell_stats_sql())
 register(
