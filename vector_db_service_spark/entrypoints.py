@@ -1035,6 +1035,62 @@ register(
 )
 
 
+register(
+    "p6_validation_report",
+    lambda s, d: load(s, d, "documents").agg(
+        F.count("*").alias("total_docs"),
+        F.sum(F.when(F.trim("text") == "", 1).otherwise(0)).alias("n_empty_text"),
+        F.sum(F.when(F.length("text") != F.col("n_chars"), 1).otherwise(0))
+        .alias("n_length_mismatch"),
+        F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0)).alias("n_null_ids"),
+    ),
+    """
+SELECT count(*) AS total_docs,
+       sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS n_empty_text,
+       sum(CASE WHEN length(text) != n_chars THEN 1 ELSE 0 END) AS n_length_mismatch,
+       sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_null_ids
+FROM documents
+""",
+)
+register(
+    "a9_two_level_agg",
+    lambda s, d: load(s, d, "embeddings").groupBy("label")
+    .agg(F.count("*").alias("n"))
+    .agg(
+        F.round(F.avg("n"), 4).alias("avg_vectors_per_library"),
+        F.max("n").alias("max_vectors"),
+        F.min("n").alias("min_vectors"),
+    ),
+    """
+WITH per AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+SELECT round(avg(n), 4) AS avg_vectors_per_library,
+       max(n) AS max_vectors, min(n) AS min_vectors
+FROM per
+""",
+)
+register(
+    "s16_json_roundtrip",
+    lambda s, d: load(s, d, "documents")
+    .select(F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("j"))
+    .select(
+        F.get_json_object("j", "$.doc_id").cast("long").alias("doc_id"),
+        F.get_json_object("j", "$.lang").alias("lang"),
+        F.get_json_object("j", "$.n_chars").cast("long").alias("n_chars"),
+    )
+    .groupBy("lang").agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")),
+    """
+WITH j AS (
+  SELECT to_json(struct_pack(doc_id := doc_id, lang := lang, n_chars := n_chars)) AS js
+  FROM documents
+)
+SELECT CAST(json_extract_string(js, '$.lang') AS VARCHAR) AS lang,
+       count(*) AS n_docs,
+       sum(CAST(json_extract_string(js, '$.n_chars') AS BIGINT)) AS total_chars
+FROM j GROUP BY lang
+""",
+)
+
+
 # --- remaining §2 surface: scans, inserts, flag updates, stats, kernels ----
 from .functions import similarity as sim  # noqa: E402
 
