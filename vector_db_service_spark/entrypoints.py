@@ -42,7 +42,7 @@ for _metric in ("cosine", "dot_product", "euclidean", "manhattan"):
     )
 
 # distance-ordered variants (K3/K5 raw distances)
-for _metric in ("euclidean", "manhattan"):
+for _metric in ("euclidean", "manhattan", "cosine"):
     register(
         f"knn_dist_{_metric}",
         partial(lambda s, d, m: knn_ops.knn_distance(s, d, query_id=0, k=10, metric=m), m=_metric),

@@ -106,10 +106,17 @@ METRICS: dict[str, Callable[[Column, Column], Column]] = {
     "manhattan": manhattan_similarity,
 }
 
+def cosine_distance(a: Column, b: Column) -> Column:
+    """1 - cosine similarity (angular dissimilarity; zero-vector guard
+    inherits cosine's 0.0 -> distance 1.0)."""
+    return F.lit(1.0) - cosine(a, b)
+
+
 # Raw distance forms (lower is closer) for callers that want distances.
 DISTANCES: dict[str, Callable[[Column, Column], Column]] = {
     "euclidean": euclidean_distance,
     "manhattan": manhattan_distance,
+    "cosine": cosine_distance,
 }
 
 

@@ -61,9 +61,14 @@ METRIC_SQL = {
     "manhattan": manhattan_similarity_sql,
 }
 
+def cosine_distance_sql(a: str, b: str) -> str:
+    return f"1.0 - ({cosine_sql(a, b)})"
+
+
 DISTANCE_SQL = {
     "euclidean": euclidean_distance_sql,
     "manhattan": manhattan_distance_sql,
+    "cosine": cosine_distance_sql,
 }
 
 
