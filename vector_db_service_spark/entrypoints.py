@@ -208,9 +208,9 @@ register(
 SELECT count(*) AS total_docs,
        count(DISTINCT lang) AS n_langs,
        count(DISTINCT source) AS n_sources,
-       sum(n_chars) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        round(avg(n_chars), 4) AS avg_chars,
-       sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS n_long
+       CAST(sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
 FROM documents
 """,
 )
@@ -228,7 +228,8 @@ FROM embeddings
 register(
     "a6_memory_stats",
     lambda s, d: catalog.memory_stats(load(s, d, "embeddings")),
-    "SELECT sum(len(embedding)) * 4 AS vector_bytes, count(*) AS n_vectors FROM embeddings",
+    "SELECT CAST(sum(len(embedding)) * 4 AS BIGINT) AS vector_bytes,"
+    " count(*) AS n_vectors FROM embeddings",
 )
 register(
     "a7_dim_minmax",
@@ -366,7 +367,7 @@ per_session AS (
   SELECT user_id, session_id, count(*) AS n_events
   FROM sessioned GROUP BY user_id, session_id
 )
-SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events,
        max(n_events) AS max_session_events
 FROM per_session GROUP BY user_id
 """,
@@ -433,7 +434,7 @@ per_cell AS (
 SELECT label, count(*) AS non_empty_cells,
        round(avg(cell_n), 4) AS avg_cell_size,
        max(cell_n) AS max_cell_size,
-       sum(cell_n) AS n_vectors
+       CAST(sum(cell_n) AS BIGINT) AS n_vectors
 FROM per_cell GROUP BY label
 """,
 )
@@ -594,12 +595,13 @@ register(
     f"""
 SELECT doc_id,
        len({opl.TOKS}) AS n_ws_tokens,
-       list_sum(list_prepend(CAST(0 AS BIGINT),
-         list_transform({opl.TOKS}, t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))) AS n_bpe_est,
+       CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+         list_transform({opl.TOKS}, t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))) AS BIGINT)
+         AS n_bpe_est,
        len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
-       list_sum(list_prepend(CAST(0 AS BIGINT),
+       CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
          list_transform({opl.TOKS}, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))))
-         + len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_total_est
+         + len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS BIGINT) AS n_total_est
 FROM documents
 """,
 )
@@ -834,7 +836,8 @@ WITH stats AS (
 SELECT e.event_type, first(s.n_events) AS n_events,
        round(first(s.mu), 4) AS mean_value,
        round(first(s.sigma), 4) AS std_value,
-       sum(CASE WHEN abs(e.value - s.mu) > 3.0 * s.sigma THEN 1 ELSE 0 END) AS n_outliers
+       CAST(sum(CASE WHEN abs(e.value - s.mu) > 3.0 * s.sigma THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
 FROM events e JOIN stats s USING (event_type)
 GROUP BY e.event_type
 """,
@@ -996,8 +999,8 @@ register(
     lambda s, d: textops.stratified_sample(load(s, d, "documents"), rate_pct=20),
     """
 SELECT lang, count(*) AS n_docs,
-       sum(CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-                     % 100 < 20 THEN 1 ELSE 0 END) AS n_sampled
+       CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 100 < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
 FROM documents GROUP BY lang
 """,
 )
@@ -1013,7 +1016,7 @@ WITH scored AS (
   FROM documents
 )
 SELECT lang, count(*) AS n_docs,
-       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(count(*) AS DOUBLE), 6) AS keep_rate
 FROM scored GROUP BY lang
@@ -1046,9 +1049,10 @@ register(
     ),
     """
 SELECT count(*) AS total_docs,
-       sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS n_empty_text,
-       sum(CASE WHEN length(text) != n_chars THEN 1 ELSE 0 END) AS n_length_mismatch,
-       sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_null_ids
+       CAST(sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
+       CAST(sum(CASE WHEN length(text) != n_chars THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_length_mismatch,
+       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_ids
 FROM documents
 """,
 )
@@ -1085,7 +1089,7 @@ WITH j AS (
 )
 SELECT CAST(json_extract_string(js, '$.lang') AS VARCHAR) AS lang,
        count(*) AS n_docs,
-       sum(CAST(json_extract_string(js, '$.n_chars') AS BIGINT)) AS total_chars
+       CAST(sum(CAST(json_extract_string(js, '$.n_chars') AS BIGINT)) AS BIGINT) AS total_chars
 FROM j GROUP BY lang
 """,
 )
@@ -1191,7 +1195,7 @@ register(
     """
 WITH per AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
 SELECT count(*) AS total_libraries,
-       sum(CASE WHEN n >= 50 THEN 1 ELSE 0 END) AS n_indexed
+       CAST(sum(CASE WHEN n >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_indexed
 FROM per
 """,
 )

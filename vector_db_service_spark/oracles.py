@@ -129,7 +129,7 @@ WITH bits AS ({unions}),
 per_bucket AS (
   SELECT table_idx, bit, count(*) AS bucket_size FROM bits GROUP BY table_idx, bit
 )
-SELECT table_idx, count(*) AS n_buckets, sum(bucket_size) AS n_vectors,
+SELECT table_idx, count(*) AS n_buckets, CAST(sum(bucket_size) AS BIGINT) AS n_vectors,
        max(bucket_size) AS max_bucket, min(bucket_size) AS min_bucket
 FROM per_bucket GROUP BY table_idx
 """
@@ -184,7 +184,7 @@ def grid_cell_stats_sql(cell_size: float = 0.1) -> str:
 WITH keys AS ({grid_cells_sql(cell_size)}),
 per_cell AS (SELECT cell_key, count(*) AS cell_n FROM keys GROUP BY cell_key)
 SELECT count(*) AS non_empty_cells, round(avg(cell_n), 4) AS avg_cell_size,
-       max(cell_n) AS max_cell_size, sum(cell_n) AS vector_count
+       max(cell_n) AS max_cell_size, CAST(sum(cell_n) AS BIGINT) AS vector_count
 FROM per_cell
 """
 
@@ -260,7 +260,7 @@ def knn_distance_sql(query_id: int = 0, k: int = 10, metric: str = "euclidean") 
     dist = DISTANCE_SQL[metric]("e.embedding", "q.qv")
     return f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_id})
-SELECT e.vec_id, e.label, round({dist}, 6) AS dist
+SELECT e.vec_id, e.label, round({dist}, 6) + 0.0 AS dist
 FROM embeddings e, q
 QUALIFY row_number() OVER (ORDER BY dist ASC, vec_id) <= {k}
 """

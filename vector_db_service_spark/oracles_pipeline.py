@@ -121,7 +121,7 @@ QUALIFY row_number() OVER (ORDER BY jaccard DESC, doc_id_1, doc_id_2) <= {k}
 _ZEROS = "[" + ", ".join(["CAST(0 AS BIGINT)"] * SIMHASH_BITS) + "]"
 
 SIMHASH = f"""
-list_sum(list_transform(generate_series(1, {SIMHASH_BITS}), i ->
+CAST(list_sum(list_transform(generate_series(1, {SIMHASH_BITS}), i ->
   CASE WHEN list_reduce(
          list_prepend({_ZEROS},
            list_transform({TOKEN_HASHES}, h ->
@@ -129,7 +129,7 @@ list_sum(list_transform(generate_series(1, {SIMHASH_BITS}), i ->
                (CAST(floor(h / pow(2, b)) AS BIGINT) % 2) * 2 - 1))),
          (acc, x) -> list_transform(generate_series(1, {SIMHASH_BITS}), j -> acc[j] + x[j])
        )[i] >= 0
-  THEN CAST(pow(2, i - 1) AS BIGINT) ELSE 0 END))
+  THEN CAST(pow(2, i - 1) AS BIGINT) ELSE 0 END)) AS BIGINT)
 """
 
 
