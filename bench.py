@@ -43,11 +43,27 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "sf": sf,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    # Keep the single stdout line SMALL (driver tail-captures stdout; the
+    # full 117-query dict overflowed it in round 1) — top-10 heaviest only,
+    # full per-query detail in BENCH_DETAIL.json.
+    top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": top10,
         "sf": sf,
     }))
     spark.stop()
