@@ -61,6 +61,21 @@ def test_scoring_path_has_no_python_udf(spark):
         assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF in a kernel path"
 
 
+def test_pair_ops_join_on_band_keys_not_label_alone(spark):
+    """The pair-generation ops must never self-join on label alone (an
+    O(n²)-per-library all-pairs join): the equi-join keys must include
+    the sign-band columns so the candidate shuffle is band-bucketed."""
+    for name in ("ann_knn_join", "dedup_embedding_pairs"):
+        plan = _plan(E.QUERIES[name](spark, SF))
+        key_lines = [
+            ln.strip() for ln in plan.splitlines()
+            if ln.strip().startswith(("Left keys", "Right keys"))
+        ]
+        assert key_lines, f"{name}: no equi-join in plan:\n{plan[:2000]}"
+        for ln in key_lines:
+            assert "band_key" in ln, f"{name}: pair join not band-bucketed: {ln}"
+
+
 def test_partitioned_write_enables_pruning(spark, tmp_path):
     """At scale the embedding table is written partitionBy(label); verify
     a library-scoped read of that layout prunes to one partition

@@ -522,8 +522,11 @@ register(
 )
 register(
     "dedup_embedding_pairs",
-    lambda s, d: dedup.embedding_near_dups(load(s, d, "embeddings"), threshold=0.8),
-    opl.embedding_near_dups_sql(threshold=0.8),
+    # threshold 0.3: the synthetic embeddings are near-orthogonal (max
+    # within-label cosine ~0.48 at sf0.01), so 0.8 would make the check
+    # vacuous — 0.3 yields ~100 pairs at sf0.01
+    lambda s, d: dedup.embedding_near_dups(load(s, d, "embeddings"), threshold=0.3),
+    opl.embedding_near_dups_sql(threshold=0.3),
 )
 register(
     "ann_brute_force_topk",
@@ -535,15 +538,28 @@ register(
     lambda s, d: ann.ivf_topk(s, d, query_id=0, k=10, nprobe=1),
     opl.ivf_topk_sql(query_id=0, k=10, nprobe=1),
 )
-def _knn_join_sql(m: int = 3) -> str:
+def _knn_join_sql(m: int = 3, dim: int = 64, band_bits: int = 2) -> str:
+    """Mirror of the BANDED operators/ann.py::knn_join — identical
+    seed-42 sign-band candidate join, exact cosine re-rank per source."""
+    from .operators.lsh import NUM_HASHES, SEED, hyperplanes
+
+    planes = hyperplanes(dim, NUM_HASHES, SEED)
     cos = oracles.METRIC_SQL["cosine"]("a.embedding", "b.embedding")
     return f"""
-SELECT a.label, a.vec_id AS src, b.vec_id AS dst,
-       round({cos}, 6) AS score,
-       row_number() OVER (PARTITION BY a.vec_id
-                          ORDER BY round({cos}, 6) DESC, b.vec_id) AS rnk
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id != b.vec_id
+WITH banded AS MATERIALIZED (
+{oracles.banded_cte_sql(planes, band_bits)}
+),
+cand AS (
+  SELECT DISTINCT a.label, a.vec_id AS src, b.vec_id AS dst,
+         round({cos}, 6) AS score
+  FROM banded a JOIN banded b
+    ON a.label = b.label AND a.band_idx = b.band_idx
+   AND a.band_key = b.band_key AND a.vec_id != b.vec_id
+)
+SELECT label, src, dst, score,
+       row_number() OVER (PARTITION BY src
+                          ORDER BY score DESC, dst) AS rnk
+FROM cand
 QUALIFY rnk <= {m}
 """
 
@@ -552,6 +568,11 @@ register(
     "ann_knn_join",
     lambda s, d: ann.knn_join(s, d, m=3),
     _knn_join_sql(m=3),
+)
+register(
+    "ann_blocked_pair_recall",
+    lambda s, d: ann.blocked_pair_recall(s, d, threshold=0.3),
+    opl.blocked_pair_recall_sql(threshold=0.3),
 )
 register(
     "ann_scalar_quantize",

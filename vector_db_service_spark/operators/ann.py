@@ -333,29 +333,120 @@ def product_quantize(
     )
 
 
+def blocked_pair_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    band_bits: int = 2,
+    sample_pct: int = 50,
+) -> DataFrame:
+    """Measured recall of the sign-band candidate blocking used by
+    knn_join and dedup.embedding_near_dups — the pair-space counterpart
+    of index_recall_report. Ground truth (exact all-pairs >= threshold)
+    is computed on a DETERMINISTIC md5-hash sample of the vectors so the
+    quadratic side stays bounded at any corpus size; the blocked side
+    runs the identical banded join on the same sample. Blocked pairs are
+    a subset of exact pairs (candidates ∩ verify ⊆ all-pairs ∩ verify),
+    so recall = n_blocked / n_exact with no intersection join."""
+    from .lsh import NUM_HASHES, SEED, band_keys, hyperplanes
+
+    emb = load(spark, sf_dir, "embeddings")
+    bucket = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10) \
+        .cast("long") % 100
+    s = emb.filter(bucket < sample_pct).select(
+        "label", "vec_id", "embedding", sim.norm(F.col("embedding")).alias("nrm")
+    )
+    cos = F.when(
+        (F.col("n1") == F.lit(0.0)) | (F.col("n2") == F.lit(0.0)), F.lit(0.0)
+    ).otherwise(sim.dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")))
+
+    def _sides(df: DataFrame, extra: list[str]) -> tuple[DataFrame, DataFrame]:
+        a = df.select(
+            "label", *extra, F.col("vec_id").alias("vec_id_1"),
+            F.col("embedding").alias("e1"), F.col("nrm").alias("n1"),
+        )
+        b = df.select(
+            "label", *extra, F.col("vec_id").alias("vec_id_2"),
+            F.col("embedding").alias("e2"), F.col("nrm").alias("n2"),
+        )
+        return a, b
+
+    ea, eb = _sides(s, [])
+    exact = (
+        ea.join(eb, "label")
+        .filter(F.col("vec_id_1") < F.col("vec_id_2"))
+        .filter(F.round(cos, 6) >= F.lit(threshold))
+        .select("label", "vec_id_1", "vec_id_2")
+    )
+
+    dim = emb.select(F.size("embedding")).head()[0]
+    planes = hyperplanes(dim, NUM_HASHES, SEED)
+    banded = s.select(
+        "label", "vec_id", "embedding", "nrm",
+        F.posexplode(band_keys(F.col("embedding"), planes, band_bits))
+        .alias("band_idx", "band_key"),
+    )
+    ba, bb = _sides(banded, ["band_idx", "band_key"])
+    blocked = (
+        ba.join(bb, ["label", "band_idx", "band_key"])
+        .filter(F.col("vec_id_1") < F.col("vec_id_2"))
+        .filter(F.round(cos, 6) >= F.lit(threshold))
+        .select("label", "vec_id_1", "vec_id_2")
+        .distinct()
+    )
+
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(blocked.agg(F.count("*").alias("n_blocked")))
+        .select(
+            "n_exact",
+            "n_blocked",
+            F.when(F.col("n_exact") == 0, F.lit(1.0)).otherwise(
+                F.round(F.col("n_blocked").cast("double")
+                        / F.col("n_exact").cast("double"), 4)
+            ).alias("recall"),
+        )
+    )
+
+
 def knn_join(
     spark: SparkSession,
     sf_dir: str,
     m: int = 3,
     metric: str = "cosine",
+    band_bits: int = 2,
 ) -> DataFrame:
     """k-NN JOIN: for EVERY vector, its top-m neighbors within its
-    library — the all-pairs batch form (the reference only ever probes
-    one query; this is the shape used for dedup graphs, recommendation
-    candidates, and embedding QA). Label-blocking bounds the pair space;
-    per-vector norms are computed once per side; ranking is a window per
-    source vector. At scale each label partition self-joins locally —
-    no global shuffle."""
+    library — the batch form used for dedup graphs, recommendation
+    candidates, and embedding QA (the reference only ever probes one
+    query).
+
+    Candidates come from a (label, sign-band) equi-join — the same
+    deterministic seed-42 banding as dedup.embedding_near_dups — then
+    exact cosine re-rank per source vector. The per-label ALL-pairs
+    self-join this replaces is O(n²) per library, a scale-killer at 10M
+    vectors/library; banding keeps the candidate shuffle ~2^-band_bits
+    per band of the pair space. Top-m is computed among banded
+    candidates (recall measured by blocked_pair_recall; a source whose
+    true neighbor shares no band ranks its best colliding neighbors
+    instead). The oracle mirrors the identical candidate generation, so
+    the parity check stays exact."""
+    from .lsh import NUM_HASHES, SEED, band_keys, hyperplanes
+
     emb = load(spark, sf_dir, "embeddings")
-    normed = emb.select(
-        "label", "vec_id", "embedding", sim.norm(F.col("embedding")).alias("nrm")
+    dim = emb.select(F.size("embedding")).head()[0]
+    planes = hyperplanes(dim, NUM_HASHES, SEED)
+    banded = emb.select(
+        "label", "vec_id", "embedding", sim.norm(F.col("embedding")).alias("nrm"),
+        F.posexplode(band_keys(F.col("embedding"), planes, band_bits))
+        .alias("band_idx", "band_key"),
     )
-    a = normed.select(
-        "label", F.col("vec_id").alias("src"),
+    a = banded.select(
+        "label", "band_idx", "band_key", F.col("vec_id").alias("src"),
         F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
     )
-    b = normed.select(
-        "label", F.col("vec_id").alias("dst"),
+    b = banded.select(
+        "label", "band_idx", "band_key", F.col("vec_id").alias("dst"),
         F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
     )
     cos = F.when(
@@ -363,9 +454,11 @@ def knn_join(
     ).otherwise(sim.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
     w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
     return (
-        a.join(b, "label")
+        a.join(b, ["label", "band_idx", "band_key"])
         .filter(F.col("src") != F.col("dst"))
         .withColumn("score", F.round(cos, 6))
+        .select("label", "src", "dst", "score")
+        .distinct()
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= m)
         .select("label", "src", "dst", "score", "rnk")

@@ -9,13 +9,17 @@ on a bucket key (never a cross join), which is what survives 100 TB:
   simhash      16-bit fingerprint -> block join (lossless for r<=3)
                -> hamming verify
   ngram        word-3-gram jaccard, minhash-band blocked
-  embedding    cosine near-dup, library(label)-blocked
+  embedding    cosine near-dup, (label, hyperplane-sign-band)-blocked
 
-The oracle SQL for the blocked operators deliberately uses the naive
-quadratic formulation — the blocked join must return the IDENTICAL pair
-set (banding is a candidate superset + exact verify; simhash blocking is
-lossless by pigeonhole), so hash-equality against the naive oracle
-proves the pruning is sound.
+The oracle SQL for the minhash/simhash/ngram operators deliberately
+uses the naive quadratic formulation — those blocked joins return the
+IDENTICAL pair set (banding there is a candidate superset + exact
+verify; simhash blocking is lossless by pigeonhole), so hash-equality
+against the naive oracle proves the pruning is sound. The embedding
+operator's sign-band blocking is NOT lossless (random hyperplanes give
+no containment guarantee), so its oracle mirrors the identical banded
+candidates and the recall of the band knob is measured separately
+(operators/ann.py::blocked_pair_recall).
 """
 
 from __future__ import annotations
@@ -156,32 +160,51 @@ def ngram_jaccard_topk(docs: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
-def embedding_near_dups(emb: DataFrame, threshold: float = 0.8) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by library (label) — the
-    partition-pruned form: each label's block joins only against itself,
-    so the shuffle is per-partition and skew-bounded."""
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.8,
+                        band_bits: int = 2) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by (label, sign-band).
+
+    Candidate generation is an equi-join on (label, band_idx, band_key)
+    where band keys pack `band_bits` deterministic hyperplane sign bits
+    (operators/lsh.py::band_keys, seed-42 planes) — a random pair
+    collides on a band with prob ~2^-band_bits while a pair at the 0.8
+    cosine threshold (per-bit agreement p ≈ 0.80) survives >=1 of the
+    L = NUM_HASHES/band_bits bands with prob 1-(1-p^b)^L ≈ 0.99. The
+    per-label ALL-pairs self-join this replaces is O(n²) per library —
+    10M vectors/library would mean 10^13 candidate pairs; banding keeps
+    the shuffle proportional to actual near-duplicates. Recall of the
+    banding knob is measured by ann.blocked_pair_recall (sampled exact
+    ground truth); the oracle mirrors the identical banded candidates,
+    so the check stays exact."""
+    from .lsh import NUM_HASHES, SEED, band_keys, hyperplanes
+
+    dim = emb.select(F.size("embedding")).head()[0]
+    planes = hyperplanes(dim, NUM_HASHES, SEED)
     # norms are per-VECTOR, not per-pair: compute once on each join side
     # (n vs n^2 norm evaluations), pairs then need only the dot product
-    normed = emb.select(
-        "label", "vec_id", "embedding", sim.norm(F.col("embedding")).alias("nrm")
+    banded = emb.select(
+        "label", "vec_id", "embedding", sim.norm(F.col("embedding")).alias("nrm"),
+        F.posexplode(band_keys(F.col("embedding"), planes, band_bits))
+        .alias("band_idx", "band_key"),
     )
-    a = normed.select(
-        "label", F.col("vec_id").alias("vec_id_1"),
+    a = banded.select(
+        "label", "band_idx", "band_key", F.col("vec_id").alias("vec_id_1"),
         F.col("embedding").alias("e1"), F.col("nrm").alias("n1"),
     )
-    b = normed.select(
-        "label", F.col("vec_id").alias("vec_id_2"),
+    b = banded.select(
+        "label", "band_idx", "band_key", F.col("vec_id").alias("vec_id_2"),
         F.col("embedding").alias("e2"), F.col("nrm").alias("n2"),
     )
     cos = F.when(
         (F.col("n1") == F.lit(0.0)) | (F.col("n2") == F.lit(0.0)), F.lit(0.0)
     ).otherwise(sim.dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")))
     return (
-        a.join(b, "label")
+        a.join(b, ["label", "band_idx", "band_key"])
         .filter(F.col("vec_id_1") < F.col("vec_id_2"))
         .withColumn("cos", F.round(cos, 6))
         .filter(F.col("cos") >= F.lit(threshold))
         .select("label", "vec_id_1", "vec_id_2", "cos")
+        .distinct()
     )
 
 

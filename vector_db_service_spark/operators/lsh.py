@@ -90,6 +90,33 @@ def build_index(emb: DataFrame, planes: list[list[float]]) -> DataFrame:
     )
 
 
+def band_keys(vec_col: Column, planes: list[list[float]], band_bits: int = 2) -> Column:
+    """Banded multi-bit bucket keys — the PAIR-blocking form of the index.
+
+    The reference's single-bit tables (algorithms.py:345-355) are fine for
+    one-query probes but useless for blocking pair joins: two random
+    vectors agree on >=1 of 10 single bits with prob ~1-2^-10, i.e. the
+    candidate set is the whole corpus. Grouping the same sign bits into
+    bands of `band_bits` (minhash-style banding applied to hyperplane
+    signs) makes a random pair collide on a given band with prob ~2^-b
+    while similar pairs (per-bit agreement p = 1 - theta/pi) still collide
+    on >=1 band with prob 1-(1-p^b)^L — the recall/selectivity knob for
+    banded candidate joins. Returns an array of L = len(planes)//band_bits
+    packed band keys."""
+    n_bands = len(planes) // band_bits
+    keys = []
+    for j in range(n_bands):
+        key: Column | None = None
+        for i in range(j * band_bits, (j + 1) * band_bits):
+            bit = F.when(
+                _plane_dot(vec_col, planes[i]) >= F.lit(0.0), F.lit(1)
+            ).otherwise(F.lit(0))
+            term = bit * F.lit(1 << (i - j * band_bits))
+            key = term if key is None else (key + term)
+        keys.append(key)
+    return F.array(*keys)
+
+
 def query_bits(qvec: list[float], planes: list[list[float]]) -> list[int]:
     """Query-side signature, computed driver-side with the same float64
     arithmetic the executors use."""

@@ -108,6 +108,30 @@ def _bit_sql(vec_expr: str, plane: list[float]) -> str:
     return f"CASE WHEN {dot_sql(vec_expr, _plane_lit(plane))} >= 0 THEN 1 ELSE 0 END"
 
 
+def band_key_sql(vec_expr: str, planes: list[list[float]], j: int,
+                 band_bits: int = 2) -> str:
+    """Packed key of band j — mirrors operators/lsh.py::band_keys."""
+    return " + ".join(
+        f"{_bit_sql(vec_expr, planes[i])} * {1 << (i - j * band_bits)}"
+        for i in range(j * band_bits, (j + 1) * band_bits)
+    )
+
+
+def banded_cte_sql(planes: list[list[float]], band_bits: int = 2,
+                   source: str = "embeddings") -> str:
+    """(label, vec_id, embedding, band_idx, band_key) rows — the SQL
+    mirror of the posexplode(band_keys(...)) candidate index. MATERIALIZED
+    callers must wrap this (DuckDB inlines CTEs per reference; a twice-
+    referenced bit-computation would be evaluated twice)."""
+    n_bands = len(planes) // band_bits
+    return "\nUNION ALL\n".join(
+        f"SELECT label, vec_id, embedding, {j} AS band_idx, "
+        f"{band_key_sql('embedding', planes, j, band_bits)} AS band_key "
+        f"FROM {source}"
+        for j in range(n_bands)
+    )
+
+
 def lsh_signatures_sql(planes: list[list[float]]) -> str:
     """Packed bucket key per vector — sum(bit_i * 2^i), mirroring
     operators/lsh.py::signatures."""

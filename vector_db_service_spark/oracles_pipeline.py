@@ -201,16 +201,69 @@ GROUP BY source
 """
 
 
-def embedding_near_dups_sql(threshold: float = 0.8) -> str:
+def embedding_near_dups_sql(threshold: float = 0.8, dim: int = 64,
+                            band_bits: int = 2) -> str:
+    """Mirror of the BANDED operators/dedup.py::embedding_near_dups —
+    identical seed-42 sign-band candidate join + exact cosine verify
+    (the blocking is part of the operator contract; recall of the band
+    knob is measured separately by ann_blocked_pair_recall)."""
+    from .operators.lsh import NUM_HASHES, SEED, hyperplanes
+    from .oracles import banded_cte_sql
+
+    planes = hyperplanes(dim, NUM_HASHES, SEED)
     cos = METRIC_SQL["cosine"]("a.embedding", "b.embedding")
     return f"""
-WITH pairs AS (
-  SELECT a.label, a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+WITH banded AS MATERIALIZED (
+{banded_cte_sql(planes, band_bits)}
+),
+pairs AS (
+  SELECT DISTINCT a.label, a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
          round({cos}, 6) AS cos
-  FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM banded a JOIN banded b
+    ON a.label = b.label AND a.band_idx = b.band_idx
+   AND a.band_key = b.band_key AND a.vec_id < b.vec_id
 )
 SELECT label, vec_id_1, vec_id_2, cos FROM pairs WHERE cos >= {threshold!r}
+"""
+
+
+def blocked_pair_recall_sql(threshold: float = 0.5, dim: int = 64,
+                            band_bits: int = 2, sample_pct: int = 50) -> str:
+    """Mirror of operators/ann.py::blocked_pair_recall — deterministic
+    md5 vector sample, quadratic exact pairs on the sample as ground
+    truth, banded pairs on the same sample, recall = blocked/exact."""
+    from .operators.lsh import NUM_HASHES, SEED, hyperplanes
+    from .oracles import banded_cte_sql
+
+    planes = hyperplanes(dim, NUM_HASHES, SEED)
+    cos = METRIC_SQL["cosine"]("a.embedding", "b.embedding")
+    return f"""
+WITH s AS MATERIALIZED (
+  SELECT label, vec_id, embedding FROM embeddings
+  WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % 100 < {sample_pct}
+),
+banded AS MATERIALIZED (
+{banded_cte_sql(planes, band_bits, source='s')}
+),
+exact AS (
+  SELECT a.label, a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
+  FROM s a JOIN s b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round({cos}, 6) >= {threshold!r}
+),
+blocked AS (
+  SELECT DISTINCT a.label, a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
+  FROM banded a JOIN banded b
+    ON a.label = b.label AND a.band_idx = b.band_idx
+   AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+  WHERE round({cos}, 6) >= {threshold!r}
+)
+SELECT n_exact, n_blocked,
+       CASE WHEN n_exact = 0 THEN 1.0
+            ELSE round(CAST(n_blocked AS DOUBLE) / CAST(n_exact AS DOUBLE), 4)
+       END AS recall
+FROM (SELECT (SELECT count(*) FROM exact) AS n_exact,
+             (SELECT count(*) FROM blocked) AS n_blocked)
 """
 
 
