@@ -68,3 +68,47 @@ def test_mutation_rewrites_only_affected_partition(spark, tmp_path):
     # and the rebuilt index reflects the mutation: old + mutated rows
     idx = spark.read.parquet(index_dir).filter(F.col("label") == 3)
     assert idx.count() == 2 * n3 * lsh_ops.NUM_HASHES
+
+
+def test_stored_index_probe_matches_derived_and_survives_sessions(spark, tmp_path):
+    """operators/store.py: the materialized index probed from a DIFFERENT
+    session gives the same result as the derived-frame probe, and a
+    one-library rebuild rewrites only that library's partition."""
+    from vector_db_service_spark.operators import grid as grid_ops
+    from vector_db_service_spark.operators import store
+
+    root = str(tmp_path / "vdbs_indexes")
+
+    store.rebuild_library(spark, SF, 1, "lsh", root=root)
+    store.rebuild_library(spark, SF, 2, "grid", root=root)
+    base = store.index_root(SF, root)
+
+    stored = store.lsh_probe(spark, SF, library=1, query_id=0, k=10, root=root)
+    derived = lsh_ops.search(spark, SF, library=1, query_id=0, k=10, metric="cosine")
+    assert [tuple(r) for r in stored.collect()] == [tuple(r) for r in derived.collect()]
+
+    stored_g = store.grid_probe(spark, SF, library=2, query_id=0, k=10, root=root)
+    derived_g = grid_ops.search(spark, SF, library=2, query_id=0, k=10,
+                                metric="euclidean")
+    assert [tuple(r) for r in stored_g.collect()] == [tuple(r) for r in derived_g.collect()]
+
+    # a SECOND session (fresh state, same cluster) probes the same store
+    # without rebuilding: partition dir exists, so ensure_library no-ops
+    other = spark.newSession()
+    before = _partition_state(os.path.join(base, "lsh_index"))
+    stored2 = store.lsh_probe(other, SF, library=1, query_id=0, k=10, root=root)
+    assert [tuple(r) for r in stored2.collect()] == [tuple(r) for r in derived.collect()]
+    assert _partition_state(os.path.join(base, "lsh_index")) == before
+
+    # rebuilding library 1 must not touch other libraries' partitions
+    store.rebuild_library(spark, SF, 4, "lsh", root=root)
+    after = _partition_state(os.path.join(base, "lsh_index"))
+    assert set(after) == {"label=1", "label=4"}
+    assert after["label=1"] == before["label=1"]
+
+    # registry reflects every rebuild
+    reg = dict(
+        (r["label"], r["algorithm"])
+        for r in store.stored_registry(spark, SF, root=root).collect()
+    )
+    assert reg == {1: "lsh", 2: "grid", 4: "lsh"}

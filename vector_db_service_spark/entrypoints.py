@@ -899,6 +899,22 @@ register(
     lambda s, d: lifecycle.knn_auto(s, d, library=2, query_id=0, k=10),
     oracles.grid_search_sql(query_id=0, k=10, metric="euclidean", library=2),
 )
+from .operators import store as store_ops  # noqa: E402
+
+register(
+    # I11 against the MATERIALIZED store: dynamic-partition overwrite of
+    # one library's lsh_index/ parquet, then a probe of the STORED rows.
+    # Result contract equals the derived lsh probe, so the same oracle
+    # checks the whole write->read path.
+    "i11_stored_index_probe",
+    lambda s, d: store_ops.rebuild_and_probe(s, d, library=1, query_id=0, k=10),
+    oracles.lsh_search_sql(_PLANES, query_id=0, k=10, metric="cosine", library=1),
+)
+register(
+    "i11_stored_grid_probe",
+    lambda s, d: store_ops.rebuild_and_probe(s, d, library=2, query_id=0, k=10),
+    oracles.grid_search_sql(query_id=0, k=10, metric="euclidean", library=2),
+)
 register(
     "i11_index_lifecycle",
     lambda s, d: lifecycle.index_state_after_switch(s, d, library=2, new_algorithm="grid"),

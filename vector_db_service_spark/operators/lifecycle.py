@@ -122,16 +122,19 @@ def knn_auto(spark: SparkSession, sf_dir: str, *, library: int,
     (services/vector_service.py:214-241, SURVEY hard part #4). Metric
     defaults follow the factory (vector_service.py:19-40): flat/lsh ->
     cosine, grid -> euclidean. An empty library short-circuits to zero
-    rows. Index "lazy build" is inherent: the index frames are derived
-    plans, materialized on first use."""
+    rows. lsh/grid probe the MATERIALIZED per-library index (lazy-built
+    on first use, operators/store.py), so build-once/query-many sessions
+    read stored rows instead of recomputing signatures/cells; flat needs
+    no structure (the embedding partition IS the index)."""
     from . import knn as knn_ops
+    from . import store
 
     algorithm = ALGORITHMS[library % len(ALGORITHMS)]
     if algorithm == "flat":
         return knn_ops.knn(spark, sf_dir, query_id=query_id, k=k,
                            metric="cosine", library=library)
     if algorithm == "lsh":
-        return lsh_ops.search(spark, sf_dir, query_id=query_id, k=k,
-                              metric="cosine", library=library)
-    return grid_ops.search(spark, sf_dir, query_id=query_id, k=k,
-                           metric="euclidean", library=library)
+        return store.lsh_probe(spark, sf_dir, library=library,
+                               query_id=query_id, k=k, metric="cosine")
+    return store.grid_probe(spark, sf_dir, library=library,
+                            query_id=query_id, k=k, metric="euclidean")

@@ -1,0 +1,275 @@
+"""Materialized index lifecycle (I11) — on-disk per-library index
+tables + registry that a SECOND session can probe without recomputing.
+
+Parity target: the reference keeps LIVE per-library index instances and
+rebuilds one library's index on every mutation
+(services/vector_service.py:54-66, 350-390). The Spark form:
+
+  lsh_index/    (vec_id, table_idx, bit) parquet, partitioned by label
+  grid_index/   (vec_id, cells, cell_key) parquet, partitioned by label
+  grid_bounds/  (mins, maxs) per label — the normalization constants
+  registry/     (algorithm) per label — preferred_index_algorithm
+
+A rebuild is a DYNAMIC-partition overwrite of exactly one label
+directory (`spark.sql.sources.partitionOverwriteMode=dynamic`), the
+partition-scoped analog of `_rebuild_library_index`; a probe is a
+partition-pruned read of the stored rows — build-once/query-many, no
+index recompute in the query path. Probe results are identical to the
+derived-frame probes (lsh.search / grid.search), so the same oracle SQL
+checks both.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import similarity as sim
+from ..sources.tables import load
+from . import grid as grid_ops
+from . import lsh as lsh_ops
+from .knn import query_vector, validate_k
+from .lifecycle import ALGORITHMS
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+DEFAULT_ROOT = os.path.join(_REPO_ROOT, "spark-warehouse", "vdbs_indexes")
+
+
+def index_root(sf_dir: str, root: str | None = None) -> str:
+    """One store per source dataset (sf tag) so scale factors never
+    cross-contaminate."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(root or DEFAULT_ROOT, tag)
+
+
+def _dynamic_overwrite(df: DataFrame, path: str) -> None:
+    """Overwrite ONLY the label partitions present in `df`, keeping every
+    other library's directory untouched — the reference's one-library
+    rebuild with partition-scoped I/O."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy("label").parquet(path)
+    finally:
+        spark.conf.set(key, prev)
+
+
+def default_algorithm(library: int) -> str:
+    """Same deterministic label -> algorithm mapping as
+    lifecycle.algorithm_registry."""
+    return ALGORITHMS[library % len(ALGORITHMS)]
+
+
+def rebuild_library(
+    spark: SparkSession,
+    sf_dir: str,
+    library: int,
+    algorithm: str | None = None,
+    root: str | None = None,
+) -> str:
+    """_rebuild_library_index (vector_service.py:350-390) against the
+    STORE: recompute one library's index rows and dynamic-overwrite that
+    label's partition. Returns the store root."""
+    algorithm = algorithm or default_algorithm(library)
+    if algorithm not in ALGORITHMS:
+        raise ValueError(f"unknown algorithm {algorithm!r}; expected {ALGORITHMS}")
+    base = index_root(sf_dir, root)
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("label") == library)
+
+    if algorithm == "lsh":
+        first = emb.select(F.size("embedding")).head()
+        if first is not None:
+            planes = lsh_ops.hyperplanes(first[0])
+            _dynamic_overwrite(
+                lsh_ops.build_index(emb, planes),
+                os.path.join(base, "lsh_index"),
+            )
+    elif algorithm == "grid":
+        mins, maxs = grid_ops.bounds(emb)
+        if mins:
+            cells = grid_ops.cell_coords_expr(F.col("embedding"), mins, maxs)
+            rows = emb.select(
+                "vec_id",
+                "label",
+                cells.alias("cells"),
+                grid_ops.cell_key_expr(cells).alias("cell_key"),
+            )
+            _dynamic_overwrite(rows, os.path.join(base, "grid_index"))
+            bounds_row = spark.createDataFrame(
+                [(library, mins, maxs)],
+                "label int, mins array<double>, maxs array<double>",
+            )
+            _dynamic_overwrite(bounds_row, os.path.join(base, "grid_bounds"))
+    # flat stores no structure (I1); registry row only
+    reg_row = spark.createDataFrame(
+        [(library, algorithm)], "label int, algorithm string"
+    )
+    _dynamic_overwrite(reg_row, os.path.join(base, "registry"))
+    return base
+
+
+def _partition_exists(base: str, table: str, library: int) -> bool:
+    return os.path.isdir(os.path.join(base, table, f"label={library}"))
+
+
+def ensure_library(
+    spark: SparkSession,
+    sf_dir: str,
+    library: int,
+    algorithm: str | None = None,
+    root: str | None = None,
+) -> str:
+    """Lazy build: rebuild the library's stored index only if its
+    partition directory is absent (the reference's build-on-first-use,
+    vector_service.py:214-241)."""
+    algorithm = algorithm or default_algorithm(library)
+    base = index_root(sf_dir, root)
+    table = {"lsh": "lsh_index", "grid": "grid_index", "flat": "registry"}[algorithm]
+    if not _partition_exists(base, table, library):
+        rebuild_library(spark, sf_dir, library, algorithm, root)
+    return base
+
+
+def stored_registry(spark: SparkSession, sf_dir: str,
+                    root: str | None = None) -> DataFrame:
+    return spark.read.parquet(os.path.join(index_root(sf_dir, root), "registry"))
+
+
+def lsh_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    library: int,
+    query_id: int = 0,
+    k: int = 10,
+    metric: str = "cosine",
+    root: str | None = None,
+) -> DataFrame:
+    """Probe the STORED lsh index: partition-pruned read of the library's
+    (table_idx, bit) rows, candidate = agrees with the query bucket in
+    ANY table (the reference's union-of-buckets, algorithms.py:387-391),
+    exact re-rank on the hydrated embeddings. No signature recompute."""
+    validate_k(k)
+    base = ensure_library(spark, sf_dir, library, "lsh", root)
+    qvec = query_vector(spark, sf_dir, query_id)
+    qbits = lsh_ops.query_bits(qvec, lsh_ops.hyperplanes(len(qvec)))
+
+    idx_path = os.path.join(base, "lsh_index")
+    if not os.path.isdir(idx_path):  # empty library: rebuild stored nothing
+        emb = load(spark, sf_dir, "embeddings")
+        return emb.select("vec_id", "label", F.lit(0.0).alias("score")).limit(0)
+    idx = spark.read.parquet(idx_path).filter(F.col("label") == library)
+    bucket_match = None
+    for i, b in enumerate(qbits):
+        m = (F.col("table_idx") == i) & (F.col("bit") == b)
+        bucket_match = m if bucket_match is None else (bucket_match | m)
+    cand_ids = idx.filter(bucket_match).select("vec_id").distinct()
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("label") == library)
+    scored = emb.join(cand_ids, "vec_id").withColumn(
+        "score", F.round(sim.score(metric, F.col("embedding"), sim.vector_lit(qvec)), 6)
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "label", "score")
+    )
+
+
+def grid_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    library: int,
+    query_id: int = 0,
+    k: int = 10,
+    metric: str = "euclidean",
+    root: str | None = None,
+) -> DataFrame:
+    """Probe the STORED grid index: stored per-library bounds give the
+    query cell; stored cell coords give r_needed; same declarative
+    stopping-radius rule as grid.search — but the cell assignment is
+    READ, not recomputed."""
+    validate_k(k)
+    base = ensure_library(spark, sf_dir, library, "grid", root)
+    qvec = query_vector(spark, sf_dir, query_id)
+
+    bounds_path = os.path.join(base, "grid_bounds")
+    brow = (
+        spark.read.parquet(bounds_path)
+        .filter(F.col("label") == library)
+        .select("mins", "maxs")
+        .head()
+    ) if os.path.isdir(bounds_path) else None
+    if brow is None:  # empty library short-circuit
+        emb = load(spark, sf_dir, "embeddings")
+        return emb.select("vec_id", "label", F.lit(0.0).alias("score")).limit(0)
+    mins, maxs = list(brow["mins"]), list(brow["maxs"])
+    qcell = grid_ops.query_cell(qvec, mins, maxs)
+
+    idx = spark.read.parquet(os.path.join(base, "grid_index")).filter(
+        F.col("label") == library
+    )
+    with_r = idx.withColumn(
+        "r_needed", grid_ops._r_needed(F.col("cells"), qcell)
+    ).filter(
+        F.col("r_needed").isNotNull() & (F.col("r_needed") <= grid_ops.MAX_RADIUS)
+    )
+    counts = with_r.groupBy("r_needed").agg(F.count("*").alias("n"))
+    wcum = Window.orderBy("r_needed").rowsBetween(Window.unboundedPreceding, 0)
+    stop_r = (
+        counts.withColumn("cum", F.sum("n").over(wcum))
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("cum") >= 2 * k, F.col("r_needed"))),
+                F.lit(grid_ops.MAX_RADIUS),
+            ).alias("stop_r")
+        )
+    )
+    cand_ids = (
+        with_r.crossJoin(F.broadcast(stop_r))
+        .filter(F.col("r_needed") <= F.col("stop_r"))
+        .select("vec_id")
+    )
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("label") == library)
+    scored = emb.join(cand_ids, "vec_id").withColumn(
+        "score", F.round(sim.score(metric, F.col("embedding"), sim.vector_lit(qvec)), 6)
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "label", "score")
+    )
+
+
+def rebuild_and_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    library: int = 1,
+    query_id: int = 0,
+    k: int = 10,
+    root: str | None = None,
+) -> DataFrame:
+    """I11 end-to-end against the store: force-rebuild one library's
+    partition (dynamic overwrite), then probe the stored rows. The result
+    contract equals the derived probe, so lsh_search_sql / grid_search_sql
+    oracle-check the whole write->read path."""
+    algorithm = default_algorithm(library)
+    rebuild_library(spark, sf_dir, library, algorithm, root)
+    if algorithm == "grid":
+        return grid_probe(spark, sf_dir, library=library, query_id=query_id,
+                          k=k, metric="euclidean", root=root)
+    if algorithm == "lsh":
+        return lsh_probe(spark, sf_dir, library=library, query_id=query_id,
+                         k=k, metric="cosine", root=root)
+    from . import knn as knn_ops
+
+    return knn_ops.knn(spark, sf_dir, query_id=query_id, k=k,
+                       metric="cosine", library=library)
