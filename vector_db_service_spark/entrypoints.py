@@ -98,6 +98,28 @@ register(
     "SELECT doc_id, lang, source FROM documents WHERE lang = 'en' AND source = 'src7'",
 )
 register(
+    "p3_json_filter",
+    lambda s, d: catalog.filter_by_json(load(s, d, "events"), "props", {"$.k": "42"})
+    .select("event_id", "user_id", "event_type", F.round("value", 2).alias("value")),
+    "SELECT event_id, user_id, event_type, round(value, 2) AS value FROM events "
+    "WHERE json_extract_string(props, '$.k') = '42'",
+)
+register(
+    "p5_create_or_get",
+    lambda s, d: catalog.create_or_get_documents(load(s, d, "documents")),
+    """
+WITH t AS (
+  SELECT doc_id, source,
+         array_to_string((string_split(lower(text), ' '))[1:3], ' ') AS title
+  FROM documents
+)
+SELECT doc_id, source, title,
+       min(doc_id) OVER (PARTITION BY source, title) AS resolved_id,
+       doc_id = min(doc_id) OVER (PARTITION BY source, title) AS created
+FROM t
+""",
+)
+register(
     "p4_exists_probe",
     lambda s, d: catalog.exists(load(s, d, "documents"), F.col("doc_id") == 7),
     "SELECT count(*) > 0 AS found FROM (SELECT 1 FROM documents WHERE doc_id = 7 LIMIT 1)",

@@ -41,6 +41,41 @@ def filter_by(df: DataFrame, conditions: dict[str, object]) -> DataFrame:
     return df
 
 
+def filter_by_json(df: DataFrame, json_col: str,
+                   conditions: dict[str, object]) -> DataFrame:
+    """P3 dynamic filter over a JSON metadata column: the reference's
+    dict filter can hit keys stored in the chunk's extra_metadata JSON
+    blob (chunk_repository.py:239-253 over database/models.py:87).
+    Predicates are JSONPath -> value equality via get_json_object — a
+    JVM-codegen expression, no UDF. JSON extraction cannot push to the
+    parquet scan; at 100 TB hot keys get promoted to real columns."""
+    for path, v in conditions.items():
+        df = df.filter(F.get_json_object(F.col(json_col), path) == F.lit(v))
+    return df
+
+
+def create_or_get_documents(docs: DataFrame) -> DataFrame:
+    """P5: the reference's create_or_get first-writer-wins semantics
+    (document_repository.py:14-31 — find by title in library, return the
+    existing document if present, else create; title match
+    :83-93). Titles are synthesized (first 3 tokens, lowercased) because
+    the driver fixtures carry no title column; the semantics are modeled
+    exactly: the EARLIEST doc_id per (source, title) is the canonical
+    document, every later arrival resolves to it, `created` marks the
+    writer that won. One window min per (source, title) partition —
+    shuffles once on the dedup key, no join."""
+    title = F.array_join(F.slice(F.split(F.lower(F.col("text")), " "), 1, 3), " ")
+    w = Window.partitionBy("source", "title")
+    return (
+        docs.withColumn("title", title)
+        .select(
+            "doc_id", "source", "title",
+            F.min("doc_id").over(w).alias("resolved_id"),
+        )
+        .withColumn("created", F.col("doc_id") == F.col("resolved_id"))
+    )
+
+
 def exists(df: DataFrame, predicate: Column) -> DataFrame:
     """P4 existence probe (chunk_repository.py:194-199) as a 1-row frame.
     Uses LIMIT 1 under an aggregate so the scan stops early."""
