@@ -197,3 +197,29 @@ def test_pointer_doubling_components_match_plain_propagation(spark):
     fast = {(r["comp"], r["n_docs"])
             for r in dedup.near_dup_components_fast(docs, rounds=5).collect()}
     assert plain == fast
+
+
+def test_knn_safe_swallows_internal_errors_only(spark, monkeypatch):
+    """Query-level error swallow (reference vector_service.py:290-310):
+    internal failures degrade to the empty search response; embedding
+    (KeyError) and validation (ValueError) errors re-raise."""
+    def boom(*a, **k):
+        raise RuntimeError("index corrupted")
+
+    monkeypatch.setattr(knn_ops, "score_all", boom)
+    df = knn_ops.knn_safe(spark, SF, query_id=0, k=10)
+    assert df.columns == ["vec_id", "label", "score"]
+    assert df.count() == 0
+    hyd = knn_ops.knn_safe(spark, SF, query_id=0, k=10, hydrate=True)
+    assert hyd.columns == ["vec_id", "label", "score", "text", "lang", "source"]
+    assert hyd.count() == 0
+    monkeypatch.undo()
+
+    with pytest.raises(KeyError, match="not found"):
+        knn_ops.knn_safe(spark, SF, query_id=10_000_000, k=5)
+    with pytest.raises(ValueError, match=r"k must be in"):
+        knn_ops.knn_safe(spark, SF, query_id=0, k=0)
+    # happy path identical to the unwrapped search
+    safe = knn_ops.knn_safe(spark, SF, query_id=0, k=5).collect()
+    plain = knn_ops.knn(spark, SF, query_id=0, k=5).collect()
+    assert safe == plain

@@ -49,6 +49,14 @@ for _metric in ("euclidean", "manhattan", "cosine"):
         oracles.knn_distance_sql(query_id=0, k=10, metric=_metric),
     )
 
+# query-level error swallow (vector_service.py:290-310): happy path is
+# byte-identical to flat search, so the same oracle checks the wrapper
+register(
+    "knn_safe_flat",
+    lambda s, d: knn_ops.knn_safe(s, d, query_id=0, k=10, metric="cosine"),
+    oracles.knn_sql(query_id=0, k=10, metric="cosine"),
+)
+
 # library-scoped search (S3/S7 partition pruning + §2.7 step 1-3 semantics)
 register(
     "knn_flat_cosine_library",

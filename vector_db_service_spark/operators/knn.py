@@ -125,6 +125,35 @@ def knn(
     )
 
 
+def knn_safe(
+    spark: SparkSession,
+    sf_dir: str,
+    **kwargs,
+) -> DataFrame:
+    """Query-level error swallow (services/vector_service.py:290-310):
+    embedding failures (here: missing query vector -> KeyError) and
+    request-validation errors (k bounds / unknown metric -> ValueError,
+    which the reference rejects at the schema layer before the swallow
+    wrapper) RE-RAISE; any OTHER internal failure returns the empty
+    search-response frame instead of propagating — search degrades to
+    zero results, it never 500s."""
+    try:
+        return knn(spark, sf_dir, **kwargs)
+    except (KeyError, ValueError):
+        raise
+    except Exception:
+        emb = load(spark, sf_dir, "embeddings")
+        empty = emb.select("vec_id", "label", F.lit(0.0).alias("score")).limit(0)
+        if kwargs.get("hydrate"):
+            docs = load(spark, sf_dir, "documents")
+            return (
+                empty.crossJoin(docs.select("text", "lang", "source"))
+                .select("vec_id", "label", "score", "text", "lang", "source")
+                .limit(0)
+            )
+        return empty
+
+
 def knn_distance(
     spark: SparkSession,
     sf_dir: str,
