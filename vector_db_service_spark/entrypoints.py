@@ -975,7 +975,10 @@ register(
     lambda s, d: ann.ivf_kmeans_topk(s, d, query_id=0, k=10, nprobe=2),
 )
 register(
-    "mllib_product_quantize",
+    # sample-trained PQ: driver-side seeded Lloyd fit on a bounded hash
+    # sample, distributed single-projection encode (rows-only: seeded
+    # RNG init is not SQL-reproducible)
+    "ann_product_quantize",
     lambda s, d: ann.product_quantize(s, d, n_subvectors=4, codebook_k=16),
 )
 register(

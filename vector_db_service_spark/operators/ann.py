@@ -287,49 +287,91 @@ def product_quantize(
     sf_dir: str,
     n_subvectors: int = 8,
     codebook_k: int = 16,
+    train_pct: int = 25,
 ) -> DataFrame:
     """Product quantization: split each vector into n_subvectors
     contiguous sub-spaces, train a KMeans codebook (seeded) per
     sub-space, and encode every vector as n_subvectors small codes —
     64 float32 -> 8 bytes (32x). Reports per-vector reconstruction error
     against the codebooks. Rows-only check (KMeans init is not
-    SQL-reproducible). At 100 TB the codebooks (k * dim floats) broadcast
-    and encoding is one projection; distance tables then make ANN scans
-    byte-wise."""
+    SQL-reproducible).
+
+    Scale shape: codebooks are FIT DRIVER-SIDE on a bounded
+    deterministic hash-sample (`train_pct`% capped at `train_cap` rows
+    — codebook quality needs thousands of points per cell, not the
+    corpus; a 100k x 64 float64 sample is 50 MB). Training is seeded
+    numpy Lloyd iterations — distributed KMeans on a sample this size
+    spends its whole wall-clock on per-iteration job scheduling, not
+    math. ENCODING stays fully distributed and is ONE projection:
+    nearest-centroid assignment is an argmin over an array of squared
+    distances with the codebooks inlined as literals, so the corpus is
+    encoded in a single pass with NO join and no second shuffle (the
+    previous form ran n_subvectors model.transform passes + joins)."""
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     emb = load(spark, sf_dir, "embeddings")
-    dim = emb.select(F.size("embedding")).head()[0]
+    bucket = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    train_cap = 100_000
+    rows = (
+        emb.filter(bucket < train_pct).select("embedding").limit(train_cap).collect()
+    )
+    X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    dim = X.shape[1]
     sub_dim = dim // n_subvectors
 
-    codes_cols = []
-    err_expr = F.lit(0.0)
+    codebooks: list[np.ndarray] = []
     for s in range(n_subvectors):
-        lo = s * sub_dim + 1  # element_at is 1-based
-        sub = F.slice(F.col("embedding"), lo, sub_dim).cast("array<double>")
-        sub_df = emb.select("vec_id", array_to_vector(sub).alias("v"))
-        km = KMeans(k=codebook_k, seed=42 + s, featuresCol="v", predictionCol="code", maxIter=8)
-        model = km.fit(sub_df)
-        centers = model.clusterCenters()
-        # broadcast codebook as a literal array of arrays
-        cb = F.array(*[
-            F.array(*[F.lit(float(x)) for x in c]) for c in centers
-        ])
-        assigned = model.transform(sub_df).select("vec_id", F.col("code").alias(f"code{s}"))
-        emb = emb.join(assigned, "vec_id")
-        recon = F.element_at(cb, F.col(f"code{s}") + 1)
-        sub_err = F.aggregate(
-            F.zip_with(sub, recon, lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0), lambda a, x: a + x,
+        Xs = X[:, s * sub_dim:(s + 1) * sub_dim]
+        rng = np.random.RandomState(42 + s)
+        centers = Xs[rng.choice(len(Xs), size=codebook_k, replace=False)].copy()
+        for _ in range(8):  # Lloyd iterations
+            d2 = ((Xs[:, None, :] - centers[None, :, :]) ** 2).sum(axis=-1)
+            assign = d2.argmin(axis=1)
+            for j in range(codebook_k):
+                member = Xs[assign == j]
+                if len(member):
+                    centers[j] = member.mean(axis=0)
+        codebooks.append(centers)
+
+    # Encode columns are built as SQL STRINGS, one parse per column —
+    # nested F.array/F.lit construction costs thousands of py4j round
+    # trips for k x sub_dim literals and dominates plan build time.
+    # (A fully unrolled scalar form instead blows the 64 KB codegen
+    # method limit and falls back to interpreted eval — measured.)
+    codes_cols = []
+    err_terms = []
+    for s, centers in enumerate(codebooks):
+        lo = s * sub_dim + 1  # slice is 1-based
+        cb = "array(" + ", ".join(
+            "array(" + ", ".join(repr(float(x)) for x in c) + ")" for c in centers
+        ) + ")"
+        darr = (
+            f"transform({cb}, c -> aggregate("
+            f"zip_with(slice(embedding, {lo}, {sub_dim}), c, "
+            f"(x, ci) -> (CAST(x AS DOUBLE) - ci) * (CAST(x AS DOUBLE) - ci)), "
+            f"CAST(0.0 AS DOUBLE), (a, x) -> a + x))"
         )
-        err_expr = err_expr + sub_err
-        codes_cols.append(f"code{s}")
+        codes_cols.append(F.expr(
+            f"CAST(element_at(transform(array({darr}), "
+            f"d -> array_position(d, array_min(d)) - 1), 1) AS INT)"
+        ).alias(f"code{s}"))
+        err_terms.append(
+            f"element_at(transform(array({darr}), d -> array_min(d)), 1)"
+        )
+
+    # the encode projection is compute-bound and embarrassingly parallel;
+    # a small input (fewer splits than cores) would run it in one task —
+    # rebalance up to the cluster parallelism. Large inputs already carry
+    # enough partitions and skip the shuffle.
+    par = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < par:
+        emb = emb.repartition(par)
 
     return emb.select(
         "vec_id", "label", *codes_cols,
-        F.round(F.sqrt(err_expr), 6).alias("recon_l2"),
+        F.expr(f"round(sqrt({' + '.join(err_terms)}), 6)").alias("recon_l2"),
     )
 
 
