@@ -517,8 +517,12 @@ register(
     opl.simhash_near_dups_sql(max_hamming=3),
 )
 register(
+    # pointer-doubling variant (O(log diameter) rounds — the 100 TB
+    # path); the oracle is the 10-round plain propagation, equal
+    # whenever component diameter <= 10 (equality with the plain
+    # variant is pinned in tests)
     "dedup_components",
-    lambda s, d: dedup.near_dup_components(load(s, d, "documents")),
+    lambda s, d: dedup.near_dup_components_fast(load(s, d, "documents")),
     opl.near_dup_components_sql(),
 )
 def _containment_sql(threshold: float = 0.5) -> str:

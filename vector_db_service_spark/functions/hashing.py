@@ -7,9 +7,9 @@ simhash), parameterized for exact cross-engine reproducibility:
   drawn once from python random.Random(seed) and embedded as literals in
   both the Spark plan and the oracle SQL. a*x stays < 2^63 because both
   factors are < p = 2^31-1 (ANSI-mode safe).
-- simhash: 16-bit, bit_b = sign of sum over tokens of ±1 by bit b of the
-  token hash; bit extraction via floor(h / 2^b) % 2, which is exact in
-  double for h < 2^31 and identical in DuckDB.
+- simhash: SIMHASH_BITS (28)-bit, bit_b = sign of sum over tokens of ±1
+  by bit b of the token hash; bit extraction via floor(h / 2^b) % 2,
+  which is exact in double for h < 2^31 and identical in DuckDB.
 
 LSH banding note (the 100 TB path): minhash rows are split into bands —
 near-dup candidates share at least one full band, so the pair join is an
@@ -118,7 +118,7 @@ def _bit(h: Column, b: int) -> Column:
 
 
 def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
-    """16-bit simhash over token hashes as a single long."""
+    """SIMHASH_BITS (28)-bit simhash over token hashes as a single long."""
     # NOTE: an array<long>-accumulator single-pass variant was measured
     # 3x SLOWER than `bits` scalar aggregates — per-token array allocation
     # in transform/zip_with dominates; scalar folds stay allocation-free.

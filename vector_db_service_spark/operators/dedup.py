@@ -6,7 +6,7 @@ on a bucket key (never a cross join), which is what survives 100 TB:
 
   exact        md5(text) group-by                      (hash dedup)
   minhash      shingle -> minhash -> band -> bucket join -> exact jaccard
-  simhash      16-bit fingerprint -> block join (lossless for r<=3)
+  simhash      28-bit fingerprint -> block join (lossless for r<=3)
                -> hamming verify
   ngram        word-3-gram jaccard, minhash-band blocked
   embedding    cosine near-dup, (label, hyperplane-sign-band)-blocked
@@ -104,9 +104,10 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
 
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs within hamming <= 3 of 16 bits. The block
-    join (4 blocks) is lossless for this radius, so results equal the
-    all-pairs scan the oracle performs."""
+    """SimHash near-dup pairs within hamming <= 3 of SIMHASH_BITS (28)
+    bits. The block join (4 blocks, 7 bits each) is lossless for this
+    radius by pigeonhole, so results equal the all-pairs scan the oracle
+    performs."""
     # localCheckpoint: both join sides + the verify read the SAME tiny
     # materialized fingerprint frame instead of re-hashing the corpus per
     # branch (measured 2.2x). At scale this is the index-build write: the
@@ -208,16 +209,13 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.8,
     )
 
 
-def near_dup_components(docs: DataFrame, max_hamming: int = 3,
-                        rounds: int = 10) -> DataFrame:
-    """Duplicate-cluster extraction: connected components over the
-    simhash near-dup pair graph via `rounds` iterations of min-label
-    propagation (each: join labels across edges, take the min). Bounded
-    iteration keeps the operator deterministic AND oracle-checkable (the
-    oracle unrolls the same rounds); it equals true components whenever
-    component diameter <= rounds. At 100 TB swap plain propagation for
-    pointer-doubling (large-star/small-star) — same join shape, O(log n)
-    rounds. Returns (comp, n_docs) per duplicate cluster."""
+def _dup_graph(docs: DataFrame, max_hamming: int) -> tuple[DataFrame, DataFrame]:
+    """Symmetrized near-dup edge list + the distinct nodes that appear in
+    it. Both are lineage-truncated: every propagation round re-reads them.
+    Iterating over GRAPH NODES ONLY (not the whole corpus) is the key
+    scale move — isolated documents never change labels, and on a real
+    corpus near-dup nodes are a tiny fraction of rows, so the per-round
+    join input shrinks from |corpus| to |dup nodes|."""
     pairs = simhash_near_dups(docs, max_hamming).select("doc_id_1", "doc_id_2")
     edges = (
         pairs.select(F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
@@ -226,7 +224,35 @@ def near_dup_components(docs: DataFrame, max_hamming: int = 3,
         )
         .localCheckpoint(eager=False)
     )
-    labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("comp"))
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
+    return edges, nodes
+
+
+def _with_isolated(docs: DataFrame, nodes: DataFrame, labels: DataFrame) -> DataFrame:
+    """Re-attach isolated documents (their own singleton component) and
+    aggregate to (comp, n_docs) — identical to propagating over the full
+    corpus, since an isolated node's label never moves."""
+    isolated = docs.join(nodes, docs.doc_id == nodes.node, "left_anti").select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("comp")
+    )
+    return (
+        labels.unionByName(isolated)
+        .groupBy("comp")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def near_dup_components(docs: DataFrame, max_hamming: int = 3,
+                        rounds: int = 10) -> DataFrame:
+    """Duplicate-cluster extraction: connected components over the
+    simhash near-dup pair graph via `rounds` iterations of min-label
+    propagation (each: join labels across edges, take the min). Bounded
+    iteration keeps the operator deterministic AND oracle-checkable (the
+    oracle unrolls the same rounds); it equals true components whenever
+    component diameter <= rounds. Iteration runs over graph nodes only
+    (see _dup_graph). Returns (comp, n_docs) per duplicate cluster."""
+    edges, nodes = _dup_graph(docs, max_hamming)
+    labels = nodes.select("node", F.col("node").alias("comp"))
     for _ in range(rounds):
         nbr = edges.join(labels, edges.dst == labels.node).select(
             F.col("src").alias("node"), F.col("comp")
@@ -239,7 +265,7 @@ def near_dup_components(docs: DataFrame, max_hamming: int = 3,
             # 10-round chained plan makes Catalyst analysis explode
             .localCheckpoint(eager=False)
         )
-    return labels.groupBy("comp").agg(F.count("*").alias("n_docs"))
+    return _with_isolated(docs, nodes, labels)
 
 
 def containment_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
@@ -280,16 +306,13 @@ def near_dup_components_fast(docs: DataFrame, max_hamming: int = 3,
     comp), so label information travels 2^r hops in r rounds instead of
     r — the 100 TB path for deep duplicate chains (plain propagation
     needs diameter rounds; 5 doubled rounds cover diameter ~32).
-    Verified equal to the bounded-propagation version in tests."""
-    pairs = simhash_near_dups(docs, max_hamming).select("doc_id_1", "doc_id_2")
-    edges = (
-        pairs.select(F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst"))
-        )
-        .localCheckpoint(eager=False)
-    )
-    labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("comp"))
+    Iteration runs over graph nodes only (see _dup_graph). Verified
+    equal to the bounded-propagation version in tests; this is the
+    REGISTERED dedup_components variant (the 10-round plain-propagation
+    oracle matches whenever component diameter <= 10, which the
+    equality test pins for the test corpora)."""
+    edges, nodes = _dup_graph(docs, max_hamming)
+    labels = nodes.select("node", F.col("node").alias("comp"))
     for _ in range(rounds):
         nbr = edges.join(labels, edges.dst == labels.node).select(
             F.col("src").alias("node"), F.col("comp")
@@ -306,4 +329,4 @@ def near_dup_components_fast(docs: DataFrame, max_hamming: int = 3,
             .select("node", F.col("p_comp").alias("comp"))
             .localCheckpoint(eager=False)
         )
-    return labels.groupBy("comp").agg(F.count("*").alias("n_docs"))
+    return _with_isolated(docs, nodes, labels)
