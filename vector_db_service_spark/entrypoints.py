@@ -560,7 +560,7 @@ register(
     # within-label cosine ~0.48 at sf0.01), so 0.8 would make the check
     # vacuous — 0.3 yields ~100 pairs at sf0.01
     lambda s, d: dedup.embedding_near_dups(load(s, d, "embeddings"), threshold=0.3),
-    opl.embedding_near_dups_sql(threshold=0.3),
+    opl.embedding_near_dups_sql(threshold=0.3, dim=_DIM),
 )
 register(
     "ann_brute_force_topk",
@@ -572,9 +572,11 @@ register(
     lambda s, d: ann.ivf_topk(s, d, query_id=0, k=10, nprobe=1),
     opl.ivf_topk_sql(query_id=0, k=10, nprobe=1),
 )
-def _knn_join_sql(m: int = 3, dim: int = 64, band_bits: int = 2) -> str:
+def _knn_join_sql(m: int = 3, dim: int = _DIM, band_bits: int = 2) -> str:
     """Mirror of the BANDED operators/ann.py::knn_join — identical
-    seed-42 sign-band candidate join, exact cosine re-rank per source."""
+    seed-42 sign-band candidate join, exact cosine re-rank per source.
+    `dim` must equal the corpus dimension (the operator infers it; this
+    static SQL mirrors the driver data's _DIM)."""
     from .operators.lsh import NUM_HASHES, SEED, hyperplanes
 
     planes = hyperplanes(dim, NUM_HASHES, SEED)
@@ -606,7 +608,7 @@ register(
 register(
     "ann_blocked_pair_recall",
     lambda s, d: ann.blocked_pair_recall(s, d, threshold=0.3),
-    opl.blocked_pair_recall_sql(threshold=0.3),
+    opl.blocked_pair_recall_sql(threshold=0.3, dim=_DIM),
 )
 register(
     "ann_scalar_quantize",
@@ -637,7 +639,7 @@ FROM n GROUP BY vec_id, label
 register(
     "ann_index_recall_report",
     lambda s, d: ann.index_recall_report(s, d, k=10, nprobe=2),
-    opl.index_recall_report_sql(k=10, nprobe=2),
+    opl.index_recall_report_sql(k=10, nprobe=2, dim=_DIM),
 )
 register(
     "text_token_stats",

@@ -233,7 +233,11 @@ def index_recall_report(
         .select("query_id", "vec_id")
     )
 
-    planes = hyperplanes(64, NUM_HASHES, SEED)
+    # dim inferred from the data (like knn_join) — a hard-coded plane
+    # width would silently null-pad zip_with dot products on any other
+    # corpus and return empty candidates instead of an error
+    dim = emb.select(F.size("embedding")).head()[0]
+    planes = hyperplanes(dim, NUM_HASHES, SEED)
     agree = None
     for p in planes:
         p_lit = sim.vector_lit(p)

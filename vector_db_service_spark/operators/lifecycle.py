@@ -66,7 +66,10 @@ def rebuild_library(spark: SparkSession, sf_dir: str, library: int,
     if algorithm == "flat":
         return emb.select("vec_id", "label").limit(0)
     if algorithm == "lsh":
-        planes = lsh_ops.hyperplanes(64)
+        first = emb.select(F.size("embedding")).head()
+        if first is None:  # empty library: nothing to index
+            return emb.select("vec_id", "label").limit(0)
+        planes = lsh_ops.hyperplanes(first[0])
         return lsh_ops.build_index(emb, planes).select("vec_id", "label")
     if algorithm == "grid":
         mins, maxs = grid_ops.bounds(load(spark, sf_dir, "embeddings"))
@@ -83,7 +86,8 @@ def index_state_after_switch(spark: SparkSession, sf_dir: str, *,
     grid: n), so the oracle verifies the rebuild fan-out exactly."""
     emb = load(spark, sf_dir, "embeddings")
     registry = switch_algorithm(algorithm_registry(emb), library, new_algorithm)
-    planes = lsh_ops.hyperplanes(64)
+    first = emb.select(F.size("embedding")).head()
+    planes = lsh_ops.hyperplanes(first[0] if first is not None else 1)
     mins, maxs = grid_ops.bounds(emb)
 
     lsh_rows = lsh_ops.build_index(emb, planes).groupBy("label").agg(

@@ -206,7 +206,9 @@ def embedding_near_dups_sql(threshold: float = 0.8, dim: int = 64,
     """Mirror of the BANDED operators/dedup.py::embedding_near_dups —
     identical seed-42 sign-band candidate join + exact cosine verify
     (the blocking is part of the operator contract; recall of the band
-    knob is measured separately by ann_blocked_pair_recall)."""
+    knob is measured separately by ann_blocked_pair_recall). `dim` must
+    equal the corpus dimension (the operator infers it; this static SQL
+    mirrors the driver data's _DIM)."""
     from .operators.lsh import NUM_HASHES, SEED, hyperplanes
     from .oracles import banded_cte_sql
 
@@ -231,7 +233,9 @@ def blocked_pair_recall_sql(threshold: float = 0.5, dim: int = 64,
                             band_bits: int = 2, sample_pct: int = 50) -> str:
     """Mirror of operators/ann.py::blocked_pair_recall — deterministic
     md5 vector sample, quadratic exact pairs on the sample as ground
-    truth, banded pairs on the same sample, recall = blocked/exact."""
+    truth, banded pairs on the same sample, recall = blocked/exact.
+    `dim` must equal the corpus dimension (the operator infers it; this
+    static SQL mirrors the driver data's _DIM)."""
     from .operators.lsh import NUM_HASHES, SEED, hyperplanes
     from .oracles import banded_cte_sql
 
@@ -405,15 +409,17 @@ FROM normed
 
 
 def index_recall_report_sql(query_ids: list[int] | None = None, k: int = 10,
-                            nprobe: int = 2) -> str:
+                            nprobe: int = 2, dim: int = 64) -> str:
     """Oracle for operators/ann.py::index_recall_report — same exact/LSH/
-    IVF top-k construction, same overlap math."""
+    IVF top-k construction, same overlap math. `dim` MUST equal the
+    corpus embedding dimension (the operator infers it from the data;
+    this static SQL cannot — entrypoints passes the driver-data _DIM)."""
     from .oracles import _bit_sql
     from .operators.lsh import NUM_HASHES, SEED, hyperplanes
 
     query_ids = query_ids or [0, 1, 2, 3, 4]
     ids = ", ".join(str(i) for i in query_ids)
-    planes = hyperplanes(64, NUM_HASHES, SEED)
+    planes = hyperplanes(dim, NUM_HASHES, SEED)
     cos = METRIC_SQL["cosine"]("e.embedding", "q.qv")
     agree = " OR ".join(
         f"({_bit_sql('p.embedding', pl)} = {_bit_sql('p.qv', pl)})" for pl in planes
