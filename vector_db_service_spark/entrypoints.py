@@ -977,8 +977,16 @@ from .operators import mllib_index  # noqa: E402
 
 register("mllib_brp_bucket_index", mllib_index.brp_bucket_index)
 register(
+    # n_lists=7 / nprobe=4: the operating point the recall sweep
+    # (ann_ivf_recall_sweep) measures at 0.84 avg recall@10 on sf0.01
     "mllib_ivf_kmeans_topk",
-    lambda s, d: ann.ivf_kmeans_topk(s, d, query_id=0, k=10, nprobe=2),
+    lambda s, d: ann.ivf_kmeans_topk(s, d, query_id=0, k=10, n_lists=7, nprobe=4),
+)
+register(
+    # measured recall@10 of the KMeans IVF quantizer over nprobe in
+    # {1,2,4,8} — rows-only (seeded KMeans init is not SQL-reproducible)
+    "ann_ivf_recall_sweep",
+    lambda s, d: ann.ivf_kmeans_recall_sweep(s, d, k=10, n_lists=7),
 )
 register(
     # sample-trained PQ: driver-side seeded Lloyd fit on a bounded hash
