@@ -996,6 +996,12 @@ register(
     lambda s, d: ann.product_quantize(s, d, n_subvectors=4, codebook_k=16),
 )
 register(
+    # ADC serving path over the PQ codes: LUT projection -> top-rerank
+    # -> exact broadcast re-rank (rows-only: seeded codebooks)
+    "ann_pq_topk",
+    lambda s, d: ann.pq_topk(s, d, query_id=0, k=10, n_subvectors=8),
+)
+register(
     "mllib_brp_approx_knn",
     lambda s, d: mllib_index.brp_approx_knn(s, d, query_id=0, k=10),
 )

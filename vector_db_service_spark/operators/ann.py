@@ -386,6 +386,165 @@ def ivf_kmeans_recall_sweep(
     return out.orderBy("nprobe", "query_id")
 
 
+def _pq_train(
+    emb: DataFrame,
+    n_subvectors: int,
+    codebook_k: int,
+    train_pct: int,
+    train_cap: int = 100_000,
+) -> tuple[list, int]:
+    """Fit the per-subspace PQ codebooks driver-side on a bounded
+    DETERMINISTIC sample: md5-bucket filter (train_pct%) then global
+    top-`train_cap` by (md5 hex, vec_id) — an orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition heap + driver merge), so the
+    cap is reproducible across runs and partitionings, never a
+    plan-dependent limit. Degenerate corpora are guarded: an empty
+    bucket sample falls back to the whole corpus (same cap), an empty
+    corpus raises, and codebook_k is clamped to the sample size so
+    rng.choice(replace=False) can't underflow. Returns (codebooks,
+    sub_dim)."""
+    import numpy as np
+
+    h = F.md5(F.col("vec_id").cast("string"))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 100
+
+    def _take(df: DataFrame) -> list:
+        return (
+            df.select("embedding", h.alias("h"), "vec_id")
+            .orderBy("h", "vec_id")
+            .limit(train_cap)
+            .select("embedding")
+            .collect()
+        )
+
+    rows = _take(emb.filter(bucket < train_pct))
+    if not rows:
+        rows = _take(emb)
+    if not rows:
+        raise ValueError("cannot train PQ codebooks: embeddings table is empty")
+    X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    sub_dim = dim // n_subvectors
+    k_eff = min(codebook_k, len(X))
+
+    codebooks: list[np.ndarray] = []
+    for s in range(n_subvectors):
+        Xs = X[:, s * sub_dim:(s + 1) * sub_dim]
+        rng = np.random.RandomState(42 + s)
+        centers = Xs[rng.choice(len(Xs), size=k_eff, replace=False)].copy()
+        for _ in range(8):  # Lloyd iterations
+            d2 = ((Xs[:, None, :] - centers[None, :, :]) ** 2).sum(axis=-1)
+            assign = d2.argmin(axis=1)
+            for j in range(k_eff):
+                member = Xs[assign == j]
+                if len(member):
+                    centers[j] = member.mean(axis=0)
+        codebooks.append(centers)
+    return codebooks, sub_dim
+
+
+def _pq_code_exprs(codebooks: list, sub_dim: int) -> tuple[list, list]:
+    """Distributed single-projection PQ encode columns.
+
+    Built as SQL STRINGS, one parse per column — nested F.array/F.lit
+    construction costs thousands of py4j round trips for k x sub_dim
+    literals and dominates plan build time. (A fully unrolled scalar
+    form instead blows the 64 KB codegen method limit and falls back to
+    interpreted eval — measured.) Returns (codes_cols, err_terms)."""
+    codes_cols = []
+    err_terms = []
+    for s, centers in enumerate(codebooks):
+        lo = s * sub_dim + 1  # slice is 1-based
+        cb = "array(" + ", ".join(
+            "array(" + ", ".join(repr(float(x)) for x in c) + ")" for c in centers
+        ) + ")"
+        darr = (
+            f"transform({cb}, c -> aggregate("
+            f"zip_with(slice(embedding, {lo}, {sub_dim}), c, "
+            f"(x, ci) -> (CAST(x AS DOUBLE) - ci) * (CAST(x AS DOUBLE) - ci)), "
+            f"CAST(0.0 AS DOUBLE), (a, x) -> a + x))"
+        )
+        codes_cols.append(F.expr(
+            f"CAST(element_at(transform(array({darr}), "
+            f"d -> array_position(d, array_min(d)) - 1), 1) AS INT)"
+        ).alias(f"code{s}"))
+        err_terms.append(
+            f"element_at(transform(array({darr}), d -> array_min(d)), 1)"
+        )
+    return codes_cols, err_terms
+
+
+def pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    n_subvectors: int = 8,
+    codebook_k: int = 16,
+    train_pct: int = 25,
+    rerank: int = 200,
+) -> DataFrame:
+    """PQ-ADC search — the serving path that consumes the PQ codes
+    (completing compression -> search; without it PQ is storage-only).
+
+    Asymmetric Distance Computation: per subspace s, the query-to-
+    centroid squared distances form a k_eff-entry LUT computed
+    driver-side and inlined as an array literal; the approximate
+    distance of a database vector is sum_s lut_s[code_s] — a pure
+    JVM-side projection over the code columns, no python, no join.
+    Candidates = lowest-ADC `rerank` rows (TakeOrderedAndProject), then
+    EXACT euclidean re-rank of only those rows via a broadcast join
+    back to the embedding table.
+
+    At 100 TB the code columns are a materialized 8-byte-per-vector
+    table: the ADC scan touches codes only (32x less I/O than floats),
+    and the exact re-rank reads `rerank` full vectors — the standard
+    IVFADC serving shape minus the IVF routing (compose with
+    ivf_kmeans_topk's probed lists for that). Seeded codebooks make the
+    result deterministic (rows-only check; recall vs exact top-k is
+    pinned in tests/test_pq_adc.py)."""
+    from .knn import validate_k
+
+    validate_k(k)
+    emb = load(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == query_id).select("embedding").head()
+    if qrow is None:
+        raise KeyError(f"query vector {query_id} not found")
+    q = [float(x) for x in qrow[0]]
+
+    codebooks, sub_dim = _pq_train(
+        emb, n_subvectors=n_subvectors, codebook_k=codebook_k, train_pct=train_pct
+    )
+    codes_cols, _ = _pq_code_exprs(codebooks, sub_dim)
+
+    adc_terms = []
+    for s, centers in enumerate(codebooks):
+        qs = q[s * sub_dim:(s + 1) * sub_dim]
+        lut = [
+            sum((qi - float(ci)) ** 2 for qi, ci in zip(qs, c)) for c in centers
+        ]
+        lut_sql = "array(" + ", ".join(repr(float(x)) for x in lut) + ")"
+        adc_terms.append(f"element_at({lut_sql}, code{s} + 1)")
+    adc = F.expr(" + ".join(adc_terms))
+
+    cand_ids = (
+        emb.select("vec_id", *codes_cols)
+        .withColumn("adc", adc)
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(rerank)
+        .select("vec_id", F.round("adc", 6).alias("adc"))
+    )
+    qlit = sim.vector_lit(q)
+    rer = emb.join(F.broadcast(cand_ids), "vec_id").withColumn(
+        "dist", F.round(sim.DISTANCES["euclidean"](F.col("embedding"), qlit), 6)
+    )
+    return (
+        rer.orderBy(F.asc("dist"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "label", "adc", "dist")
+    )
+
+
 def product_quantize(
     spark: SparkSession,
     sf_dir: str,
@@ -411,59 +570,11 @@ def product_quantize(
     distances with the codebooks inlined as literals, so the corpus is
     encoded in a single pass with NO join and no second shuffle (the
     previous form ran n_subvectors model.transform passes + joins)."""
-    import numpy as np
-
     emb = load(spark, sf_dir, "embeddings")
-    bucket = F.conv(
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
-    ).cast("long") % 100
-    train_cap = 100_000
-    rows = (
-        emb.filter(bucket < train_pct).select("embedding").limit(train_cap).collect()
+    codebooks, sub_dim = _pq_train(
+        emb, n_subvectors=n_subvectors, codebook_k=codebook_k, train_pct=train_pct
     )
-    X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
-    dim = X.shape[1]
-    sub_dim = dim // n_subvectors
-
-    codebooks: list[np.ndarray] = []
-    for s in range(n_subvectors):
-        Xs = X[:, s * sub_dim:(s + 1) * sub_dim]
-        rng = np.random.RandomState(42 + s)
-        centers = Xs[rng.choice(len(Xs), size=codebook_k, replace=False)].copy()
-        for _ in range(8):  # Lloyd iterations
-            d2 = ((Xs[:, None, :] - centers[None, :, :]) ** 2).sum(axis=-1)
-            assign = d2.argmin(axis=1)
-            for j in range(codebook_k):
-                member = Xs[assign == j]
-                if len(member):
-                    centers[j] = member.mean(axis=0)
-        codebooks.append(centers)
-
-    # Encode columns are built as SQL STRINGS, one parse per column —
-    # nested F.array/F.lit construction costs thousands of py4j round
-    # trips for k x sub_dim literals and dominates plan build time.
-    # (A fully unrolled scalar form instead blows the 64 KB codegen
-    # method limit and falls back to interpreted eval — measured.)
-    codes_cols = []
-    err_terms = []
-    for s, centers in enumerate(codebooks):
-        lo = s * sub_dim + 1  # slice is 1-based
-        cb = "array(" + ", ".join(
-            "array(" + ", ".join(repr(float(x)) for x in c) + ")" for c in centers
-        ) + ")"
-        darr = (
-            f"transform({cb}, c -> aggregate("
-            f"zip_with(slice(embedding, {lo}, {sub_dim}), c, "
-            f"(x, ci) -> (CAST(x AS DOUBLE) - ci) * (CAST(x AS DOUBLE) - ci)), "
-            f"CAST(0.0 AS DOUBLE), (a, x) -> a + x))"
-        )
-        codes_cols.append(F.expr(
-            f"CAST(element_at(transform(array({darr}), "
-            f"d -> array_position(d, array_min(d)) - 1), 1) AS INT)"
-        ).alias(f"code{s}"))
-        err_terms.append(
-            f"element_at(transform(array({darr}), d -> array_min(d)), 1)"
-        )
+    codes_cols, err_terms = _pq_code_exprs(codebooks, sub_dim)
 
     # the encode projection is compute-bound and embarrassingly parallel;
     # a small input (fewer splits than cores) would run it in one task —
