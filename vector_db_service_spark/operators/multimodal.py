@@ -74,57 +74,78 @@ def decode_image(blob: bytes) -> object:
 
 
 def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """WHOLE-BATCH numpy — no per-row Python loop. The byte payloads of
+    the Arrow batch are concatenated into ONE uint8 buffer; the per-doc
+    16-bin histogram is a single bincount over (row_id * 16 + nibble)
+    keys, and mean bytes come from one weighted bincount. Byte sums are
+    exact integers in float64, so results are bit-identical to the
+    per-row form at any summation order."""
     import numpy as np
 
+    cols = [f.name for f in FEATURE_SCHEMA.fields]
     for pdf in batches:
-        rows = []
-        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-            arr = np.frombuffer(blob, dtype=np.uint8)
-            hist = np.bincount(arr >> 4, minlength=HIST_BINS).astype(np.float64)
-            total = float(arr.size) if arr.size else 1.0
-            rows.append(
-                {
-                    "doc_id": int(doc_id),
-                    "n_bytes": int(arr.size),
-                    "n_frames": int(-(-arr.size // FRAME_BYTES)),
-                    # raw double; rounding happens in the Spark column so
-                    # HALF_UP semantics match the oracle (python round is
-                    # banker's rounding)
-                    "mean_byte": float(arr.mean()) if arr.size else 0.0,
-                    "features": [round(x, 6) for x in (hist / total).tolist()],
-                }
+        n = len(pdf)
+        if n == 0:
+            yield pd.DataFrame({c: [] for c in cols}, columns=cols)
+            continue
+        blobs = pdf["blob"].tolist()
+        lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=n)
+        concat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+        ids = np.repeat(np.arange(n), lens)
+        totals = np.where(lens == 0, 1, lens).astype(np.float64)
+        if concat.size:
+            hist = (
+                np.bincount(ids * HIST_BINS + (concat >> 4), minlength=n * HIST_BINS)
+                .reshape(n, HIST_BINS)
+                .astype(np.float64)
             )
-        yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            sums = np.bincount(ids, weights=concat.astype(np.float64), minlength=n)
+        else:
+            hist = np.zeros((n, HIST_BINS))
+            sums = np.zeros(n)
+        # raw double means; rounding happens in the Spark column so
+        # HALF_UP semantics match the oracle (numpy round is banker's)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64").to_numpy(),
+                "n_bytes": lens,
+                "n_frames": -(-lens // FRAME_BYTES),
+                "mean_byte": sums / totals,
+                "features": list(np.round(hist / totals[:, None], 6).tolist()),
+            },
+            columns=cols,
+        )
 
 
 def featurize_blobs(df: DataFrame) -> DataFrame:
     """Vectorized binary feature extraction via mapInPandas (Arrow batch
-    transfer, no per-row Python). At 100 TB this is the decode/embed
-    pass: partition-parallel, constant memory per batch."""
+    transfer, whole-batch numpy — see _featurize_batches). At 100 TB
+    this is the decode/embed pass: partition-parallel, constant memory
+    per batch."""
     return df.select("doc_id", "blob").mapInPandas(_featurize_batches, FEATURE_SCHEMA)
 
 
-def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        rows = []
-        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-            n = len(blob)
-            idx = 0
-            for start in range(0, n, FRAME_BYTES):
-                rows.append(
-                    {
-                        "doc_id": int(doc_id),
-                        "frame_idx": idx,
-                        "frame_bytes": min(FRAME_BYTES, n - start),
-                    }
-                )
-                idx += 1
-        yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
-
-
 def sample_frames(df: DataFrame) -> DataFrame:
-    """Frame sampling: one row in, n_frames rows out (flatMap shape)."""
-    return df.select("doc_id", "blob").mapInPandas(_frame_batches, FRAME_SCHEMA)
+    """Frame sampling: one row in, n_frames rows out. Pure Spark
+    (sequence + explode) — the flatMap shape needs no pandas at all, so
+    the whole operator stays inside whole-stage codegen. Zero-byte blobs
+    produce zero frames (explode of an empty array drops the row),
+    matching the old per-row range() semantics."""
+    n = F.length(F.col("blob")).cast("long")
+    n_frames = F.floor((n + F.lit(FRAME_BYTES - 1)) / F.lit(FRAME_BYTES)).cast("long")
+    idxs = F.when(
+        n_frames > 0, F.sequence(F.lit(0).cast("long"), n_frames - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    return df.select(
+        "doc_id", n.alias("_n"), F.explode(idxs).alias("frame_idx")
+    ).select(
+        "doc_id",
+        "frame_idx",
+        F.least(
+            F.lit(FRAME_BYTES).cast("long"),
+            F.col("_n") - F.col("frame_idx") * F.lit(FRAME_BYTES),
+        ).alias("frame_bytes"),
+    )
 
 
 def blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
