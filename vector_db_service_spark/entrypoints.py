@@ -1128,23 +1128,39 @@ register(
 )
 
 
+from .operators import embed_source  # noqa: E402
+
 register(
+    # P6 extended with the embed-quarantine surface: under the default
+    # deterministic encoder nothing fails (oracle pins 0 failed / 1
+    # attempt); flaky-encoder injection is exercised in tests
     "p6_validation_report",
-    lambda s, d: load(s, d, "documents").agg(
-        F.count("*").alias("total_docs"),
-        F.sum(F.when(F.trim("text") == "", 1).otherwise(0)).alias("n_empty_text"),
-        F.sum(F.when(F.length("text") != F.col("n_chars"), 1).otherwise(0))
-        .alias("n_length_mismatch"),
-        F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0)).alias("n_null_ids"),
-    ),
+    lambda s, d: embed_source.validation_report(s, d),
     """
 SELECT count(*) AS total_docs,
        CAST(sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
        CAST(sum(CASE WHEN length(text) != n_chars THEN 1 ELSE 0 END) AS BIGINT)
          AS n_length_mismatch,
-       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_ids
+       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_ids,
+       CAST(0 AS BIGINT) AS n_embed_failed,
+       CAST(1 AS INTEGER) AS max_embed_attempts
 FROM documents
 """,
+)
+register(
+    # S15 resilience shape: per-batch retry/backoff + quarantine inside
+    # mapInPandas; default encoder never fails so the path stays
+    # oracle-checkable
+    "s15_embed_resilient",
+    embed_source.embed_resilient_query,
+    opl.embed_resilient_sql(),
+)
+register(
+    # input_type asymmetry: search_document vs search_query are
+    # DIFFERENT encoders (token-salted) — cos_dq != 1 proves it
+    "s15_embed_asymmetry",
+    embed_source.embed_asymmetry,
+    opl.embed_asymmetry_sql(),
 )
 register(
     "a9_two_level_agg",

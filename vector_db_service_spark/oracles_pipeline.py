@@ -408,6 +408,64 @@ FROM normed
 """
 
 
+def _raw_embed(hcol: str, dim: int = 16) -> str:
+    """Signed hashed bag-of-words raw vector over a hash-array column —
+    the shared core of every S15 oracle."""
+    return f"""
+list_transform(generate_series(0, {dim - 1}), i ->
+  CAST(list_sum(list_prepend(CAST(0 AS BIGINT), list_transform({hcol}, h ->
+    CASE WHEN h % {dim} = i
+         THEN (CAST(floor(h / {dim}.0) AS BIGINT) % 2) * 2 - 1
+         ELSE CAST(0 AS BIGINT) END))) AS DOUBLE))
+"""
+
+
+def embed_resilient_sql() -> str:
+    """Oracle for the resilient embed path under the default
+    (never-failing) encoder: plain S15 components + status='ok' +
+    attempts=1. Failure injection is exercised in tests, not here —
+    the oracle pins the no-failure contract."""
+    inner = embed_components_sql(include_norm=False)
+    return (
+        f"WITH inner_q AS ({inner}) "
+        "SELECT doc_id, e0, e1, e2, e3, 'ok' AS status, "
+        "CAST(1 AS INTEGER) AS attempts FROM inner_q"
+    )
+
+
+def embed_asymmetry_sql(dim: int = 16) -> str:
+    """Oracle for operators/embed_source.py::embed_asymmetry — document
+    vs query ('q|'-salted) hash embeddings, first components and the
+    cosine between the two normalized (component-rounded) encodings."""
+    from .oracles import cosine_sql
+
+    def nrm(x: str) -> str:
+        return f"sqrt(list_sum(list_transform({x}, v -> v * v)))"
+
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, {TOKEN_HASHES} AS hd,
+         list_transform({TOKS}, t -> {_token_hash("'q|' || t")}) AS hq
+  FROM documents
+),
+rawv AS (
+  SELECT doc_id, {_raw_embed('hd', dim)} AS rd, {_raw_embed('hq', dim)} AS rq
+  FROM hashed
+),
+normv AS (
+  SELECT doc_id,
+         CASE WHEN {nrm('rd')} = 0 THEN rd
+              ELSE list_transform(rd, x -> round(x / {nrm('rd')}, 6)) END AS nd,
+         CASE WHEN {nrm('rq')} = 0 THEN rq
+              ELSE list_transform(rq, x -> round(x / {nrm('rq')}, 6)) END AS nq
+  FROM rawv
+)
+SELECT doc_id, nd[1] AS d0, nq[1] AS q0,
+       round({cosine_sql('nd', 'nq')}, 6) AS cos_dq
+FROM normv
+"""
+
+
 def index_recall_report_sql(query_ids: list[int] | None = None, k: int = 10,
                             nprobe: int = 2, dim: int = 64) -> str:
     """Oracle for operators/ann.py::index_recall_report — same exact/LSH/
