@@ -220,7 +220,14 @@ def grid_search_sql(query_id: int = 0, k: int = 10, metric: str = "euclidean",
     operators/grid.py::search (same stopping-radius rule). With `library`
     set, index AND normalization bounds cover only that library; the
     query cell is computed from the query's own vector under those
-    bounds (the query need not belong to the library)."""
+    bounds (the query need not belong to the library).
+
+    Both reachability branches of grid._r_needed are mirrored, selected
+    DYNAMICALLY on the data's dimension (count of qcells rows): dim <= 4
+    is the reference's full-hypercube enumeration (r = Chebyshev
+    max|delta|, every cell reachable); dim > 4 is the Manhattan ball
+    (only cells differing in exactly one dimension reachable) — so the
+    oracle can't silently diverge from the operator on low-dim data."""
     score = METRIC_SQL[metric]("e.embedding", "q.qv")
     lib_filter = f"WHERE label = {library}" if library is not None else ""
     return f"""
@@ -256,10 +263,13 @@ diffs AS (
 ),
 rneed AS (
   SELECT vec_id, label,
-         CASE WHEN ndiff = 0 THEN 0 ELSE maxdiff END AS r_needed
-  FROM diffs WHERE ndiff <= 1
+         CASE WHEN (SELECT count(*) FROM qcells) <= 4 THEN maxdiff
+              WHEN ndiff <= 1 THEN maxdiff
+              ELSE NULL END AS r_needed
+  FROM diffs
 ),
-reachable AS (SELECT * FROM rneed WHERE r_needed <= {max_radius}),
+reachable AS (SELECT * FROM rneed
+              WHERE r_needed IS NOT NULL AND r_needed <= {max_radius}),
 rcount AS (SELECT r_needed, count(*) AS n FROM reachable GROUP BY r_needed),
 cum AS (
   SELECT r_needed, sum(n) OVER (ORDER BY r_needed
