@@ -605,6 +605,41 @@ register(
     lambda s, d: ann.knn_join(s, d, m=3),
     _knn_join_sql(m=3),
 )
+def _band_skew_sql(dim: int = _DIM, band_bits: int = 2,
+                   threshold: float = 50.0) -> str:
+    """Mirror of operators/ann.py::band_skew_report over the identical
+    seed-42 banded keys."""
+    from .operators.lsh import NUM_HASHES, SEED, hyperplanes
+
+    planes = hyperplanes(dim, NUM_HASHES, SEED)
+    return f"""
+WITH banded AS MATERIALIZED (
+{oracles.banded_cte_sql(planes, band_bits)}
+),
+per_bucket AS (
+  SELECT band_idx, label, band_key, count(*) AS n
+  FROM banded GROUP BY band_idx, label, band_key
+)
+SELECT band_idx, count(*) AS n_buckets,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       round(CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_bucket,
+       max(n) AS max_bucket,
+       round(CAST(max(n) AS DOUBLE)
+             / (CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 4) AS skew,
+       CAST(max(n) AS DOUBLE)
+         / (CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE)) > {threshold!r}
+         AS needs_salting
+FROM per_bucket GROUP BY band_idx
+"""
+
+
+register(
+    # skew probe for the banded pair joins (SKEW_SALT_THRESHOLD
+    # operating rule documented in operators/ann.py)
+    "ann_band_skew_report",
+    lambda s, d: ann.band_skew_report(s, d),
+    _band_skew_sql(),
+)
 register(
     "ann_blocked_pair_recall",
     lambda s, d: ann.blocked_pair_recall(s, d, threshold=0.3),

@@ -666,6 +666,60 @@ def blocked_pair_recall(
     )
 
 
+SKEW_SALT_THRESHOLD = 50.0
+"""max_bucket / avg_bucket ratio above which a band is considered HOT.
+
+The banded pair joins (knn_join, dedup.embedding_near_dups,
+blocked_pair_recall) shuffle on (label, band_idx, band_key); a bucket's
+candidate-pair count grows QUADRATICALLY with its size, so at 100 TB a
+single hot sign-band bucket is the realistic failure mode of the pair
+pipeline — one straggler task doing most of the join work. Operating
+rule documented here and monitored by band_skew_report: if any band's
+skew exceeds this threshold, either raise band_bits (halves expected
+bucket size per added bit) or salt the hot band keys — split each hot
+(band_idx, band_key) bucket into s sub-keys and run the s x s sub-key
+cross-join as a two-stage pair generation; the verify step is unchanged
+because banding is candidate-generation only."""
+
+
+def band_skew_report(
+    spark: SparkSession,
+    sf_dir: str,
+    band_bits: int = 2,
+) -> DataFrame:
+    """Per-band bucket-size skew over the sign-band candidate blocking —
+    the monitoring query for SKEW_SALT_THRESHOLD. For every band
+    (band_idx): bucket count, total rows, avg/max bucket size, skew =
+    max/avg, and the needs_salting verdict. One groupBy over the banded
+    keys; deterministic seed-42 planes, fully oracle-checked."""
+    from .lsh import NUM_HASHES, SEED, band_keys, hyperplanes
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding")).head()[0]
+    planes = hyperplanes(dim, NUM_HASHES, SEED)
+    keyed = emb.select(
+        "label",
+        F.posexplode(band_keys(F.col("embedding"), planes, band_bits))
+        .alias("band_idx", "band_key"),
+    )
+    per_bucket = keyed.groupBy("band_idx", "label", "band_key").agg(
+        F.count("*").alias("n")
+    )
+    avg = F.sum("n").cast("double") / F.count("*").cast("double")
+    return (
+        per_bucket.groupBy("band_idx")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.round(avg, 4).alias("avg_bucket"),
+            F.max("n").alias("max_bucket"),
+            F.round(F.max("n").cast("double") / avg, 4).alias("skew"),
+            (F.max("n").cast("double") / avg > F.lit(SKEW_SALT_THRESHOLD))
+            .alias("needs_salting"),
+        )
+    )
+
+
 def knn_join(
     spark: SparkSession,
     sf_dir: str,
