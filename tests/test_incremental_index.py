@@ -112,3 +112,50 @@ def test_stored_index_probe_matches_derived_and_survives_sessions(spark, tmp_pat
         for r in store.stored_registry(spark, SF, root=root).collect()
     )
     assert reg == {1: "lsh", 2: "grid", 4: "lsh"}
+
+
+def test_ensure_library_detects_regenerated_dataset(spark, tmp_path):
+    """ADVICE r2: a dataset regenerated under the same sf-tag directory
+    must NOT be served a stale index — ensure_library compares the stored
+    data fingerprint (row count + max vec_id) against the current
+    embeddings partition and rebuilds on mismatch."""
+    from vector_db_service_spark.operators import store
+
+    sf_dir = str(tmp_path / "sfX")
+    root = str(tmp_path / "idx")
+    emb = load(spark, SF, "embeddings").filter(F.col("label").isin(1, 2))
+    emb.write.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    base = store.ensure_library(spark, sf_dir, 1, "lsh", root=root)
+    before = _partition_state(os.path.join(base, "lsh_index"))
+
+    # same data: second ensure is a no-op (fingerprint matches)
+    store.ensure_library(spark, sf_dir, 1, "lsh", root=root)
+    assert _partition_state(os.path.join(base, "lsh_index")) == before
+
+    # dataset regenerated in place: extra rows for library 1
+    regen = emb.unionByName(
+        emb.filter(F.col("label") == 1).withColumn(
+            "vec_id", F.col("vec_id") + 1_000_000
+        )
+    )
+    regen.write.mode("overwrite").parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    store.ensure_library(spark, sf_dir, 1, "lsh", root=root)
+    after = _partition_state(os.path.join(base, "lsh_index"))
+    assert after["label=1"] != before["label=1"], "stale index served"
+
+    # and the rebuilt index covers the regenerated rows
+    idx = spark.read.parquet(os.path.join(base, "lsh_index")).filter(
+        F.col("label") == 1
+    )
+    n1 = regen.filter(F.col("label") == 1).count()
+    assert idx.select("vec_id").distinct().count() == n1
+
+    # a registry written by the pre-fingerprint layout is treated as stale
+    reg_path = os.path.join(base, "registry")
+    spark.createDataFrame([(1, "lsh")], "label int, algorithm string") \
+        .write.mode("overwrite").partitionBy("label").parquet(reg_path)
+    mid = _partition_state(os.path.join(base, "lsh_index"))
+    store.ensure_library(spark, sf_dir, 1, "lsh", root=root)
+    assert _partition_state(os.path.join(base, "lsh_index")) != mid

@@ -8,7 +8,9 @@ rebuilds one library's index on every mutation
   lsh_index/    (vec_id, table_idx, bit) parquet, partitioned by label
   grid_index/   (vec_id, cells, cell_key) parquet, partitioned by label
   grid_bounds/  (mins, maxs) per label — the normalization constants
-  registry/     (algorithm) per label — preferred_index_algorithm
+  registry/     (algorithm, n_rows, max_vec_id) per label —
+                preferred_index_algorithm + the DATA FINGERPRINT of the
+                embeddings partition the index was built from
 
 A rebuild is a DYNAMIC-partition overwrite of exactly one label
 directory (`spark.sql.sources.partitionOverwriteMode=dynamic`), the
@@ -17,6 +19,15 @@ partition-pruned read of the stored rows — build-once/query-many, no
 index recompute in the query path. Probe results are identical to the
 derived-frame probes (lsh.search / grid.search), so the same oracle SQL
 checks both.
+
+Existence and freshness are decided through Spark's Hadoop FileSystem
+API, NOT driver-local os.path — on a shared/remote store (the scale
+target) a path invisible to the driver's local FS is not "an empty
+library". ensure_library compares the stored fingerprint (row count +
+max vec_id) against the current data and rebuilds on mismatch, so a
+dataset regenerated under the same sf-tag directory can't serve a stale
+index; a registry written by an older layout (no fingerprint columns)
+is treated as stale.
 """
 
 from __future__ import annotations
@@ -66,6 +77,26 @@ def default_algorithm(library: int) -> str:
     return ALGORITHMS[library % len(ALGORITHMS)]
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Path existence via the Hadoop FileSystem API — works on any
+    Spark-visible filesystem (local, HDFS, object store), unlike
+    driver-local os.path probes."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def _data_fingerprint(emb: DataFrame) -> tuple[int, int]:
+    """(n_rows, max_vec_id) of a library's embedding partition — cheap,
+    deterministic, and changes whenever the partition is regenerated or
+    mutated in any row-count/id-visible way."""
+    row = emb.agg(
+        F.count("*").alias("n"), F.coalesce(F.max("vec_id"), F.lit(-1)).alias("mx")
+    ).head()
+    return int(row["n"]), int(row["mx"])
+
+
 def rebuild_library(
     spark: SparkSession,
     sf_dir: str,
@@ -106,16 +137,37 @@ def rebuild_library(
                 "label int, mins array<double>, maxs array<double>",
             )
             _dynamic_overwrite(bounds_row, os.path.join(base, "grid_bounds"))
-    # flat stores no structure (I1); registry row only
+    # registry row: algorithm + the data fingerprint the index was
+    # built from (flat stores no index structure — I1 — registry only)
+    n_rows, max_id = _data_fingerprint(emb)
     reg_row = spark.createDataFrame(
-        [(library, algorithm)], "label int, algorithm string"
+        [(library, algorithm, n_rows, max_id)],
+        "label int, algorithm string, n_rows long, max_vec_id long",
     )
     _dynamic_overwrite(reg_row, os.path.join(base, "registry"))
     return base
 
 
-def _partition_exists(base: str, table: str, library: int) -> bool:
-    return os.path.isdir(os.path.join(base, table, f"label={library}"))
+def _partition_exists(spark: SparkSession, base: str, table: str, library: int) -> bool:
+    return _fs_exists(spark, os.path.join(base, table, f"label={library}"))
+
+
+def _stored_fingerprint(
+    spark: SparkSession, base: str, library: int
+) -> tuple[int, int] | None:
+    """Fingerprint recorded at build time, or None when absent/illegible
+    (no registry, no row for the library, or a pre-fingerprint layout —
+    all of which mean 'stale, rebuild')."""
+    reg_path = os.path.join(base, "registry")
+    if not _fs_exists(spark, reg_path):
+        return None
+    reg = spark.read.parquet(reg_path)
+    if "n_rows" not in reg.columns or "max_vec_id" not in reg.columns:
+        return None
+    row = reg.filter(F.col("label") == library).select("n_rows", "max_vec_id").head()
+    if row is None or row["n_rows"] is None:
+        return None
+    return int(row["n_rows"]), int(row["max_vec_id"])
 
 
 def ensure_library(
@@ -125,13 +177,22 @@ def ensure_library(
     algorithm: str | None = None,
     root: str | None = None,
 ) -> str:
-    """Lazy build: rebuild the library's stored index only if its
-    partition directory is absent (the reference's build-on-first-use,
-    vector_service.py:214-241)."""
+    """Lazy build with STALENESS detection: rebuild the library's stored
+    index if its partition is absent (the reference's build-on-first-use,
+    vector_service.py:214-241) OR the stored data fingerprint no longer
+    matches the current embeddings partition (dataset regenerated under
+    the same sf tag)."""
     algorithm = algorithm or default_algorithm(library)
     base = index_root(sf_dir, root)
     table = {"lsh": "lsh_index", "grid": "grid_index", "flat": "registry"}[algorithm]
-    if not _partition_exists(base, table, library):
+    stale = not _partition_exists(spark, base, table, library)
+    if not stale:
+        stored = _stored_fingerprint(spark, base, library)
+        current = _data_fingerprint(
+            load(spark, sf_dir, "embeddings").filter(F.col("label") == library)
+        )
+        stale = stored is None or stored != current
+    if stale:
         rebuild_library(spark, sf_dir, library, algorithm, root)
     return base
 
@@ -161,7 +222,7 @@ def lsh_probe(
     qbits = lsh_ops.query_bits(qvec, lsh_ops.hyperplanes(len(qvec)))
 
     idx_path = os.path.join(base, "lsh_index")
-    if not os.path.isdir(idx_path):  # empty library: rebuild stored nothing
+    if not _fs_exists(spark, idx_path):  # empty library: rebuild stored nothing
         emb = load(spark, sf_dir, "embeddings")
         return emb.select("vec_id", "label", F.lit(0.0).alias("score")).limit(0)
     idx = spark.read.parquet(idx_path).filter(F.col("label") == library)
@@ -206,7 +267,7 @@ def grid_probe(
         .filter(F.col("label") == library)
         .select("mins", "maxs")
         .head()
-    ) if os.path.isdir(bounds_path) else None
+    ) if _fs_exists(spark, bounds_path) else None
     if brow is None:  # empty library short-circuit
         emb = load(spark, sf_dir, "embeddings")
         return emb.select("vec_id", "label", F.lit(0.0).alias("score")).limit(0)
