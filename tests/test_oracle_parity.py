@@ -49,6 +49,30 @@ def test_rows_only_smoke(spark, name):
     assert len(df.schema) > 0
 
 
+def test_blocked_pair_recall_cap_engages_identically(spark, con):
+    """The default sample_cap never triggers at test scales (pct stays at
+    sample_pct), so plain parity doesn't prove the cap arithmetic. Force
+    it with a tiny cap: the effective pct must shrink BELOW sample_pct on
+    both sides via the same integer-ceil formula, and the two sides must
+    still select the exact same sample (value parity on the report)."""
+    from vector_db_service_spark.operators import ann
+    from vector_db_service_spark import oracles_pipeline as opl
+    from vector_db_service_spark.sources.tables import load
+
+    n = load(spark, SF, "embeddings").count()
+    cap = max(1, n // 10)  # guaranteed < 50% of the corpus
+    expect_pct = min(50, max(1, (100 * cap + n - 1) // n))
+    assert expect_pct < 50, "cap too large to engage at this scale"
+
+    dim = load(spark, SF, "embeddings").select("embedding").head()[0]
+    sdf = ann.blocked_pair_recall(spark, SF, threshold=0.3, sample_cap=cap)
+    odf = con.sql(
+        opl.blocked_pair_recall_sql(threshold=0.3, dim=len(dim), sample_cap=cap)
+    ).df()
+    problems = compare(sdf, odf)
+    assert not problems, "; ".join(problems[:6])
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0

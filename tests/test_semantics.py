@@ -223,3 +223,29 @@ def test_knn_safe_swallows_internal_errors_only(spark, monkeypatch):
     safe = knn_ops.knn_safe(spark, SF, query_id=0, k=5).collect()
     plain = knn_ops.knn(spark, SF, query_id=0, k=5).collect()
     assert safe == plain
+
+
+def test_knn_safe_swallows_executor_side_errors(spark, monkeypatch):
+    """The swallow covers EXECUTION, not just plan construction
+    (reference vector_service.py:290-310 wraps the whole search): a
+    failure raised on executors at evaluation time — injected here as a
+    data-dependent raise_error inside the score expression, which only
+    fires when tasks actually evaluate rows — degrades to the empty
+    frame because knn_safe forces the result eagerly inside the try."""
+    real = knn_ops.score_all
+
+    def runtime_boom(emb, qvec, metric="cosine", library=None):
+        df = real(emb, qvec, metric, library)
+        poisoned = F.when(
+            F.col("vec_id") >= 0, F.raise_error(F.lit("shard corrupted"))
+        ).otherwise(F.col("score"))
+        return df.withColumn("score", poisoned)
+
+    monkeypatch.setattr(knn_ops, "score_all", runtime_boom)
+    # the unwrapped plan builds fine and only fails when evaluated
+    lazy = knn_ops.knn(spark, SF, query_id=0, k=5)
+    with pytest.raises(Exception, match="shard corrupted"):
+        lazy.collect()
+    df = knn_ops.knn_safe(spark, SF, query_id=0, k=5)
+    assert df.columns == ["vec_id", "label", "score"]
+    assert df.count() == 0

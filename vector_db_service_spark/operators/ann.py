@@ -596,21 +596,31 @@ def blocked_pair_recall(
     threshold: float = 0.5,
     band_bits: int = 2,
     sample_pct: int = 50,
+    sample_cap: int = 10_000,
 ) -> DataFrame:
     """Measured recall of the sign-band candidate blocking used by
     knn_join and dedup.embedding_near_dups — the pair-space counterpart
     of index_recall_report. Ground truth (exact all-pairs >= threshold)
-    is computed on a DETERMINISTIC md5-hash sample of the vectors so the
-    quadratic side stays bounded at any corpus size; the blocked side
-    runs the identical banded join on the same sample. Blocked pairs are
-    a subset of exact pairs (candidates ∩ verify ⊆ all-pairs ∩ verify),
-    so recall = n_blocked / n_exact with no intersection join."""
+    is computed on a DETERMINISTIC md5-hash sample of the vectors; the
+    blocked side runs the identical banded join on the same sample.
+    Blocked pairs are a subset of exact pairs (candidates ∩ verify ⊆
+    all-pairs ∩ verify), so recall = n_blocked / n_exact with no
+    intersection join.
+
+    A proportional sample alone does NOT bound the quadratic side — it
+    grows with the corpus — so the effective pct is shrunk until the
+    expected sample is <= `sample_cap` rows (like product_quantize's
+    train_cap): the exact join costs at most ~cap^2/2 comparisons at any
+    corpus size. Integer ceil arithmetic, mirrored digit-for-digit in
+    blocked_pair_recall_sql so operator and oracle select the same rows."""
     from .lsh import NUM_HASHES, SEED, band_keys, hyperplanes
 
     emb = load(spark, sf_dir, "embeddings")
+    n = max(emb.count(), 1)
+    eff_pct = min(sample_pct, max(1, (100 * sample_cap + n - 1) // n))
     bucket = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10) \
         .cast("long") % 100
-    s = emb.filter(bucket < sample_pct).select(
+    s = emb.filter(bucket < eff_pct).select(
         "label", "vec_id", "embedding", sim.norm(F.col("embedding")).alias("nrm")
     )
     cos = F.when(

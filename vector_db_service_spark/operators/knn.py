@@ -136,9 +136,16 @@ def knn_safe(
     which the reference rejects at the schema layer before the swallow
     wrapper) RE-RAISE; any OTHER internal failure returns the empty
     search-response frame instead of propagating — search degrades to
-    zero results, it never 500s."""
+    zero results, it never 500s.
+
+    The reference swallow wraps the WHOLE search execution, not just
+    request planning — so the result is forced EAGERLY here (a
+    localCheckpoint of the <= k-row top-k, i.e. exactly the job the
+    caller was about to run, with no recompute on collect): executor-side
+    failures at evaluation time degrade to the empty frame too, instead
+    of leaking out of a lazily returned plan."""
     try:
-        return knn(spark, sf_dir, **kwargs)
+        return knn(spark, sf_dir, **kwargs).localCheckpoint(eager=True)
     except (KeyError, ValueError):
         raise
     except Exception:

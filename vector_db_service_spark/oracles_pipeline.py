@@ -230,22 +230,29 @@ SELECT label, vec_id_1, vec_id_2, cos FROM pairs WHERE cos >= {threshold!r}
 
 
 def blocked_pair_recall_sql(threshold: float = 0.5, dim: int = 64,
-                            band_bits: int = 2, sample_pct: int = 50) -> str:
+                            band_bits: int = 2, sample_pct: int = 50,
+                            sample_cap: int = 10_000) -> str:
     """Mirror of operators/ann.py::blocked_pair_recall — deterministic
-    md5 vector sample, quadratic exact pairs on the sample as ground
-    truth, banded pairs on the same sample, recall = blocked/exact.
-    `dim` must equal the corpus dimension (the operator infers it; this
-    static SQL mirrors the driver data's _DIM)."""
+    md5 vector sample (pct shrunk so the sample stays <= sample_cap rows,
+    identical integer-ceil arithmetic to the operator), quadratic exact
+    pairs on the sample as ground truth, banded pairs on the same sample,
+    recall = blocked/exact. `dim` must equal the corpus dimension (the
+    operator infers it; this static SQL mirrors the driver data's _DIM)."""
     from .operators.lsh import NUM_HASHES, SEED, hyperplanes
     from .oracles import banded_cte_sql
 
     planes = hyperplanes(dim, NUM_HASHES, SEED)
     cos = METRIC_SQL["cosine"]("a.embedding", "b.embedding")
+    eff_pct = (
+        f"(SELECT LEAST({sample_pct}, GREATEST(1, "
+        f"(100 * {sample_cap} + GREATEST(count(*), 1) - 1) "
+        f"// GREATEST(count(*), 1))) FROM embeddings)"
+    )
     return f"""
 WITH s AS MATERIALIZED (
   SELECT label, vec_id, embedding FROM embeddings
   WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
-        % 100 < {sample_pct}
+        % 100 < {eff_pct}
 ),
 banded AS MATERIALIZED (
 {banded_cte_sql(planes, band_bits, source='s')}
