@@ -76,6 +76,22 @@ def test_pair_ops_join_on_band_keys_not_label_alone(spark):
             assert "band_key" in ln, f"{name}: pair join not band-bucketed: {ln}"
 
 
+def test_pair_ops_dedup_without_shuffle(spark):
+    """Multi-band candidate duplicates must die MAP-SIDE on the
+    first-collision predicate (lsh.first_collision), not via distinct:
+    a distinct would shuffle the entire candidate pair stream — at
+    100 TB the largest intermediate of the pair pipeline. The physical
+    plan of a pair query must therefore contain NO aggregate at all
+    (the only shuffles are the band-key join and, for knn_join, the
+    per-src window)."""
+    for name in ("ann_knn_join", "dedup_embedding_pairs",
+                 "dedup_simhash_pairs", "dedup_minhash_pairs",
+                 "dedup_containment_pairs"):
+        plan = _plan(E.QUERIES[name](spark, SF))
+        assert "HashAggregate" not in plan and "SortAggregate" not in plan, \
+            f"{name} still dedups via an aggregate (distinct) shuffle"
+
+
 def test_partitioned_write_enables_pruning(spark, tmp_path):
     """At scale the embedding table is written partitionBy(label); verify
     a library-scoped read of that layout prunes to one partition

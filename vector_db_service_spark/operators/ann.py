@@ -613,7 +613,7 @@ def blocked_pair_recall(
     train_cap): the exact join costs at most ~cap^2/2 comparisons at any
     corpus size. Integer ceil arithmetic, mirrored digit-for-digit in
     blocked_pair_recall_sql so operator and oracle select the same rows."""
-    from .lsh import NUM_HASHES, SEED, band_keys, hyperplanes
+    from .lsh import NUM_HASHES, SEED, band_keys, first_collision, hyperplanes
 
     emb = load(spark, sf_dir, "embeddings")
     n = max(emb.count(), 1)
@@ -650,16 +650,29 @@ def blocked_pair_recall(
     planes = hyperplanes(dim, NUM_HASHES, SEED)
     banded = s.select(
         "label", "vec_id", "embedding", "nrm",
-        F.posexplode(band_keys(F.col("embedding"), planes, band_bits))
-        .alias("band_idx", "band_key"),
+        band_keys(F.col("embedding"), planes, band_bits).alias("bands"),
+    ).select(
+        "label", "vec_id", "embedding", "nrm", "bands",
+        F.posexplode("bands").alias("band_idx", "band_key"),
     )
-    ba, bb = _sides(banded, ["band_idx", "band_key"])
+    ba = banded.select(
+        "label", "band_idx", "band_key", F.col("vec_id").alias("vec_id_1"),
+        F.col("embedding").alias("e1"), F.col("nrm").alias("n1"),
+        F.col("bands").alias("b1"),
+    )
+    bb = banded.select(
+        "label", "band_idx", "band_key", F.col("vec_id").alias("vec_id_2"),
+        F.col("embedding").alias("e2"), F.col("nrm").alias("n2"),
+        F.col("bands").alias("b2"),
+    )
+    # same shuffle-free dedup as the production pair ops it measures:
+    # first-collision predicate instead of distinct (lsh.first_collision)
     blocked = (
         ba.join(bb, ["label", "band_idx", "band_key"])
         .filter(F.col("vec_id_1") < F.col("vec_id_2"))
+        .filter(F.col("band_idx") == first_collision(F.col("b1"), F.col("b2")))
         .filter(F.round(cos, 6) >= F.lit(threshold))
         .select("label", "vec_id_1", "vec_id_2")
-        .distinct()
     )
 
     return (
@@ -750,25 +763,32 @@ def knn_join(
     per band of the pair space. Top-m is computed among banded
     candidates (recall measured by blocked_pair_recall; a source whose
     true neighbor shares no band ranks its best colliding neighbors
-    instead). The oracle mirrors the identical candidate generation, so
-    the parity check stays exact."""
-    from .lsh import NUM_HASHES, SEED, band_keys, hyperplanes
+    instead). Multi-band duplicates are dropped map-side by the
+    first-collision predicate (lsh.first_collision) instead of a
+    distinct shuffle, so each candidate pair is scored exactly once.
+    The oracle mirrors the identical candidate generation (its DISTINCT
+    form produces the same set), so the parity check stays exact."""
+    from .lsh import NUM_HASHES, SEED, band_keys, first_collision, hyperplanes
 
     emb = load(spark, sf_dir, "embeddings")
     dim = emb.select(F.size("embedding")).head()[0]
     planes = hyperplanes(dim, NUM_HASHES, SEED)
     banded = emb.select(
         "label", "vec_id", "embedding", sim.norm(F.col("embedding")).alias("nrm"),
-        F.posexplode(band_keys(F.col("embedding"), planes, band_bits))
-        .alias("band_idx", "band_key"),
+        band_keys(F.col("embedding"), planes, band_bits).alias("bands"),
+    ).select(
+        "label", "vec_id", "embedding", "nrm", "bands",
+        F.posexplode("bands").alias("band_idx", "band_key"),
     )
     a = banded.select(
         "label", "band_idx", "band_key", F.col("vec_id").alias("src"),
         F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+        F.col("bands").alias("ba"),
     )
     b = banded.select(
         "label", "band_idx", "band_key", F.col("vec_id").alias("dst"),
         F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+        F.col("bands").alias("bb"),
     )
     cos = F.when(
         (F.col("na") == F.lit(0.0)) | (F.col("nb") == F.lit(0.0)), F.lit(0.0)
@@ -777,9 +797,9 @@ def knn_join(
     return (
         a.join(b, ["label", "band_idx", "band_key"])
         .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("band_idx") == first_collision(F.col("ba"), F.col("bb")))
         .withColumn("score", F.round(cos, 6))
         .select("label", "src", "dst", "score")
-        .distinct()
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= m)
         .select("label", "src", "dst", "score", "rnk")

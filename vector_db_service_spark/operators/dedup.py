@@ -57,17 +57,30 @@ def exact_dedup_keep_first(docs: DataFrame) -> DataFrame:
     )
 
 
-def _pair_join(keyed: DataFrame, key_cols: list[str], payload: list[str]) -> DataFrame:
-    """Candidate pairs sharing a bucket key: equi-self-join, id1 < id2,
-    distinct. The only shuffle is on the bucket key."""
-    left = keyed.select(*key_cols, *[F.col(c).alias(f"{c}_1") for c in payload])
-    right = keyed.select(*key_cols, *[F.col(c).alias(f"{c}_2") for c in payload])
-    return (
-        left.join(right, key_cols)
-        .filter(F.col(f"{payload[0]}_1") < F.col(f"{payload[0]}_2"))
-        .select([f"{c}_1" for c in payload] + [f"{c}_2" for c in payload])
-        .distinct()
+def _pair_join(keyed: DataFrame, key_cols: list[str], payload: list[str],
+               bands_col: str | None = None) -> DataFrame:
+    """Candidate pairs sharing a bucket key: equi-self-join, id1 < id2.
+    The only shuffle is on the bucket key.
+
+    With `bands_col` (the full band-key array, present on both sides),
+    multi-band duplicates are dropped MAP-SIDE by the first-collision
+    predicate (lsh.first_collision) — key_cols[0] must be the band
+    index. Without it, the legacy distinct shuffle dedups."""
+    carry = payload + ([bands_col] if bands_col else [])
+    left = keyed.select(*key_cols, *[F.col(c).alias(f"{c}_1") for c in carry])
+    right = keyed.select(*key_cols, *[F.col(c).alias(f"{c}_2") for c in carry])
+    out_cols = [f"{c}_1" for c in payload] + [f"{c}_2" for c in payload]
+    pairs = left.join(right, key_cols).filter(
+        F.col(f"{payload[0]}_1") < F.col(f"{payload[0]}_2")
     )
+    if bands_col is None:
+        return pairs.select(out_cols).distinct()
+    from .lsh import first_collision
+
+    return pairs.filter(
+        F.col(key_cols[0])
+        == first_collision(F.col(f"{bands_col}_1"), F.col(f"{bands_col}_2"))
+    ).select(out_cols)
 
 
 def minhash_near_dups(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
@@ -82,8 +95,10 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
         H.minhash_bands(sig).alias("bands"),
         F.array_distinct(H.shingles(F.col("text"))).alias("sh"),
     ).localCheckpoint(eager=False)
-    keyed = pre.select("doc_id", F.posexplode("bands").alias("band_idx", "band_key"))
-    pairs = _pair_join(keyed, ["band_idx", "band_key"], ["doc_id"])
+    keyed = pre.select(
+        "doc_id", "bands", F.posexplode("bands").alias("band_idx", "band_key")
+    )
+    pairs = _pair_join(keyed, ["band_idx", "band_key"], ["doc_id"], bands_col="bands")
     sh = pre.select("doc_id", "sh")
     j = (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_id_1").withColumnRenamed("sh", "sh_1"), "doc_id_1")
@@ -123,17 +138,26 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     right = keyed.select(
         "block_idx", "block_key", F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh_2")
     )
-    # hamming-verify BEFORE distinct: the bit_count filter is map-side and
-    # cheap, while distinct is a shuffle — on a skewed block bucket the
-    # candidate multiset is ~15x larger than the verified pair set, so
-    # filtering first shrinks the only expensive shuffle
+    # both dedup stages are MAP-SIDE: the hamming bit_count verify, then
+    # the first-collision predicate (lsh.first_collision) over the block
+    # arrays — recomputed from the fingerprints both sides already carry
+    # (4 shift/mask ops) — which keeps a multi-block-colliding pair only
+    # in its first shared block. No distinct: the candidate pair stream
+    # is never shuffled at all
+    from .lsh import first_collision
+
     return (
         left.join(right, ["block_idx", "block_key"])
         .filter(F.col("doc_id_1") < F.col("doc_id_2"))
         .withColumn("hamming", H.hamming(F.col("sh_1"), F.col("sh_2")))
         .filter(F.col("hamming") <= max_hamming)
+        .filter(
+            F.col("block_idx")
+            == first_collision(
+                H.simhash_blocks(F.col("sh_1")), H.simhash_blocks(F.col("sh_2"))
+            )
+        )
         .select("doc_id_1", "doc_id_2", "hamming")
-        .distinct()
     )
 
 
@@ -177,7 +201,7 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.8,
     banding knob is measured by ann.blocked_pair_recall (sampled exact
     ground truth); the oracle mirrors the identical banded candidates,
     so the check stays exact."""
-    from .lsh import NUM_HASHES, SEED, band_keys, hyperplanes
+    from .lsh import NUM_HASHES, SEED, band_keys, first_collision, hyperplanes
 
     dim = emb.select(F.size("embedding")).head()[0]
     planes = hyperplanes(dim, NUM_HASHES, SEED)
@@ -185,27 +209,35 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.8,
     # (n vs n^2 norm evaluations), pairs then need only the dot product
     banded = emb.select(
         "label", "vec_id", "embedding", sim.norm(F.col("embedding")).alias("nrm"),
-        F.posexplode(band_keys(F.col("embedding"), planes, band_bits))
-        .alias("band_idx", "band_key"),
+        band_keys(F.col("embedding"), planes, band_bits).alias("bands"),
+    ).select(
+        "label", "vec_id", "embedding", "nrm", "bands",
+        F.posexplode("bands").alias("band_idx", "band_key"),
     )
     a = banded.select(
         "label", "band_idx", "band_key", F.col("vec_id").alias("vec_id_1"),
         F.col("embedding").alias("e1"), F.col("nrm").alias("n1"),
+        F.col("bands").alias("b1"),
     )
     b = banded.select(
         "label", "band_idx", "band_key", F.col("vec_id").alias("vec_id_2"),
         F.col("embedding").alias("e2"), F.col("nrm").alias("n2"),
+        F.col("bands").alias("b2"),
     )
     cos = F.when(
         (F.col("n1") == F.lit(0.0)) | (F.col("n2") == F.lit(0.0)), F.lit(0.0)
     ).otherwise(sim.dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")))
+    # multi-band duplicates die map-side on the first-collision predicate
+    # (lsh.first_collision) — no distinct shuffle of the pair stream, and
+    # the 64-dim dot product runs once per unique pair, not once per
+    # colliding band
     return (
         a.join(b, ["label", "band_idx", "band_key"])
         .filter(F.col("vec_id_1") < F.col("vec_id_2"))
+        .filter(F.col("band_idx") == first_collision(F.col("b1"), F.col("b2")))
         .withColumn("cos", F.round(cos, 6))
         .filter(F.col("cos") >= F.lit(threshold))
         .select("label", "vec_id_1", "vec_id_2", "cos")
-        .distinct()
     )
 
 
@@ -280,8 +312,10 @@ def containment_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         H.minhash_bands(sig).alias("bands"),
         F.array_distinct(H.shingles(F.col("text"))).alias("sh"),
     ).localCheckpoint(eager=False)
-    keyed = pre.select("doc_id", F.posexplode("bands").alias("band_idx", "band_key"))
-    pairs = _pair_join(keyed, ["band_idx", "band_key"], ["doc_id"])
+    keyed = pre.select(
+        "doc_id", "bands", F.posexplode("bands").alias("band_idx", "band_key")
+    )
+    pairs = _pair_join(keyed, ["band_idx", "band_key"], ["doc_id"], bands_col="bands")
     sh = pre.select("doc_id", "sh")
     joined = (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_id_1").withColumnRenamed("sh", "sh_1"), "doc_id_1")

@@ -117,6 +117,28 @@ def band_keys(vec_col: Column, planes: list[list[float]], band_bits: int = 2) ->
     return F.array(*keys)
 
 
+def first_collision(bands_1: Column, bands_2: Column) -> Column:
+    """0-based index of the FIRST position where two band-key arrays
+    agree — the shuffle-free deduplication predicate for banded
+    self-joins.
+
+    A candidate pair colliding in c >= 1 bands appears c times in a
+    banded equi-join (once per colliding band); the classic fix is
+    `.distinct()`, which shuffles the ENTIRE candidate pair stream — at
+    100 TB that shuffle, not the join, is the pipeline's biggest
+    intermediate. When both join sides carry their full band-key array
+    (a few small ints next to a 64-double embedding: free), the
+    duplicate rows are instead dropped MAP-SIDE by keeping only the row
+    whose band_idx equals the first agreeing index — exactly one
+    representative per unique pair, no shuffle, and per-pair scoring
+    (dot products, jaccard) runs once instead of c times. Output sets
+    are provably identical to the distinct form, so DuckDB oracles keep
+    their DISTINCT formulation unchanged."""
+    return F.array_position(
+        F.zip_with(bands_1, bands_2, lambda x, y: x == y), F.lit(True)
+    ) - F.lit(1)
+
+
 def query_bits(qvec: list[float], planes: list[list[float]]) -> list[int]:
     """Query-side signature, computed driver-side with the same float64
     arithmetic the executors use."""

@@ -467,8 +467,8 @@ normv AS (
               ELSE list_transform(rq, x -> round(x / {nrm('rq')}, 6)) END AS nq
   FROM rawv
 )
-SELECT doc_id, nd[1] AS d0, nq[1] AS q0,
-       round({cosine_sql('nd', 'nq')}, 6) AS cos_dq
+SELECT doc_id, nd[1] + 0.0 AS d0, nq[1] + 0.0 AS q0,
+       round({cosine_sql('nd', 'nq')}, 6) + 0.0 AS cos_dq
 FROM normv
 """
 
