@@ -35,6 +35,27 @@ def test_pq_adc_orders_by_exact_distance(spark, sf_dir):
     assert dists == sorted(dists)
 
 
+def test_ivfpq_recall_vs_exact(spark):
+    """The composed IVF-PQ serving path: with nprobe=4 of n_lists=7 the
+    probed lists cover ~4/7 of the structureless corpus, and the exact
+    re-rank keeps ordering honest — the self-match must survive routing
+    and the result must order by exact distance."""
+    approx = ann.ivfpq_topk(spark, SF_001, query_id=0, k=10)
+    exact = knn.knn_distance(spark, SF_001, query_id=0, k=10, metric="euclidean")
+    rows = approx.collect()
+    assert len(rows) == 10
+    a = {r["vec_id"] for r in rows}
+    e = {r["vec_id"] for r in exact.collect()}
+    assert 0 in a, "self-match pruned by IVF routing"
+    assert rows[0]["vec_id"] == 0 and rows[0]["dist"] == 0.0
+    dists = [r["dist"] for r in rows]
+    assert dists == sorted(dists)
+    # deterministic seeded pipeline => stable measured overlap; on the
+    # structureless synthetic corpus routing keeps ~nprobe/n_lists of
+    # the true top-k, so require at least half
+    assert len(a & e) >= 5, (sorted(a), sorted(e))
+
+
 def test_pq_train_guards(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     # clamp: asking for more centroids than sample rows must not raise

@@ -1037,6 +1037,13 @@ register(
     lambda s, d: ann.pq_topk(s, d, query_id=0, k=10, n_subvectors=8),
 )
 register(
+    # the composed serving path: IVF routing (partition pruning) over
+    # the PQ code table (ADC scan) + exact re-rank (rows-only: seeded
+    # KMeans quantizer + codebooks)
+    "ann_ivfpq_topk",
+    lambda s, d: ann.ivfpq_topk(s, d, query_id=0, k=10),
+)
+register(
     "mllib_brp_approx_knn",
     lambda s, d: mllib_index.brp_approx_knn(s, d, query_id=0, k=10),
 )

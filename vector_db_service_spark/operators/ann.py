@@ -124,7 +124,9 @@ def ivf_kmeans_topk(
         "vec", array_to_vector(F.col("embedding").cast("array<double>"))
     )
     km = KMeans(k=n_lists, seed=42, featuresCol="vec", predictionCol="list_id")
-    model = km.fit(emb)
+    # quantizer trains on a bounded deterministic sample; ASSIGNMENT
+    # stays a single full-corpus transform (one distributed pass)
+    model = km.fit(_quantizer_train_sample(emb))
     assigned = model.transform(emb)
 
     qrow = emb.filter(F.col("vec_id") == query_id).select("embedding").head()
@@ -328,7 +330,7 @@ def ivf_kmeans_recall_sweep(
         "vec", array_to_vector(F.col("embedding").cast("array<double>"))
     )
     km = KMeans(k=n_lists, seed=42, featuresCol="vec", predictionCol="list_id")
-    model = km.fit(emb)
+    model = km.fit(_quantizer_train_sample(emb))
     assigned = model.transform(emb).select("vec_id", "label", "embedding", "list_id")
 
     queries = assigned.filter(F.col("vec_id").isin(query_ids)).select(
@@ -384,6 +386,25 @@ def ivf_kmeans_recall_sweep(
         out = res if out is None else out.unionByName(res)
     assert out is not None
     return out.orderBy("nprobe", "query_id")
+
+
+def _quantizer_train_sample(emb: DataFrame, train_cap: int = 100_000) -> DataFrame:
+    """Bounded DETERMINISTIC training subset for coarse-quantizer fits
+    (KMeans IVF): the effective md5-bucket pct shrinks until the expected
+    sample is <= train_cap rows (same integer-ceil arithmetic as
+    blocked_pair_recall's cap). Fitting a quantizer on the FULL corpus is
+    the standard IVF scale mistake — at 100 TB the fit would be a
+    corpus-sized iterative job per build, while centroid quality needs
+    thousands of points per cell, not billions (same argument as
+    _pq_train). At test scales pct stays 100 and the sample is the whole
+    corpus, so measured recall numbers are unchanged."""
+    n = max(emb.count(), 1)
+    pct = min(100, max(1, (100 * train_cap + n - 1) // n))
+    if pct >= 100:
+        return emb
+    bucket = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10) \
+        .cast("long") % 100
+    return emb.filter(bucket < pct)
 
 
 def _pq_train(
@@ -542,6 +563,100 @@ def pq_topk(
         rer.orderBy(F.asc("dist"), F.asc("vec_id"))
         .limit(k)
         .select("vec_id", "label", "adc", "dist")
+    )
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    n_lists: int = 7,
+    nprobe: int = 4,
+    n_subvectors: int = 8,
+    codebook_k: int = 16,
+    train_pct: int = 25,
+    rerank: int = 200,
+) -> DataFrame:
+    """IVF-PQ — the full 100 TB ANN serving shape, composing the two
+    halves this module already measures separately: KMeans-IVF routing
+    (scan only the nprobe nearest inverted lists) over a PQ-compressed
+    code table (ADC scan reads 8 bytes/vector, not 64 floats), then an
+    exact re-rank of the survivors.
+
+    Plan shape and why it scales:
+      1. Coarse quantizer trains on a bounded deterministic sample
+         (_quantizer_train_sample); assignment is ONE distributed
+         transform. At scale list_id is the code table's partition key.
+      2. Routing is DRIVER-SIDE numpy over n_lists centroids (tiny,
+         constant) — the probed list filter reaches the scan as
+         partition pruning, so 100-nprobe/n_lists of the corpus is
+         never read.
+      3. ADC scan: per-subspace query-to-centroid LUTs inlined as array
+         literals, approximate distance = sum of LUT lookups over the
+         code columns — whole-stage-codegen projection, no join, no
+         python; top-`rerank` via TakeOrderedAndProject.
+      4. Exact euclidean re-rank of the <= rerank candidates via a
+         broadcast join back to the embedding table.
+
+    Seeded KMeans (MLlib quantizer + numpy Lloyd codebooks) makes the
+    result deterministic but not SQL-reproducible — rows-only check;
+    recall vs exact is pinned in tests/test_pq_adc.py."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from .knn import validate_k
+
+    validate_k(k)
+    emb = load(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == query_id).select("embedding").head()
+    if qrow is None:
+        raise KeyError(f"query vector {query_id} not found")
+    q = [float(x) for x in qrow[0]]
+
+    vecs = emb.withColumn(
+        "vec", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    km = KMeans(k=n_lists, seed=42, featuresCol="vec", predictionCol="list_id")
+    model = km.fit(_quantizer_train_sample(vecs))
+    assigned = model.transform(vecs).select("vec_id", "label", "embedding", "list_id")
+
+    centers = np.asarray([list(c) for c in model.clusterCenters()], dtype=np.float64)
+    d2 = ((centers - np.asarray(q)) ** 2).sum(axis=1)
+    probed = [int(i) for i in np.lexsort((np.arange(len(d2)), d2))[:nprobe]]
+
+    codebooks, sub_dim = _pq_train(
+        emb, n_subvectors=n_subvectors, codebook_k=codebook_k, train_pct=train_pct
+    )
+    codes_cols, _ = _pq_code_exprs(codebooks, sub_dim)
+
+    adc_terms = []
+    for s, cents in enumerate(codebooks):
+        qs = q[s * sub_dim:(s + 1) * sub_dim]
+        lut = [
+            sum((qi - float(ci)) ** 2 for qi, ci in zip(qs, c)) for c in cents
+        ]
+        lut_sql = "array(" + ", ".join(repr(float(x)) for x in lut) + ")"
+        adc_terms.append(f"element_at({lut_sql}, code{s} + 1)")
+    adc = F.expr(" + ".join(adc_terms))
+
+    cand_ids = (
+        assigned.filter(F.col("list_id").isin(probed))
+        .select("vec_id", "list_id", *codes_cols)
+        .withColumn("adc", adc)
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(rerank)
+        .select("vec_id", "list_id", F.round("adc", 6).alias("adc"))
+    )
+    qlit = sim.vector_lit(q)
+    rer = emb.join(F.broadcast(cand_ids), "vec_id").withColumn(
+        "dist", F.round(sim.DISTANCES["euclidean"](F.col("embedding"), qlit), 6)
+    )
+    return (
+        rer.orderBy(F.asc("dist"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "label", "list_id", "adc", "dist")
     )
 
 
