@@ -27,8 +27,12 @@ from .text import token_hashes
 EMBED_DIM = 16
 
 
-def hash_embedding(text: Column, dim: int = EMBED_DIM) -> Column:
-    """Hashed bag-of-words embedding: array<double> of length `dim`."""
+def embedding_from_hashes(hashes: Column, dim: int = EMBED_DIM) -> Column:
+    """The accumulate+normalize half of the hash embedding, over an
+    already-computed token-hash array. Split out so callers that derive
+    several encodings from ONE tokenization (e.g. the document/query
+    input_type asymmetry) can let-bind the token array once instead of
+    re-running split+md5 per encoder."""
 
     def _accum(hs: Column) -> Column:
         def _component(i: Column) -> Column:
@@ -47,4 +51,9 @@ def hash_embedding(text: Column, dim: int = EMBED_DIM) -> Column:
             F.transform(raw, lambda x: F.round(x / n, 6))
         )
 
-    return let(let(token_hashes(text), _accum), _normalize)
+    return let(let(hashes, _accum), _normalize)
+
+
+def hash_embedding(text: Column, dim: int = EMBED_DIM) -> Column:
+    """Hashed bag-of-words embedding: array<double> of length `dim`."""
+    return embedding_from_hashes(token_hashes(text), dim)

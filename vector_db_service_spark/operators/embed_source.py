@@ -133,59 +133,40 @@ def embed_resilient_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embed_resilient(load(spark, sf_dir, "documents"))
 
 
-def _hash_embedding_salted(text, prefix: str, dim: int = EMBED_DIM):
-    """JVM-expression twin of default_encoder(input_type='search_query'):
-    the hash embedding over salted token hashes."""
-    from ..functions.embed import hash_embedding
-    from ..functions.hashing import let
-
-    if not prefix:
-        return hash_embedding(text, dim)
-    # same accumulation as functions/embed.py::hash_embedding, but over
-    # prefix-salted token hashes
-    salted = F.transform(tokens(text), lambda t: token_hash(F.concat(F.lit(prefix), t)))
-
-    def _accum(hs):
-        def _component(i):
-            def _merge(acc, h):
-                sign = (F.floor(h / F.lit(float(dim))).cast("long") % F.lit(2))
-                signed = (sign * F.lit(2) - F.lit(1)).cast("double")
-                return acc + F.when(h % F.lit(dim) == i, signed).otherwise(F.lit(0.0))
-
-            return F.aggregate(hs, F.lit(0.0), _merge)
-
-        return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), _component)
-
-    def _normalize(raw):
-        n = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda acc, x: acc + x * x))
-        return F.when(n == F.lit(0.0), raw).otherwise(
-            F.transform(raw, lambda x: F.round(x / n, 6))
-        )
-
-    return let(let(salted, _accum), _normalize)
-
-
 def embed_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The input_type asymmetry as a checkable query: embed every
     document under BOTH encoders (document vs query token-salt) and
     report first components + the cosine between the two encodings —
     demonstrably != 1, i.e. the two input types are different encoders
     (embedding_service.py:20,233-259). Pure JVM expressions; the oracle
-    mirrors both salted and unsalted hash pipelines."""
+    mirrors both salted and unsalted hash pipelines.
+
+    The token array is let-bound ONCE and both encoders derive from it
+    (codegen CSE skips lambda-bearing trees, so without the binding the
+    split+md5 pipeline would run once per use — ~6x here: two encoders
+    x element_at + the cosine's dot and two norms)."""
     from ..functions import similarity as sim
-    from ..functions.embed import hash_embedding
+    from ..functions.embed import embedding_from_hashes
     from ..functions.hashing import let
 
     docs = load(spark, sf_dir, "documents")
 
     def _both(t):
-        d = hash_embedding(t)
-        q = _hash_embedding_salted(t, QUERY_TOKEN_PREFIX)
-        return F.struct(
-            F.element_at(d, 1).alias("d0"),
-            F.element_at(q, 1).alias("q0"),
-            F.round(sim.cosine(d, q), 6).alias("cos_dq"),
-        )
+        def _with_tokens(tk):
+            d = embedding_from_hashes(F.transform(tk, token_hash))
+            q = embedding_from_hashes(
+                F.transform(
+                    tk,
+                    lambda x: token_hash(F.concat(F.lit(QUERY_TOKEN_PREFIX), x)),
+                )
+            )
+            return let(d, lambda dd: let(q, lambda qq: F.struct(
+                F.element_at(dd, 1).alias("d0"),
+                F.element_at(qq, 1).alias("q0"),
+                F.round(sim.cosine(dd, qq), 6).alias("cos_dq"),
+            )))
+
+        return let(tokens(t), _with_tokens)
 
     return (
         docs.select("doc_id", _both(F.col("text")).alias("st"))
