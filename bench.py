@@ -32,13 +32,19 @@ def main() -> None:
     entrypoints.flagship(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in sorted(entrypoints.QUERIES.items()):
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop sink: forces FULL materialization of every output column in
-        # one job (count() would let Catalyst prune the expressions being
-        # measured; limit(k) would compute only k rows)
-        df.write.mode("overwrite").format("noop").save()
+        try:
+            df = fn(spark, sf_dir)
+            # noop sink: forces FULL materialization of every output column
+            # in one job (count() would let Catalyst prune the expressions
+            # being measured; limit(k) would compute only k rows)
+            df.write.mode("overwrite").format("noop").save()
+        except Exception as exc:  # one broken query must not zero the round
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
@@ -48,6 +54,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "errors": errors,
         "sf": sf,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -63,6 +70,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
+        "n_errors": len(errors),
         "queries": top10,
         "sf": sf,
     }))

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..functions import similarity as sim
 from ..sources.tables import load
-from .knn import query_vector, validate_k
+from .knn import query_vector_row, validate_k
 
 CELL_SIZE = 0.1  # reference default, services/vector_service.py:34-37
 MAX_RADIUS = 3  # algorithms.py:651
@@ -153,7 +153,7 @@ def search(
     emb = load(spark, sf_dir, "embeddings")
     if library is not None:
         emb = emb.filter(F.col("label") == F.lit(library))
-    qvec = query_vector(spark, sf_dir, query_id)
+    qvec, qlabel = query_vector_row(spark, sf_dir, query_id)
     mins, maxs = bounds(emb)
     if not mins:  # empty library short-circuit (vector_service.py:226-241)
         return emb.select("vec_id", "label", F.lit(0.0).alias("score")).limit(0)
@@ -181,6 +181,24 @@ def search(
     )
 
     cand = with_r.crossJoin(F.broadcast(stop_r)).filter(F.col("r_needed") <= F.col("stop_r"))
+    # Empty-candidate fallback (reference algorithms.py:663-666 picks
+    # RANDOM cells). When the query vector's own row is inside the
+    # searched scope its cell is reachable at r=0, so the candidate set
+    # is PROVABLY non-empty and no check runs (the hot path stays as-is).
+    # Otherwise a limit-1 isEmpty probe decides; if it fires, fall back
+    # DETERMINISTICALLY to the nearest cells by Chebyshev distance from
+    # the query cell (max coord delta asc, vec_id asc), capped like a
+    # cell sample would be.
+    query_in_scope = library is None or qlabel == library
+    if not query_in_scope and cand.isEmpty():
+        qc = F.array(*[F.lit(c).cast("long") for c in qcell])
+        cheb = F.array_max(F.zip_with(cells, qc, lambda a, b: F.abs(a - b)))
+        cand = (
+            emb.withColumn("_cheb", cheb)
+            .orderBy(F.asc("_cheb"), F.asc("vec_id"))
+            .limit(max(4 * k, 32))
+            .drop("_cheb")
+        )
     scored = cand.withColumn(
         "score", F.round(sim.score(metric, F.col("embedding"), sim.vector_lit(qvec)), 6)
     )

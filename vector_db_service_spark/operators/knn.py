@@ -45,15 +45,25 @@ def query_vector(spark: SparkSession, sf_dir: str, query_id: int) -> list[float]
     analog of the reference embedding a query string before planning
     (services/vector_service.py:243-252); the vector enters the plan as
     a literal."""
+    return query_vector_row(spark, sf_dir, query_id)[0]
+
+
+def query_vector_row(
+    spark: SparkSession, sf_dir: str, query_id: int
+) -> tuple[list[float], int]:
+    """(embedding, label) of a stored vector. The label lets probe paths
+    prove their candidate set non-empty (the query's own row is always a
+    candidate when it is inside the searched scope) and skip the
+    empty-fallback check entirely on the hot path."""
     row = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == F.lit(query_id))
-        .select("embedding")
+        .select("embedding", "label")
         .head()
     )
     if row is None:
         raise KeyError(f"query vector {query_id} not found")
-    return list(row[0])
+    return list(row[0]), int(row[1])
 
 
 def score_all(

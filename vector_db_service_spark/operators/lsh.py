@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..functions import similarity as sim
 from ..sources.tables import load
-from .knn import query_vector, validate_k
+from .knn import query_vector_row, validate_k
 
 NUM_HASHES = 10  # reference default, services/vector_service.py:29-32
 SEED = 42
@@ -157,14 +157,20 @@ def candidates(emb: DataFrame, qvec: list[float], planes: list[list[float]]) -> 
         side = _plane_dot(F.col("embedding"), plane) >= F.lit(0.0)
         agree = side if bit == 1 else ~side
         match = agree if match is None else (match | agree)
-    # NOTE on the reference's empty-candidate fallback (algorithms.py:
-    # 393-398, sample-random-buckets): exclusion requires disagreeing
-    # with the query on ALL planes (~2^-num_hashes for random data), so
-    # an empty candidate set over a non-empty corpus is possible but
-    # vanishingly rare; the nondeterministic random-bucket fallback is
-    # deliberately not replicated (it would break oracle determinism).
-    # The empty-library short-circuit covers the common observable case.
     return emb.filter(match)
+
+
+def agreement_count(qvec: list[float], planes: list[list[float]]) -> Column:
+    """Number of hyperplanes on which a row's signature agrees with the
+    query's — the Hamming *similarity* of the two signatures. Used by the
+    deterministic empty-candidate fallback."""
+    qb = query_bits(qvec, planes)
+    total: Column = F.lit(0)
+    for plane, bit in zip(planes, qb):
+        side = _plane_dot(F.col("embedding"), plane) >= F.lit(0.0)
+        agree = side if bit == 1 else ~side
+        total = total + F.when(agree, F.lit(1)).otherwise(F.lit(0))
+    return total
 
 
 def search(
@@ -182,12 +188,29 @@ def search(
     `library` scopes the probe to one library's partition (the reference
     keeps one LSHIndex per library, services/vector_service.py:66)."""
     validate_k(k)
-    qvec = query_vector(spark, sf_dir, query_id)
+    qvec, qlabel = query_vector_row(spark, sf_dir, query_id)
     planes = hyperplanes(len(qvec), num_hashes, seed)
     emb = load(spark, sf_dir, "embeddings")
     if library is not None:
         emb = emb.filter(F.col("label") == F.lit(library))
     cand = candidates(emb, qvec, planes)
+    # Empty-candidate fallback (reference algorithms.py:393-398 samples
+    # RANDOM buckets). When the query vector's own row is inside the
+    # searched scope it agrees with itself on every plane, so the
+    # candidate set is PROVABLY non-empty and no check runs (the hot
+    # path stays one job). Otherwise a limit-1 isEmpty probe decides; if
+    # it fires, fall back DETERMINISTICALLY to the nearest buckets by
+    # signature Hamming similarity (agreeing-plane count desc, vec_id asc)
+    # instead of the reference's nondeterministic random sample; the cap
+    # bounds the re-rank exactly like a bucket sample would.
+    query_in_scope = library is None or qlabel == library
+    if not query_in_scope and cand.isEmpty():
+        cand = (
+            emb.withColumn("_agree", agreement_count(qvec, planes))
+            .orderBy(F.desc("_agree"), F.asc("vec_id"))
+            .limit(max(4 * k, 32))
+            .drop("_agree")
+        )
     scored = cand.withColumn(
         "score", F.round(sim.score(metric, F.col("embedding"), sim.vector_lit(qvec)), 6)
     )

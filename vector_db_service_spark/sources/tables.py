@@ -36,21 +36,38 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table. Column pruning + predicate pushdown reach the
     parquet scan because this stays a plain declarative read.
 
-    `events` is written with nanosecond timestamps, which Spark's parquet
-    reader rejects by default; we read them as raw int64 nanos
-    (legacy.parquet.nanosAsLong) and expose `ts_us` = epoch microseconds
-    (truncating, matching DuckDB's ns->us parquet conversion). Epoch
-    arithmetic is timezone-free, so results don't depend on the session
-    timezone the driver happens to configure."""
+    `events.ts` has shipped under two physical encodings across testdata
+    generations — int64 epoch-nanoseconds and parquet `timestamp[us]` — so
+    the loader branches on the type it actually finds rather than assuming
+    one. Either way it exposes `ts_us` = epoch microseconds, the
+    timezone-free representation every downstream operator and DuckDB
+    oracle (`epoch_us(ts)`) agrees on."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
+        # no-op when ts is already a timestamp; required to read ns-encoded
+        # files at all (Spark rejects timestamp[ns] otherwise)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts_us", _epoch_us(spark, df.schema["ts"].dataType)).drop("ts")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _epoch_us(spark: SparkSession, ts_type) -> F.Column:
+    """Epoch-microseconds expression for whichever physical type `ts` has."""
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    if isinstance(ts_type, LongType):
         # integer `div`, not `/`: nanos exceed 2^53, so double division
         # loses the low microsecond bits
-        return df.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return F.expr("ts div 1000")
+    if isinstance(ts_type, (TimestampType, TimestampNTZType)):
+        # NTZ -> TIMESTAMP cast applies the session timezone; pin it UTC so
+        # the wall-clock micros equal DuckDB's timezone-free epoch_us(ts)
+        # even when the driver owns the SparkSession
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return F.unix_micros(F.col("ts").cast("timestamp"))
+    raise TypeError(f"events.ts has unsupported type {ts_type}")
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -41,9 +41,12 @@ from ..sources.tables import load
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet with proper event-time.
-    The driver's events table carries nanosecond timestamps; they are read
-    as int64 nanos (legacy.parquet.nanosAsLong) and converted to a real
-    timestamp column for windowing."""
+    `ts` has shipped as both int64 epoch-nanos and parquet `timestamp[us]`
+    across testdata generations; branch on the type actually present
+    (mirrors sources/tables.py) and normalize to an `event_time` timestamp
+    for windowing."""
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the streaming file source needs a directory; glob-filter to the table
@@ -52,9 +55,14 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # integer `div` (not `/`): nanos exceed 2^53, double division would
-    # lose the low microsecond bits
-    return raw.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, LongType):
+        # integer `div` (not `/`): nanos exceed 2^53, double division would
+        # lose the low microsecond bits
+        return raw.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    # timestamp[us] (possibly NTZ): session tz is pinned UTC by the batch
+    # loader / session factory, so this cast is wall-clock-preserving
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return raw.withColumn("event_time", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(
