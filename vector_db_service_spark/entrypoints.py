@@ -605,6 +605,15 @@ register(
     lambda s, d: ann.knn_join(s, d, m=3),
     _knn_join_sql(m=3),
 )
+# Skew-salted variant: hot buckets split over 4 sub-keys
+# (SKEW_SALT_THRESHOLD remediation as code). hot_bucket_min is set low
+# enough that salting actually engages at test scale; the pair set is
+# provably identical, so the UNSALTED oracle checks it exactly.
+register(
+    "ann_knn_join_salted",
+    lambda s, d: ann.knn_join(s, d, m=3, salt=4, hot_bucket_min=20),
+    _knn_join_sql(m=3),
+)
 def _band_skew_sql(dim: int = _DIM, band_bits: int = 2,
                    threshold: float = 50.0) -> str:
     """Mirror of operators/ann.py::band_skew_report over the identical
@@ -1458,6 +1467,29 @@ SELECT label, count(*) AS n_vectors, first(len(embedding)) AS dim,
        ['flat', 'lsh', 'grid'][(label % 3) + 1] AS algorithm
 FROM embeddings GROUP BY label
 """,
+)
+
+
+# --- §2.13 observability: composed status + search-response metadata ------
+from .operators import observability  # noqa: E402
+
+register(
+    "obs_service_status",
+    observability.service_status,
+    observability.SERVICE_STATUS_SQL,
+)
+register(
+    "obs_search_meta",
+    lambda s, d: observability.search_meta(s, d, query_id=0, k=10, metric="cosine"),
+    observability.search_meta_sql(
+        oracles.knn_sql(query_id=0, k=10, metric="cosine"),
+        query_id=0, k=10, metric="cosine",
+    ),
+)
+# wall-clock timing is nondeterministic -> rows-only, no oracle
+register(
+    "obs_timed_search",
+    lambda s, d: observability.timed_search(s, d, query_id=0, k=10, metric="cosine"),
 )
 
 

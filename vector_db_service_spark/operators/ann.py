@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import similarity as sim
-from ..sources.tables import load
+from ..sources.tables import load, row_count
 
 
 def brute_force_topk(
@@ -126,7 +126,7 @@ def ivf_kmeans_topk(
     km = KMeans(k=n_lists, seed=42, featuresCol="vec", predictionCol="list_id")
     # quantizer trains on a bounded deterministic sample; ASSIGNMENT
     # stays a single full-corpus transform (one distributed pass)
-    model = km.fit(_quantizer_train_sample(emb))
+    model = km.fit(_quantizer_train_sample(emb, n_rows=row_count(sf_dir, "embeddings")))
     assigned = model.transform(emb)
 
     qrow = emb.filter(F.col("vec_id") == query_id).select("embedding").head()
@@ -330,7 +330,7 @@ def ivf_kmeans_recall_sweep(
         "vec", array_to_vector(F.col("embedding").cast("array<double>"))
     )
     km = KMeans(k=n_lists, seed=42, featuresCol="vec", predictionCol="list_id")
-    model = km.fit(_quantizer_train_sample(emb))
+    model = km.fit(_quantizer_train_sample(emb, n_rows=row_count(sf_dir, "embeddings")))
     assigned = model.transform(emb).select("vec_id", "label", "embedding", "list_id")
 
     queries = assigned.filter(F.col("vec_id").isin(query_ids)).select(
@@ -388,7 +388,9 @@ def ivf_kmeans_recall_sweep(
     return out.orderBy("nprobe", "query_id")
 
 
-def _quantizer_train_sample(emb: DataFrame, train_cap: int = 100_000) -> DataFrame:
+def _quantizer_train_sample(
+    emb: DataFrame, train_cap: int = 100_000, n_rows: int | None = None
+) -> DataFrame:
     """Bounded DETERMINISTIC training subset for coarse-quantizer fits
     (KMeans IVF): the effective md5-bucket pct shrinks until the expected
     sample is <= train_cap rows (same integer-ceil arithmetic as
@@ -397,8 +399,11 @@ def _quantizer_train_sample(emb: DataFrame, train_cap: int = 100_000) -> DataFra
     corpus-sized iterative job per build, while centroid quality needs
     thousands of points per cell, not billions (same argument as
     _pq_train). At test scales pct stays 100 and the sample is the whole
-    corpus, so measured recall numbers are unchanged."""
-    n = max(emb.count(), 1)
+    corpus, so measured recall numbers are unchanged. Callers that know
+    the source table pass `n_rows` from parquet footer metadata
+    (tables.row_count) so no count job runs; the `.count()` fallback
+    covers derived frames."""
+    n = max(n_rows if n_rows is not None else emb.count(), 1)
     pct = min(100, max(1, (100 * train_cap + n - 1) // n))
     if pct >= 100:
         return emb
@@ -619,7 +624,7 @@ def ivfpq_topk(
         "vec", array_to_vector(F.col("embedding").cast("array<double>"))
     )
     km = KMeans(k=n_lists, seed=42, featuresCol="vec", predictionCol="list_id")
-    model = km.fit(_quantizer_train_sample(vecs))
+    model = km.fit(_quantizer_train_sample(vecs, n_rows=row_count(sf_dir, "embeddings")))
     assigned = model.transform(vecs).select("vec_id", "label", "embedding", "list_id")
 
     centers = np.asarray([list(c) for c in model.clusterCenters()], dtype=np.float64)
@@ -731,7 +736,8 @@ def blocked_pair_recall(
     from .lsh import NUM_HASHES, SEED, band_keys, first_collision, hyperplanes
 
     emb = load(spark, sf_dir, "embeddings")
-    n = max(emb.count(), 1)
+    # footer-metadata row count: zero Spark jobs (tables.row_count)
+    n = max(row_count(sf_dir, "embeddings"), 1)
     eff_pct = min(sample_pct, max(1, (100 * sample_cap + n - 1) // n))
     bucket = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10) \
         .cast("long") % 100
@@ -864,6 +870,8 @@ def knn_join(
     m: int = 3,
     metric: str = "cosine",
     band_bits: int = 2,
+    salt: int | None = None,
+    hot_bucket_min: int = 1000,
 ) -> DataFrame:
     """k-NN JOIN: for EVERY vector, its top-m neighbors within its
     library — the batch form used for dedup graphs, recommendation
@@ -882,7 +890,19 @@ def knn_join(
     first-collision predicate (lsh.first_collision) instead of a
     distinct shuffle, so each candidate pair is scored exactly once.
     The oracle mirrors the identical candidate generation (its DISTINCT
-    form produces the same set), so the parity check stays exact."""
+    form produces the same set), so the parity check stays exact.
+
+    `salt` is the SKEW_SALT_THRESHOLD remediation as code, not advice:
+    buckets whose size exceeds `hot_bucket_min` are split into `salt`
+    deterministic sub-buckets (xxhash64 of the source id) on the probe
+    side and replicated `salt`x on the build side, so a hot bucket's
+    quadratic pair work spreads over `salt` reducers instead of one
+    straggler task. Every pair still meets EXACTLY once — a hot pair at
+    the build replica matching the probe row's salt, a cold pair at salt
+    0 — so the output (and therefore the oracle) is unchanged. The
+    hot-bucket list comes from the same cheap per-bucket count the skew
+    monitor runs and is broadcast; replication cost is proportional to
+    hot data only."""
     from .lsh import NUM_HASHES, SEED, band_keys, first_collision, hyperplanes
 
     emb = load(spark, sf_dir, "embeddings")
@@ -905,12 +925,43 @@ def knn_join(
         F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
         F.col("bands").alias("bb"),
     )
+    join_keys = ["label", "band_idx", "band_key"]
+    if salt is not None and salt > 1:
+        hot = (
+            banded.groupBy("label", "band_idx", "band_key")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") >= F.lit(hot_bucket_min))
+            .select("label", "band_idx", "band_key", F.lit(True).alias("_hot"))
+        )
+        a = (
+            a.join(F.broadcast(hot), join_keys, "left")
+            .withColumn(
+                "_salt",
+                F.when(
+                    F.col("_hot"), F.pmod(F.xxhash64("src"), F.lit(salt)).cast("int")
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_hot")
+        )
+        b = (
+            b.join(F.broadcast(hot), join_keys, "left")
+            .withColumn(
+                "_salt",
+                F.explode(
+                    F.when(
+                        F.col("_hot"), F.sequence(F.lit(0), F.lit(salt - 1))
+                    ).otherwise(F.array(F.lit(0)))
+                ),
+            )
+            .drop("_hot")
+        )
+        join_keys = join_keys + ["_salt"]
     cos = F.when(
         (F.col("na") == F.lit(0.0)) | (F.col("nb") == F.lit(0.0)), F.lit(0.0)
     ).otherwise(sim.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
     w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
     return (
-        a.join(b, ["label", "band_idx", "band_key"])
+        a.join(b, join_keys)
         .filter(F.col("src") != F.col("dst"))
         .filter(F.col("band_idx") == first_collision(F.col("ba"), F.col("bb")))
         .withColumn("score", F.round(cos, 6))

@@ -70,6 +70,26 @@ def _epoch_us(spark: SparkSession, ts_type) -> F.Column:
     raise TypeError(f"events.ts has unsupported type {ts_type}")
 
 
+def row_count(sf_dir: str, name: str) -> int:
+    """Exact table row count from parquet FOOTER metadata — a driver-side
+    metadata read, zero Spark jobs. Sampling-rate calculations (IVF/PQ
+    train caps, recall-measurement caps) only need |T|, and paying a
+    full-scan `df.count()` job for it is pure overhead; at scale this is
+    one footer read per file, the same cost as planning the scan."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(f).num_rows
+            for f in sorted(glob.glob(os.path.join(path, "*.parquet")))
+        )
+    return pq.read_metadata(path).num_rows
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
 
