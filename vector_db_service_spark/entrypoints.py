@@ -430,19 +430,19 @@ register(
 # --- I7-I10: Grid index -----------------------------------------------------
 def _grid_cells(s: SparkSession, d: str) -> DataFrame:
     emb = load(s, d, "embeddings")
-    mins, maxs = grid_ops.bounds(emb)
+    mins, maxs = grid_ops.bounds_cached(s, d)
     return grid_ops.build_index(emb, mins, maxs)
 
 
 def _grid_stats(s: SparkSession, d: str) -> DataFrame:
     emb = load(s, d, "embeddings")
-    mins, maxs = grid_ops.bounds(emb)
+    mins, maxs = grid_ops.bounds_cached(s, d)
     return grid_ops.cell_stats(emb, mins, maxs)
 
 
 def _grid_stats_by_library(s: SparkSession, d: str) -> DataFrame:
     emb = load(s, d, "embeddings")
-    mins, maxs = grid_ops.bounds(emb)
+    mins, maxs = grid_ops.bounds_cached(s, d)
     idx = grid_ops.build_index(emb, mins, maxs)
     per_cell = idx.groupBy("label", "cell_key").agg(F.count("*").alias("cell_n"))
     return per_cell.groupBy("label").agg(
@@ -1490,6 +1490,16 @@ register(
 register(
     "obs_timed_search",
     lambda s, d: observability.timed_search(s, d, query_id=0, k=10, metric="cosine"),
+)
+register(
+    "obs_health",
+    observability.health,
+    "SELECT 'healthy' AS status, 'vector-db-spark' AS service, 10 AS n_tables",
+)
+register(
+    "obs_clear_library_stats",
+    lambda s, d: observability.clear_library_stats(s, d, library=0),
+    observability.clear_library_stats_sql(library=0),
 )
 
 

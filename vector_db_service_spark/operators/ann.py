@@ -166,10 +166,10 @@ def scalar_quantize(
     driver-side constants; codes and error are one codegen'd projection.
     floor(x*levels + 0.5) is used instead of round() so Spark and DuckDB
     tie-break identically."""
-    from .grid import bounds
+    from .grid import bounds_cached
 
     emb = load(spark, sf_dir, "embeddings")
-    mins, maxs = bounds(emb)
+    mins, maxs = bounds_cached(spark, sf_dir)
     mins_lit = sim.vector_lit(mins)
     ranges_lit = F.array(
         *[F.lit(1.0 if mx - mn == 0 else mx - mn) for mn, mx in zip(mins, maxs)]

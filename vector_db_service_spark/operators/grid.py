@@ -66,6 +66,45 @@ def bounds(emb: DataFrame) -> tuple[list[float], list[float]]:
     return list(row["mins"]), list(row["maxs"])
 
 
+_BOUNDS_CACHE: dict[tuple, tuple[list[float], list[float]]] = {}
+
+
+def _data_key(sf_dir: str, library: int | None) -> tuple:
+    """Cache identity of the embeddings table on disk: realpath + mtime +
+    size (+ library scope). Any rewrite of the file invalidates the entry
+    — the same freshness rule the stored-index fingerprint uses
+    (store.py). Derived-frame mutations (upsert/delete queries) never
+    rewrite the source file, so cached bounds stay consistent with what a
+    fresh aggregate would return."""
+    import os
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(p)
+        ident: tuple = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        ident = (None, None)
+    return (os.path.realpath(p), *ident, library)
+
+
+def bounds_cached(
+    spark: SparkSession, sf_dir: str, library: int | None = None
+) -> tuple[list[float], list[float]]:
+    """Memoized per-(table file, library) normalization bounds. The
+    reference computes bounds ONCE at index build and keeps them on the
+    GridIndex object (algorithms.py:498-521); recomputing the full-scan
+    min/max aggregate on every search call is the Spark anti-parity. This
+    is the in-process analog of that index state — the stored-index path
+    (store.py) persists the same numbers durably."""
+    key = _data_key(sf_dir, library)
+    if key not in _BOUNDS_CACHE:
+        emb = load(spark, sf_dir, "embeddings")
+        if library is not None:
+            emb = emb.filter(F.col("label") == F.lit(library))
+        _BOUNDS_CACHE[key] = bounds(emb)
+    return _BOUNDS_CACHE[key]
+
+
 def cell_coords_expr(
     vec_col: Column, mins: list[float], maxs: list[float], cell_size: float = CELL_SIZE
 ) -> Column:
@@ -154,7 +193,7 @@ def search(
     if library is not None:
         emb = emb.filter(F.col("label") == F.lit(library))
     qvec, qlabel = query_vector_row(spark, sf_dir, query_id)
-    mins, maxs = bounds(emb)
+    mins, maxs = bounds_cached(spark, sf_dir, library)
     if not mins:  # empty library short-circuit (vector_service.py:226-241)
         return emb.select("vec_id", "label", F.lit(0.0).alias("score")).limit(0)
     qcell = query_cell(qvec, mins, maxs, cell_size)

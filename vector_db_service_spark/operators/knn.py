@@ -48,13 +48,31 @@ def query_vector(spark: SparkSession, sf_dir: str, query_id: int) -> list[float]
     return query_vector_row(spark, sf_dir, query_id)[0]
 
 
+_QVEC_CACHE: dict[tuple, tuple[list[float], int]] = {}
+
+
 def query_vector_row(
     spark: SparkSession, sf_dir: str, query_id: int
 ) -> tuple[list[float], int]:
     """(embedding, label) of a stored vector. The label lets probe paths
     prove their candidate set non-empty (the query's own row is always a
     candidate when it is inside the searched scope) and skip the
-    empty-fallback check entirely on the hot path."""
+    empty-fallback check entirely on the hot path.
+
+    Memoized per (table file identity, query_id): every search call needs
+    this lookup, and the reference amortizes it the same way by keeping
+    vectors resident in its storage dict (vector_db/storage.py:11-41).
+    The key includes mtime+size, so a rewritten table drops the entry."""
+    import os
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(p)
+        key = (os.path.realpath(p), st.st_mtime_ns, st.st_size, query_id)
+    except OSError:
+        key = (os.path.realpath(p), None, None, query_id)
+    if key in _QVEC_CACHE:
+        return _QVEC_CACHE[key]
     row = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == F.lit(query_id))
@@ -63,7 +81,8 @@ def query_vector_row(
     )
     if row is None:
         raise KeyError(f"query vector {query_id} not found")
-    return list(row[0]), int(row[1])
+    _QVEC_CACHE[key] = (list(row[0]), int(row[1]))
+    return _QVEC_CACHE[key]
 
 
 def score_all(

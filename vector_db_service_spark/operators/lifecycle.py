@@ -72,7 +72,7 @@ def rebuild_library(spark: SparkSession, sf_dir: str, library: int,
         planes = lsh_ops.hyperplanes(first[0])
         return lsh_ops.build_index(emb, planes).select("vec_id", "label")
     if algorithm == "grid":
-        mins, maxs = grid_ops.bounds(load(spark, sf_dir, "embeddings"))
+        mins, maxs = grid_ops.bounds_cached(spark, sf_dir)
         return grid_ops.build_index(emb, mins, maxs).select("vec_id", "label")
     raise ValueError(f"unknown algorithm {algorithm!r}; expected {ALGORITHMS}")
 

@@ -116,6 +116,60 @@ SELECT 'indexes_info', CAST(label AS BIGINT), 'dim', CAST(dim AS DOUBLE) FROM p
 """
 
 
+def health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`/health` analog (reference main.py:109-119): a one-row constant
+    frame plus a real liveness signal — the table count visible to the
+    engine (a parquet-footer metadata read, no scan)."""
+    from ..sources.tables import TABLES
+
+    n_tables = sum(
+        1 for t in TABLES if _table_readable(sf_dir, t)
+    )
+    return spark.createDataFrame(
+        [("healthy", "vector-db-spark", n_tables)],
+        "status string, service string, n_tables int",
+    )
+
+
+def _table_readable(sf_dir: str, name: str) -> bool:
+    from ..sources.tables import row_count
+
+    try:
+        row_count(sf_dir, name)
+        return True
+    except Exception:
+        return False
+
+
+def clear_library_stats(
+    spark: SparkSession, sf_dir: str, library: int = 0
+) -> DataFrame:
+    """Clear-all analog (reference vector_db/storage.py:246-261) scoped
+    the way a Spark table store clears: drop one library's partition
+    (dynamic partition overwrite of `label={library}`) and report the
+    post-clear storage stats. The clear is expressed as the surviving
+    frame — at scale this IS the overwrite's source plan, so the stats
+    check verifies exactly what the sink would commit."""
+    emb = load(spark, sf_dir, "embeddings")
+    remaining = emb.filter(F.col("label") != F.lit(library))
+    return remaining.agg(
+        F.lit(library).alias("cleared_library"),
+        F.count("*").alias("total_vectors"),
+        F.countDistinct("label").alias("n_libraries"),
+        (F.sum(F.size("embedding")) * F.lit(FLOAT_BYTES)).cast("long").alias("vector_bytes"),
+    )
+
+
+def clear_library_stats_sql(library: int = 0) -> str:
+    return f"""
+SELECT {library} AS cleared_library,
+       count(*) AS total_vectors,
+       count(DISTINCT label) AS n_libraries,
+       CAST(sum(len(embedding)) * {FLOAT_BYTES} AS BIGINT) AS vector_bytes
+FROM embeddings WHERE label != {library}
+"""
+
+
 def search_meta(
     spark: SparkSession,
     sf_dir: str,

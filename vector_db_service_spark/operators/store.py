@@ -41,7 +41,7 @@ from ..functions import similarity as sim
 from ..sources.tables import load
 from . import grid as grid_ops
 from . import lsh as lsh_ops
-from .knn import query_vector, validate_k
+from .knn import query_vector_row, validate_k
 from .lifecycle import ALGORITHMS
 
 _REPO_ROOT = os.path.dirname(
@@ -218,7 +218,7 @@ def lsh_probe(
     exact re-rank on the hydrated embeddings. No signature recompute."""
     validate_k(k)
     base = ensure_library(spark, sf_dir, library, "lsh", root)
-    qvec = query_vector(spark, sf_dir, query_id)
+    qvec, qlabel = query_vector_row(spark, sf_dir, query_id)
     qbits = lsh_ops.query_bits(qvec, lsh_ops.hyperplanes(len(qvec)))
 
     idx_path = os.path.join(base, "lsh_index")
@@ -231,6 +231,20 @@ def lsh_probe(
         m = (F.col("table_idx") == i) & (F.col("bit") == b)
         bucket_match = m if bucket_match is None else (bucket_match | m)
     cand_ids = idx.filter(bucket_match).select("vec_id").distinct()
+    # same deterministic empty-candidate fallback as the derived path
+    # (lsh.search): nearest buckets by per-vector bucket-agreement count,
+    # computed FROM THE STORED INDEX rows; only possible when the query
+    # is outside the probed library, so the in-scope hot path never pays.
+    if qlabel != library and cand_ids.isEmpty():
+        cand_ids = (
+            idx.withColumn(
+                "_agree", F.when(bucket_match, F.lit(1)).otherwise(F.lit(0))
+            )
+            .groupBy("vec_id").agg(F.sum("_agree").alias("_agree"))
+            .orderBy(F.desc("_agree"), F.asc("vec_id"))
+            .limit(max(4 * k, 32))
+            .select("vec_id")
+        )
 
     emb = load(spark, sf_dir, "embeddings").filter(F.col("label") == library)
     scored = emb.join(cand_ids, "vec_id").withColumn(
@@ -259,7 +273,7 @@ def grid_probe(
     READ, not recomputed."""
     validate_k(k)
     base = ensure_library(spark, sf_dir, library, "grid", root)
-    qvec = query_vector(spark, sf_dir, query_id)
+    qvec, qlabel = query_vector_row(spark, sf_dir, query_id)
 
     bounds_path = os.path.join(base, "grid_bounds")
     brow = (
@@ -298,6 +312,18 @@ def grid_probe(
         .filter(F.col("r_needed") <= F.col("stop_r"))
         .select("vec_id")
     )
+    # same deterministic empty-candidate fallback as the derived path
+    # (grid.search): Chebyshev-nearest cells read FROM THE STORED index;
+    # only reachable when the query is outside the probed library.
+    if qlabel != library and cand_ids.isEmpty():
+        qc = F.array(*[F.lit(c).cast("long") for c in qcell])
+        cheb = F.array_max(F.zip_with(F.col("cells"), qc, lambda a, b: F.abs(a - b)))
+        cand_ids = (
+            idx.withColumn("_cheb", cheb)
+            .orderBy(F.asc("_cheb"), F.asc("vec_id"))
+            .limit(max(4 * k, 32))
+            .select("vec_id")
+        )
     emb = load(spark, sf_dir, "embeddings").filter(F.col("label") == library)
     scored = emb.join(cand_ids, "vec_id").withColumn(
         "score", F.round(sim.score(metric, F.col("embedding"), sim.vector_lit(qvec)), 6)

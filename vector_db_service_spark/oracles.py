@@ -162,20 +162,40 @@ FROM per_bucket GROUP BY table_idx
 def lsh_search_sql(planes: list[list[float]], query_id: int = 0, k: int = 10,
                    metric: str = "cosine", library: int | None = None) -> str:
     """LSH probe + exact re-rank, mirroring operators/lsh.py::search:
-    candidate iff the signature agrees with the query's on ANY plane."""
+    candidate iff the signature agrees with the query's on ANY plane.
+    The deterministic empty-candidate fallback is mirrored too: if no
+    row agrees on any plane, the pool becomes the rows with the highest
+    signature-agreement count (all zero in that case, so effectively
+    vec_id order) capped at max(4k, 32) — exactly lsh.search's branch."""
     agree_terms = " OR ".join(
         f"({_bit_sql('e.embedding', p)} = {_bit_sql('q.qv', p)})" for p in planes
     )
+    agree_count = " + ".join(
+        f"CASE WHEN {_bit_sql('e.embedding', p)} = {_bit_sql('q.qv', p)}"
+        " THEN 1 ELSE 0 END"
+        for p in planes
+    )
     score = METRIC_SQL[metric]("e.embedding", "q.qv")
     lib_filter = f"AND e.label = {library}" if library is not None else ""
+    lib_filter_bare = f"WHERE e.label = {library}" if library is not None else ""
     return f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_id}),
 cand AS (
   SELECT e.vec_id, e.label, round({score}, 6) AS score
   FROM embeddings e, q
   WHERE ({agree_terms}) {lib_filter}
+),
+fallback AS (
+  SELECT e.vec_id, e.label, round({score}, 6) AS score
+  FROM embeddings e, q {lib_filter_bare}
+  ORDER BY ({agree_count}) DESC, e.vec_id ASC LIMIT {max(4 * k, 32)}
+),
+pool AS (
+  SELECT * FROM cand
+  UNION ALL
+  SELECT * FROM fallback WHERE (SELECT count(*) FROM cand) = 0
 )
-SELECT vec_id, label, score FROM cand
+SELECT vec_id, label, score FROM pool
 QUALIFY row_number() OVER (ORDER BY score DESC, vec_id) <= {k}
 """
 
@@ -227,7 +247,12 @@ def grid_search_sql(query_id: int = 0, k: int = 10, metric: str = "euclidean",
     is the reference's full-hypercube enumeration (r = Chebyshev
     max|delta|, every cell reachable); dim > 4 is the Manhattan ball
     (only cells differing in exactly one dimension reachable) — so the
-    oracle can't silently diverge from the operator on low-dim data."""
+    oracle can't silently diverge from the operator on low-dim data.
+
+    The deterministic empty-candidate fallback is mirrored too: when no
+    cell is reachable (out-of-library query in a sparse region), the
+    candidate pool becomes the Chebyshev-nearest rows (maxdiff asc,
+    vec_id asc) capped at max(4k, 32) — exactly grid.search's branch."""
     score = METRIC_SQL[metric]("e.embedding", "q.qv")
     lib_filter = f"WHERE label = {library}" if library is not None else ""
     return f"""
@@ -283,9 +308,18 @@ stop AS (
 cand AS (
   SELECT r.vec_id, r.label FROM reachable r, stop s WHERE r.r_needed <= s.stop_r
 ),
+fallback AS (
+  SELECT vec_id, label FROM diffs
+  ORDER BY maxdiff ASC, vec_id ASC LIMIT {max(4 * k, 32)}
+),
+pool AS (
+  SELECT * FROM cand
+  UNION ALL
+  SELECT * FROM fallback WHERE (SELECT count(*) FROM cand) = 0
+),
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_id})
 SELECT c.vec_id, c.label, round({score}, 6) AS score
-FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, q
+FROM pool c JOIN embeddings e ON e.vec_id = c.vec_id, q
 QUALIFY row_number() OVER (ORDER BY score DESC, c.vec_id) <= {k}
 """
 
