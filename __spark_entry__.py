@@ -17,7 +17,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Python UDF workers don't inherit the driver's sys.path mutation; export
+# it so Pandas-UDF queries unpickle no matter the driver's cwd (the
+# driver may own the SparkSession, but workers spawn lazily per job, so
+# an env set at import time still reaches them).
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from vector_db_service_spark import entrypoints  # noqa: E402
 

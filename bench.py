@@ -15,7 +15,12 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Python WORKERS don't inherit the driver's sys.path mutation — without
+# this, every Pandas-UDF query fails to unpickle when bench.py is invoked
+# from outside the repo directory.
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from vector_db_service_spark.session import get_spark  # noqa: E402
 from vector_db_service_spark import entrypoints  # noqa: E402

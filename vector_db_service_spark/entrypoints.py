@@ -9,6 +9,7 @@ columns by name before value-hashing.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from functools import partial
 
@@ -26,9 +27,44 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+_WORKER_IMPORTS_READY: set[str] = set()
+
+
+def _ensure_worker_imports(spark: SparkSession) -> None:
+    """Ship this package to Python workers via addPyFile. Pandas-UDF
+    closures are pickled BY REFERENCE to `vector_db_service_spark.*`;
+    when the harness owns the SparkSession (created before this package
+    reached sys.path) and runs from another cwd, workers cannot import
+    the module and every Arrow-batched query dies at unpickle. addPyFile
+    is the standard post-start remedy: the zip lands on every current and
+    future worker's sys.path. Memoized per application; a no-op
+    thereafter."""
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if app in _WORKER_IMPORTS_READY:
+        return
+    pkg_root = Path(__file__).resolve().parent
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"vdbs_pkg_{os.getuid()}_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for p in sorted(pkg_root.rglob("*.py")):
+                z.write(p, arcname=str(p.relative_to(pkg_root.parent)))
+    sc.addPyFile(zpath)
+    _WORKER_IMPORTS_READY.add(app)
+
 
 def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
-    QUERIES[name] = fn
+    def wrapped(spark: SparkSession, sf_dir: str, _fn: QueryFn = fn) -> DataFrame:
+        _ensure_worker_imports(spark)
+        return _fn(spark, sf_dir)
+
+    QUERIES[name] = wrapped
     if oracle is not None:
         ORACLES[name] = oracle
 
@@ -1532,16 +1568,17 @@ _PRIORITY_50 = [
     "p5_create_or_get",
     # joins (J2, J3)
     "j2_semi_join", "j3_orphan_anti_join",
-    # aggregates (A1, A2, A5-A7)
+    # aggregates (A1, A2, A5, A7) + §2.13 observability (status composes
+    # A6's memory accounting, search_meta the response-metadata analog)
     "a1_count_by_library", "a2_chunk_stats", "a5_vector_stats",
-    "a6_memory_stats", "a7_dim_minmax",
+    "obs_service_status", "a7_dim_minmax",
     # relational / scalar-function surface (§2.10, S16)
     "rel_pricing_summary", "rel_events_json_stats",
     # dedup family
     "dedup_exact_summary", "dedup_minhash_pairs", "dedup_simhash_pairs",
     "dedup_components", "dedup_ngram_jaccard_topk", "dedup_embedding_pairs",
-    # ANN family
-    "ann_knn_join", "ann_blocked_pair_recall", "ann_band_skew_report",
+    # ANN family (salted join = the skew remediation path, driver-visible)
+    "ann_knn_join", "ann_knn_join_salted", "ann_band_skew_report",
     "ann_brute_force_topk", "ann_ivf_topk", "ann_scalar_quantize",
     # text analysis
     "text_token_stats", "text_language_id",

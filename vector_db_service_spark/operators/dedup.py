@@ -347,19 +347,36 @@ def near_dup_components_fast(docs: DataFrame, max_hamming: int = 3,
     equality test pins for the test corpora)."""
     edges, nodes = _dup_graph(docs, max_hamming)
     labels = nodes.select("node", F.col("node").alias("comp"))
-    for _ in range(rounds):
+    for rnd in range(rounds):
         nbr = edges.join(labels, edges.dst == labels.node).select(
             F.col("src").alias("node"), F.col("comp")
         )
-        labels = (
+        propagated = (
             labels.unionByName(nbr)
             .groupBy("node").agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=False)
         )
+        # Early stop: if NO label moved in the propagation step, the
+        # labeling is a fixed point (every node already holds its
+        # component min — the pointer jump would be the identity too), so
+        # the remaining rounds are pure scheduling overhead. The check is
+        # one tiny join over the node-only label frame; real dup graphs
+        # converge in 1-2 doubled rounds, while the round budget is sized
+        # for the worst diameter — this converts budget into actual work.
+        moved = (
+            propagated.join(
+                labels.select("node", F.col("comp").alias("prev")), "node"
+            ).filter(F.col("comp") != F.col("prev"))
+        )
+        if rnd > 0 and moved.isEmpty():
+            labels = propagated
+            break
         # pointer jump: comp <- label of comp (doubles the reach)
-        parent = labels.select(F.col("node").alias("p_node"), F.col("comp").alias("p_comp"))
+        parent = propagated.select(
+            F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
+        )
         labels = (
-            labels.join(parent, labels.comp == parent.p_node)
+            propagated.join(parent, propagated.comp == parent.p_node)
             .select("node", F.col("p_comp").alias("comp"))
             .localCheckpoint(eager=False)
         )

@@ -40,15 +40,25 @@ def service_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed status: global storage/memory stats + per-library index
     info in one tall frame. Sections mirror the reference response keys
     (main.py:128-137): 'status', 'storage_stats', 'memory_usage',
-    'indexes_info'."""
+    'indexes_info'.
+
+    ONE rollup over ONE scan: the grand-total grouping set carries the
+    global sections, the per-label sets carry indexes_info — the same
+    partial-aggregation pass computes both, where a union of separate
+    aggregates would scan the table twice."""
     emb = load(spark, sf_dir, "embeddings")
 
-    glob = emb.agg(
+    # localCheckpoint: the rolled frame is <= n_libraries+1 rows but feeds
+    # BOTH section branches — without it Catalyst inlines (and re-scans)
+    # the whole rollup subtree once per branch.
+    rolled = emb.rollup("label").agg(
         F.count("*").alias("n_vectors"),
         F.countDistinct("label").alias("n_libraries"),
         F.sum(F.size("embedding")).alias("n_floats"),
-    )
-    global_rows = glob.select(
+        F.first(F.size("embedding")).alias("dim"),
+        F.grouping("label").alias("is_total"),
+    ).localCheckpoint(eager=False)
+    global_rows = rolled.filter(F.col("is_total") == 1).select(
         F.explode(
             F.create_map(
                 F.lit("status.libraries_indexed"),
@@ -68,11 +78,7 @@ def service_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
 
-    per_lib = emb.groupBy("label").agg(
-        F.count("*").alias("n_vectors"),
-        F.first(F.size("embedding")).alias("dim"),
-    )
-    lib_rows = per_lib.select(
+    lib_rows = rolled.filter(F.col("is_total") == 0).select(
         F.lit("indexes_info").alias("section"),
         F.col("label").cast("long").alias("label"),
         F.explode(
