@@ -133,3 +133,34 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {emb_t}")
         spark.sql(f"DROP TABLE IF EXISTS {doc_t}")
+
+
+def test_salted_join_broadcasts_hot_list_no_cartesian(spark):
+    """The skew-salted banded join must broadcast the tiny hot-bucket
+    list (never shuffle it) and must not degrade to a cartesian
+    product."""
+    from vector_db_service_spark.operators import ann
+
+    df = ann.knn_join(spark, SF, m=2, salt=4, hot_bucket_min=2)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_service_status_single_scan(spark):
+    """The composed status query aggregates once: ONE parquet scan (via
+    the checkpointed rollup), not one per section branch."""
+    df = E.QUERIES["obs_service_status"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") <= 1
+
+
+def test_chunking_has_no_shuffle_or_udf(spark):
+    """Document chunking is a scan-stage projection + generator: no
+    Exchange, no Python UDF."""
+    df = E.QUERIES["text_chunk_documents"](spark, SF)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Generate" in plan  # the posexplode
+

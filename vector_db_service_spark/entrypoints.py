@@ -726,6 +726,13 @@ register(
     lambda s, d: textops.token_stats(load(s, d, "documents")),
     opl.token_stats_sql(),
 )
+# ingest chunking (document -> sentence_number'd chunks, the step the
+# reference's create_document_with_chunks consumes pre-split)
+register(
+    "text_chunk_documents",
+    lambda s, d: textops.chunk_documents(load(s, d, "documents")),
+    textops.chunk_documents_sql(),
+)
 register(
     "text_bpe_token_estimate",
     lambda s, d: textops.bpe_token_estimate(load(s, d, "documents")),
@@ -1127,6 +1134,42 @@ def _embed_components(s: SparkSession, d: str) -> DataFrame:
 
 
 register("s15_embed_documents", _embed_components, opl.embed_components_sql())
+
+
+def _ingest_chunks_embedded(s: SparkSession, d: str) -> DataFrame:
+    """§3.2 ingest pipeline end-to-end: document -> sliding-window chunks
+    (textops.chunk_documents, the reference's pre-split contract) -> S15
+    hash-embedding per chunk, projected to the oracle-checkable component
+    columns. The whole path is chunk + embed inside ONE scan stage — the
+    shape bulk ingest keeps at 100 TB (reference
+    services/document_service.py:21-60 + background_tasks.py:260-311)."""
+    from .functions.embed import hash_embedding
+    from .functions.hashing import let
+
+    def _proj(e):
+        n = F.sqrt(F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x))
+        return F.struct(
+            *[F.element_at(e, i + 1).alias(f"e{i}") for i in range(4)],
+            F.round(F.when(n == 0.0, F.lit(0.0)).otherwise(F.lit(1.0)), 6).alias("unit_norm"),
+        )
+
+    chunks = textops.chunk_documents(load(s, d, "documents"))
+    return chunks.select(
+        "doc_id",
+        "sentence_number",
+        let(hash_embedding(F.col("chunk_text")), _proj).alias("st"),
+    ).select("doc_id", "sentence_number", "st.*")
+
+
+register(
+    "ingest_chunks_embedded",
+    _ingest_chunks_embedded,
+    opl.embed_components_sql(
+        source=f"(SELECT doc_id, sentence_number, chunk_text AS text "
+               f"FROM ({textops.chunk_documents_sql()}))",
+        keys=("doc_id", "sentence_number"),
+    ),
+)
 register(
     "s15_embed_pandas_batched",
     multimodal.embed_documents_pandas,

@@ -123,6 +123,69 @@ def curation_funnel(docs: DataFrame) -> DataFrame:
     )
 
 
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 16, overlap: int = 4
+) -> DataFrame:
+    """Document -> chunk splitting, the ingest step the reference expects
+    its callers to have done before `create_document_with_chunks`
+    (reference services/document_service.py:21-60 assigns each incoming
+    chunk a `sentence_number`; schemas/chunk_schema.py carries it).
+    Pipeline form: a sliding token window of `chunk_tokens` with
+    `overlap` tokens carried between consecutive chunks — the standard
+    LLM-corpus chunking. One projection + one posexplode, no shuffle, no
+    UDF; at 100 TB this runs entirely inside the scan stage.
+
+    Chunk numbering is deterministic: chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens) with stride = chunk_tokens -
+    overlap; every document yields >= 1 chunk."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.greatest(
+        F.ceil(F.size("toks") / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    start = F.col("sentence_number") * stride + 1
+    piece = F.slice(F.col("toks"), start, chunk_tokens)
+    return (
+        docs.select("doc_id", "lang", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            "toks",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("sentence_number"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("sentence_number").cast("int").alias("sentence_number"),
+            F.array_join(piece, " ").alias("chunk_text"),
+            F.size(piece).alias("n_tokens"),
+        )
+    )
+
+
+def chunk_documents_sql(chunk_tokens: int = 16, overlap: int = 4) -> str:
+    """DuckDB mirror of chunk_documents (identical window arithmetic)."""
+    stride = chunk_tokens - overlap
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, lang, toks,
+         unnest(range(0, GREATEST(CAST(ceil(len(toks) / {stride}.0) AS BIGINT), 1)))
+           AS sn
+  FROM t
+)
+SELECT doc_id, lang, CAST(sn AS INT) AS sentence_number,
+       array_to_string(toks[sn*{stride}+1 : sn*{stride}+{chunk_tokens}], ' ')
+         AS chunk_text,
+       len(toks[sn*{stride}+1 : sn*{stride}+{chunk_tokens}]) AS n_tokens
+FROM c
+"""
+
+
 def stratified_sample(docs: DataFrame, rate_pct: int = 20) -> DataFrame:
     """Deterministic stratified sampling for reproducible corpus subsets:
     keep a doc iff md5-hash(doc_id) mod 100 < rate_pct, reported per

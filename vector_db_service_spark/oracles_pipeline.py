@@ -387,10 +387,15 @@ FROM documents
 
 
 def embed_components_sql(n_components: int = 4, dim: int = 16,
-                         include_norm: bool = True) -> str:
+                         include_norm: bool = True,
+                         source: str = "documents",
+                         keys: tuple[str, ...] = ("doc_id",)) -> str:
     """Oracle for the S15 hash-embedding stand-in (functions/embed.py):
     signed hashed bag-of-words, L2-normalized, components rounded to 6.
-    All sums are over exact ±1 integers, so double math is noise-free."""
+    All sums are over exact ±1 integers, so double math is noise-free.
+    `source`/`keys` generalize it to any (sub)query exposing a `text`
+    column — e.g. the chunking CTE for the ingest pipeline oracle."""
+    ks = ", ".join(keys)
     raw = f"""
 list_transform(generate_series(0, {dim - 1}), i ->
   CAST(list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(hs, h ->
@@ -405,12 +410,12 @@ list_transform(generate_series(0, {dim - 1}), i ->
     norm_col = ", round(CASE WHEN nrm = 0 THEN 0.0 ELSE 1.0 END, 6) AS unit_norm" \
         if include_norm else ""
     return f"""
-WITH hashed AS (SELECT doc_id, {TOKEN_HASHES} AS hs FROM documents),
-rawv AS (SELECT doc_id, {raw} AS raw FROM hashed),
-normed AS (SELECT doc_id, raw,
+WITH hashed AS (SELECT {ks}, {TOKEN_HASHES} AS hs FROM {source}),
+rawv AS (SELECT {ks}, {raw} AS raw FROM hashed),
+normed AS (SELECT {ks}, raw,
                   sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
            FROM rawv)
-SELECT doc_id, {comps}{norm_col}
+SELECT {ks}, {comps}{norm_col}
 FROM normed
 """
 

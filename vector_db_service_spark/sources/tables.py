@@ -49,15 +49,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # files at all (Spark rejects timestamp[ns] otherwise)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts_us", _epoch_us(spark, df.schema["ts"].dataType)).drop("ts")
+        return df.withColumn(
+            "ts_us", _epoch_us(spark, sf_dir, df.schema["ts"].dataType)
+        ).drop("ts")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _epoch_us(spark: SparkSession, ts_type) -> F.Column:
+def _epoch_us(spark: SparkSession, sf_dir: str, ts_type) -> F.Column:
     """Epoch-microseconds expression for whichever physical type `ts` has."""
     from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     if isinstance(ts_type, LongType):
+        # An int64 ts could be epoch-NANOS (the historical encoding) or
+        # epoch-MICROS; footer column stats disambiguate without a scan.
+        # Epoch-nanos for any date past 1973 exceed 1e17, epoch-micros
+        # stay below it until the year 5138 — no realistic overlap.
+        if 0 < _ts_stat_max(sf_dir) < int(1e17):
+            return F.col("ts").cast("long")
         # integer `div`, not `/`: nanos exceed 2^53, so double division
         # loses the low microsecond bits
         return F.expr("ts div 1000")
@@ -68,6 +76,37 @@ def _epoch_us(spark: SparkSession, ts_type) -> F.Column:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         return F.unix_micros(F.col("ts").cast("timestamp"))
     raise TypeError(f"events.ts has unsupported type {ts_type}")
+
+
+def _ts_stat_max(sf_dir: str) -> int:
+    """Max of the `ts` column from parquet footer statistics (driver-side
+    metadata read, no scan). Returns 0 when stats are absent — callers
+    then keep the historical nanos interpretation."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/events.parquet"
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    mx = 0
+    try:
+        for f in files:
+            md = pq.read_metadata(f)
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == "ts" and col.statistics is not None:
+                        v = col.statistics.max
+                        if v is not None:
+                            mx = max(mx, int(v))
+    except Exception:
+        return 0
+    return mx
 
 
 def row_count(sf_dir: str, name: str) -> int:

@@ -56,6 +56,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     if isinstance(schema["ts"].dataType, LongType):
+        from ..sources.tables import _ts_stat_max
+
+        # footer stats disambiguate int64 nanos vs micros (see tables.py)
+        if 0 < _ts_stat_max(sf_dir) < int(1e17):
+            return raw.withColumn("event_time", F.timestamp_micros(F.col("ts")))
         # integer `div` (not `/`): nanos exceed 2^53, double division would
         # lose the low microsecond bits
         return raw.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
