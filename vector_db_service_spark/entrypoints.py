@@ -1170,6 +1170,20 @@ register(
         keys=("doc_id", "sentence_number"),
     ),
 )
+
+# --- sketch operators (operators/sketches.py): deterministic HLL + CMS ----
+from .operators import sketches  # noqa: E402
+
+register(
+    "sketch_hll_distinct_users",
+    lambda s, d: sketches.hll_distinct(s, d, key="user_id"),
+    sketches.hll_distinct_sql(key="user_id"),
+)
+register(
+    "sketch_countmin_event_types",
+    lambda s, d: sketches.countmin_heavy_hitters(s, d, key="event_type"),
+    sketches.countmin_sql(key="event_type"),
+)
 register(
     "s15_embed_pandas_batched",
     multimodal.embed_documents_pandas,
