@@ -1221,6 +1221,25 @@ GROUP BY slide_id
 """,
 )
 register(
+    # stream-stream interval join (watermarked both sides); AvailableNow
+    # processes the whole file, so the appended pair set equals the batch
+    # range join restricted to clicks -> exact oracle
+    "stream_click_purchase_join",
+    stream_ops.stream_interval_join,
+    """
+WITH base AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+p AS (SELECT user_id, event_id AS p_event_id, ts_us AS p_ts FROM base
+      WHERE event_type = 'purchase')
+SELECT p.p_event_id, p.user_id, count(*) AS n_click_context
+FROM p JOIN base c ON p.user_id = c.user_id
+WHERE c.event_type = 'click'
+  AND c.ts_us >= p.p_ts - 3600000000 AND c.ts_us < p.p_ts
+GROUP BY p.p_event_id, p.user_id
+""",
+)
+register(
     "stream_dedup_events",
     stream_ops.dedup_events_stream,
     """

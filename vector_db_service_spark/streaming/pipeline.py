@@ -294,3 +294,57 @@ def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("slide_id"),
         "n_events",
     )
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join — the remaining §2.11 capability:
+    purchases joined to the same user's clicks in the preceding hour,
+    both sides watermarked so Spark can bound the join state (clicks
+    older than the interval + watermark are evicted; this is the state
+    contract that makes the join runnable on an unbounded log). Executed
+    with AvailableNow + append-mode memory sink; the joined pairs then
+    batch-aggregate to (purchase event_id, n_click_context), which the
+    batch/DuckDB oracle reproduces exactly — same count semantics as the
+    batch range join (rel_range_join_context) restricted to clicks.
+
+    At scale: both sides shuffle on user_id once; state per key is the
+    interval's clicks only. The memory sink is test plumbing — a real
+    deployment appends the joined pairs to a table."""
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("event_time").alias("p_time"),
+        )
+        .withWatermark("p_time", "30 minutes")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("event_time").alias("c_time"),
+        )
+        .withWatermark("c_time", "30 minutes")
+    )
+    pairs = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_time") >= F.col("p_time") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_time") < F.col("p_time")),
+        "inner",
+    )
+    name = f"ssj_{uuid.uuid4().hex[:12]}"
+    q = (
+        pairs.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy(F.col("p_event_id"), F.col("p_user").alias("user_id"))
+        .agg(F.count("*").alias("n_click_context"))
+    )
