@@ -302,7 +302,7 @@ def ivf_kmeans_recall_sweep(
     nprobes: tuple[int, ...] = (1, 2, 4, 8),
     metric: str = "cosine",
 ) -> DataFrame:
-    """Measured recall@k of the PROPERLY TRAINED (MLlib KMeans, seeded)
+    """Measured recall@k of the PROPERLY TRAINED (seeded Lloyd k-means)
     IVF quantizer across an nprobe sweep — the number a user checks
     before trusting the ANN path (reference claims 90-95%,
     /root/reference/README.md:147). The label-cell IVF in
@@ -319,22 +319,26 @@ def ivf_kmeans_recall_sweep(
     smaller nprobe/n_lists ratio, which is exactly what this query lets
     a user verify on THEIR data before trusting the probe setting.
 
-    One KMeans fit + one scored pairs frame (lineage-truncated) feed
-    every sweep branch; each branch is probed-lists filter -> window
-    top-k -> overlap count, all distributed."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    One quantizer fit (capped driver-side Lloyd, _coarse_centers — the
+    same training architecture as the PQ codebooks; assignment is one
+    codegen'd projection) + one scored pairs frame (lineage-truncated)
+    feed every sweep branch; each branch is probed-lists filter ->
+    window top-k -> overlap count, all distributed."""
     query_ids = query_ids or [0, 1, 2, 3, 4]
-    emb = load(spark, sf_dir, "embeddings").withColumn(
-        "vec", array_to_vector(F.col("embedding").cast("array<double>"))
+    cents = _coarse_centers(spark, sf_dir, n_lists)
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = emb.select(
+        "vec_id", "label", "embedding", _list_id_expr(cents).alias("list_id")
     )
-    km = KMeans(k=n_lists, seed=42, featuresCol="vec", predictionCol="list_id")
-    model = km.fit(_quantizer_train_sample(emb, n_rows=row_count(sf_dir, "embeddings")))
-    assigned = model.transform(emb).select("vec_id", "label", "embedding", "list_id")
 
-    queries = assigned.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    # derived from the RAW table (the assignment expr would be dead code
+    # here) and lineage-truncated: this tiny frame feeds the pairs join,
+    # the centroid ranking, AND every sweep branch's left join — without
+    # the checkpoint each use replays a full scan
+    queries = (
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .localCheckpoint(eager=False)
     )
     pairs = (
         assigned.join(F.broadcast(queries))
@@ -350,7 +354,7 @@ def ivf_kmeans_recall_sweep(
     )
 
     centers = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, c) for i, c in enumerate(cents)],
         "list_id int, centroid array<double>",
     )
     cw = Window.partitionBy("query_id").orderBy(F.desc("c_score"), F.asc("list_id"))
@@ -361,31 +365,122 @@ def ivf_kmeans_recall_sweep(
         .select("query_id", "list_id", "c_rnk")
     )
 
-    out: DataFrame | None = None
-    for p in nprobes:
-        probed = cq.filter(F.col("c_rnk") <= p).select("query_id", "list_id")
-        topk = (
-            pairs.join(probed, ["query_id", "list_id"])
-            .withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= k)
-            .select("query_id", "vec_id")
+    # ALL nprobe branches in ONE plan: tag every pair with its list's
+    # centroid rank, replicate across the (tiny, broadcast) nprobe axis,
+    # filter to the probed lists, and take per-(nprobe, query) top-k in a
+    # single window. A per-nprobe loop of join+window+agg branches costs
+    # ~3 scheduled stages per probe point at local scale; this fused form
+    # is a constant number of stages regardless of len(nprobes).
+    nprobe_df = spark.createDataFrame([(int(p),) for p in nprobes], "nprobe int")
+    sw = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    sweep_topk = (
+        pairs.join(F.broadcast(cq), ["query_id", "list_id"])
+        .crossJoin(F.broadcast(nprobe_df))
+        .filter(F.col("c_rnk") <= F.col("nprobe"))
+        .withColumn("rnk", F.row_number().over(sw))
+        .filter(F.col("rnk") <= k)
+        .select("nprobe", "query_id", "vec_id")
+    )
+    overlap = (
+        exact.join(sweep_topk, ["query_id", "vec_id"])
+        .groupBy("nprobe", "query_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    grid_qp = queries.select("query_id").crossJoin(F.broadcast(nprobe_df))
+    return (
+        grid_qp.join(overlap, ["nprobe", "query_id"], "left")
+        .select(
+            "query_id",
+            "nprobe",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(F.coalesce("n_overlap", F.lit(0)) / F.lit(float(k)), 4)
+            .alias("recall"),
         )
-        overlap = exact.join(topk, ["query_id", "vec_id"]).groupBy("query_id").agg(
-            F.count("*").alias("n_overlap")
-        )
-        res = (
-            queries.select("query_id").join(overlap, "query_id", "left")
-            .select(
-                "query_id",
-                F.lit(p).alias("nprobe"),
-                F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-                F.round(F.coalesce("n_overlap", F.lit(0)) / F.lit(float(k)), 4)
-                .alias("recall"),
-            )
-        )
-        out = res if out is None else out.unionByName(res)
-    assert out is not None
-    return out.orderBy("nprobe", "query_id")
+        .orderBy("nprobe", "query_id")
+    )
+
+
+_COARSE_CACHE: dict[tuple, list] = {}
+
+
+def _coarse_centers(
+    spark: SparkSession,
+    sf_dir: str,
+    n_lists: int,
+    train_cap: int = 100_000,
+    seed: int = 42,
+    lloyd_iters: int = 8,
+) -> list:
+    """Coarse-quantizer centers via a capped deterministic driver-side
+    Lloyd fit — the SAME training architecture the PQ codebooks use
+    (_pq_train): md5-ordered bounded sample (TakeOrderedAndProject, so
+    the cap is partitioning-independent), seeded numpy k-means. On tiny
+    capped samples this replaces ~20 distributed MLlib jobs with one
+    collect + microseconds of numpy — at scale, quantizer quality needs
+    thousands of points, not billions, and ASSIGNMENT stays a single
+    distributed codegen'd projection (_list_id_expr). Memoized per
+    (file identity, n_lists): centers are index state, like grid bounds.
+    The MLlib path remains demonstrated by ivf_kmeans_topk."""
+    import os as _os
+
+    import numpy as np
+
+    p = _os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = _os.stat(p)
+        key = (_os.path.realpath(p), st.st_mtime_ns, st.st_size,
+               n_lists, train_cap, seed, lloyd_iters)
+    except OSError:
+        key = (_os.path.realpath(p), None, None, n_lists, train_cap, seed, lloyd_iters)
+    if key in _COARSE_CACHE:
+        return _COARSE_CACHE[key]
+
+    emb = load(spark, sf_dir, "embeddings")
+    h = F.md5(F.col("vec_id").cast("string"))
+    rows = (
+        emb.select("embedding", h.alias("h"), "vec_id")
+        .orderBy("h", "vec_id")
+        .limit(train_cap)
+        .select("embedding")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot train coarse quantizer: embeddings table is empty")
+    X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    k_eff = min(n_lists, len(X))
+    rng = np.random.RandomState(seed)
+    centers = X[rng.choice(len(X), size=k_eff, replace=False)].copy()
+    for _ in range(lloyd_iters):
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=-1)
+        assign = d2.argmin(axis=1)
+        for j in range(k_eff):
+            member = X[assign == j]
+            if len(member):
+                centers[j] = member.mean(axis=0)
+    out = [[float(x) for x in c] for c in centers]
+    _COARSE_CACHE[key] = out
+    return out
+
+
+def _list_id_expr(centers: list) -> F.Column:
+    """Distributed IVF list assignment: argmin over the center array of
+    squared L2 — ONE whole-stage-codegen'd projection (same SQL-string
+    technique as _pq_code_exprs; ties break to the lowest list id via
+    array_position-of-min)."""
+    cb = "array(" + ", ".join(
+        "array(" + ", ".join(repr(float(x)) for x in c) + ")" for c in centers
+    ) + ")"
+    darr = (
+        f"transform({cb}, c -> aggregate("
+        f"zip_with(embedding, c, (x, ci) -> (CAST(x AS DOUBLE) - ci) * (CAST(x AS DOUBLE) - ci)), "
+        f"CAST(0.0 AS DOUBLE), (a, x) -> a + x))"
+    )
+    return F.expr(
+        f"CAST(element_at(transform(array({darr}), "
+        f"d -> array_position(d, array_min(d)) - 1), 1) AS INT)"
+    )
 
 
 def _quantizer_train_sample(
@@ -590,9 +685,11 @@ def ivfpq_topk(
     exact re-rank of the survivors.
 
     Plan shape and why it scales:
-      1. Coarse quantizer trains on a bounded deterministic sample
-         (_quantizer_train_sample); assignment is ONE distributed
-         transform. At scale list_id is the code table's partition key.
+      1. Coarse quantizer trains on a bounded deterministic sample via
+         the capped driver-side Lloyd fit (_coarse_centers, memoized
+         index state); assignment is ONE distributed codegen'd
+         projection (_list_id_expr). At scale list_id is the code
+         table's partition key.
       2. Routing is DRIVER-SIDE numpy over n_lists centroids (tiny,
          constant) — the probed list filter reaches the scan as
          partition pruning, so 100-nprobe/n_lists of the corpus is
@@ -604,12 +701,10 @@ def ivfpq_topk(
       4. Exact euclidean re-rank of the <= rerank candidates via a
          broadcast join back to the embedding table.
 
-    Seeded KMeans (MLlib quantizer + numpy Lloyd codebooks) makes the
+    The seeded Lloyd fits (coarse quantizer + PQ codebooks) make the
     result deterministic but not SQL-reproducible — rows-only check;
     recall vs exact is pinned in tests/test_pq_adc.py."""
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     from .knn import validate_k
 
@@ -620,14 +715,12 @@ def ivfpq_topk(
         raise KeyError(f"query vector {query_id} not found")
     q = [float(x) for x in qrow[0]]
 
-    vecs = emb.withColumn(
-        "vec", array_to_vector(F.col("embedding").cast("array<double>"))
+    cents = _coarse_centers(spark, sf_dir, n_lists)
+    assigned = emb.select(
+        "vec_id", "label", "embedding", _list_id_expr(cents).alias("list_id")
     )
-    km = KMeans(k=n_lists, seed=42, featuresCol="vec", predictionCol="list_id")
-    model = km.fit(_quantizer_train_sample(vecs, n_rows=row_count(sf_dir, "embeddings")))
-    assigned = model.transform(vecs).select("vec_id", "label", "embedding", "list_id")
 
-    centers = np.asarray([list(c) for c in model.clusterCenters()], dtype=np.float64)
+    centers = np.asarray(cents, dtype=np.float64)
     d2 = ((centers - np.asarray(q)) ** 2).sum(axis=1)
     probed = [int(i) for i in np.lexsort((np.arange(len(d2)), d2))[:nprobe]]
 
