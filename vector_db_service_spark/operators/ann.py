@@ -228,16 +228,19 @@ def index_recall_report(
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
+    ).localCheckpoint(eager=False)
+    # scored once, lineage-truncated: exact, LSH, and IVF branches all
+    # re-read this frame instead of replaying the scan+scoring join
     pairs = emb.join(F.broadcast(queries)).withColumn(
         "score", F.round(sim.score("cosine", F.col("embedding"), F.col("qv")), 6)
-    )
+    ).localCheckpoint(eager=False)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
 
     exact = (
         pairs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
     )
 
     # dim inferred from the data (like knn_join) — a hard-coded plane
