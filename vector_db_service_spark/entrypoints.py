@@ -782,6 +782,7 @@ FROM embeddings GROUP BY label
 """,
 )
 register("mm_blob_features", multimodal.blob_features, opl.blob_features_sql())
+register("mm_blob_resize", multimodal.blob_resize, multimodal.blob_resize_sql())
 register("mm_frame_stats", multimodal.frame_stats, opl.frame_stats_sql())
 
 

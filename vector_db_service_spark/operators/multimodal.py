@@ -148,6 +148,83 @@ def sample_frames(df: DataFrame) -> DataFrame:
     )
 
 
+RESIZE_TARGET = 64
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_bytes", T.LongType()),
+        T.StructField("resized_bytes", T.LongType()),
+        T.StructField("stride", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "orig_bytes", "resized_bytes",
+                               "stride", "checksum", "resized")}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+            n = len(arr)
+            stride = max(1, n // RESIZE_TARGET)
+            sampled = arr[::stride][:RESIZE_TARGET]
+            out["doc_id"].append(int(doc_id))
+            out["orig_bytes"].append(n)
+            out["resized_bytes"].append(len(sampled))
+            out["stride"].append(stride)
+            out["checksum"].append(int(sampled.sum()))
+            out["resized"].append(sampled.tobytes())
+        yield pd.DataFrame(out)
+
+
+def resize_blobs(df: DataFrame) -> DataFrame:
+    """RESIZE pass (the thumbnail / downsample access pattern): stride-
+    sample each payload down to <= RESIZE_TARGET bytes with whole-batch
+    numpy over Arrow — binary in, smaller binary out, one vectorized
+    call per batch, exactly the shape an image-resize UDF has once a
+    codec is present (swap the stride-sample for PIL.thumbnail; schema
+    and batching stay identical)."""
+    return df.select("doc_id", "blob").mapInPandas(_resize_batches, RESIZE_SCHEMA)
+
+
+def blob_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() surface: scalar resize outputs. The corpus text is
+    ASCII, so byte k of the blob == character k+1 of the text and the
+    DuckDB oracle reproduces stride sampling with ord(substr(...)) —
+    the checksum verifies the actual sampled bytes, not just counts."""
+    return resize_blobs(blobs(spark, sf_dir)).select(
+        "doc_id", "orig_bytes", "resized_bytes", "stride", "checksum"
+    )
+
+
+def blob_resize_sql(target: int = RESIZE_TARGET) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+         GREATEST(1, length(text) // {target}) AS stride
+  FROM documents
+),
+sampled AS (
+  SELECT doc_id, n, stride,
+         list_transform(
+           range(0, LEAST({target}, CAST(ceil(n / (1.0 * stride)) AS BIGINT))),
+           i -> ord(substr(text, CAST(1 + i * stride AS BIGINT), 1))
+         ) AS vals
+  FROM base
+)
+SELECT doc_id, CAST(n AS BIGINT) AS orig_bytes,
+       CAST(len(vals) AS BIGINT) AS resized_bytes,
+       CAST(stride AS BIGINT) AS stride,
+       CAST(list_sum(list_prepend(0, vals)) AS BIGINT) AS checksum
+FROM sampled
+"""
+
+
 def blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """queries() surface: featurize the binary corpus; scalar parts are
     SQL-checkable (n_bytes/n_frames/mean_byte from utf-8 text bytes)."""
