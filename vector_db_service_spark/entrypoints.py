@@ -409,6 +409,20 @@ FROM events GROUP BY 1
 """,
 )
 register(
+    # continuous-aggregate cascade: daily served from hourly partials;
+    # oracle aggregates the raw table -> proves re-aggregation lossless
+    "rel_events_daily_rollup",
+    relational.events_daily_from_hourly,
+    """
+SELECT CAST(floor(floor(epoch_us(ts) / 3600000000) / 24) AS BIGINT) AS day_id,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       round(sum(value), 4) / count(*) AS avg_value
+FROM events GROUP BY 1, 2
+""",
+)
+register(
     "rel_sessionize_events",
     relational.sessionize_events,
     """

@@ -150,6 +150,41 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade (the hypertable rollup pattern):
+    the DAILY aggregate is computed FROM the hourly partials — count and
+    sum re-aggregate exactly, avg derives from them at the end — not from
+    the raw events. At 100 TB this is how time-series rollups are served:
+    maintain the hour-grain continuous aggregate incrementally (the
+    streaming windowed agg writes it), answer coarser grains by
+    re-aggregating 24 partial rows per day instead of re-scanning raw
+    events. The oracle aggregates the RAW table directly, proving the
+    partial-aggregate composition is lossless."""
+    ev = load(spark, sf_dir, "events")
+    hour_id = F.floor(F.col("ts_us") / F.lit(3_600_000_000)).alias("hour_id")
+    hourly = ev.groupBy(hour_id, F.col("event_type")).agg(
+        F.count("*").alias("n"), F.sum("value").alias("s")
+    )
+    day_id = F.floor(F.col("hour_id") / F.lit(24)).alias("day_id")
+    return (
+        hourly.groupBy(day_id, F.col("event_type"))
+        .agg(F.sum("n").alias("n_events"), F.sum("s").alias("s"))
+        .select(
+            "day_id",
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round(F.col("s"), 4).alias("sum_value"),
+            # avg = rounded sum / count with NO outer round: the inputs
+            # are already cross-engine identical, so the IEEE quotient is
+            # too — while round(x/n, 4) hits half-up-vs-multiply rounding
+            # tie divergence when the quotient lands exactly on .xxxx5
+            # (e.g. 307.03/8), and the raw two-level sum differs from a
+            # serial sum in the last ulp to begin with
+            (F.round(F.col("s"), 4) / F.col("n_events")).alias("avg_value"),
+        )
+    )
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: per-user sessions split on >gap inactivity.
     lag -> new-session flag -> running sum = session id; per-user
