@@ -21,6 +21,7 @@ from . import oracles
 from .operators import catalog, relational
 from .operators import knn as knn_ops
 from .sources.tables import load
+from .sources.tables import row_count as tables_row_count
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -609,7 +610,10 @@ register(
     # threshold 0.3: the synthetic embeddings are near-orthogonal (max
     # within-label cosine ~0.48 at sf0.01), so 0.8 would make the check
     # vacuous — 0.3 yields ~100 pairs at sf0.01
-    lambda s, d: dedup.embedding_near_dups(load(s, d, "embeddings"), threshold=0.3),
+    lambda s, d: dedup.embedding_near_dups(
+        load(s, d, "embeddings"), threshold=0.3,
+        n_rows=tables_row_count(d, "embeddings"),
+    ),
     opl.embedding_near_dups_sql(threshold=0.3, dim=_DIM),
 )
 register(

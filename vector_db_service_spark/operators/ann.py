@@ -965,7 +965,7 @@ def knn_join(
     sf_dir: str,
     m: int = 3,
     metric: str = "cosine",
-    band_bits: int = 2,
+    band_bits: int | None = None,
     salt: int | None = None,
     hot_bucket_min: int = 1000,
 ) -> DataFrame:
@@ -998,12 +998,18 @@ def knn_join(
     0 — so the output (and therefore the oracle) is unchanged. The
     hot-bucket list comes from the same cheap per-bucket count the skew
     monitor runs and is broadcast; replication cost is proportional to
-    hot data only."""
-    from .lsh import NUM_HASHES, SEED, band_keys, first_collision, hyperplanes
+    hot data only.
 
+    `band_bits=None` resolves via lsh.auto_band_bits from the footer row
+    count: buckets hold a constant expected size at any corpus scale
+    (quadratic-blowup guard), bit-identical to the static oracle at test
+    scales where it resolves to 2."""
+    from .lsh import SEED, N_SIGN_BANDS, auto_band_bits, band_keys, first_collision, hyperplanes
+
+    band_bits = auto_band_bits(row_count(sf_dir, "embeddings"), band_bits)
     emb = load(spark, sf_dir, "embeddings")
     dim = emb.select(F.size("embedding")).head()[0]
-    planes = hyperplanes(dim, NUM_HASHES, SEED)
+    planes = hyperplanes(dim, N_SIGN_BANDS * band_bits, SEED)
     banded = emb.select(
         "label", "vec_id", "embedding", sim.norm(F.col("embedding")).alias("nrm"),
         band_keys(F.col("embedding"), planes, band_bits).alias("bands"),

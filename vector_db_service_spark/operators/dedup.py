@@ -186,7 +186,8 @@ def ngram_jaccard_topk(docs: DataFrame, k: int = 20) -> DataFrame:
 
 
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.8,
-                        band_bits: int = 2) -> DataFrame:
+                        band_bits: int | None = None,
+                        n_rows: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by (label, sign-band).
 
     Candidate generation is an equi-join on (label, band_idx, band_key)
@@ -200,11 +201,17 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.8,
     the shuffle proportional to actual near-duplicates. Recall of the
     banding knob is measured by ann.blocked_pair_recall (sampled exact
     ground truth); the oracle mirrors the identical banded candidates,
-    so the check stays exact."""
-    from .lsh import NUM_HASHES, SEED, band_keys, first_collision, hyperplanes
+    so the check stays exact.
 
+    When `band_bits` is None it auto-scales from `n_rows` (pass the
+    footer count) so bucket sizes stay constant at any corpus scale —
+    see lsh.auto_band_bits; resolves to 2 (== the static oracles) at
+    test scales."""
+    from .lsh import SEED, N_SIGN_BANDS, auto_band_bits, band_keys, first_collision, hyperplanes
+
+    band_bits = auto_band_bits(n_rows if n_rows is not None else 0, band_bits)
     dim = emb.select(F.size("embedding")).head()[0]
-    planes = hyperplanes(dim, NUM_HASHES, SEED)
+    planes = hyperplanes(dim, N_SIGN_BANDS * band_bits, SEED)
     # norms are per-VECTOR, not per-pair: compute once on each join side
     # (n vs n^2 norm evaluations), pairs then need only the dot product
     banded = emb.select(

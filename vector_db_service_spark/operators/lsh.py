@@ -54,6 +54,36 @@ def hyperplanes(dim: int, num_hashes: int = NUM_HASHES, seed: int = SEED) -> lis
     return planes
 
 
+N_SIGN_BANDS = NUM_HASHES // 2  # 5 bands — the OR-recall budget of sign banding
+
+
+def auto_band_bits(
+    n_rows: int,
+    requested: int | None = None,
+    n_labels: int = 10,
+    target_bucket: int = 128,
+) -> int:
+    """Scale-adaptive sign-band width. A FIXED band_bits is a scale
+    trap: 2 bits means 4 buckets per band, so bucket size grows linearly
+    with the corpus and the banded self-join's candidate-pair count grows
+    QUADRATICALLY — measured: the same knn_join that takes ~2 s on the
+    5k-vector test corpus does not finish at 500k vectors with bits=2.
+    The fix is to hold the expected bucket size constant instead:
+    band_bits = ceil(log2(per_label_rows / target_bucket)), clamped to
+    [2, 16], with the band COUNT held at N_SIGN_BANDS so the OR-recall
+    budget (1-(1-p^bits)^bands for per-bit agreement p) stays explicit.
+    More bits -> more hyperplanes (N_SIGN_BANDS * bits), finer buckets,
+    pair work proportional to true near-duplicates. At the driver's test
+    scales this resolves to 2, i.e. bit-identical to the static oracles;
+    pass `requested` to pin it."""
+    if requested is not None:
+        return requested
+    import math
+
+    per_label = max(2, n_rows // max(1, n_labels))
+    return max(2, min(16, math.ceil(math.log2(max(2.0, per_label / target_bucket)))))
+
+
 def _plane_dot(vec_col: Column, plane: list[float]) -> Column:
     return sim.dot(vec_col, sim.vector_lit(plane))
 
