@@ -26,3 +26,18 @@ def test_salt_one_is_noop(spark):
     plain = ann.knn_join(spark, SF_SMALL, m=2).collect()
     s1 = ann.knn_join(spark, SF_SMALL, m=2, salt=1).collect()
     assert _key(plain) == _key(s1)
+
+
+def test_auto_band_bits_contract():
+    from vector_db_service_spark.operators.lsh import auto_band_bits
+
+    # test scales resolve to the historical 2 bits (oracle compatibility)
+    assert auto_band_bits(500) == 2
+    assert auto_band_bits(5_000) == 2
+    assert auto_band_bits(0) == 2
+    # large corpora get finer buckets; growth is logarithmic
+    assert auto_band_bits(500_000) == 9
+    assert auto_band_bits(5_000_000) > auto_band_bits(500_000)
+    # clamped, and an explicit request always wins
+    assert auto_band_bits(10**15) == 16
+    assert auto_band_bits(500_000, requested=2) == 2
