@@ -353,6 +353,15 @@ def near_dup_components_fast(docs: DataFrame, max_hamming: int = 3,
     oracle matches whenever component diameter <= 10, which the
     equality test pins for the test corpora)."""
     edges, nodes = _dup_graph(docs, max_hamming)
+    # The iteration frames hold dup-graph NODES only — a small fraction
+    # of the corpus — but checkpointed RDDs bypass AQE's partition
+    # coalescing, so without an explicit coalesce every round's stages
+    # inherit the full shuffle-partition count and scheduling overhead
+    # dominates (measured ~20% of the query at local[32]). Partition
+    # count stays proportional to the cluster, not a constant.
+    spark = docs.sparkSession
+    iter_parts = max(4, spark.sparkContext.defaultParallelism // 8)
+    edges = edges.coalesce(iter_parts).localCheckpoint(eager=False)
     labels = nodes.select("node", F.col("node").alias("comp"))
     for rnd in range(rounds):
         nbr = edges.join(labels, edges.dst == labels.node).select(
@@ -361,6 +370,7 @@ def near_dup_components_fast(docs: DataFrame, max_hamming: int = 3,
         propagated = (
             labels.unionByName(nbr)
             .groupBy("node").agg(F.min("comp").alias("comp"))
+            .coalesce(iter_parts)
             .localCheckpoint(eager=False)
         )
         # Early stop: if NO label moved in the propagation step, the
@@ -385,6 +395,7 @@ def near_dup_components_fast(docs: DataFrame, max_hamming: int = 3,
         labels = (
             propagated.join(parent, propagated.comp == parent.p_node)
             .select("node", F.col("p_comp").alias("comp"))
+            .coalesce(iter_parts)
             .localCheckpoint(eager=False)
         )
     return _with_isolated(docs, nodes, labels)
