@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 from ..functions import similarity as sim
-from ..functions.text import tokens
 
 
 def exact_dedup_summary(docs: DataFrame) -> DataFrame:
