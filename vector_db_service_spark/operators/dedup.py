@@ -290,6 +290,9 @@ def near_dup_components(docs: DataFrame, max_hamming: int = 3,
     component diameter <= rounds. Iteration runs over graph nodes only
     (see _dup_graph). Returns (comp, n_docs) per duplicate cluster."""
     edges, nodes = _dup_graph(docs, max_hamming)
+    # same coalesce-past-the-AQE-gap rule as near_dup_components_fast
+    iter_parts = max(4, docs.sparkSession.sparkContext.defaultParallelism // 8)
+    edges = edges.coalesce(iter_parts).localCheckpoint(eager=False)
     labels = nodes.select("node", F.col("node").alias("comp"))
     for _ in range(rounds):
         nbr = edges.join(labels, edges.dst == labels.node).select(
@@ -301,6 +304,7 @@ def near_dup_components(docs: DataFrame, max_hamming: int = 3,
             .agg(F.min("comp").alias("comp"))
             # truncate lineage each round: the label frame is tiny, but a
             # 10-round chained plan makes Catalyst analysis explode
+            .coalesce(iter_parts)
             .localCheckpoint(eager=False)
         )
     return _with_isolated(docs, nodes, labels)
