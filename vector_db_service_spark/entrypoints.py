@@ -410,6 +410,34 @@ FROM events GROUP BY 1
 """,
 )
 register(
+    "rel_value_deciles",
+    relational.value_deciles,
+    """
+WITH d AS (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id)
+           AS decile
+  FROM events
+)
+SELECT event_type, decile, count(*) AS n_events,
+       round(min(value), 4) AS lo, round(max(value), 4) AS hi
+FROM d GROUP BY event_type, decile
+""",
+)
+register(
+    "rel_orders_grouping_sets",
+    relational.orders_grouping_sets,
+    """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+       CAST(grouping(o_orderstatus) AS INT) AS g_st,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+""",
+)
+register(
     # continuous-aggregate cascade: daily served from hourly partials;
     # oracle aggregates the raw table -> proves re-aggregation lossless
     "rel_events_daily_rollup",

@@ -298,6 +298,47 @@ def parts_by_type_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_deciles(spark: SparkSession, sf_dir: str, buckets: int = 10) -> DataFrame:
+    """NTILE bucketing: per-event-type value deciles with per-bucket
+    stats. The window order is the TOTAL order (value, event_id) so
+    bucket membership is deterministic — both engines implement the SQL
+    standard remainder rule (first buckets take the extra rows), which
+    ties this to the oracle exactly."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.col("value"), F.col("event_id"))
+    return (
+        ev.withColumn("decile", F.ntile(buckets).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (the general form rollup/cube specialize): order
+    counts and revenue by priority, by status, and the grand total in ONE
+    aggregation pass — at scale this is one shuffle producing all three
+    report grains, where three separate GROUP BYs would scan and shuffle
+    three times. grouping() flags disambiguate the null-keyed rows."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+               CAST(grouping(o_orderstatus) AS INT) AS g_st,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
 def top_suppliers_per_nation(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Window top-k per group with a broadcast dimension join."""
     sup = load(spark, sf_dir, "supplier")
