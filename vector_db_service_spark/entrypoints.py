@@ -1682,12 +1682,14 @@ _PRIORITY_50 = [
     # LSH / grid index paths (I3-I10, J4, A8)
     "knn_lsh_cosine", "knn_grid_euclidean", "lsh_signatures",
     "lsh_bucket_stats", "grid_cells",
-    # CRUD / scans (S1-S3, S10-S13)
+    # CRUD / scans (S1-S3, S10-S12) + ingest chunking (the S13/S14 update
+    # family stays covered by local parity; chunking is a new family)
     "s1_point_lookup", "s2_batch_lookup", "s3_scan_by_library",
     "s10_vector_upsert", "s11_delete_by_predicate", "s12_cascade_delete",
-    "s13_partial_update",
-    # predicates (P2-P5)
-    "p2_conjunctive_filter", "p3_dynamic_filter", "p4_exists_probe",
+    "text_chunk_documents",
+    # predicates (P2/P3/P5) + sketches (P4's exists probe is the most
+    # redundant predicate row; HLL is a new family)
+    "p2_conjunctive_filter", "p3_dynamic_filter", "sketch_hll_distinct_users",
     "p5_create_or_get",
     # joins (J2, J3)
     "j2_semi_join", "j3_orphan_anti_join",
@@ -1707,8 +1709,9 @@ _PRIORITY_50 = [
     "text_token_stats", "text_language_id",
     # multimodal
     "mm_blob_features",
-    # streaming (§2.11)
-    "stream_windowed_event_counts", "stream_stateful_user_totals",
+    # streaming (§2.11) — windowed agg + the stream-stream interval join
+    # (stateful keyed totals stays covered by local parity)
+    "stream_windowed_event_counts", "stream_click_purchase_join",
     # embed source (S15) + stored index lifecycle (I11)
     "s15_embed_resilient", "i11_stored_index_probe",
 ]
