@@ -1072,17 +1072,21 @@ register(
 from .operators import store as store_ops  # noqa: E402
 
 register(
-    # I11 against the MATERIALIZED store: dynamic-partition overwrite of
-    # one library's lsh_index/ parquet, then a probe of the STORED rows.
-    # Result contract equals the derived lsh probe, so the same oracle
-    # checks the whole write->read path.
+    # I11 against the MATERIALIZED store: lazy ensure (build + dynamic-
+    # partition overwrite on first touch or staleness, memoized
+    # fingerprint after) then a probe of the STORED rows. The result
+    # contract equals the derived lsh probe, so the same oracle checks
+    # the whole write->read path on a cold store and the pure read path
+    # on a warm one. The FORCED rebuild (write->read in one call) stays
+    # covered by store_ops.rebuild_and_probe in
+    # tests/test_incremental_index.py.
     "i11_stored_index_probe",
-    lambda s, d: store_ops.rebuild_and_probe(s, d, library=1, query_id=0, k=10),
+    lambda s, d: store_ops.lsh_probe(s, d, library=1, query_id=0, k=10),
     oracles.lsh_search_sql(_PLANES, query_id=0, k=10, metric="cosine", library=1),
 )
 register(
     "i11_stored_grid_probe",
-    lambda s, d: store_ops.rebuild_and_probe(s, d, library=2, query_id=0, k=10),
+    lambda s, d: store_ops.grid_probe(s, d, library=2, query_id=0, k=10),
     oracles.grid_search_sql(query_id=0, k=10, metric="euclidean", library=2),
 )
 register(

@@ -430,13 +430,10 @@ def _coarse_centers(
 
     import numpy as np
 
+    from ..sources.tables import path_signature
+
     p = _os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = _os.stat(p)
-        key = (_os.path.realpath(p), st.st_mtime_ns, st.st_size,
-               n_lists, train_cap, seed, lloyd_iters)
-    except OSError:
-        key = (_os.path.realpath(p), None, None, n_lists, train_cap, seed, lloyd_iters)
+    key = (*path_signature(p), n_lists, train_cap, seed, lloyd_iters)
     if key in _COARSE_CACHE:
         return _COARSE_CACHE[key]
 

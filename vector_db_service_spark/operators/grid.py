@@ -70,21 +70,18 @@ _BOUNDS_CACHE: dict[tuple, tuple[list[float], list[float]]] = {}
 
 
 def _data_key(sf_dir: str, library: int | None) -> tuple:
-    """Cache identity of the embeddings table on disk: realpath + mtime +
-    size (+ library scope). Any rewrite of the file invalidates the entry
-    — the same freshness rule the stored-index fingerprint uses
-    (store.py). Derived-frame mutations (upsert/delete queries) never
-    rewrite the source file, so cached bounds stay consistent with what a
-    fresh aggregate would return."""
+    """Cache identity of the embeddings table on disk: part-file-aware
+    signature (tables.path_signature: max mtime_ns + total size across
+    every contained part file) + library scope. Any rewrite of any
+    partition invalidates the entry — the same freshness rule the
+    stored-index fingerprint uses (store.py). Derived-frame mutations
+    (upsert/delete queries) never rewrite the source file, so cached
+    bounds stay consistent with what a fresh aggregate would return."""
     import os
 
-    p = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(p)
-        ident: tuple = (st.st_mtime_ns, st.st_size)
-    except OSError:
-        ident = (None, None)
-    return (os.path.realpath(p), *ident, library)
+    from ..sources.tables import path_signature
+
+    return (*path_signature(os.path.join(sf_dir, "embeddings.parquet")), library)
 
 
 def bounds_cached(

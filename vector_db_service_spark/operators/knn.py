@@ -62,15 +62,14 @@ def query_vector_row(
     Memoized per (table file identity, query_id): every search call needs
     this lookup, and the reference amortizes it the same way by keeping
     vectors resident in its storage dict (vector_db/storage.py:11-41).
-    The key includes mtime+size, so a rewritten table drops the entry."""
+    The key covers every part file (tables.path_signature), so a rewrite
+    of any partition drops the entry."""
     import os
 
+    from ..sources.tables import path_signature
+
     p = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(p)
-        key = (os.path.realpath(p), st.st_mtime_ns, st.st_size, query_id)
-    except OSError:
-        key = (os.path.realpath(p), None, None, query_id)
+    key = (*path_signature(p), query_id)
     if key in _QVEC_CACHE:
         return _QVEC_CACHE[key]
     row = (

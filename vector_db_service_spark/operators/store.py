@@ -27,7 +27,24 @@ library". ensure_library compares the stored fingerprint (row count +
 max vec_id) against the current data and rebuilds on mismatch, so a
 dataset regenerated under the same sf-tag directory can't serve a stale
 index; a registry written by an older layout (no fingerprint columns)
-is treated as stale.
+is treated as stale. The current-data fingerprint is memoized per
+source-file identity (_FPRINT_CACHE), so a WARM probe is probe-shaped:
+partition-pruned stored-row read + re-rank, no aggregation job.
+
+Concurrency invariant (two sessions probing one stale library both
+rebuild): last-writer-wins is SAFE here because (a) both writers build
+from the same source partition with deterministic operators, so the
+payloads are row-identical, and (b) the dynamic-partition overwrite
+replaces each `label=N` directory in one FileOutputCommitter commit —
+readers see the old complete partition or the new complete partition,
+never a mix of files from two builds within one partition. What is NOT
+guaranteed is cross-TABLE atomicity (lsh_index vs registry can briefly
+disagree under a concurrent writer); a probe that reads a newer index
+with an older registry row only risks one spurious rebuild, never a
+wrong answer, since probe results are recomputed from stored rows + the
+live embeddings. On a production lakehouse the same layout upgrades to
+Delta/Iceberg `replaceWhere`/`overwritePartitions` for snapshot-atomic
+multi-table commits — the operator surface is unchanged.
 """
 
 from __future__ import annotations
@@ -97,6 +114,28 @@ def _data_fingerprint(emb: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["mx"])
 
 
+_FPRINT_CACHE: dict[tuple, tuple[int, int]] = {}
+
+
+def _data_fingerprint_cached(
+    spark: SparkSession, sf_dir: str, library: int
+) -> tuple[int, int]:
+    """Memoized per (source-file identity, library) — same freshness rule
+    as knn._QVEC_CACHE / grid._BOUNDS_CACHE. A warm stored-index probe
+    must be probe-shaped (partition-pruned read + re-rank), not pay a
+    count/max aggregation job per call; any rewrite of any part file
+    changes tables.path_signature and drops the entry, so a regenerated
+    dataset still triggers the staleness re-check."""
+    from ..sources.tables import path_signature
+
+    key = (*path_signature(os.path.join(sf_dir, "embeddings.parquet")), library)
+    if key not in _FPRINT_CACHE:
+        _FPRINT_CACHE[key] = _data_fingerprint(
+            load(spark, sf_dir, "embeddings").filter(F.col("label") == library)
+        )
+    return _FPRINT_CACHE[key]
+
+
 def rebuild_library(
     spark: SparkSession,
     sf_dir: str,
@@ -138,8 +177,17 @@ def rebuild_library(
             )
             _dynamic_overwrite(bounds_row, os.path.join(base, "grid_bounds"))
     # registry row: algorithm + the data fingerprint the index was
-    # built from (flat stores no index structure — I1 — registry only)
+    # built from (flat stores no index structure — I1 — registry only).
+    # The fingerprint is also memoized here so the FIRST warm probe after
+    # a build already skips the aggregation job.
+    from ..sources.tables import path_signature
+
     n_rows, max_id = _data_fingerprint(emb)
+    fkey = (
+        *path_signature(os.path.join(sf_dir, "embeddings.parquet")),
+        library,
+    )
+    _FPRINT_CACHE[fkey] = (n_rows, max_id)
     reg_row = spark.createDataFrame(
         [(library, algorithm, n_rows, max_id)],
         "label int, algorithm string, n_rows long, max_vec_id long",
@@ -152,22 +200,37 @@ def _partition_exists(spark: SparkSession, base: str, table: str, library: int) 
     return _fs_exists(spark, os.path.join(base, table, f"label={library}"))
 
 
+_STORED_FPRINT_CACHE: dict[tuple, tuple[int, int] | None] = {}
+
+
 def _stored_fingerprint(
     spark: SparkSession, base: str, library: int
 ) -> tuple[int, int] | None:
     """Fingerprint recorded at build time, or None when absent/illegible
     (no registry, no row for the library, or a pre-fingerprint layout —
-    all of which mean 'stale, rebuild')."""
+    all of which mean 'stale, rebuild'). Memoized on the registry's own
+    file identity: a rebuild rewrites the registry partition, changing
+    tables.path_signature, so stale memo entries self-invalidate."""
+    from ..sources.tables import path_signature
+
     reg_path = os.path.join(base, "registry")
+    key = (*path_signature(reg_path), library)
+    if key in _STORED_FPRINT_CACHE:
+        return _STORED_FPRINT_CACHE[key]
     if not _fs_exists(spark, reg_path):
-        return None
+        return None  # not cached: absence is cheap to re-detect
     reg = spark.read.parquet(reg_path)
     if "n_rows" not in reg.columns or "max_vec_id" not in reg.columns:
-        return None
-    row = reg.filter(F.col("label") == library).select("n_rows", "max_vec_id").head()
-    if row is None or row["n_rows"] is None:
-        return None
-    return int(row["n_rows"]), int(row["max_vec_id"])
+        out: tuple[int, int] | None = None
+    else:
+        row = reg.filter(F.col("label") == library).select("n_rows", "max_vec_id").head()
+        out = (
+            None
+            if row is None or row["n_rows"] is None
+            else (int(row["n_rows"]), int(row["max_vec_id"]))
+        )
+    _STORED_FPRINT_CACHE[key] = out
+    return out
 
 
 def ensure_library(
@@ -188,9 +251,7 @@ def ensure_library(
     stale = not _partition_exists(spark, base, table, library)
     if not stale:
         stored = _stored_fingerprint(spark, base, library)
-        current = _data_fingerprint(
-            load(spark, sf_dir, "embeddings").filter(F.col("label") == library)
-        )
+        current = _data_fingerprint_cached(spark, sf_dir, library)
         stale = stored is None or stored != current
     if stale:
         rebuild_library(spark, sf_dir, library, algorithm, root)

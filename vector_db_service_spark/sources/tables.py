@@ -129,6 +129,39 @@ def row_count(sf_dir: str, name: str) -> int:
     return pq.read_metadata(path).num_rows
 
 
+def path_signature(path: str) -> tuple:
+    """Cache-key identity of a parquet table on disk. For a directory
+    table the signature covers every contained part file (max mtime_ns +
+    total size + file count) — an in-place rewrite of one partition
+    subdirectory changes the signature even when the top-level directory
+    mtime does not. Single-file tables degrade to the one stat. Used by
+    every driver-side memo (query-vector, grid-bounds, IVF-centers,
+    stored-index fingerprint) so all freshness rules agree."""
+    import glob
+    import os
+
+    rp = os.path.realpath(path)
+    try:
+        if os.path.isdir(rp):
+            files = sorted(
+                glob.glob(os.path.join(rp, "**", "*.parquet"), recursive=True)
+            )
+            if not files:
+                st = os.stat(rp)
+                return (rp, st.st_mtime_ns, st.st_size, 0)
+            stats = [os.stat(f) for f in files]
+            return (
+                rp,
+                max(s.st_mtime_ns for s in stats),
+                sum(s.st_size for s in stats),
+                len(stats),
+            )
+        st = os.stat(rp)
+        return (rp, st.st_mtime_ns, st.st_size, 1)
+    except OSError:
+        return (rp, None, None, None)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
 
