@@ -31,12 +31,38 @@ from __future__ import annotations
 import os
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.embed import hash_embedding
 from ..sources.tables import load
+
+# Micro-batches here carry at most one table's worth of rows; the default
+# 32-partition shuffle turns every stateful operator into 32 tiny tasks
+# per micro-batch — pure scheduling overhead at local[*] (the
+# dedup_components coalesce rule, applied to streaming). Bound it for the
+# duration of each streaming query and restore after: the partition count
+# is fixed into the state checkpoint at first start, and every query here
+# uses a fresh checkpoint dir, so the bound never conflicts with resumed
+# state. At production scale this constant is sized to the log's
+# per-batch volume, not the corpus.
+_STREAM_SHUFFLE_PARTITIONS = "8"
+
+
+@contextmanager
+def _bounded_shuffle(spark: SparkSession, n: str = _STREAM_SHUFFLE_PARTITIONS):
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, n)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,14 +115,15 @@ def windowed_event_counts(
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
     )
     name = f"win_{uuid.uuid4().hex[:12]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _bounded_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         (F.unix_micros(F.col("window.start")) / F.lit(3_600_000_000)).cast("long").alias("hour_id"),
         "event_type",
@@ -143,13 +170,14 @@ def embed_pending_stream(
             .write.mode("append").parquet(sink)
         )
 
-    q = (
-        stream.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _bounded_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(sink)
 
 
@@ -218,11 +246,12 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"state_{uuid.uuid4().hex[:12]}"
-    q = (
-        totals.writeStream.format("memory").queryName(name)
-        .outputMode("update").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    with _bounded_shuffle(spark):
+        q = (
+            totals.writeStream.format("memory").queryName(name)
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
     # update mode emits one row per key per batch; keep the final row
     # (max n_events) per user
     snap = spark.table(name)
@@ -263,11 +292,12 @@ def dedup_events_stream(spark: SparkSession, sf_dir: str,
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
     name = f"dedup_{uuid.uuid4().hex[:12]}"
-    q = (
-        agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    with _bounded_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -284,11 +314,12 @@ def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
     )
     name = f"slide_{uuid.uuid4().hex[:12]}"
-    q = (
-        agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    with _bounded_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         (F.unix_micros(F.col("window.start")) / F.lit(1_800_000_000)).cast("long")
         .alias("slide_id"),
@@ -338,11 +369,12 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     )
     name = f"ssj_{uuid.uuid4().hex[:12]}"
-    q = (
-        pairs.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    with _bounded_shuffle(spark):
+        q = (
+            pairs.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy(F.col("p_event_id"), F.col("p_user").alias("user_id"))
