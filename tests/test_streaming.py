@@ -99,15 +99,27 @@ def test_append_mode_watermark_holds_back_open_windows(spark):
 
 
 def test_multimodal_decode_is_gated_and_frames_flatmap(spark):
-    """The image-decode step is an explicit stub (no codec libs in this
-    container) — it must raise, not silently fake. Frame sampling is the
-    1-row -> n-rows flatMap shape with exact frame arithmetic."""
+    """Compressed-image decode stays an explicit gate (no codec libs in
+    this container) — it must raise, not silently fake. Fixed-stride P6
+    PPM decodes for real through the pure-Python reader: header comments
+    and whitespace per the netpbm spec, byte-exact raster, truncation is
+    an error. Frame sampling is the 1-row -> n-rows flatMap shape with
+    exact frame arithmetic."""
     import pytest as _pytest
 
     from vector_db_service_spark.operators import multimodal as mm
 
     with _pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG")
+
+    raster = bytes(range(2 * 3 * 3))  # 2x3 RGB, bytes 0..17
+    ppm = b"P6\n# a comment\n 3\t2\n255\n" + raster
+    w, h, maxval, px = mm.decode_image(ppm)
+    assert (w, h, maxval) == (3, 2, 255)
+    assert px.shape == (2, 3, 3)
+    assert px.tobytes() == raster
+    with _pytest.raises(ValueError):
+        mm.decode_image(b"P6\n3 2\n255\n" + raster[:-1])  # truncated
 
     blobs = mm.blobs(spark, SF).limit(20)
     frames = mm.sample_frames(blobs)

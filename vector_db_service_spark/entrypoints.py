@@ -830,6 +830,14 @@ FROM embeddings GROUP BY label
 register("mm_blob_features", multimodal.blob_features, opl.blob_features_sql())
 register("mm_blob_resize", multimodal.blob_resize, multimodal.blob_resize_sql())
 register("mm_frame_stats", multimodal.frame_stats, opl.frame_stats_sql())
+register(
+    # real (non-stubbed) image decode: synthesized P6 PPM corpus ->
+    # pure-Python stride decode -> per-channel raster stats, byte-level
+    # oracle over the source text bytes
+    "mm_decode",
+    multimodal.mm_decode,
+    multimodal.mm_decode_sql(),
+)
 
 
 register(

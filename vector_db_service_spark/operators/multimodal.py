@@ -66,11 +66,47 @@ def blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decode_ppm(blob: bytes) -> tuple[int, int, int, "object"]:
+    """Pure-Python P6 (binary PPM) decode: tokenize the header (width,
+    height, maxval; '#' comments and arbitrary whitespace per the netpbm
+    spec), then one numpy frombuffer + reshape to (H, W, 3). No codec
+    library needed — PPM is a fixed-stride raw format."""
+    import numpy as np
+
+    if blob[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header tokenizer: 3 integers after the magic, comments to EOL
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":
+            while pos < len(blob) and blob[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(blob[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raw pixels
+    width, height, maxval = tokens
+    n = width * height * 3
+    pixels = np.frombuffer(blob[pos : pos + n], dtype=np.uint8)
+    if pixels.size != n:
+        raise ValueError(f"truncated P6 payload: {pixels.size}/{n} bytes")
+    return width, height, maxval, pixels.reshape(height, width, 3)
+
+
 def decode_image(blob: bytes) -> object:
-    """STUB: genuine image decode requires a codec library not present in
-    this container. The Spark-side plumbing (schema, batching) is real;
-    swap this function for PIL/cv2 when available."""
-    raise NotImplementedError("image decode requires an image codec library")
+    """Image decode dispatch. Fixed-stride formats (P6 PPM) decode with
+    the pure-Python reader above; compressed formats (PNG/JPEG/...)
+    genuinely require a codec library not present in this container and
+    stay explicitly gated — swap the raise for PIL/cv2 when available."""
+    if blob[:2] == b"P6":
+        return _decode_ppm(blob)
+    raise NotImplementedError(
+        "compressed image decode requires an image codec library"
+    )
 
 
 def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -222,6 +258,127 @@ SELECT doc_id, CAST(n AS BIGINT) AS orig_bytes,
        CAST(stride AS BIGINT) AS stride,
        CAST(list_sum(list_prepend(0, vals)) AS BIGINT) AS checksum
 FROM sampled
+"""
+
+
+IMG_W, IMG_H = 16, 8  # 384 raw RGB bytes per synthesized image
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("maxval", T.LongType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+def image_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic P6 PPM corpus: one 16x8 RGB image per document whose
+    pixel bytes are the document's ASCII text bytes cycled to fill the
+    raster (empty text -> zero raster). Gives every SF a decodable image
+    table without touching the read-only testdata, and keeps the decode
+    output byte-reproducible by a DuckDB oracle over `documents`."""
+    import numpy as np
+
+    n_px = IMG_W * IMG_H * 3
+    header = f"P6\n{IMG_W} {IMG_H}\n255\n".encode()
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("blob", T.BinaryType())]
+    )
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "blob": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                if raw:
+                    reps = -(-n_px // len(raw))
+                    body = (raw * reps)[:n_px]
+                else:
+                    body = bytes(n_px)
+                rows["doc_id"].append(int(doc_id))
+                rows["blob"].append(header + body)
+            yield pd.DataFrame(rows)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(_make, schema)
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Whole-raster numpy per image: header parse is per-row (variable
+    length), pixel math is vectorized. Byte sums are exact integers in
+    float64, so the means hash-match the oracle after 6-dec rounding."""
+    cols = [f.name for f in DECODE_SCHEMA.fields]
+    for pdf in batches:
+        rows = {c: [] for c in cols}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            w, h, maxval, px = _decode_ppm(bytes(blob))
+            flat = px.astype("float64")
+            rows["doc_id"].append(int(doc_id))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["maxval"].append(maxval)
+            rows["mean_r"].append(float(flat[:, :, 0].mean()))
+            rows["mean_g"].append(float(flat[:, :, 1].mean()))
+            rows["mean_b"].append(float(flat[:, :, 2].mean()))
+            rows["checksum"].append(int(flat.sum()))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def decode_images(df: DataFrame) -> DataFrame:
+    """DECODE pass over an image-blob table via mapInPandas — the real
+    (non-stubbed) counterpart of the featurize/resize passes: binary in,
+    per-image raster stats out."""
+    return df.select("doc_id", "blob").mapInPandas(_decode_batches, DECODE_SCHEMA)
+
+
+def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() surface: synthesize -> decode, channel means rounded for
+    the value-hash contract."""
+    return decode_images(image_blobs(spark, sf_dir)).select(
+        "doc_id",
+        "width",
+        "height",
+        "maxval",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "checksum",
+    )
+
+
+def mm_decode_sql() -> str:
+    """Byte-level oracle: pixel byte j of doc d is ord(text[j mod n])
+    (ASCII corpus; zero raster when the text is empty). Channel c keeps
+    bytes with j % 3 = c under the interleaved-RGB P6 layout."""
+    n_px = IMG_W * IMG_H * 3
+    byte_j = (
+        "CASE WHEN n = 0 THEN 0 "
+        "ELSE ord(substr(text, CAST(j % n + 1 AS BIGINT), 1)) END"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+),
+px AS (
+  SELECT doc_id, j, {byte_j} AS v
+  FROM base, unnest(range(0, {n_px})) AS t(j)
+)
+SELECT doc_id,
+       CAST({IMG_W} AS BIGINT) AS width,
+       CAST({IMG_H} AS BIGINT) AS height,
+       CAST(255 AS BIGINT) AS maxval,
+       round(avg(CASE WHEN j % 3 = 0 THEN v END), 6) AS mean_r,
+       round(avg(CASE WHEN j % 3 = 1 THEN v END), 6) AS mean_g,
+       round(avg(CASE WHEN j % 3 = 2 THEN v END), 6) AS mean_b,
+       CAST(sum(v) AS BIGINT) AS checksum
+FROM px GROUP BY doc_id
 """
 
 
