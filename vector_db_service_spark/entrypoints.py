@@ -1117,11 +1117,20 @@ FROM reg JOIN per ON reg.label = per.label
 )
 
 
-# --- MLlib batch index builds (north-star scale path; rows-only checks:
-# MLlib's seeded hash coefficients are not SQL-reproducible) --------------
+# --- MLlib batch index builds (north-star scale path). The BRP pair now
+# carries EXACT oracles: the model's seed-42 random unit vectors are a
+# function of (seed, dim, numTables) only, pinned as literals in
+# mllib_index.py (test-asserted against a live fit), so DuckDB recomputes
+# floor(dot/width) buckets and the single-probe kNN itself. The remaining
+# rows-only entries (KMeans IVF / PQ / MinHashLSH) stay rows-only:
+# their fitted state is data-dependent. ------------------------------------
 from .operators import mllib_index  # noqa: E402
 
-register("mllib_brp_bucket_index", mllib_index.brp_bucket_index)
+register(
+    "mllib_brp_bucket_index",
+    mllib_index.brp_bucket_index,
+    mllib_index.brp_bucket_index_sql(),
+)
 register(
     # n_lists=7 / nprobe=4: the operating point the recall sweep
     # (ann_ivf_recall_sweep) measures at 0.84 avg recall@10 on sf0.01
@@ -1157,6 +1166,7 @@ register(
 register(
     "mllib_brp_approx_knn",
     lambda s, d: mllib_index.brp_approx_knn(s, d, query_id=0, k=10),
+    mllib_index.brp_approx_knn_sql(query_id=0, k=10),
 )
 register(
     "mllib_minhash_jaccard_join",
