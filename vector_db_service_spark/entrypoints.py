@@ -1195,8 +1195,10 @@ def _embed_components(s: SparkSession, d: str) -> DataFrame:
             F.round(F.when(n == 0.0, F.lit(0.0)).otherwise(F.lit(1.0)), 6).alias("unit_norm"),
         )
 
+    from .sources.tables import spread_for_compute
+
     return (
-        load(s, d, "documents")
+        spread_for_compute(load(s, d, "documents"))
         .select("doc_id", let(hash_embedding(F.col("text")), _proj).alias("st"))
         .select("doc_id", "st.*")
     )
@@ -1222,7 +1224,9 @@ def _ingest_chunks_embedded(s: SparkSession, d: str) -> DataFrame:
             F.round(F.when(n == 0.0, F.lit(0.0)).otherwise(F.lit(1.0)), 6).alias("unit_norm"),
         )
 
-    chunks = textops.chunk_documents(load(s, d, "documents"))
+    from .sources.tables import spread_for_compute
+
+    chunks = textops.chunk_documents(spread_for_compute(load(s, d, "documents")))
     return chunks.select(
         "doc_id",
         "sentence_number",

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 from ..functions import similarity as sim
+from ..sources.tables import spread_for_compute
 
 
 def exact_dedup_summary(docs: DataFrame) -> DataFrame:
@@ -89,7 +90,7 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
     # one materialization of (band keys, shingle set) feeds the candidate
     # join AND both verify joins — the shingle/md5 pipeline runs once per
     # doc, not once per branch (the persisted-signature-table shape)
-    pre = docs.select(
+    pre = spread_for_compute(docs).select(
         "doc_id",
         H.minhash_bands(sig).alias("bands"),
         F.array_distinct(H.shingles(F.col("text"))).alias("sh"),
@@ -126,8 +127,11 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     # materialized fingerprint frame instead of re-hashing the corpus per
     # branch (measured 2.2x). At scale this is the index-build write: the
     # fingerprint table is persisted once, then joined against itself.
-    fingered = docs.select("doc_id", H.simhash(F.col("text")).alias("sh")) \
+    fingered = (
+        spread_for_compute(docs)
+        .select("doc_id", H.simhash(F.col("text")).alias("sh"))
         .localCheckpoint(eager=False)
+    )
     keyed = fingered.select(
         "doc_id", "sh", F.posexplode(H.simhash_blocks(F.col("sh"))).alias("block_idx", "block_key")
     )
@@ -161,7 +165,9 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", H.simhash(F.col("text")).alias("simhash"))
+    return spread_for_compute(docs).select(
+        "doc_id", H.simhash(F.col("text")).alias("simhash")
+    )
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
@@ -317,7 +323,7 @@ def containment_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     misses. Same banded candidate join as minhash_near_dups; both
     directed containments are emitted per unordered candidate pair."""
     sig = H.minhash_signature(F.col("text"))
-    pre = docs.select(
+    pre = spread_for_compute(docs).select(
         "doc_id",
         H.minhash_bands(sig).alias("bands"),
         F.array_distinct(H.shingles(F.col("text"))).alias("sh"),
@@ -365,7 +371,43 @@ def near_dup_components_fast(docs: DataFrame, max_hamming: int = 3,
     spark = docs.sparkSession
     iter_parts = max(4, spark.sparkContext.defaultParallelism // 8)
     edges = edges.coalesce(iter_parts).localCheckpoint(eager=False)
-    labels = nodes.select("node", F.col("node").alias("comp"))
+
+    # CONTRACTION pre-pass — the only phase that touches the full edge
+    # list. Near-dup graphs are clique-heavy (a duplicated template makes
+    # all its copies pairwise near-dups), so |E| >> |V|; iterating joins
+    # over |E| per round pays that density every round. Instead: one
+    # aggregation computes m(n) = min over the closed neighborhood, a
+    # valid component-preserving contraction (m(n) is always in n's
+    # component); the doubling loop then runs on the CONTRACTED graph
+    # (edges between distinct representatives — a clique collapses to
+    # one supernode, so the loop input is |E'| ~ cross-clique links
+    # only). For chain-shaped graphs nothing contracts and this degrades
+    # gracefully to the original cost + one extra pass.
+    m = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("min_nbr"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("min_nbr")).alias("comp"),
+        )
+        .coalesce(iter_parts)
+        .localCheckpoint(eager=False)
+    )
+    cedges = (
+        edges.join(
+            m.select(F.col("node").alias("src"), F.col("comp").alias("cs")), "src"
+        )
+        .join(m.select(F.col("node").alias("dst"), F.col("comp").alias("cd")), "dst")
+        .filter(F.col("cs") != F.col("cd"))
+        .select(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+        .distinct()  # symmetric already: input edges carry both directions
+        .coalesce(iter_parts)
+        .localCheckpoint(eager=False)
+    )
+    edges = cedges
+    labels = m.select(F.col("comp").alias("node")).distinct().select(
+        "node", F.col("node").alias("comp")
+    )
     for rnd in range(rounds):
         nbr = edges.join(labels, edges.dst == labels.node).select(
             F.col("src").alias("node"), F.col("comp")
@@ -401,4 +443,10 @@ def near_dup_components_fast(docs: DataFrame, max_hamming: int = 3,
             .coalesce(iter_parts)
             .localCheckpoint(eager=False)
         )
-    return _with_isolated(docs, nodes, labels)
+    # expand the contraction: every original node takes its
+    # representative's final label
+    full_labels = m.join(
+        labels.select(F.col("node").alias("rep"), F.col("comp").alias("rcomp")),
+        m.comp == F.col("rep"),
+    ).select("node", F.col("rcomp").alias("comp"))
+    return _with_isolated(docs, nodes, full_labels)

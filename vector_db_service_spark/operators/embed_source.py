@@ -123,7 +123,12 @@ def embed_resilient(
                                      "attempts": attempts})
             yield pd.DataFrame(rows, columns=cols)
 
-    return docs.select("doc_id", "text").mapInPandas(_batches, RESILIENT_SCHEMA)
+    from ..sources.tables import spread_for_compute
+
+    return (
+        spread_for_compute(docs.select("doc_id", "text"))
+        .mapInPandas(_batches, RESILIENT_SCHEMA)
+    )
 
 
 def embed_resilient_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,8 +153,9 @@ def embed_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import similarity as sim
     from ..functions.embed import embedding_from_hashes
     from ..functions.hashing import let
+    from ..sources.tables import spread_for_compute
 
-    docs = load(spark, sf_dir, "documents")
+    docs = spread_for_compute(load(spark, sf_dir, "documents"))
 
     def _both(t):
         def _with_tokens(tk):

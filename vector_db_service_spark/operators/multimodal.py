@@ -53,8 +53,12 @@ FRAME_SCHEMA = T.StructType(
 
 
 def blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary corpus: blob payload + typed metadata struct."""
-    docs = load(spark, sf_dir, "documents")
+    """Binary corpus: blob payload + typed metadata struct. Spread to
+    core-count partitions — every consumer is an Arrow-batched compute
+    pass, and a one-row-group source would serialize it on one worker."""
+    from ..sources.tables import spread_for_compute
+
+    docs = spread_for_compute(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.encode("text", "utf-8").alias("blob"),
@@ -306,7 +310,11 @@ def image_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["blob"].append(header + body)
             yield pd.DataFrame(rows)
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    from ..sources.tables import spread_for_compute
+
+    docs = spread_for_compute(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return docs.mapInPandas(_make, schema)
 
 
@@ -461,7 +469,11 @@ def embed_documents_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S15 via the Arrow path: mapInPandas batched 'model calls'. Same
     oracle as the JVM-expression path (s15_embed_documents) — proving the
     two implementations agree bit-for-bit after rounding."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    from ..sources.tables import spread_for_compute
+
+    docs = spread_for_compute(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return docs.mapInPandas(_embed_batches, EMBED_SCHEMA)
 
 

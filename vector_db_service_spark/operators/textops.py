@@ -57,7 +57,9 @@ def language_id(docs: DataFrame) -> DataFrame:
 
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprints: md5 + rolling token-polynomial hash."""
-    return docs.select(
+    from ..sources.tables import spread_for_compute
+
+    return spread_for_compute(docs).select(
         "doc_id",
         F.md5("text").alias("md5_hex"),
         T.rolling_fingerprint(F.col("text")).alias("roll_hash"),

@@ -129,6 +129,22 @@ def row_count(sf_dir: str, name: str) -> int:
     return pq.read_metadata(path).num_rows
 
 
+def spread_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Ensure a CPU-heavy projection (per-token hashing, shingling,
+    fingerprinting) runs with at least core-count partitions. Small-SF
+    tables arrive as ONE parquet row-group -> one task, serializing the
+    whole expression on a single core while 31 idle. No-op when the scan
+    already has enough partitions — at production scale the file count
+    provides the parallelism, and a blanket repartition() (a full shuffle
+    of the text) would be the bug, so this only pays the tiny shuffle
+    when the input is under-partitioned."""
+    spark = df.sparkSession
+    want = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want)
+
+
 def path_signature(path: str) -> tuple:
     """Cache-key identity of a parquet table on disk. For a directory
     table the signature covers every contained part file (max mtime_ns +
