@@ -1676,10 +1676,15 @@ register(
     "obs_timed_search",
     lambda s, d: observability.timed_search(s, d, query_id=0, k=10, metric="cosine"),
 )
+from .sources.tables import TABLES as _TABLES  # noqa: E402
+
 register(
     "obs_health",
     observability.health,
-    "SELECT 'healthy' AS status, 'vector-db-spark' AS service, 10 AS n_tables",
+    # n_tables derives from the registered-table tuple, not a hardcoded
+    # count — adding/removing a table cannot desync the oracle
+    f"SELECT 'healthy' AS status, 'vector-db-spark' AS service, "
+    f"{len(_TABLES)} AS n_tables",
 )
 register(
     "obs_clear_library_stats",

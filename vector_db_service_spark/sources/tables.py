@@ -56,26 +56,70 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _epoch_us(spark: SparkSession, sf_dir: str, ts_type) -> F.Column:
-    """Epoch-microseconds expression for whichever physical type `ts` has."""
+    """Epoch-microseconds expression for whichever physical type `ts` has.
+    No session-state mutation: every branch is timezone-independent."""
+    import logging
+
     from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
+    log = logging.getLogger(__name__)
     if isinstance(ts_type, LongType):
         # An int64 ts could be epoch-NANOS (the historical encoding) or
-        # epoch-MICROS; footer column stats disambiguate without a scan.
-        # Epoch-nanos for any date past 1973 exceed 1e17, epoch-micros
-        # stay below it until the year 5138 — no realistic overlap.
-        if 0 < _ts_stat_max(sf_dir) < int(1e17):
+        # epoch-MICROS. The parquet logical-type annotation is the
+        # authoritative signal (a timestamp[ns]-annotated column reaches
+        # Spark as LongType only because of nanosAsLong); footer column
+        # stats are the fallback for unannotated raw int64: epoch-nanos
+        # for any date past 1973 exceed 1e17, epoch-micros stay below it
+        # until the year 5138 — no realistic overlap.
+        unit = _ts_int64_unit(sf_dir)
+        if unit is None:
+            unit = "us" if 0 < _ts_stat_max(sf_dir) < int(1e17) else "ns"
+            log.info("events.ts int64: no logical-type annotation; "
+                     "footer-stat heuristic chose %s", unit)
+        else:
+            log.info("events.ts int64: logical-type annotation says %s", unit)
+        if unit == "us":
             return F.col("ts").cast("long")
         # integer `div`, not `/`: nanos exceed 2^53, so double division
         # loses the low microsecond bits
         return F.expr("ts div 1000")
-    if isinstance(ts_type, (TimestampType, TimestampNTZType)):
-        # NTZ -> TIMESTAMP cast applies the session timezone; pin it UTC so
-        # the wall-clock micros equal DuckDB's timezone-free epoch_us(ts)
-        # even when the driver owns the SparkSession
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        return F.unix_micros(F.col("ts").cast("timestamp"))
+    if isinstance(ts_type, TimestampNTZType):
+        # pure wall-clock arithmetic on the NTZ value — equals DuckDB's
+        # timezone-free epoch_us(ts) under ANY session timezone (a
+        # NTZ->TIMESTAMP cast would route through the session tz)
+        return F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    if isinstance(ts_type, TimestampType):
+        # an instant: unix_micros is timezone-independent by definition
+        return F.unix_micros(F.col("ts"))
     raise TypeError(f"events.ts has unsupported type {ts_type}")
+
+
+def _ts_int64_unit(sf_dir: str) -> str | None:
+    """Unit of the `ts` column's parquet timestamp logical-type
+    annotation ('ns'/'us'), or None when the column is a raw unannotated
+    int64 (callers then fall back to the footer-stat magnitude
+    heuristic)."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/events.parquet"
+    try:
+        if os.path.isdir(path):
+            files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not files:
+                return None
+            path = files[0]
+        t = pq.read_schema(path).field("ts").type
+        if pa.types.is_timestamp(t) and t.unit in ("ns", "us"):
+            return t.unit
+    except Exception:
+        return None
+    return None
 
 
 def _ts_stat_max(sf_dir: str) -> int:

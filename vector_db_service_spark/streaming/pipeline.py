@@ -90,10 +90,18 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # integer `div` (not `/`): nanos exceed 2^53, double division would
         # lose the low microsecond bits
         return raw.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
-    # timestamp[us] (possibly NTZ): session tz is pinned UTC by the batch
-    # loader / session factory, so this cast is wall-clock-preserving
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return raw.withColumn("event_time", F.col("ts").cast("timestamp"))
+    # timestamp[us] (possibly NTZ): build the instant from tz-free
+    # wall-clock arithmetic (timestampdiff on the NTZ value), so the
+    # event time is identical under ANY session timezone — no session
+    # conf mutation (an NTZ -> TIMESTAMP cast would route through it)
+    return raw.withColumn(
+        "event_time",
+        F.timestamp_micros(
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+        ),
+    )
 
 
 def windowed_event_counts(
