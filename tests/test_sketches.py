@@ -47,3 +47,25 @@ def test_cms_state_is_constant_size(spark):
         .groupBy("i", "bucket").count()
     )
     assert cells.count() <= sketches.CMS_DEPTH * sketches.CMS_WIDTH
+
+
+def test_bloom_no_false_negatives_and_probe_shape(spark):
+    """A Bloom filter can never report a present key absent; the probe
+    frame covers both present and absent ids so the verdict column is
+    exercised in both directions."""
+    out = sketches.bloom_membership(spark, SF_SMALL, key="user_id").collect()
+    assert len(out) == 24
+    for r in out:
+        if r["actually_present"]:
+            assert r["bloom_hit"], f"false negative for {r['probe_key']}"
+    assert any(r["actually_present"] for r in out)
+    assert any(not r["actually_present"] for r in out)
+
+
+def test_kmv_overlap_estimates_bounded(spark):
+    """KMV estimates stay in-range: jaccard in [0,1], union estimate
+    positive, and the sketch carries exact counts for error inspection."""
+    row = sketches.kmv_overlap(spark, SF_SMALL).collect()[0]
+    assert 0.0 <= row["est_jaccard"] <= 1.0
+    assert row["est_union"] > 0
+    assert row["exact_union"] >= row["exact_intersection"] >= 0

@@ -1258,6 +1258,21 @@ register(
     sketches.countmin_sql(key="event_type"),
 )
 register(
+    # mergeable bit-set Bloom filter + probe verdicts vs ground truth —
+    # the pending-set pushdown primitive (O10 at 100 TB)
+    "sketch_bloom_membership",
+    lambda s, d: sketches.bloom_membership(s, d, key="user_id"),
+    sketches.bloom_membership_sql(key="user_id"),
+)
+register(
+    # KMV bottom-k overlap sketch: Jaccard + intersection estimates for
+    # {click users} vs {purchase users} with exact counts alongside —
+    # the corpus-contamination-check primitive
+    "sketch_kmv_overlap",
+    lambda s, d: sketches.kmv_overlap(s, d),
+    sketches.kmv_overlap_sql(),
+)
+register(
     "s15_embed_pandas_batched",
     multimodal.embed_documents_pandas,
     opl.embed_components_sql(include_norm=False),

@@ -123,19 +123,21 @@ def embed_resilient(
                                      "attempts": attempts})
             yield pd.DataFrame(rows, columns=cols)
 
-    from ..sources.tables import spread_for_compute
-
-    return (
-        spread_for_compute(docs.select("doc_id", "text"))
-        .mapInPandas(_batches, RESILIENT_SCHEMA)
-    )
+    return docs.select("doc_id", "text").mapInPandas(_batches, RESILIENT_SCHEMA)
 
 
 def embed_resilient_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """queries() surface for the resilient path under the default
     (never-failing) encoder: components + status='ok' + attempts=1,
-    oracle-checked against the same SQL as the plain S15 path."""
-    return embed_resilient(load(spark, sf_dir, "documents"))
+    oracle-checked against the same SQL as the plain S15 path.
+
+    Spread HERE, not inside embed_resilient: repartitioning changes
+    which rows share a quarantine batch, which is a caller decision
+    (tests pin batch-level isolation on hand-built partitions); for this
+    per-document-deterministic encoder it only buys parallelism."""
+    from ..sources.tables import spread_for_compute
+
+    return embed_resilient(spread_for_compute(load(spark, sf_dir, "documents")))
 
 
 def embed_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:

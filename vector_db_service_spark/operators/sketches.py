@@ -191,3 +191,196 @@ SELECT p.k AS {key}, CAST(p.exact_n AS BIGINT) AS exact_n,
 FROM probes p JOIN cells c USING (i, bucket)
 GROUP BY p.k, p.exact_n
 """
+
+
+BLOOM_M = 1024  # bits
+BLOOM_K = 4     # hash functions
+KMV_K = 32      # bottom-k signature size
+
+
+def bloom_membership(
+    spark: SparkSession, sf_dir: str, key: str = "user_id"
+) -> DataFrame:
+    """Bloom-filter membership over the distinct events.`key` set: an
+    m=1024-bit / k=4-hash filter built as a DISTINCT bit-position frame
+    (the mergeable form — per-partition bit sets union associatively,
+    which is the 100 TB/streaming accumulation shape; a bitmap is just
+    this frame packed). Probes 16 present ids and 8 absent ones and
+    reports per-probe filter verdict vs ground truth: false negatives
+    are impossible by construction (the test pins this), false positives
+    are the admitted error. md5-slice hashing -> bit-identical DuckDB
+    oracle.
+
+    Pipeline use: the O10 pending-set anti-join at 100 TB ships this
+    filter to the scan as a pushdown pre-filter instead of shuffling the
+    full id set."""
+    ev = load(spark, sf_dir, "events").select(F.col(key).alias("k")).distinct()
+    positions = F.array(
+        *[(_hash52(F.col("k"), f"bf{i}:") % BLOOM_M) for i in range(BLOOM_K)]
+    )
+    bits = (
+        ev.select(F.explode(positions).alias("bit")).distinct()
+    )
+    probe_ids = list(range(16)) + [10_000_000 + i for i in range(8)]
+    probes = spark.createDataFrame(
+        [(int(p),) for p in probe_ids], "probe_key long"
+    )
+    pbits = probes.select(
+        "probe_key",
+        F.explode(
+            F.array(
+                *[
+                    (_hash52(F.col("probe_key"), f"bf{i}:") % BLOOM_M)
+                    for i in range(BLOOM_K)
+                ]
+            )
+        ).alias("bit"),
+    )
+    hit_counts = (
+        pbits.join(F.broadcast(bits), "bit")
+        .groupBy("probe_key")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    actual = ev.select(F.col("k").alias("probe_key")).distinct()
+    return (
+        probes.join(hit_counts, "probe_key", "left")
+        .join(actual.withColumn("_a", F.lit(1)), "probe_key", "left")
+        .select(
+            "probe_key",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) == BLOOM_K).alias("bloom_hit"),
+            F.col("_a").isNotNull().alias("actually_present"),
+        )
+    )
+
+
+def bloom_membership_sql(key: str = "user_id") -> str:
+    def h(i: int, expr: str) -> str:
+        return (
+            f"CAST(concat('0x', substr(md5(concat('bf{i}:', CAST({expr} AS VARCHAR))),"
+            f" 1, {HLL_HASH_HEX})) AS BIGINT) % {BLOOM_M}"
+        )
+
+    probe_ids = list(range(16)) + [10_000_000 + i for i in range(8)]
+    probe_rows = ", ".join(f"({p})" for p in probe_ids)
+    bit_union = "\nUNION ALL\n".join(
+        f"SELECT {h(i, 'k')} AS bit FROM ks" for i in range(BLOOM_K)
+    )
+    pbit_union = "\nUNION ALL\n".join(
+        f"SELECT probe_key, {h(i, 'probe_key')} AS bit FROM probes"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH ks AS (SELECT DISTINCT {key} AS k FROM events),
+bits AS (SELECT DISTINCT bit FROM ({bit_union})),
+probes(probe_key) AS (VALUES {probe_rows}),
+pbits AS ({pbit_union}),
+hits AS (
+  SELECT probe_key, count(*) AS n_hit
+  FROM pbits JOIN bits USING (bit) GROUP BY probe_key
+)
+SELECT p.probe_key,
+       coalesce(h.n_hit, 0) = {BLOOM_K} AS bloom_hit,
+       EXISTS (SELECT 1 FROM ks WHERE ks.k = p.probe_key) AS actually_present
+FROM probes p LEFT JOIN hits h USING (probe_key)
+"""
+
+
+def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) set-overlap sketch: estimate the Jaccard and
+    intersection size of {click users} vs {purchase users} from two
+    K={KMV_K}-value signatures instead of the full sets. The two
+    signatures merge into a bottom-K union signature; the fraction of it
+    present in BOTH input signatures estimates Jaccard, and the K-th
+    smallest normalized hash estimates |A u B| ((K-1)/h_(K) — Bar-Yossef
+    et al. 2002). Exact counts computed alongside quantify the error.
+    Everything is md5-slice integer math + one exact double division,
+    so the DuckDB oracle reproduces the estimates bit-for-bit.
+
+    Scale shape: each signature is a bottom-K TakeOrderedAndProject over
+    the distinct keys — constant state, partition-mergeable, the corpus-
+    overlap primitive (e.g. contamination checks between two crawls)."""
+    ev = load(spark, sf_dir, "events")
+
+    def sig(event_type: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .select("user_id").distinct()
+            .select(_hash52(F.col("user_id"), "kmv:").alias("h"))
+            .orderBy("h").limit(KMV_K)
+        )
+
+    a, b = sig("click"), sig("purchase")
+    union_k = a.unionByName(b).distinct().orderBy("h").limit(KMV_K)
+    in_both = (
+        union_k.join(a, "h", "left_semi").join(b, "h", "left_semi")
+        .agg(F.count("*").alias("n_both"))
+    )
+    kth = union_k.agg(
+        F.count("*").alias("n_union_k"), F.max("h").alias("h_k")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = (
+        clicks.join(purch, "user_id", "left_semi")
+        .agg(F.count("*").alias("exact_intersection"))
+        .crossJoin(
+            clicks.unionByName(purch).distinct().agg(F.count("*").alias("exact_union"))
+        )
+    )
+    est_union = (F.lit(KMV_K - 1).cast("double")
+                 / (F.col("h_k").cast("double") / F.lit(float(1 << 52))))
+    jac = F.col("n_both").cast("double") / F.col("n_union_k").cast("double")
+    return (
+        in_both.crossJoin(kth).crossJoin(exact)
+        .select(
+            F.lit(KMV_K).alias("k"),
+            F.round(jac, 6).alias("est_jaccard"),
+            F.round(est_union, 4).alias("est_union"),
+            F.round(jac * est_union, 4).alias("est_intersection"),
+            F.col("exact_intersection").cast("long").alias("exact_intersection"),
+            F.col("exact_union").cast("long").alias("exact_union"),
+        )
+    )
+
+
+def kmv_overlap_sql() -> str:
+    h = ("CAST(concat('0x', substr(md5(concat('kmv:', CAST(user_id AS VARCHAR))),"
+         f" 1, {HLL_HASH_HEX})) AS BIGINT)")
+    return f"""
+WITH a AS (
+  SELECT {h} AS h FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+  ORDER BY h LIMIT {KMV_K}
+),
+b AS (
+  SELECT {h} AS h FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+  ORDER BY h LIMIT {KMV_K}
+),
+u AS (
+  SELECT DISTINCT h FROM (SELECT h FROM a UNION ALL SELECT h FROM b)
+  ORDER BY h LIMIT {KMV_K}
+),
+stats AS (
+  SELECT count(*) AS n_union_k, max(h) AS h_k,
+         CAST(sum(CASE WHEN h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+  FROM u
+),
+ex AS (
+  SELECT
+    (SELECT count(*) FROM
+       (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+     WHERE user_id IN (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'purchase')) AS exact_intersection,
+    (SELECT count(DISTINCT user_id) FROM events
+     WHERE event_type IN ('click', 'purchase')) AS exact_union
+)
+SELECT {KMV_K} AS k,
+       round(CAST(n_both AS DOUBLE) / CAST(n_union_k AS DOUBLE), 6) AS est_jaccard,
+       round({KMV_K - 1}.0 / (CAST(h_k AS DOUBLE) / {float(1 << 52)!r}), 4) AS est_union,
+       round((CAST(n_both AS DOUBLE) / CAST(n_union_k AS DOUBLE))
+             * ({KMV_K - 1}.0 / (CAST(h_k AS DOUBLE) / {float(1 << 52)!r})), 4)
+         AS est_intersection,
+       CAST(exact_intersection AS BIGINT) AS exact_intersection,
+       CAST(exact_union AS BIGINT) AS exact_union
+FROM stats, ex
+"""
