@@ -1272,6 +1272,30 @@ register(
     lambda s, d: sketches.kmv_overlap(s, d),
     sketches.kmv_overlap_sql(),
 )
+
+# --- second-stage retrieval (hybrid fusion + diversification) -------------
+from .operators import retrieval  # noqa: E402
+
+register(
+    "retrieval_bm25_scores",
+    lambda s, d: retrieval.bm25_scores(load(s, d, "documents")),
+    f"WITH {retrieval.bm25_sql()}\nSELECT doc_id, bm25 FROM bm",
+)
+register(
+    # hybrid lexical+vector retrieval: cosine top-20 and BM25 top-20
+    # fused by Reciprocal Rank Fusion — both rank lists on 6dp-rounded
+    # scores with doc_id tiebreak so the fusion is cross-engine exact
+    "retrieval_hybrid_rrf",
+    lambda s, d: retrieval.hybrid_rrf_search(s, d, query_id=0, list_k=20, k=10),
+    retrieval.hybrid_rrf_sql(query_id=0, list_k=20, k=10),
+)
+register(
+    # MMR diversified top-k over a bounded candidate pool; unrolled
+    # greedy oracle replays the identical argmax chain
+    "retrieval_mmr_rerank",
+    lambda s, d: retrieval.mmr_rerank(s, d, query_id=0, pool=20, k=5),
+    retrieval.mmr_sql(query_id=0, pool=20, k=5),
+)
 register(
     "s15_embed_pandas_batched",
     multimodal.embed_documents_pandas,
