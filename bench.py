@@ -43,9 +43,25 @@ def main() -> None:
     for _lib in (1, 2):
         _store.ensure_library(spark, sf_dir, _lib)
 
+    def _release_checkpoints() -> None:
+        """Unpersist localCheckpoint blocks the previous query pinned.
+        Queries must time INDEPENDENTLY: checkpointed iteration frames
+        (dedup/CC) and fingerprint tables otherwise accumulate in the
+        block manager across 150 queries and the resulting storage-
+        memory pressure taxes every later shuffle."""
+        try:
+            jsc = spark.sparkContext._jsc.sc()
+            rdds = jsc.getPersistentRDDs()
+            it = rdds.iterator()
+            while it.hasNext():
+                it.next()._2().unpersist(False)
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in sorted(entrypoints.QUERIES.items()):
+        _release_checkpoints()
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
