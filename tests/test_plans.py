@@ -164,3 +164,42 @@ def test_chunking_has_no_shuffle_or_udf(spark):
     assert "BatchEvalPython" not in plan
     assert "Generate" in plan  # the posexplode
 
+
+
+def test_bm25_broadcasts_corpus_stats_and_stays_jvm(spark):
+    """BM25 corpus stats (N, avgdl, df) join back as a broadcast scalar —
+    no shuffle of the document table on the stats join — and the scoring
+    expression contains no Python UDF."""
+    from vector_db_service_spark.operators import retrieval
+
+    df = retrieval.bm25_scores(load(spark, SF, "documents"))
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bloom_filter_bits_are_broadcast(spark):
+    """The probe join against the <= m-row bit set must broadcast the
+    bit frame, never shuffle the probes."""
+    from vector_db_service_spark.operators import sketches
+
+    df = sketches.bloom_membership(spark, SF, key="user_id")
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_spread_for_compute_is_noop_when_parallel(spark):
+    """spread_for_compute must NOT inject a shuffle when the input is
+    already partitioned to core count — at scale the file count provides
+    parallelism and a blanket repartition would shuffle the corpus."""
+    from vector_db_service_spark.sources.tables import spread_for_compute
+
+    want = spark.sparkContext.defaultParallelism
+    wide = load(spark, SF, "documents").repartition(want)
+    again = spread_for_compute(wide)
+    assert again is wide  # identical frame: no repartition node added
+
+    narrow = load(spark, SF, "documents").coalesce(1)
+    spread = spread_for_compute(narrow)
+    assert spread.rdd.getNumPartitions() >= want

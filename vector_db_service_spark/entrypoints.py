@@ -1048,6 +1048,63 @@ register(
     "FROM events GROUP BY user_id",
 )
 register(
+    "rel_moving_avg_value",
+    relational.moving_avg_value,
+    """
+SELECT user_id, event_id,
+       round(avg(value) OVER w, 4) AS ma3_value,
+       count(*) OVER w AS n_in_window
+FROM events
+WHERE user_id < 30
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+)
+register(
+    "rel_percent_rank_orders",
+    relational.percent_rank_orders,
+    """
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WHERE o_orderkey < 2000
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+)
+register(
+    "rel_above_nation_avg",
+    relational.customers_above_nation_avg,
+    """
+SELECT c_custkey, c_nationkey, round(c_acctbal, 4) AS acctbal,
+       round(nat_avg, 4) AS nation_avg
+FROM customer
+JOIN (SELECT c_nationkey, avg(c_acctbal) AS nat_avg
+      FROM customer GROUP BY c_nationkey) USING (c_nationkey)
+WHERE c_acctbal > nat_avg
+""",
+)
+register(
+    "rel_user_day_retention",
+    relational.user_day_retention,
+    """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day_id
+  FROM events
+)
+SELECT a.day_id,
+       count(*) AS n_active,
+       CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_retained,
+       round(CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS retention_rate
+FROM ud a
+LEFT JOIN ud b ON a.user_id = b.user_id AND b.day_id = a.day_id + 1
+GROUP BY a.day_id
+""",
+)
+register(
     "rel_top_suppliers_per_nation",
     relational.top_suppliers_per_nation,
     """

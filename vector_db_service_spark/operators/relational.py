@@ -471,3 +471,86 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("funnel_stage")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 3-event moving average of `value` (ROWS BETWEEN 2
+    PRECEDING AND CURRENT ROW) — the rolling-feature shape a training
+    pipeline derives per entity. One window over the user partition; at
+    scale this is a single shuffle on user_id shared with every other
+    per-user window."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("ma3_value"),
+        F.count("*").over(w).alias("n_in_window"),
+    )
+
+
+def percent_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist of order value within each priority —
+    the distribution-position features (no global sort: one window per
+    priority partition)."""
+    from pyspark.sql import Window as W
+
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate pattern decorrelated by hand: customers with
+    an account balance above their nation's average. The per-nation
+    aggregate is a tiny broadcast side — the standard rewrite of a
+    correlated scalar subquery at scale."""
+    cust = load(spark, sf_dir, "customer")
+    nation_avg = cust.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("nat_avg"))
+    return (
+        cust.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nat_avg"))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round("c_acctbal", 4).alias("acctbal"),
+            F.round("nat_avg", 4).alias("nation_avg"),
+        )
+    )
+
+
+def user_day_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention: of the users active on day d, how many
+    were also active on day d+1. Distinct (user, day) pairs self-joined
+    with a +1 shift — both sides are the same deduplicated frame, keyed
+    on (user, day): an equi-join that scales."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.floor(F.col("ts_us") / F.lit(86_400_000_000)).alias("day_id"),
+    ).distinct()
+    nxt = ud.select("user_id", (F.col("day_id") - 1).alias("day_id"))
+    return (
+        ud.join(nxt.withColumn("_r", F.lit(1)), ["user_id", "day_id"], "left")
+        .groupBy("day_id")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.sum(F.coalesce(F.col("_r"), F.lit(0))).cast("long").alias("n_retained"),
+            F.round(
+                F.sum(F.coalesce(F.col("_r"), F.lit(0)))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("retention_rate"),
+        )
+    )
