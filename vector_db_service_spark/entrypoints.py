@@ -108,6 +108,26 @@ register(
     oracles.knn_sql(query_id=0, k=10, metric="cosine", hydrate=True),
 )
 
+# metadata-prefiltered vector search (the filtered-ANN surface): restrict
+# candidates by a document attribute via semi-join BEFORE scoring
+register(
+    "knn_prefiltered_lang",
+    lambda s, d: knn_ops.knn_prefiltered(s, d, query_id=0, k=10,
+                                         metric="cosine", lang="en"),
+    f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.label, e.embedding FROM embeddings e
+  WHERE EXISTS (SELECT 1 FROM documents d
+                WHERE d.doc_id = e.vec_id AND d.lang = 'en')
+)
+SELECT vec_id, label, round({oracles.cosine_sql('cand.embedding', 'q.qv')}, 6) AS score
+FROM cand, q
+ORDER BY score DESC, vec_id
+LIMIT 10
+""",
+)
+
 
 # --- S1-S4 / P2-P5: scans, lookups, predicate filters ---------------------
 register(

@@ -209,3 +209,38 @@ def knn_distance(
         .limit(k)
         .select("vec_id", "label", "dist")
     )
+
+
+def knn_prefiltered(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    query_id: int = 0,
+    k: int = 10,
+    metric: str = "cosine",
+    lang: str = "en",
+) -> DataFrame:
+    """Metadata-PREFILTERED vector search: restrict the candidate set by
+    a document attribute (here `lang`) BEFORE scoring, then exact top-k
+    — the filtered-ANN surface every production vector store exposes.
+    The metadata restriction is a semi-join against the documents table
+    pushed below the scoring projection, so only surviving vectors pay
+    the kernel; at scale, when metadata lives denormalized on the vector
+    table (the partitioned-store layout), this same plan becomes a
+    partition-pruned scan + pushed filter with no join at all."""
+    validate_k(k)
+    qvec = query_vector(spark, sf_dir, query_id)
+    from ..sources.tables import load as _load
+
+    allowed = (
+        _load(spark, sf_dir, "documents")
+        .filter(F.col("lang") == lang)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    emb = _load(spark, sf_dir, "embeddings").join(allowed, "vec_id", "left_semi")
+    scored = score_all(emb, qvec, metric, None)
+    return (
+        scored.orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "label", "score")
+    )
