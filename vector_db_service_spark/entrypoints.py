@@ -1429,6 +1429,42 @@ GROUP BY p.p_event_id, p.user_id
 """,
 )
 register(
+    # SESSION windows (F.session_window): dynamic-length per-user windows
+    # closing after a 30-min gap. Append mode emits exactly the sessions
+    # the final watermark closed (end <= max_ts - gap) — deterministic
+    # under AvailableNow, so the batch oracle withholds the same open
+    # tail and the check is value-hash exact.
+    "stream_session_windows",
+    stream_ops.session_window_counts,
+    """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+              OR ts_us - lag(ts_us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sessioned AS (
+  SELECT user_id, ts_us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, sid, count(*) AS n_events,
+         min(ts_us) AS s_us, max(ts_us) + 1800000000 AS e_us
+  FROM sessioned GROUP BY user_id, sid
+),
+wm AS (SELECT max(epoch_us(ts)) - 1800000000 AS w FROM events)
+SELECT user_id, s_us, e_us, CAST(n_events AS BIGINT) AS n_events
+FROM sess, wm WHERE e_us <= wm.w
+""",
+)
+register(
     "stream_dedup_events",
     stream_ops.dedup_events_stream,
     """

@@ -393,3 +393,35 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_event_id"), F.col("p_user").alias("user_id"))
         .agg(F.count("*").alias("n_click_context"))
     )
+
+
+def session_window_counts(spark: SparkSession, sf_dir: str,
+                          gap: str = "30 minutes") -> DataFrame:
+    """SESSION-window streaming aggregation (F.session_window): per-user
+    sessions that close after a 30-minute event-time gap — the dynamic-
+    length window type tumbling/sliding can't express; state per key is
+    bounded by the watermark. Append mode emits exactly the sessions the
+    watermark has closed: session_end (last event + gap) <= max_event_ts
+    - gap under AvailableNow — a deterministic rule the batch/DuckDB
+    oracle reproduces, so this streaming-native operator is value-hash
+    exact (the open tail sessions are withheld by BOTH sides)."""
+    gap_us = 1_800_000_000
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("event_time", gap)
+        .groupBy(F.session_window("event_time", gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = f"sess_{uuid.uuid4().hex[:12]}"
+    with _bounded_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("session_window.start").alias("s_us"),
+        F.unix_micros("session_window.end").alias("e_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
