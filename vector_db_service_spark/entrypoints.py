@@ -1067,6 +1067,67 @@ register(
     "SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value "
     "FROM events GROUP BY user_id",
 )
+def _orders_cube(s: SparkSession, d: str) -> DataFrame:
+    # grouping() is only valid INSIDE the cube aggregation
+    return (
+        load(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_st"),
+            F.grouping("o_orderpriority").cast("int").alias("g_pri"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+register(
+    # CUBE completes the grouping family (ROLLUP + GROUPING SETS exist)
+    "rel_orders_cube",
+    _orders_cube,
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_st,
+       CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+
+
+def _sliding_1h_sum(s: SparkSession, d: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(s, d, "events").filter(F.col("user_id") < 20)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 4).alias("sum_last_hour"),
+    )
+
+
+register(
+    # RANGE-frame interval window (value-based frame, not row-based):
+    # trailing 1-hour per-user totals — the time-decayed-feature shape
+    "rel_sliding_1h_sum",
+    _sliding_1h_sum,
+    """
+SELECT user_id, event_id,
+       count(*) OVER w AS n_last_hour,
+       round(sum(value) OVER w, 4) AS sum_last_hour
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+)
 register(
     "rel_moving_avg_value",
     relational.moving_avg_value,
