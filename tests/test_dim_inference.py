@@ -83,3 +83,41 @@ def test_stored_probe_non64(spark, small_dim_sf, tmp_path):
     ).collect()
     assert len(out) == 5
     assert out[0]["vec_id"] == 1  # self-match ranks first under cosine
+
+
+def test_path_signature_sees_partition_subdir_rewrites(spark, tmp_path):
+    """ADVICE r5: cache keys must not stat only the top-level directory —
+    an in-place rewrite of one partition subdirectory can leave the
+    parent mtime unchanged. path_signature covers every contained part
+    file (max mtime_ns + total size + count), so any partition rewrite
+    changes the signature."""
+    import os
+    import time
+
+    from vector_db_service_spark.sources.tables import path_signature
+
+    table = tmp_path / "t.parquet"
+    for lbl in (0, 1):
+        d = table / f"label={lbl}"
+        d.mkdir(parents=True)
+        (d / "part-0.parquet").write_bytes(b"x" * (10 + lbl))
+
+    sig1 = path_signature(str(table))
+    assert sig1[3] == 2  # two part files counted
+
+    # rewrite ONE partition's file in place; freeze the parent dir mtime
+    parent_stat = os.stat(table)
+    time.sleep(0.01)
+    (table / "label=1" / "part-0.parquet").write_bytes(b"y" * 99)
+    os.utime(table, ns=(parent_stat.st_atime_ns, parent_stat.st_mtime_ns))
+
+    sig2 = path_signature(str(table))
+    assert sig2 != sig1  # size and mtime of the part file changed
+
+    # single-file table degrades to the one stat
+    f = tmp_path / "single.parquet"
+    f.write_bytes(b"z" * 5)
+    assert path_signature(str(f))[3] == 1
+
+    # missing path yields the None identity, never raises
+    assert path_signature(str(tmp_path / "absent.parquet"))[1] is None
