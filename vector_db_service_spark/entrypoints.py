@@ -1236,6 +1236,15 @@ register(
     oracles.grid_search_sql(query_id=0, k=10, metric="euclidean", library=2),
 )
 register(
+    # I11 on the ANN side: probe the MATERIALIZED IVF centroid table
+    # (lazy build, fingerprint freshness) — centroid ranking is a tiny
+    # stored read, the corpus scan is pruned to the probed lists. Result
+    # contract equals the derived ivf_topk, same oracle.
+    "i11_stored_ivf_probe",
+    lambda s, d: store_ops.ivf_probe(s, d, query_id=0, k=10, nprobe=2),
+    opl.ivf_topk_sql(query_id=0, k=10, nprobe=2),
+)
+register(
     "i11_index_lifecycle",
     lambda s, d: lifecycle.index_state_after_switch(s, d, library=2, new_algorithm="grid"),
     """
