@@ -1571,6 +1571,31 @@ FROM scored GROUP BY lang
 """,
 )
 register(
+    # END-TO-END curation: quality gate -> exact dedup keep-first ->
+    # deterministic 20% stratified sample -> per-language accounting,
+    # fused into one plan (scan + semi-join + aggregation)
+    "pipeline_curation_end_to_end",
+    lambda s, d: textops.curation_pipeline(load(s, d, "documents")),
+    f"""
+WITH scored AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE len({opl.TOKS}) >= 10
+    AND CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE) >= 0.6
+),
+canon AS (SELECT min(doc_id) AS doc_id FROM scored GROUP BY md5(text)),
+surv AS (
+  SELECT s.doc_id, s.lang, s.text FROM scored s
+  WHERE s.doc_id IN (SELECT doc_id FROM canon)
+)
+SELECT lang, count(*) AS n_curated,
+       CAST(sum(len({opl.TOKS})) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 100 < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM surv GROUP BY lang
+""",
+)
+register(
     "o10_pending_anti_join",
     lambda s, d: load(s, d, "documents").join(
         load(s, d, "embeddings").filter(F.col("vec_id") < 300)

@@ -207,3 +207,38 @@ def stratified_sample(docs: DataFrame, rate_pct: int = 20) -> DataFrame:
             F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_sampled"),
         )
     )
+
+
+def curation_pipeline(docs: DataFrame) -> DataFrame:
+    """END-TO-END curation composition — the pipeline the individual
+    text/dedup ops exist to feed, fused into ONE declarative plan:
+      1. quality gate  (>=10 tokens, >=0.6 alpha density)
+      2. exact dedup   (keep min doc_id per distinct text)
+      3. deterministic 20% stratified sample (md5 hash bucket)
+      4. per-language survivor accounting + token totals
+    Catalyst pipelines all four stages into a scan + one semi-join + one
+    aggregation; nothing materializes between stages — the shape bulk
+    curation keeps at 100 TB."""
+    toks = T.tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    alpha_density = (
+        T.alpha_chars(F.col("text")).cast("double") / F.length("text").cast("double")
+    )
+    kept = docs.filter((n_tokens >= 10) & (alpha_density >= 0.6))
+    canonical = kept.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    surv = kept.join(canonical.select("doc_id"), "doc_id", "left_semi")
+    sampled = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+                     ).cast("long") % 100 < 20
+    return (
+        surv.select("lang", F.size(T.tokens(F.col("text"))).alias("n_toks"),
+                    sampled.alias("in_sample"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_curated"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("in_sample"), 1).otherwise(0)).cast("long")
+            .alias("n_sampled"),
+        )
+    )
