@@ -1684,6 +1684,72 @@ FROM j GROUP BY lang
 )
 
 
+def _csv_roundtrip(s: SparkSession, d: str) -> DataFrame:
+    """S16 extended to a real FILE sink+source: write the customer table
+    as CSV (header + explicit schema on read-back — CSV carries no
+    types), read it back, aggregate. The oracle aggregates the source
+    directly, so the check proves the roundtrip lossless for every
+    column it touches."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="vdbs_csv_") + "/customer_csv"
+    cust = load(s, d, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", F.round("c_acctbal", 4).alias("c_acctbal")
+    )
+    cust.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        s.read.option("header", True)
+        .schema("c_custkey long, c_nationkey int, c_mktsegment string, c_acctbal double")
+        .csv(out)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+        F.max("c_custkey").alias("max_custkey"),
+    )
+
+
+register(
+    "s17_csv_file_roundtrip",
+    _csv_roundtrip,
+    """
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(sum(round(c_acctbal, 4)), 4) AS total_acctbal,
+       max(c_custkey) AS max_custkey
+FROM customer GROUP BY c_mktsegment
+""",
+)
+
+
+def _orc_roundtrip(s: SparkSession, d: str) -> DataFrame:
+    """ORC sink+source (Spark-native second columnar format): write the
+    events projection as ORC, read back, aggregate — proves the engine
+    serves more than one columnar format with identical semantics."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="vdbs_orc_") + "/events_orc"
+    ev = load(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    ev.write.mode("overwrite").orc(out)
+    back = s.read.orc(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+register(
+    "s18_orc_file_roundtrip",
+    _orc_roundtrip,
+    """
+SELECT event_type, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       max(event_id) AS max_event_id
+FROM events GROUP BY event_type
+""",
+)
+
+
 # --- remaining §2 surface: scans, inserts, flag updates, stats, kernels ----
 from .functions import similarity as sim  # noqa: E402
 
