@@ -221,3 +221,36 @@ def test_ensure_library_detects_regenerated_dataset(spark, tmp_path):
     mid = _partition_state(os.path.join(base, "lsh_index"))
     store.ensure_library(spark, sf_dir, 1, "lsh", root=root)
     assert _partition_state(os.path.join(base, "lsh_index")) != mid
+
+
+def test_stored_ivf_centroids_freshness_and_probe_parity(spark, tmp_path):
+    """The materialized IVF centroid table follows the same freshness
+    contract as the lsh/grid stores: built lazily, served warm with no
+    aggregation job, rebuilt when the dataset is regenerated in place;
+    the stored probe equals the derived ivf_topk."""
+    from vector_db_service_spark.operators import ann, store
+
+    sf_dir = str(tmp_path / "sfY")
+    root = str(tmp_path / "idx")
+    emb = load(spark, SF, "embeddings")
+    emb.write.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    stored = store.ivf_probe(spark, sf_dir, query_id=0, k=10, nprobe=2, root=root)
+    derived = ann.ivf_topk(spark, sf_dir, query_id=0, k=10, nprobe=2)
+    assert [tuple(r) for r in stored.collect()] == [tuple(r) for r in derived.collect()]
+
+    base = store.index_root(sf_dir, root)
+    before = _partition_state(os.path.join(base, "ivf_centroids"))
+    # warm probe: no rebuild
+    store.ivf_probe(spark, sf_dir, query_id=0, k=10, nprobe=2, root=root).collect()
+    assert _partition_state(os.path.join(base, "ivf_centroids")) == before
+
+    # regenerate the dataset in place: centroids must rebuild
+    regen = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x * F.lit(2.0))
+    )
+    regen.unionByName(
+        emb.limit(1).withColumn("vec_id", F.col("vec_id") + 5_000_000)
+    ).write.mode("overwrite").parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    store.ivf_probe(spark, sf_dir, query_id=0, k=10, nprobe=2, root=root).collect()
+    assert _partition_state(os.path.join(base, "ivf_centroids")) != before
