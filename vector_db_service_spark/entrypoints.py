@@ -225,6 +225,74 @@ SELECT vec_id, label, round({oracles.norm_sql('embedding')}, 6) AS vnorm
 FROM latest WHERE vec_id < 10
 """,
 )
+def _cdc_merge_poststate(s: SparkSession, d: str) -> DataFrame:
+    """Deterministic CDC batch over the embeddings snapshot: update
+    vec_id<20 (doubled vectors, seq 2 beats an earlier seq-1 update),
+    delete 20<=vec_id<30, insert 5 fresh ids — then one-pass MERGE and
+    post-state accounting."""
+    emb = load(s, d, "embeddings")
+    upd1 = emb.filter(F.col("vec_id") < 20).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+        "label", F.lit("U").alias("op"), F.lit(1).cast("long").alias("seq"),
+    )
+    upd2 = emb.filter(F.col("vec_id") < 20).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        "label", F.lit("U").alias("op"), F.lit(2).cast("long").alias("seq"),
+    )
+    dels = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 30)).select(
+        "vec_id", "embedding", "label",
+        F.lit("D").alias("op"), F.lit(2).cast("long").alias("seq"),
+    )
+    ins = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding",
+        F.lit(77).cast("int").alias("label"),
+        F.lit("I").alias("op"), F.lit(1).cast("long").alias("seq"),
+    )
+    cdc = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+    after = catalog.apply_cdc(emb, cdc)
+    from .functions import similarity as sim
+    return after.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.sum(sim.norm(F.col("embedding"))), 4).alias("sum_norm"),
+    )
+
+
+register(
+    # lakehouse CDC MERGE: I/U/D batch applied in one keyed window pass;
+    # latest-seq wins, deletes drop — the MERGE INTO source plan
+    "s10_cdc_merge",
+    _cdc_merge_poststate,
+    f"""
+WITH cdc AS (
+  SELECT vec_id, list_transform(embedding, x -> x * CAST(1.5 AS FLOAT)) AS embedding,
+         label, 'U' AS op, 1 AS seq FROM embeddings WHERE vec_id < 20
+  UNION ALL
+  SELECT vec_id, list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS embedding,
+         label, 'U' AS op, 2 AS seq FROM embeddings WHERE vec_id < 20
+  UNION ALL
+  SELECT vec_id, embedding, label, 'D' AS op, 2 AS seq
+  FROM embeddings WHERE vec_id >= 20 AND vec_id < 30
+  UNION ALL
+  SELECT vec_id + 2000000 AS vec_id, embedding, 77 AS label, 'I' AS op, 1 AS seq
+  FROM embeddings WHERE vec_id < 5
+),
+merged AS (
+  SELECT vec_id, embedding, label, 'U' AS op, 0 AS seq FROM embeddings
+  UNION ALL
+  SELECT vec_id, embedding, label, op, seq FROM cdc
+),
+latest AS (
+  SELECT vec_id, embedding, label, op FROM merged
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY seq DESC) = 1
+)
+SELECT label, count(*) AS n_vectors,
+       round(sum({oracles.norm_sql('embedding')}), 4) AS sum_norm
+FROM latest WHERE op != 'D'
+GROUP BY label
+""",
+)
 register(
     "s11_delete_by_predicate",
     lambda s, d: catalog.delete_where(load(s, d, "embeddings"), F.col("label") == 0)

@@ -193,3 +193,26 @@ def dim_minmax(emb: DataFrame) -> DataFrame:
             F.round(F.max(F.col("x").cast("double")), 6).alias("dim_max"),
         )
     )
+
+
+def apply_cdc(snapshot: DataFrame, cdc: DataFrame) -> DataFrame:
+    """Change-data-capture MERGE: apply an (op, seq)-ordered batch of
+    I/U/D records to a keyed snapshot in ONE pass — union + one window
+    over the key, keep the highest-seq record per key, drop it if that
+    record is a delete. The anti-join-free lakehouse merge shape: one
+    shuffle on the key regardless of how many ops target it; on a
+    Delta/Iceberg table this plan IS the MERGE INTO source.
+
+    `snapshot` rows are implicit seq-0 upserts; `cdc` carries
+    (vec_id, embedding, label, op, seq) with op in ('I','U','D')."""
+    base = snapshot.select(
+        "vec_id", "embedding", "label",
+        F.lit("U").alias("op"), F.lit(0).cast("long").alias("seq"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("seq"))
+    return (
+        base.unionByName(cdc.select("vec_id", "embedding", "label", "op", "seq"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("op") != "D"))
+        .drop("_rn", "op", "seq")
+    )
