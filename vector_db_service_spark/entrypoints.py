@@ -1473,6 +1473,14 @@ register(
     sketches.countmin_sql(key="event_type"),
 )
 register(
+    # group-scoped HLL: one 64-register sketch per event_type — the
+    # dimension-sliced mergeable-summary layout
+    "sketch_hll_by_event_type",
+    lambda s, d: sketches.hll_distinct_by_group(s, d, key="user_id",
+                                                group="event_type"),
+    sketches.hll_distinct_by_group_sql(key="user_id", group="event_type"),
+)
+register(
     # mergeable bit-set Bloom filter + probe verdicts vs ground truth —
     # the pending-set pushdown primitive (O10 at 100 TB)
     "sketch_bloom_membership",

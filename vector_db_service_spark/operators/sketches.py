@@ -384,3 +384,75 @@ SELECT {KMV_K} AS k,
        CAST(exact_union AS BIGINT) AS exact_union
 FROM stats, ex
 """
+
+
+def hll_distinct_by_group(
+    spark: SparkSession, sf_dir: str, key: str = "user_id",
+    group: str = "event_type",
+) -> DataFrame:
+    """GROUP-scoped HyperLogLog: one 64-register sketch per `group` value
+    (distinct `key` per group), exact counts alongside. The registers
+    frame is (group x m) rows — the dimension-sliced mergeable-summary
+    layout: per-partition partial registers combine with max(), so the
+    same plan serves streaming accumulation and 100 TB batch."""
+    ev = load(spark, sf_dir, "events").select(F.col(group).alias("g"), F.col(key).alias("k"))
+    h = _hash52(F.col("k"), "hll:")
+    w = (h / F.lit(HLL_M)).cast("long")
+    rank = F.when(w == 0, F.lit(47)).otherwise(F.lit(47) - F.length(F.bin(w)))
+    regs = (
+        ev.select("g", (h % HLL_M).alias("bucket"), rank.alias("r"))
+        .groupBy("g", "bucket")
+        .agg(F.max("r").alias("m_j"))
+    )
+    agg = regs.groupBy("g").agg(
+        F.count("*").alias("n_nonempty"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("s_nonempty"),
+    )
+    exact = ev.groupBy("g").agg(F.countDistinct("k").alias("exact_distinct"))
+    est_raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / (
+        F.col("s_nonempty") + (F.lit(HLL_M) - F.col("n_nonempty"))
+    )
+    zeros = F.lit(HLL_M) - F.col("n_nonempty")
+    est = F.when(
+        (est_raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(est_raw)
+    return agg.join(exact, "g").select(
+        F.col("g").alias(group),
+        F.col("n_nonempty").cast("long").alias("n_registers"),
+        F.round(est, 4).alias("hll_estimate"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+    )
+
+
+def hll_distinct_by_group_sql(key: str = "user_id", group: str = "event_type") -> str:
+    h = f"CAST(concat('0x', substr(md5(concat('hll:', CAST({key} AS VARCHAR))), 1, {HLL_HASH_HEX})) AS BIGINT)"
+    return f"""
+WITH hashed AS (
+  SELECT {group} AS g, {h} % {HLL_M} AS bucket,
+         CAST(floor({h} / {HLL_M}.0) AS BIGINT) AS w
+  FROM events
+),
+ranked AS (
+  SELECT g, bucket, CASE WHEN w = 0 THEN 47 ELSE 47 - length(bin(w)) END AS r
+  FROM hashed
+),
+regs AS (SELECT g, bucket, max(r) AS m_j FROM ranked GROUP BY g, bucket),
+agg AS (
+  SELECT g, count(*) AS n_nonempty, sum(power(2.0, -m_j)) AS s_nonempty
+  FROM regs GROUP BY g
+),
+ex AS (SELECT {group} AS g, count(DISTINCT {key}) AS exact_distinct
+       FROM events GROUP BY {group}),
+est AS (
+  SELECT a.g, a.n_nonempty, exact_distinct,
+         {HLL_ALPHA * HLL_M * HLL_M} / (s_nonempty + ({HLL_M} - n_nonempty)) AS e_raw
+  FROM agg a JOIN ex USING (g)
+)
+SELECT g AS {group}, CAST(n_nonempty AS BIGINT) AS n_registers,
+       round(CASE WHEN e_raw <= {2.5 * HLL_M} AND ({HLL_M} - n_nonempty) > 0
+                  THEN {float(HLL_M)} * ln({float(HLL_M)} / ({HLL_M} - n_nonempty))
+                  ELSE e_raw END, 4) AS hll_estimate,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct
+FROM est
+"""
