@@ -78,3 +78,24 @@ def test_bm25_monotone_in_term_frequency(spark):
     )
     rows = {r["doc_id"]: r["bm25"] for r in retrieval.bm25_scores(docs).collect()}
     assert rows[1] > rows[2] > rows[3] == 0.0
+
+
+def test_prefiltered_knn_empty_filter_returns_zero_rows(spark):
+    from vector_db_service_spark.operators.knn import knn_prefiltered
+
+    out = knn_prefiltered(spark, SF, query_id=0, k=10, lang="zz")
+    assert out.count() == 0  # empty candidate set short-circuits, no error
+
+
+def test_prefiltered_knn_validates_k(spark):
+    import pytest
+
+    from vector_db_service_spark.operators.knn import knn_prefiltered
+
+    with pytest.raises(ValueError):
+        knn_prefiltered(spark, SF, query_id=0, k=0)
+
+
+def test_mmr_pool_smaller_than_k(spark):
+    out = retrieval.mmr_rerank(spark, SF, query_id=0, pool=3, k=5).collect()
+    assert len(out) == 3  # degrades to the pool size, never errors
