@@ -1619,6 +1619,39 @@ FROM events GROUP BY event_type
 """,
 )
 register(
+    # perplexity-proxy quality signal: per-document character entropy
+    "text_char_entropy",
+    lambda s, d: textops.char_entropy(load(s, d, "documents")),
+    textops.char_entropy_sql(),
+)
+register(
+    # contrastive training-pair generation: minhash near-dups as
+    # positives, deterministic md5-ring successors as negatives
+    "pipeline_contrastive_pairs",
+    lambda s, d: dedup.contrastive_pairs(load(s, d, "documents"), threshold=0.2),
+    f"""
+WITH pos AS (
+  SELECT doc_id_1 AS anchor_id, doc_id_2 AS other_id, 'pos' AS label
+  FROM ({opl.minhash_near_dups_sql(threshold=0.2)})
+),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY md5(text), doc_id) AS rk,
+         count(*) OVER () AS n_docs
+  FROM documents
+),
+negs AS (
+  SELECT a.doc_id AS anchor_id, b.doc_id AS other_id, 'neg' AS label
+  FROM ranked a JOIN ranked b ON b.rk = a.rk % a.n_docs + 1
+  UNION ALL
+  SELECT a.doc_id, b.doc_id, 'neg'
+  FROM ranked a JOIN ranked b ON b.rk = (a.rk + 1) % a.n_docs + 1
+)
+SELECT anchor_id, other_id, label FROM pos
+UNION ALL
+SELECT anchor_id, other_id, label FROM negs WHERE anchor_id != other_id
+""",
+)
+register(
     "text_stratified_sample",
     lambda s, d: textops.stratified_sample(load(s, d, "documents"), rate_pct=20),
     """

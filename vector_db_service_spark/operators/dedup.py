@@ -450,3 +450,44 @@ def near_dup_components_fast(docs: DataFrame, max_hamming: int = 3,
         m.comp == F.col("rep"),
     ).select("node", F.col("rcomp").alias("comp"))
     return _with_isolated(docs, nodes, full_labels)
+
+
+def contrastive_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """Training-pair generation for contrastive/embedding fine-tuning:
+    POSITIVES are the verified minhash near-dup pairs; NEGATIVES pair
+    every document with its two successors on a deterministic md5 ring
+    (order by (md5(text), doc_id), wrap at the end) — reproducible
+    "random" negatives with no RNG, stable across engines, runs and
+    partitionings. Output: (anchor_id, other_id, label).
+
+    Scale note: the ring uses one global row_number, acceptable for a
+    deterministic demonstrator; at 100 TB the same ring is built per
+    hash bucket (mod-sharded rings), which changes WHICH negatives are
+    drawn but not their statistics — the ring order is arbitrary by
+    design."""
+    pos = minhash_near_dups(docs, threshold=threshold).select(
+        F.col("doc_id_1").alias("anchor_id"),
+        F.col("doc_id_2").alias("other_id"),
+        F.lit("pos").alias("label"),
+    )
+    from pyspark.sql import Window as W
+
+    ranked = docs.select(
+        "doc_id", F.row_number().over(W.orderBy(F.md5("text"), F.col("doc_id"))).alias("rk")
+    )
+    n = ranked.agg(F.count("*").alias("n_docs"))
+    ring = ranked.crossJoin(F.broadcast(n))
+    succ1 = ring.select("doc_id", (F.col("rk") % F.col("n_docs") + 1).alias("nrk"))
+    succ2 = ring.select(
+        "doc_id", ((F.col("rk") + 1) % F.col("n_docs") + 1).alias("nrk")
+    )
+    negs = None
+    for s in (succ1, succ2):
+        j = s.join(
+            ranked.select(F.col("doc_id").alias("other_id"), F.col("rk").alias("nrk")),
+            "nrk",
+        ).select(
+            F.col("doc_id").alias("anchor_id"), "other_id", F.lit("neg").alias("label")
+        )
+        negs = j if negs is None else negs.unionByName(j)
+    return pos.unionByName(negs.filter(F.col("anchor_id") != F.col("other_id")))

@@ -242,3 +242,56 @@ def curation_pipeline(docs: DataFrame) -> DataFrame:
             .alias("n_sampled"),
         )
     )
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Shannon entropy of the per-document character distribution — the
+    cheap perplexity proxy corpus filters use (gibberish and boilerplate
+    sit at the entropy extremes). One explode + two aggregations, all
+    exact double math: H = ln(n) - sum(c*ln(c))/n over character counts,
+    which avoids forming p=c/n per row and keeps the fold order
+    engine-independent."""
+    chars = F.explode(F.split(F.col("text"), "")).alias("ch")
+    counts = (
+        docs.select("doc_id", chars)
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.count("*").alias("n_distinct_chars"),
+            F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+            .alias("clogc"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_chars"),
+            F.col("n_distinct_chars").cast("long").alias("n_distinct_chars"),
+            F.round(
+                F.log(F.col("n").cast("double"))
+                - F.col("clogc") / F.col("n").cast("double"),
+                6,
+            ).alias("char_entropy"),
+        )
+    )
+
+
+def char_entropy_sql() -> str:
+    return """
+WITH counts AS (
+  SELECT doc_id, ch, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+  WHERE ch != ''
+  GROUP BY doc_id, ch
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_chars,
+       count(*) AS n_distinct_chars,
+       round(ln(CAST(sum(c) AS DOUBLE))
+             - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+               / CAST(sum(c) AS DOUBLE), 6) AS char_entropy
+FROM counts GROUP BY doc_id
+"""
