@@ -266,10 +266,10 @@ register(
     _cdc_merge_poststate,
     f"""
 WITH cdc AS (
-  SELECT vec_id, list_transform(embedding, x -> x * CAST(1.5 AS FLOAT)) AS embedding,
+  SELECT vec_id, list_transform(embedding, x -> x * CAST(1.5 AS DOUBLE)) AS embedding,
          label, 'U' AS op, 1 AS seq FROM embeddings WHERE vec_id < 20
   UNION ALL
-  SELECT vec_id, list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS embedding,
+  SELECT vec_id, list_transform(embedding, x -> x * CAST(2.0 AS DOUBLE)) AS embedding,
          label, 'U' AS op, 2 AS seq FROM embeddings WHERE vec_id < 20
   UNION ALL
   SELECT vec_id, embedding, label, 'D' AS op, 2 AS seq
@@ -285,7 +285,7 @@ merged AS (
 ),
 latest AS (
   SELECT vec_id, embedding, label, op FROM merged
-  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY seq DESC) = 1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY seq DESC, op DESC) = 1
 )
 SELECT label, count(*) AS n_vectors,
        round(sum({oracles.norm_sql('embedding')}), 4) AS sum_norm
@@ -1793,15 +1793,31 @@ FROM j GROUP BY lang
 )
 
 
+_ROUNDTRIP_TMP: str | None = None
+
+
+def _roundtrip_dir(leaf: str) -> str:
+    """One per-process temp root, reused across bench/parity sweeps and
+    removed at exit — repeated invocations overwrite in place instead of
+    leaking a fresh mkdtemp per call."""
+    global _ROUNDTRIP_TMP
+    if _ROUNDTRIP_TMP is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _ROUNDTRIP_TMP = tempfile.mkdtemp(prefix="vdbs_roundtrip_")
+        atexit.register(shutil.rmtree, _ROUNDTRIP_TMP, ignore_errors=True)
+    return _ROUNDTRIP_TMP + "/" + leaf
+
+
 def _csv_roundtrip(s: SparkSession, d: str) -> DataFrame:
     """S16 extended to a real FILE sink+source: write the customer table
     as CSV (header + explicit schema on read-back — CSV carries no
     types), read it back, aggregate. The oracle aggregates the source
     directly, so the check proves the roundtrip lossless for every
     column it touches."""
-    import tempfile
-
-    out = tempfile.mkdtemp(prefix="vdbs_csv_") + "/customer_csv"
+    out = _roundtrip_dir("customer_csv")
     cust = load(s, d, "customer").select(
         "c_custkey", "c_nationkey", "c_mktsegment", F.round("c_acctbal", 4).alias("c_acctbal")
     )
@@ -1834,9 +1850,7 @@ def _orc_roundtrip(s: SparkSession, d: str) -> DataFrame:
     """ORC sink+source (Spark-native second columnar format): write the
     events projection as ORC, read back, aggregate — proves the engine
     serves more than one columnar format with identical semantics."""
-    import tempfile
-
-    out = tempfile.mkdtemp(prefix="vdbs_orc_") + "/events_orc"
+    out = _roundtrip_dir("events_orc")
     ev = load(s, d, "events").select("event_id", "user_id", "event_type", "value")
     ev.write.mode("overwrite").orc(out)
     back = s.read.orc(out)

@@ -204,12 +204,15 @@ def apply_cdc(snapshot: DataFrame, cdc: DataFrame) -> DataFrame:
     Delta/Iceberg table this plan IS the MERGE INTO source.
 
     `snapshot` rows are implicit seq-0 upserts; `cdc` carries
-    (vec_id, embedding, label, op, seq) with op in ('I','U','D')."""
+    (vec_id, embedding, label, op, seq) with op in ('I','U','D').
+    Ties on (vec_id, seq) break deterministically by op descending
+    ('U' > 'I' > 'D'), so a same-seq upsert wins over a delete — callers
+    that need a different policy must disambiguate with seq."""
     base = snapshot.select(
         "vec_id", "embedding", "label",
         F.lit("U").alias("op"), F.lit(0).cast("long").alias("seq"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("seq"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("seq"), F.desc("op"))
     return (
         base.unionByName(cdc.select("vec_id", "embedding", "label", "op", "seq"))
         .withColumn("_rn", F.row_number().over(w))

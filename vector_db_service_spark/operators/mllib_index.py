@@ -163,5 +163,5 @@ cand AS (
   FROM embeddings e, q WHERE {share}
 )
 SELECT vec_id, label, round(rawdist, 6) AS dist
-FROM cand ORDER BY rawdist LIMIT {k}
+FROM cand ORDER BY rawdist, vec_id LIMIT {k}
 """

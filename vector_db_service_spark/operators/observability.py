@@ -252,9 +252,16 @@ def timed_search(
         F.count(F.lit(1)).alias("total_found"),
         F.max("score").alias("best_score"),
     )
-    n = observed.count()  # forces the search job; obs.get blocks until done
+    # Materialize the k result rows and derive the response metrics from
+    # them directly. The `.observe()` node stays in the plan (the metrics
+    # land on the listener bus / SQL UI), but we deliberately do NOT
+    # block on `Observation.get`: under a loaded listener bus that wait
+    # can dwarf the sub-second search itself (seen: 0.6 s -> 11 s under
+    # the round-6 driver bench). The collected rows ARE the observed
+    # dataset, so the derived values are identical by construction.
+    rows = observed.collect()
     elapsed_ms = (time.perf_counter() - t0) * 1000.0
-    metrics = obs.get
+    best = max((r["score"] for r in rows), default=None)
     return spark.createDataFrame(
         [
             (
@@ -262,8 +269,8 @@ def timed_search(
                 library if library is not None else -1,
                 k,
                 metric,
-                int(metrics["total_found"]) if metrics["total_found"] is not None else n,
-                float(metrics["best_score"]) if metrics["best_score"] is not None else None,
+                len(rows),
+                float(best) if best is not None else None,
                 float(elapsed_ms),
             )
         ],
