@@ -300,7 +300,11 @@ def mmr_sql(query_id: int = 0, pool: int = 20, k: int = 5,
             else "0.0"
         )
         stages.append(
-            f"s{i} AS (\n"
+            # MATERIALIZED: each stage references all prior stages, so
+            # DuckDB's default CTE inlining re-evaluates the whole greedy
+            # prefix per stage — exponential replay (~12 s at sf0.01).
+            # Materializing makes the oracle linear in k.
+            f"s{i} AS MATERIALIZED (\n"
             f"  SELECT {i} AS sel_order, c.vec_id, c.rel,\n"
             f"         round({lam!r} * c.rel - {1.0 - lam!r} * {max_sim}, 6) AS mmr_score\n"
             f"  FROM cand c WHERE 1=1 {not_in}\n"
@@ -311,7 +315,7 @@ def mmr_sql(query_id: int = 0, pool: int = 20, k: int = 5,
     union = "\nUNION ALL\n".join(f"SELECT * FROM s{j}" for j in prev)
     return f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_id}),
-cand AS (
+cand AS MATERIALIZED (
   SELECT vec_id, rel, embedding FROM (
     SELECT e.vec_id, round({cos}, 6) AS rel, e.embedding
     FROM embeddings e, q
@@ -319,7 +323,7 @@ cand AS (
     LIMIT {pool}
   )
 ),
-pair AS (
+pair AS MATERIALIZED (
   SELECT a.vec_id AS va, b.vec_id AS vb, round({pcos}, 6) AS sim
   FROM cand a JOIN cand b ON a.vec_id != b.vec_id
 ),
