@@ -1337,8 +1337,11 @@ FROM reg JOIN per ON reg.label = per.label
 # function of (seed, dim, numTables) only, pinned as literals in
 # mllib_index.py (test-asserted against a live fit), so DuckDB recomputes
 # floor(dot/width) buckets and the single-probe kNN itself. The remaining
-# rows-only entries (KMeans IVF / PQ / MinHashLSH) stay rows-only:
-# their fitted state is data-dependent. ------------------------------------
+# Trained-quantizer family. The canonical-Lloyd fits (ann._lloyd_canonical)
+# are SQL-replayable, so PQ / IVF-PQ / the recall sweep carry EXACT oracles
+# (oracles_quant). Only the MLlib-fitted pair stays rows-only: MLlib's
+# kmeans|| init and MinHash perm draws are not SQL-reproducible. ----------
+from . import oracles_quant  # noqa: E402
 from .operators import mllib_index  # noqa: E402
 
 register(
@@ -1353,30 +1356,35 @@ register(
     lambda s, d: ann.ivf_kmeans_topk(s, d, query_id=0, k=10, n_lists=7, nprobe=4),
 )
 register(
-    # measured recall@10 of the KMeans IVF quantizer over nprobe in
-    # {1,2,4,8} — rows-only (seeded KMeans init is not SQL-reproducible)
+    # measured recall@10 of the canonical-Lloyd IVF quantizer over
+    # nprobe in {1,2,4,8} — EXACT oracle: the fit is deterministic and
+    # SQL-replayable (oracles_quant replays init/assign/update as CTEs)
     "ann_ivf_recall_sweep",
     lambda s, d: ann.ivf_kmeans_recall_sweep(s, d, k=10, n_lists=7),
+    oracles_quant.recall_sweep_sql(k=10, n_lists=7),
 )
 register(
-    # sample-trained PQ: driver-side seeded Lloyd fit on a bounded hash
-    # sample, distributed single-projection encode (rows-only: seeded
-    # RNG init is not SQL-reproducible)
+    # sample-trained PQ: driver-side canonical Lloyd fit on a bounded
+    # hash sample, distributed single-projection encode — EXACT oracle
+    # (the CTE chain replays the fit, then the unrounded-argmin encode)
     "ann_product_quantize",
     lambda s, d: ann.product_quantize(s, d, n_subvectors=4, codebook_k=16),
+    oracles_quant.product_quantize_sql(n_subvectors=4, sub_dim=16),
 )
 register(
     # ADC serving path over the PQ codes: LUT projection -> top-rerank
-    # -> exact broadcast re-rank (rows-only: seeded codebooks)
+    # -> exact broadcast re-rank — EXACT oracle (fit replay + LUT)
     "ann_pq_topk",
     lambda s, d: ann.pq_topk(s, d, query_id=0, k=10, n_subvectors=8),
+    oracles_quant.pq_topk_sql(query_id=0, k=10),
 )
 register(
     # the composed serving path: IVF routing (partition pruning) over
-    # the PQ code table (ADC scan) + exact re-rank (rows-only: seeded
-    # KMeans quantizer + codebooks)
+    # the PQ code table (ADC scan) + exact re-rank — EXACT oracle
+    # (both fit replays + routing + ADC + re-rank in one CTE chain)
     "ann_ivfpq_topk",
     lambda s, d: ann.ivfpq_topk(s, d, query_id=0, k=10),
+    oracles_quant.ivfpq_topk_sql(query_id=0, k=10),
 )
 register(
     "mllib_brp_approx_knn",

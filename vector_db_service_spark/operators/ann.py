@@ -305,13 +305,13 @@ def ivf_kmeans_recall_sweep(
     nprobes: tuple[int, ...] = (1, 2, 4, 8),
     metric: str = "cosine",
 ) -> DataFrame:
-    """Measured recall@k of the PROPERLY TRAINED (seeded Lloyd k-means)
+    """Measured recall@k of the PROPERLY TRAINED (canonical Lloyd)
     IVF quantizer across an nprobe sweep — the number a user checks
     before trusting the ANN path (reference claims 90-95%,
     /root/reference/README.md:147). The label-cell IVF in
     index_recall_report stays as the oracle-checkable variant; this one
-    is rows-only (KMeans init is not SQL-reproducible) and is the
-    TRUSTWORTHY recall figure: measured 0.84 avg recall@10 at
+    carries an exact oracle (oracles_quant.recall_sweep_sql replays the
+    canonical fit) and is the TRUSTWORTHY recall figure: measured 0.84 avg recall@10 at
     n_lists=7 / nprobe=4 on the sf0.01 corpus (vs 0.2-0.4 for the
     label-cell quantizer it replaces as the headline metric).
 
@@ -363,7 +363,9 @@ def ivf_kmeans_recall_sweep(
     cw = Window.partitionBy("query_id").orderBy(F.desc("c_score"), F.asc("list_id"))
     cq = (
         centers.crossJoin(F.broadcast(queries))
-        .withColumn("c_score", sim.score(metric, F.col("centroid"), F.col("qv")))
+        .withColumn(
+            "c_score", F.round(sim.score(metric, F.col("centroid"), F.col("qv")), 6)
+        )
         .withColumn("c_rnk", F.row_number().over(cw))
         .select("query_id", "list_id", "c_rnk")
     )
@@ -413,13 +415,13 @@ def _coarse_centers(
     sf_dir: str,
     n_lists: int,
     train_cap: int = 100_000,
-    seed: int = 42,
     lloyd_iters: int = 8,
 ) -> list:
     """Coarse-quantizer centers via a capped deterministic driver-side
     Lloyd fit — the SAME training architecture the PQ codebooks use
     (_pq_train): md5-ordered bounded sample (TakeOrderedAndProject, so
-    the cap is partitioning-independent), seeded numpy k-means. On tiny
+    the cap is partitioning-independent), canonical k-means
+    (_lloyd_canonical, SQL-replayable — see oracles_quant.py). On tiny
     capped samples this replaces ~20 distributed MLlib jobs with one
     collect + microseconds of numpy — at scale, quantizer quality needs
     thousands of points, not billions, and ASSIGNMENT stays a single
@@ -433,7 +435,7 @@ def _coarse_centers(
     from ..sources.tables import path_signature
 
     p = _os.path.join(sf_dir, "embeddings.parquet")
-    key = (*path_signature(p), n_lists, train_cap, seed, lloyd_iters)
+    key = (*path_signature(p), n_lists, train_cap, lloyd_iters)
     if key in _COARSE_CACHE:
         return _COARSE_CACHE[key]
 
@@ -450,18 +452,39 @@ def _coarse_centers(
         raise ValueError("cannot train coarse quantizer: embeddings table is empty")
     X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
     k_eff = min(n_lists, len(X))
-    rng = np.random.RandomState(seed)
-    centers = X[rng.choice(len(X), size=k_eff, replace=False)].copy()
-    for _ in range(lloyd_iters):
-        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=-1)
+    out = [[float(x) for x in c] for c in _lloyd_canonical(X, k_eff, lloyd_iters)]
+    _COARSE_CACHE[key] = out
+    return out
+
+
+def _lloyd_canonical(X, k_eff: int, iters: int):
+    """CANONICAL deterministic Lloyd fit, exactly replayable in SQL
+    (oracles_quant.py unrolls the same chain as DuckDB CTEs):
+
+      * init: the first `k_eff` rows of the md5-ordered sample (the md5
+        hex is an order-seeded shuffle, so this IS a uniform distinct
+        draw — it just doesn't need an RNG, which SQL couldn't replay);
+      * assignment: argmin over 6dp-ROUNDED squared L2, ties to the
+        lowest centroid id (np.argmin == ORDER BY d2, cid LIMIT 1);
+      * update: per-dim mean ROUNDED to 6dp; empty clusters keep their
+        previous (already-rounded) center.
+
+    The roundings pin every cross-engine float hazard: raw distances
+    agree bit-exactly (float32 inputs are exact in double, and numpy's
+    axis-sum, Spark's aggregate() fold, and DuckDB's list_sum all reduce
+    the <=64-element axis sequentially), and the only accumulation-order
+    divergence (the mean over a cluster) is absorbed by the 6dp round."""
+    import numpy as np
+
+    centers = np.round(X[:k_eff].copy(), 6)
+    for _ in range(iters):
+        d2 = np.round(((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=-1), 6)
         assign = d2.argmin(axis=1)
         for j in range(k_eff):
             member = X[assign == j]
             if len(member):
-                centers[j] = member.mean(axis=0)
-    out = [[float(x) for x in c] for c in centers]
-    _COARSE_CACHE[key] = out
-    return out
+                centers[j] = np.round(member.mean(axis=0), 6)
+    return centers
 
 
 def _list_id_expr(centers: list) -> F.Column:
@@ -551,16 +574,7 @@ def _pq_train(
     codebooks: list[np.ndarray] = []
     for s in range(n_subvectors):
         Xs = X[:, s * sub_dim:(s + 1) * sub_dim]
-        rng = np.random.RandomState(42 + s)
-        centers = Xs[rng.choice(len(Xs), size=k_eff, replace=False)].copy()
-        for _ in range(8):  # Lloyd iterations
-            d2 = ((Xs[:, None, :] - centers[None, :, :]) ** 2).sum(axis=-1)
-            assign = d2.argmin(axis=1)
-            for j in range(k_eff):
-                member = Xs[assign == j]
-                if len(member):
-                    centers[j] = member.mean(axis=0)
-        codebooks.append(centers)
+        codebooks.append(_lloyd_canonical(Xs, k_eff, 8))
     return codebooks, sub_dim
 
 
@@ -622,8 +636,9 @@ def pq_topk(
     and the exact re-rank reads `rerank` full vectors — the standard
     IVFADC serving shape minus the IVF routing (compose with
     ivf_kmeans_topk's probed lists for that). Seeded codebooks make the
-    result deterministic (rows-only check; recall vs exact top-k is
-    pinned in tests/test_pq_adc.py)."""
+    result deterministic AND exactly SQL-replayable (oracles_quant
+    .pq_topk_sql); recall vs exact top-k is pinned in
+    tests/test_pq_adc.py."""
     from .knn import validate_k
 
     validate_k(k)
@@ -701,9 +716,9 @@ def ivfpq_topk(
       4. Exact euclidean re-rank of the <= rerank candidates via a
          broadcast join back to the embedding table.
 
-    The seeded Lloyd fits (coarse quantizer + PQ codebooks) make the
-    result deterministic but not SQL-reproducible — rows-only check;
-    recall vs exact is pinned in tests/test_pq_adc.py."""
+    The canonical Lloyd fits (coarse quantizer + PQ codebooks) make the
+    result deterministic and exactly SQL-replayable (oracles_quant
+    .ivfpq_topk_sql); recall vs exact is pinned in tests/test_pq_adc.py."""
     import numpy as np
 
     from .knn import validate_k
@@ -721,7 +736,9 @@ def ivfpq_topk(
     )
 
     centers = np.asarray(cents, dtype=np.float64)
-    d2 = ((centers - np.asarray(q)) ** 2).sum(axis=1)
+    # 6dp-rounded routing distances + index tiebreak: the same total
+    # order the SQL oracle's ORDER BY round(d2, 6), cid replays
+    d2 = np.round(((centers - np.asarray(q)) ** 2).sum(axis=1), 6)
     probed = [int(i) for i in np.lexsort((np.arange(len(d2)), d2))[:nprobe]]
 
     codebooks, sub_dim = _pq_train(
@@ -769,14 +786,14 @@ def product_quantize(
     contiguous sub-spaces, train a KMeans codebook (seeded) per
     sub-space, and encode every vector as n_subvectors small codes —
     64 float32 -> 8 bytes (32x). Reports per-vector reconstruction error
-    against the codebooks. Rows-only check (KMeans init is not
-    SQL-reproducible).
+    against the codebooks. Exact oracle: oracles_quant
+    .product_quantize_sql replays the canonical fit + encode.
 
     Scale shape: codebooks are FIT DRIVER-SIDE on a bounded
     deterministic hash-sample (`train_pct`% capped at `train_cap` rows
     — codebook quality needs thousands of points per cell, not the
-    corpus; a 100k x 64 float64 sample is 50 MB). Training is seeded
-    numpy Lloyd iterations — distributed KMeans on a sample this size
+    corpus; a 100k x 64 float64 sample is 50 MB). Training is canonical
+    numpy Lloyd iterations (_lloyd_canonical) — distributed KMeans on a sample this size
     spends its whole wall-clock on per-iteration job scheduling, not
     math. ENCODING stays fully distributed and is ONE projection:
     nearest-centroid assignment is an argmin over an array of squared

@@ -1,0 +1,341 @@
+"""DuckDB replay of the canonical quantizer fits — EXACT oracles for the
+Lloyd-trained ANN family (ann.py: _pq_train, _coarse_centers, pq_topk,
+ivfpq_topk, product_quantize, ivf_kmeans_recall_sweep).
+
+The fits are deterministic and cross-engine reproducible by
+construction (ann._lloyd_canonical):
+
+  * the training sample is the md5-ordered bounded subset both engines
+    can name in SQL (ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT cap);
+  * init centers are the first k rows of that order (no RNG);
+  * assignment distances are rounded to 6dp before the argmin, update
+    means are rounded to 6dp — the ONLY accumulation-order hazard
+    (the per-cluster mean) is absorbed by the round, and the raw
+    squared-L2 sums agree bit-exactly because numpy (axis length < 128),
+    Spark's aggregate() fold, and DuckDB's list_sum all reduce the
+    element axis sequentially over identical doubles.
+
+So the oracle does not need pinned literals: it re-runs the fit as an
+unrolled CTE chain (one assignment + one update CTE per Lloyd
+iteration, MATERIALIZED so DuckDB cannot exponentially re-inline the
+chain) and then replays encode / routing / ADC / re-rank with the same
+6dp-round + lowest-id tiebreak contracts as the Spark operators.
+
+Reference parity anchor: vector_db/algorithms.py builds its indexes
+with the same train-once/serve-many split; this module is the
+correctness gate for our trained-quantizer analogs.
+"""
+
+from __future__ import annotations
+
+from . import oracles
+
+# Spark: F.md5(vec_id.cast("string")); init/sample order is (md5 hex, vec_id)
+_H = "md5(CAST(vec_id AS VARCHAR))"
+_BUCKET = f"CAST(concat('0x', substr({_H}, 1, 8)) AS BIGINT) % 100"
+
+
+def _l2sq(a: str, b: str) -> str:
+    """Squared L2 between two list exprs — same sequential fold as
+    Spark's aggregate(zip_with(...)) and numpy's small-axis sum."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+        f"* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+
+
+def _fit_ctes(
+    prefix: str,
+    k_eff: int,
+    iters: int,
+    n_sub: int,
+    sub_dim: int,
+    train_pct: int | None,
+    train_cap: int,
+) -> str:
+    """CTE chain replaying _lloyd_canonical over the md5-ordered sample.
+
+    Emits {prefix}cb (sub_id, cid, c) — for the coarse quantizer n_sub
+    is 1 and sub_id is constant 0. Assumes the bucket sample is
+    non-empty and >= k_eff rows (true at every test scale; the Spark
+    side's degenerate-corpus fallbacks are exercised by unit tests, not
+    by the oracle corpus)."""
+    p = prefix
+    where = f"WHERE {_BUCKET} < {train_pct}" if train_pct is not None else ""
+    ctes = [
+        f"""{p}samp AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY {_H}, vec_id) AS rid, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings {where}
+        ORDER BY {_H}, vec_id LIMIT {train_cap})
+)""",
+        f"""{p}sub AS MATERIALIZED (
+  SELECT rid, subs.sub_id,
+         list_transform(list_slice(embedding, subs.sub_id * {sub_dim} + 1,
+                                   (subs.sub_id + 1) * {sub_dim}),
+                        x -> CAST(x AS DOUBLE)) AS v
+  FROM {p}samp, (SELECT unnest(range({n_sub})) AS sub_id) subs
+)""",
+        f"""{p}c0 AS MATERIALIZED (
+  SELECT sub_id, rid - 1 AS cid, list_transform(v, x -> round(x, 6)) AS c
+  FROM {p}sub WHERE rid <= {k_eff}
+)""",
+    ]
+    for t in range(1, iters + 1):
+        d2 = f"round({_l2sq('s.v', 'c.c')}, 6)"
+        ctes.append(
+            f"""{p}a{t} AS MATERIALIZED (
+  SELECT rid, sub_id, v, cid FROM (
+    SELECT s.rid, s.sub_id, s.v, c.cid,
+           row_number() OVER (PARTITION BY s.rid, s.sub_id
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM {p}sub s JOIN {p}c{t - 1} c ON c.sub_id = s.sub_id
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""{p}c{t} AS MATERIALIZED (
+  SELECT prev.sub_id, prev.cid, coalesce(nxt.c, prev.c) AS c
+  FROM {p}c{t - 1} prev LEFT JOIN (
+    SELECT sub_id, cid, list(mv ORDER BY di) AS c FROM (
+      SELECT sub_id, cid, di, round(avg(val), 6) AS mv
+      FROM (SELECT sub_id, cid, unnest(v) AS val,
+                   unnest(range(1, {sub_dim} + 1)) AS di FROM {p}a{t})
+      GROUP BY sub_id, cid, di
+    ) GROUP BY sub_id, cid
+  ) nxt ON nxt.sub_id = prev.sub_id AND nxt.cid = prev.cid
+)"""
+        )
+    ctes.append(f"{p}cb AS (SELECT sub_id, cid, c FROM {p}c{iters})")
+    return ",\n".join(ctes)
+
+
+def pq_fit_ctes(
+    n_subvectors: int = 8,
+    codebook_k: int = 16,
+    train_pct: int = 25,
+    iters: int = 8,
+    sub_dim: int = 8,
+    train_cap: int = 100_000,
+) -> str:
+    return _fit_ctes("pq", codebook_k, iters, n_subvectors, sub_dim,
+                     train_pct, train_cap)
+
+
+def coarse_fit_ctes(
+    n_lists: int = 7,
+    iters: int = 8,
+    dim: int = 64,
+    train_cap: int = 100_000,
+) -> str:
+    # prefix "c" -> final CTE name "ccb"
+    return _fit_ctes("c", n_lists, iters, 1, dim, None, train_cap)
+
+
+def _pq_encode_cte(sub_dim: int = 8) -> str:
+    """enc (vec_id, label, sub_id, cid, d2): nearest-codeword per
+    subspace over the FULL corpus — UNROUNDED d2 argmin with lowest-cid
+    tiebreak, matching ann._pq_code_exprs' array_position-of-min."""
+    sl = (
+        f"list_slice(e.embedding, b.sub_id * {sub_dim} + 1, "
+        f"(b.sub_id + 1) * {sub_dim})"
+    )
+    d2 = _l2sq(sl, "b.c")
+    return f"""enc AS MATERIALIZED (
+  SELECT vec_id, label, sub_id, cid, d2 FROM (
+    SELECT e.vec_id, e.label, b.sub_id, b.cid, {d2} AS d2,
+           row_number() OVER (PARTITION BY e.vec_id, b.sub_id
+                              ORDER BY {d2}, b.cid) AS rn
+    FROM embeddings e CROSS JOIN pqcb b
+  ) WHERE rn = 1
+)"""
+
+
+def _coarse_assign_cte() -> str:
+    """asg (vec_id, label, embedding, list_id): nearest coarse centroid,
+    UNROUNDED d2 + lowest-id tiebreak (= ann._list_id_expr)."""
+    d2 = _l2sq("e.embedding", "b.c")
+    return f"""asg AS MATERIALIZED (
+  SELECT vec_id, label, embedding, CAST(cid AS INTEGER) AS list_id FROM (
+    SELECT e.vec_id, e.label, e.embedding, b.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, b.cid) AS rn
+    FROM embeddings e CROSS JOIN ccb b
+  ) WHERE rn = 1
+)"""
+
+
+def _sub_codes(n_sub: int) -> str:
+    return ",\n         ".join(
+        f"CAST(MAX(CASE WHEN sub_id = {s} THEN cid END) AS INTEGER) AS code{s}"
+        for s in range(n_sub)
+    )
+
+
+def product_quantize_sql(n_subvectors: int = 8, sub_dim: int = 8) -> str:
+    errs = ",\n         ".join(
+        f"MAX(CASE WHEN sub_id = {s} THEN d2 END) AS err{s}"
+        for s in range(n_subvectors)
+    )
+    err_sum = " + ".join(f"err{s}" for s in range(n_subvectors))
+    return f"""
+WITH {pq_fit_ctes(n_subvectors=n_subvectors, sub_dim=sub_dim)},
+{_pq_encode_cte(sub_dim)},
+piv AS (
+  SELECT vec_id, label,
+         {_sub_codes(n_subvectors)},
+         {errs}
+  FROM enc GROUP BY vec_id, label
+)
+SELECT vec_id, label, {', '.join(f'code{s}' for s in range(n_subvectors))},
+       round(sqrt({err_sum}), 6) AS recon_l2
+FROM piv
+"""
+
+
+def _lut_cte(query_id: int, sub_dim: int) -> str:
+    sl = (
+        f"list_slice(q.embedding, b.sub_id * {sub_dim} + 1, "
+        f"(b.sub_id + 1) * {sub_dim})"
+    )
+    return f"""qv AS (SELECT embedding FROM embeddings WHERE vec_id = {query_id}),
+lut AS MATERIALIZED (
+  SELECT b.sub_id, b.cid, {_l2sq(sl, 'b.c')} AS qd2
+  FROM pqcb b, qv q
+)"""
+
+
+def _adc_terms(n_sub: int) -> tuple[str, str]:
+    ts = ",\n           ".join(
+        f"MAX(CASE WHEN e.sub_id = {s} THEN l.qd2 END) AS t{s}"
+        for s in range(n_sub)
+    )
+    # left-to-right s order = Spark's ' + '.join(adc_terms)
+    return ts, " + ".join(f"t{s}" for s in range(n_sub))
+
+
+def pq_topk_sql(
+    query_id: int = 0,
+    k: int = 10,
+    n_subvectors: int = 8,
+    sub_dim: int = 8,
+    rerank: int = 200,
+) -> str:
+    ts, tsum = _adc_terms(n_subvectors)
+    dist = oracles.euclidean_distance_sql("e.embedding", "q.embedding")
+    return f"""
+WITH {pq_fit_ctes(n_subvectors=n_subvectors, sub_dim=sub_dim)},
+{_pq_encode_cte(sub_dim)},
+{_lut_cte(query_id, sub_dim)},
+adcp AS MATERIALIZED (
+  SELECT e.vec_id, {ts}
+  FROM enc e JOIN lut l ON l.sub_id = e.sub_id AND l.cid = e.cid
+  GROUP BY e.vec_id
+),
+cand AS (
+  SELECT vec_id, {tsum} AS adc FROM adcp
+  ORDER BY {tsum}, vec_id LIMIT {rerank}
+)
+SELECT e.vec_id, e.label, round(c.adc, 6) AS adc, round({dist}, 6) AS dist
+FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, qv q
+ORDER BY round({dist}, 6), e.vec_id LIMIT {k}
+"""
+
+
+def ivfpq_topk_sql(
+    query_id: int = 0,
+    k: int = 10,
+    n_lists: int = 7,
+    nprobe: int = 4,
+    n_subvectors: int = 8,
+    sub_dim: int = 8,
+    rerank: int = 200,
+) -> str:
+    ts, tsum = _adc_terms(n_subvectors)
+    dist = oracles.euclidean_distance_sql("e.embedding", "q.embedding")
+    route = f"round({_l2sq('q.embedding', 'b.c')}, 6)"
+    return f"""
+WITH {coarse_fit_ctes(n_lists=n_lists)},
+{pq_fit_ctes(n_subvectors=n_subvectors, sub_dim=sub_dim)},
+{_coarse_assign_cte()},
+{_pq_encode_cte(sub_dim)},
+{_lut_cte(query_id, sub_dim)},
+probed AS (
+  SELECT CAST(b.cid AS INTEGER) AS list_id FROM ccb b, qv q
+  ORDER BY {route}, b.cid LIMIT {nprobe}
+),
+adcp AS MATERIALIZED (
+  SELECT e.vec_id, a.list_id, {ts}
+  FROM enc e
+  JOIN (SELECT vec_id, list_id FROM asg JOIN probed USING (list_id)) a
+    ON a.vec_id = e.vec_id
+  JOIN lut l ON l.sub_id = e.sub_id AND l.cid = e.cid
+  GROUP BY e.vec_id, a.list_id
+),
+cand AS (
+  SELECT vec_id, list_id, {tsum} AS adc FROM adcp
+  ORDER BY {tsum}, vec_id LIMIT {rerank}
+)
+SELECT e.vec_id, e.label, c.list_id, round(c.adc, 6) AS adc,
+       round({dist}, 6) AS dist
+FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, qv q
+ORDER BY round({dist}, 6), e.vec_id LIMIT {k}
+"""
+
+
+def recall_sweep_sql(
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 10,
+    n_lists: int = 7,
+    nprobes: tuple[int, ...] = (1, 2, 4, 8),
+) -> str:
+    cos_pair = oracles.cosine_sql("a.embedding", "q.qv")
+    cos_cent = oracles.cosine_sql("b.c", "q.qv")
+    ids = ", ".join(str(i) for i in query_ids)
+    probes = ", ".join(str(p) for p in nprobes)
+    return f"""
+WITH {coarse_fit_ctes(n_lists=n_lists)},
+{_coarse_assign_cte()},
+qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       WHERE vec_id IN ({ids})),
+pairs AS MATERIALIZED (
+  SELECT q.query_id, a.vec_id, a.list_id, round({cos_pair}, 6) AS score
+  FROM asg a, qs q
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id) AS rn
+    FROM pairs) WHERE rn <= {k}
+),
+cq AS MATERIALIZED (
+  SELECT q.query_id, CAST(b.cid AS INTEGER) AS list_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY round({cos_cent}, 6) DESC, b.cid) AS c_rnk
+  FROM ccb b, qs q
+),
+probes AS (SELECT CAST(unnest([{probes}]) AS INTEGER) AS nprobe),
+sweep AS (
+  SELECT nprobe, query_id, vec_id FROM (
+    SELECT p.nprobe, pr.query_id, pr.vec_id,
+           row_number() OVER (PARTITION BY p.nprobe, pr.query_id
+                              ORDER BY pr.score DESC, pr.vec_id) AS rn
+    FROM pairs pr
+    JOIN cq ON cq.query_id = pr.query_id AND cq.list_id = pr.list_id
+    CROSS JOIN probes p
+    WHERE cq.c_rnk <= p.nprobe
+  ) WHERE rn <= {k}
+),
+ov AS (
+  SELECT s.nprobe, s.query_id, count(*) AS n_overlap
+  FROM exact e JOIN sweep s ON s.query_id = e.query_id AND s.vec_id = e.vec_id
+  GROUP BY s.nprobe, s.query_id
+)
+SELECT q.query_id, p.nprobe,
+       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(ov.n_overlap, 0) / {float(k)!r}, 4) AS recall
+FROM (SELECT query_id FROM qs) q
+CROSS JOIN probes p
+LEFT JOIN ov ON ov.nprobe = p.nprobe AND ov.query_id = q.query_id
+ORDER BY p.nprobe, q.query_id
+"""
