@@ -117,26 +117,52 @@ def _bit(h: Column, b: int) -> Column:
     return F.floor(h / F.lit(float(1 << b))).cast("long") % F.lit(2)
 
 
-def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
-    """SIMHASH_BITS (28)-bit simhash over token hashes as a single long."""
-    # NOTE: an array<long>-accumulator single-pass variant was measured
-    # 3x SLOWER than `bits` scalar aggregates — per-token array allocation
-    # in transform/zip_with dominates; scalar folds stay allocation-free.
-    def _signed_sum(hs: Column, b: int) -> Column:
-        def _merge(acc: Column, h: Column) -> Column:
-            return acc + (_bit(h, b) * F.lit(2) - F.lit(1))
-        return F.aggregate(hs, F.lit(0).cast("long"), _merge)
+def simhash_sql(text_sql: str = "text", bits: int = SIMHASH_BITS) -> str:
+    """SIMHASH_BITS (28)-bit simhash over token hashes as a single long,
+    built as ONE Spark-SQL string (same technique as ann._pq_code_exprs:
+    the nested-Column form costs thousands of py4j round trips — measured
+    ~1.2 s of DRIVER time per query just to build the tree; the string
+    form is microseconds + one parse). Semantically identical to the
+    previous Column construction, pinned by tests against the oracle.
 
-    def _fp(hs: Column) -> Column:
-        out = F.lit(0).cast("long")
-        for b in range(bits):
-            bit_sum = _signed_sum(hs, b)
-            bit_b = F.when(bit_sum >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-            out = out + bit_b * F.lit(1 << b).cast("long")
-        return out
+    NOTE: an array<long>-accumulator single-pass variant was measured
+    3x SLOWER at RUN time than `bits` scalar aggregates — per-token array
+    allocation in transform/zip_with dominates; scalar folds stay
+    allocation-free."""
+    from .text import MOD_P as _P
 
-    # let-bind: `bits` aggregate passes over ONE materialized md5-hash array
-    return let(token_hashes(text), _fp)
+    th = (
+        f"transform(split(lower({text_sql}), ' '), "
+        f"t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % {_P})"
+    )
+    # Single-aggregate array accumulator: ONE pass over the token hashes
+    # carrying all `bits` signed counters. The per-bit-scalar-aggregate
+    # form has a 28x bigger expression tree, and Catalyst re-ANALYZES the
+    # embedding plan at every downstream lazy localCheckpoint — measured
+    # ~2 s of driver time per dedup query vs ~0.1 s for this form, with
+    # equal executor-side runtime on the current corpus. Bit extraction
+    # is floor(h / 2^b) % 2 — exact in double for h < 2^31 (= _bit).
+    pows_d = "array(" + ", ".join(repr(float(1 << b)) for b in range(bits)) + ")"
+    pows_l = "array(" + ", ".join(f"CAST({1 << b} AS BIGINT)" for b in range(bits)) + ")"
+    sums = (
+        f"aggregate(hs, array_repeat(CAST(0 AS BIGINT), {bits}), "
+        f"(acc, h) -> zip_with(acc, {pows_d}, "
+        f"(a, p) -> a + (CAST(floor(h / p) AS BIGINT) % 2) "
+        f"* CAST(2 AS BIGINT) - CAST(1 AS BIGINT)))"
+    )
+    pack = (
+        f"aggregate(zip_with({sums}, {pows_l}, "
+        f"(s, p) -> CASE WHEN s >= 0 THEN p ELSE CAST(0 AS BIGINT) END), "
+        f"CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    # let-bind: the aggregate passes over ONE materialized md5-hash array
+    return f"element_at(transform(array({th}), hs -> {pack}), 1)"
+
+
+def simhash(text_sql: str = "text", bits: int = SIMHASH_BITS) -> Column:
+    """Column form of simhash_sql — callers pass the SQL string of the
+    text column (e.g. "text"), not a Column."""
+    return F.expr(simhash_sql(text_sql, bits))
 
 
 def simhash_blocks(sh: Column, blocks: int = SIMHASH_BLOCKS,

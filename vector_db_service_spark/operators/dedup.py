@@ -129,7 +129,7 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     # fingerprint table is persisted once, then joined against itself.
     fingered = (
         spread_for_compute(docs)
-        .select("doc_id", H.simhash(F.col("text")).alias("sh"))
+        .select("doc_id", H.simhash("text").alias("sh"))
         .localCheckpoint(eager=False)
     )
     keyed = fingered.select(
@@ -166,7 +166,7 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     return spread_for_compute(docs).select(
-        "doc_id", H.simhash(F.col("text")).alias("simhash")
+        "doc_id", H.simhash("text").alias("simhash")
     )
 
 
@@ -405,32 +405,43 @@ def near_dup_components_fast(docs: DataFrame, max_hamming: int = 3,
         .localCheckpoint(eager=False)
     )
     edges = cedges
+    # Pure-clique corpora (every dup family is a template clique)
+    # contract to ZERO cross-representative edges — the loop would be
+    # `rounds` rounds of scheduling for an already-final labeling. One
+    # tiny action on the checkpointed contracted frame skips it.
+    if edges.isEmpty():
+        full_labels = m
+        return _with_isolated(docs, nodes, full_labels)
     labels = m.select(F.col("comp").alias("node")).distinct().select(
         "node", F.col("node").alias("comp")
     )
-    for rnd in range(rounds):
+    for _rnd in range(rounds):
         nbr = edges.join(labels, edges.dst == labels.node).select(
-            F.col("src").alias("node"), F.col("comp")
+            F.col("src").alias("node"), F.col("comp"),
+            F.lit(None).cast("long").alias("prev"),
         )
+        # Fused propagate + fixed-point probe: `prev` rides along in the
+        # SAME aggregation (min ignores the nbr rows' nulls; every node
+        # already carries exactly one labels row, so min(prev) IS its
+        # previous label), and the moved-count action below is also what
+        # materializes the checkpoint — one job does propagation AND the
+        # early-stop test, where the unfused form paid a separate
+        # join + isEmpty scan per round.
         propagated = (
-            labels.unionByName(nbr)
-            .groupBy("node").agg(F.min("comp").alias("comp"))
+            labels.withColumn("prev", F.col("comp")).unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"), F.min("prev").alias("prev"))
             .coalesce(iter_parts)
             .localCheckpoint(eager=False)
         )
-        # Early stop: if NO label moved in the propagation step, the
-        # labeling is a fixed point (every node already holds its
-        # component min — the pointer jump would be the identity too), so
-        # the remaining rounds are pure scheduling overhead. The check is
-        # one tiny join over the node-only label frame; real dup graphs
-        # converge in 1-2 doubled rounds, while the round budget is sized
-        # for the worst diameter — this converts budget into actual work.
-        moved = (
-            propagated.join(
-                labels.select("node", F.col("comp").alias("prev")), "node"
-            ).filter(F.col("comp") != F.col("prev"))
-        )
-        if rnd > 0 and moved.isEmpty():
+        moved = propagated.agg(
+            F.sum((F.col("comp") != F.col("prev")).cast("long")).alias("n")
+        ).first()["n"]
+        propagated = propagated.select("node", "comp")
+        # If NO label moved, the labeling is a fixed point (every node
+        # already holds its component min — the pointer jump would be the
+        # identity too); remaining rounds are pure scheduling overhead.
+        if not moved:
             labels = propagated
             break
         # pointer jump: comp <- label of comp (doubles the reach)
