@@ -1,0 +1,86 @@
+"""Pure-Python PNG codec (multimodal._decode_png/_encode_png): the
+stdlib-zlib inflate + unfilter reader must invert the encoder byte-for-
+byte across ALL five scanline filter types, reject the PNG flavors the
+reader honestly does not support, and the registered mm_decode_png query
+must hash-match the same byte-level oracle as the PPM decode path.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vector_db_service_spark.operators import multimodal as mm  # noqa: E402
+
+
+def _raster(h: int, w: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_roundtrip_all_filter_types():
+    # h=10 cycles y % 5 twice: None/Sub/Up/Average/Paeth each hit twice
+    raster = _raster(10, 16)
+    w, h, maxval, out = mm.decode_image(mm._encode_png(raster))
+    assert (w, h, maxval) == (16, 10, 255)
+    assert out.tobytes() == raster.tobytes()
+
+
+def test_roundtrip_extreme_bytes():
+    # all-0 / all-255 / alternating rasters stress the mod-256 unfilter
+    for fill in (np.zeros((7, 5, 3), np.uint8),
+                 np.full((7, 5, 3), 255, np.uint8),
+                 (np.indices((7, 5, 3)).sum(axis=0) % 256).astype(np.uint8)):
+        _, _, _, out = mm.decode_image(mm._encode_png(fill))
+        assert out.tobytes() == fill.tobytes()
+
+
+def test_single_pixel_and_single_row():
+    for shape in ((1, 1, 3), (1, 9, 3), (9, 1, 3)):
+        raster = _raster(*shape[:2])
+        _, _, _, out = mm.decode_image(mm._encode_png(raster))
+        assert out.tobytes() == raster.tobytes()
+
+
+def test_unsupported_png_flavor_raises():
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    # grayscale (color type 0) is not RGB — must gate, not misdecode
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    blob = mm._PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(blob)
+
+
+def test_truncated_idat_raises():
+    raster = _raster(4, 4)
+    blob = bytearray(mm._encode_png(raster))
+    # shrink the IDAT length field's payload by lopping off the end
+    with pytest.raises(Exception):
+        mm._decode_png(bytes(blob[:60]))
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/testdata/sf0.001"), reason="testdata absent"
+)
+def test_mm_decode_png_matches_oracle(spark):
+    import duckdb
+
+    from tests.oracle_harness import compare
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    sdf = mm.mm_decode_png(spark, sf)
+    odf = con.execute(mm.mm_decode_sql()).fetchdf()
+    assert compare(sdf, odf) == []

@@ -110,7 +110,7 @@ def test_multimodal_decode_is_gated_and_frames_flatmap(spark):
     from vector_db_service_spark.operators import multimodal as mm
 
     with _pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG")
+        mm.decode_image(b"\xff\xd8\xff\xe0JPEG")  # JPEG stays codec-gated
 
     raster = bytes(range(2 * 3 * 3))  # 2x3 RGB, bytes 0..17
     ppm = b"P6\n# a comment\n 3\t2\n255\n" + raster

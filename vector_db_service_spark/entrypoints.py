@@ -926,6 +926,15 @@ register(
     multimodal.mm_decode,
     multimodal.mm_decode_sql(),
 )
+register(
+    # COMPRESSED image decode: synthesized PNG corpus (stdlib-zlib
+    # DEFLATE, scanline filters cycling all five types) -> pure-Python
+    # inflate + unfilter -> the same raster stats and byte-level oracle
+    # as mm_decode, so a wrong unfilter breaks the hash
+    "mm_decode_png",
+    multimodal.mm_decode_png,
+    multimodal.mm_decode_sql(),
+)
 
 
 register(

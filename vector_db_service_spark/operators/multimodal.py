@@ -12,8 +12,10 @@ UDF signatures — is real and tested:
   fixed-width float vector out, one vectorized call per batch.
 - `sample_frames`: splits each blob into fixed-size "frames" (the
   video-frame-sampling access pattern: one input row -> N output rows).
-- `decode_image`: the genuine library-gated decode, raising
-  NotImplementedError until an image codec is available.
+- `decode_image`: REAL decode for P6 PPM (fixed-stride) and 8-bit
+  non-interlaced RGB PNG (stdlib zlib inflate + full five-filter
+  unfilter, _decode_png); JPEG and other PNG flavors stay honestly
+  gated behind NotImplementedError until a codec library is available.
 
 Blobs are synthesized from the documents table (utf-8 bytes of text)
 so every SF has a binary corpus without touching the read-only testdata.
@@ -101,13 +103,147 @@ def _decode_ppm(blob: bytes) -> tuple[int, int, int, "object"]:
     return width, height, maxval, pixels.reshape(height, width, 3)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a, b, c):
+    """Paeth predictor (PNG spec 9.4), vectorized over int arrays."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _decode_png(blob: bytes) -> tuple[int, int, int, "object"]:
+    """Pure-Python PNG decode for non-interlaced 8-bit RGB (color type
+    2): chunk walk -> stdlib zlib inflate -> per-scanline unfilter (all
+    five filter types: None/Sub/Up/Average/Paeth). No codec library —
+    DEFLATE is the only compression PNG uses and zlib ships with Python.
+    Other PNG flavors (palette, alpha, 16-bit, interlaced) raise
+    NotImplementedError so the codec gate stays honest."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, b"", None
+    while pos + 8 <= len(blob):
+        (ln,), tag = struct.unpack(">I", blob[pos : pos + 4]), blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + tag + data + crc
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if (bit_depth, color_type, interlace) != (8, 2, 0):
+        raise NotImplementedError(
+            f"PNG flavor not supported by the pure-Python reader "
+            f"(bit_depth={bit_depth}, color_type={color_type}, "
+            f"interlace={interlace}); only 8-bit non-interlaced RGB"
+        )
+    raw = zlib.decompress(idat)
+    stride = width * 3
+    if len(raw) != height * (stride + 1):
+        raise ValueError(f"bad IDAT payload: {len(raw)} bytes")
+    out = np.zeros((height, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ft = line[0]
+        cur = np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
+        if ft == 0:
+            rec = cur
+        elif ft == 2:  # Up
+            rec = (cur + prev) % 256
+        else:
+            # Sub/Average/Paeth depend on the reconstructed left pixel —
+            # sequential in x, vectorized over the 3 channels per step
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(0, stride, 3):
+                a = rec[x - 3 : x] if x else np.zeros(3, dtype=np.int64)
+                b = prev[x : x + 3]
+                if ft == 1:  # Sub
+                    pred = a
+                elif ft == 3:  # Average
+                    pred = (a + b) // 2
+                elif ft == 4:  # Paeth
+                    c = prev[x - 3 : x] if x else np.zeros(3, dtype=np.int64)
+                    pred = _paeth(a, b, c)
+                else:
+                    raise ValueError(f"unknown PNG filter type {ft}")
+                rec[x : x + 3] = (cur[x : x + 3] + pred) % 256
+        out[y] = rec
+        prev = rec
+    return width, height, 255, out.astype(np.uint8).reshape(height, width, 3)
+
+
+def _encode_png(raster: "object") -> bytes:
+    """Deterministic pure-Python PNG encoder for the synthetic corpus:
+    8-bit RGB, one IDAT, filter type cycling y % 5 so every decode
+    exercises ALL five unfilter paths (a wrong unfilter breaks the
+    byte-level oracle)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = raster.shape
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    zero = np.zeros((1, 3), dtype=np.int64)
+    prev = np.zeros((w, 3), dtype=np.int64)
+    for y in range(h):
+        row = raster[y].astype(np.int64)
+        left = np.vstack([zero, row[:-1]])
+        ft = y % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            filt = (row - left) % 256
+        elif ft == 2:  # Up
+            filt = (row - prev) % 256
+        elif ft == 3:  # Average
+            filt = (row - (left + prev) // 2) % 256
+        else:  # Paeth
+            upleft = np.vstack([zero, prev[:-1]])
+            filt = (row - _paeth(left, prev, upleft)) % 256
+        raw.append(ft)
+        raw += filt.astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(blob: bytes) -> object:
     """Image decode dispatch. Fixed-stride formats (P6 PPM) decode with
-    the pure-Python reader above; compressed formats (PNG/JPEG/...)
-    genuinely require a codec library not present in this container and
-    stay explicitly gated — swap the raise for PIL/cv2 when available."""
+    the pure-Python reader above; PNG (8-bit non-interlaced RGB) decodes
+    with the stdlib-zlib reader (_decode_png). Formats that genuinely
+    require a codec library not present in this container (JPEG, other
+    PNG flavors) stay explicitly gated — swap the raise for PIL/cv2
+    when available."""
     if blob[:2] == b"P6":
         return _decode_ppm(blob)
+    if blob[:8] == _PNG_SIG:
+        return _decode_png(blob)
     raise NotImplementedError(
         "compressed image decode requires an image codec library"
     )
@@ -300,14 +436,8 @@ def image_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = {"doc_id": [], "blob": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                raw = text.encode("utf-8")
-                if raw:
-                    reps = -(-n_px // len(raw))
-                    body = (raw * reps)[:n_px]
-                else:
-                    body = bytes(n_px)
                 rows["doc_id"].append(int(doc_id))
-                rows["blob"].append(header + body)
+                rows["blob"].append(header + _cycled_raster_bytes(text, n_px))
             yield pd.DataFrame(rows)
 
     from ..sources.tables import spread_for_compute
@@ -318,6 +448,65 @@ def image_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_make, schema)
 
 
+def _cycled_raster_bytes(text: str, n_px: int) -> bytes:
+    """The shared synthetic raster: ASCII text bytes cycled to fill the
+    raster, zero raster for empty text — one definition for the PPM and
+    PNG corpora so both decode paths share one byte-level oracle."""
+    raw = text.encode("utf-8")
+    if not raw:
+        return bytes(n_px)
+    reps = -(-n_px // len(raw))
+    return (raw * reps)[:n_px]
+
+
+def png_image_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PNG corpus: the SAME raster as image_blobs but
+    DEFLATE-compressed through the pure-Python encoder, scanline filters
+    cycling through all five types — the compressed-codec counterpart of
+    the fixed-stride PPM corpus."""
+    import numpy as np
+
+    n_px = IMG_W * IMG_H * 3
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("blob", T.BinaryType())]
+    )
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "blob": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raster = np.frombuffer(
+                    _cycled_raster_bytes(text, n_px), dtype=np.uint8
+                ).reshape(IMG_H, IMG_W, 3)
+                rows["doc_id"].append(int(doc_id))
+                rows["blob"].append(_encode_png(raster))
+            yield pd.DataFrame(rows)
+
+    from ..sources.tables import spread_for_compute
+
+    docs = spread_for_compute(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return docs.mapInPandas(_make, schema)
+
+
+def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() surface: PNG synthesize -> inflate+unfilter decode.
+    Identical output contract (and oracle) to mm_decode: the raster is
+    the same, so any unfilter/inflate defect breaks the byte hash."""
+    return decode_images(png_image_blobs(spark, sf_dir)).select(
+        "doc_id",
+        "width",
+        "height",
+        "maxval",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "checksum",
+    )
+
+
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Whole-raster numpy per image: header parse is per-row (variable
     length), pixel math is vectorized. Byte sums are exact integers in
@@ -326,7 +515,7 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = {c: [] for c in cols}
         for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-            w, h, maxval, px = _decode_ppm(bytes(blob))
+            w, h, maxval, px = decode_image(bytes(blob))
             flat = px.astype("float64")
             rows["doc_id"].append(int(doc_id))
             rows["width"].append(w)
