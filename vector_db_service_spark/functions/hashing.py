@@ -45,26 +45,45 @@ def minhash_params(num: int = NUM_MINHASH, seed: int = SEED) -> list[tuple[int, 
     return [(rng.randrange(1, MOD_P), rng.randrange(0, MOD_P)) for _ in range(num)]
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles; short docs fall back to the whole text as a
-    single shingle (mirrored in the oracle). The token array is let-bound:
-    element_at inside the gram lambda must not re-split the string per
-    element (that would be O(len^2) per row)."""
-    def _grams(toks: Column) -> Column:
-        size = F.size(toks)
-        grams = F.transform(
-            F.sequence(F.lit(1), size - (n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-        )
-        return F.when(size >= n, grams).otherwise(F.array(F.lower(text)))
+def shingles_sql(text_sql: str = "text", n: int = 3) -> str:
+    """Word n-gram shingles as a Spark-SQL string; short docs fall back
+    to the whole text as a single shingle (mirrored in the oracle). The
+    token array is let-bound: element_at inside the gram lambda must not
+    re-split the string per element (that would be O(len^2) per row).
+    String form for the same reason as simhash_sql: the Column form's
+    tree costs py4j build time plus repeated Catalyst analysis at every
+    downstream lazy localCheckpoint."""
+    toks = f"split(lower({text_sql}), ' ')"
+    gram = (
+        "concat_ws(' ', "
+        + ", ".join(f"element_at(t, i + {j})" for j in range(n))
+        + ")"
+    )
+    grams = f"transform(sequence(1, size(t) - {n - 1}), i -> {gram})"
+    body = (
+        f"CASE WHEN size(t) >= {n} THEN {grams} "
+        f"ELSE array(lower({text_sql})) END"
+    )
+    return f"element_at(transform(array({toks}), t -> {body}), 1)"
 
-    return let(tokens(text), _grams)
+
+def shingles(text_sql: str = "text", n: int = 3) -> Column:
+    return F.expr(shingles_sql(text_sql, n))
 
 
-def shingle_hashes(text: Column, n: int = 3) -> Column:
-    from .text import token_hash
+def _token_hash_sql(tok_sql: str) -> str:
+    # = text.token_hash: 32-bit md5-prefix parsed as int64, mod p
+    return (
+        f"CAST(conv(substring(md5({tok_sql}), 1, 8), 16, 10) AS BIGINT) % {MOD_P}"
+    )
 
-    return F.transform(shingles(text, n), token_hash)
+
+def shingle_hashes_sql(text_sql: str = "text", n: int = 3) -> str:
+    return f"transform({shingles_sql(text_sql, n)}, s -> {_token_hash_sql('s')})"
+
+
+def shingle_hashes(text_sql: str = "text", n: int = 3) -> Column:
+    return F.expr(shingle_hashes_sql(text_sql, n))
 
 
 def _perm(a: int, b: int):
@@ -82,34 +101,51 @@ def let(value: Column, body) -> Column:
     return F.element_at(F.transform(F.array(value), body), 1)
 
 
-def minhash_signature(text: Column, params: list[tuple[int, int]] | None = None) -> Column:
-    """Array of NUM_MINHASH minima over the permuted shingle hashes.
-    The shingle-hash array is computed once (let-bound); each permutation
-    is then a cheap pass over the materialized longs."""
+def minhash_signature_sql(text_sql: str = "text",
+                          params: list[tuple[int, int]] | None = None) -> str:
+    """Array of NUM_MINHASH minima over the permuted shingle hashes as a
+    Spark-SQL string. The shingle-hash array is computed once
+    (let-bound); each permutation is then a cheap pass over the
+    materialized longs."""
     params = params or minhash_params()
+    mins = ", ".join(
+        f"array_min(transform(hs, h -> ({a} * h + {b}) % {MOD_P}))"
+        for a, b in params
+    )
+    return (
+        f"element_at(transform(array({shingle_hashes_sql(text_sql)}), "
+        f"hs -> array({mins})), 1)"
+    )
 
-    def _sig(base: Column) -> Column:
-        return F.array(*[F.array_min(F.transform(base, _perm(a, b))) for a, b in params])
 
-    return let(shingle_hashes(text), _sig)
+def minhash_signature(text_sql: str = "text",
+                      params: list[tuple[int, int]] | None = None) -> Column:
+    return F.expr(minhash_signature_sql(text_sql, params))
 
 
-def minhash_bands(sig: Column, bands: int = MINHASH_BANDS,
-                  rows: int = NUM_MINHASH // MINHASH_BANDS) -> Column:
+def minhash_bands_sql(text_sql: str = "text", bands: int = MINHASH_BANDS,
+                      rows: int = NUM_MINHASH // MINHASH_BANDS) -> str:
     """Band keys: concat of each band's minima — the LSH bucket keys.
-    `sig` is let-bound so the signature is computed once, not once per
+    The signature is let-bound so it is computed once, not once per
     band-key element."""
-    def _keys(s: Column) -> Column:
-        return F.array(
-            *[
-                F.concat_ws(
-                    "-", *[F.element_at(s, b * rows + r + 1).cast("string") for r in range(rows)]
-                )
-                for b in range(bands)
-            ]
+    keys = ", ".join(
+        "concat_ws('-', "
+        + ", ".join(
+            f"CAST(element_at(s, {b * rows + r + 1}) AS STRING)"
+            for r in range(rows)
         )
+        + ")"
+        for b in range(bands)
+    )
+    return (
+        f"element_at(transform(array({minhash_signature_sql(text_sql)}), "
+        f"s -> array({keys})), 1)"
+    )
 
-    return let(sig, _keys)
+
+def minhash_bands(text_sql: str = "text", bands: int = MINHASH_BANDS,
+                  rows: int = NUM_MINHASH // MINHASH_BANDS) -> Column:
+    return F.expr(minhash_bands_sql(text_sql, bands, rows))
 
 
 def _bit(h: Column, b: int) -> Column:

@@ -86,14 +86,13 @@ def _pair_join(keyed: DataFrame, key_cols: list[str], payload: list[str],
 def minhash_near_dups(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: band-bucket candidate join,
     then EXACT jaccard on distinct-shingle sets as the verify step."""
-    sig = H.minhash_signature(F.col("text"))
     # one materialization of (band keys, shingle set) feeds the candidate
     # join AND both verify joins — the shingle/md5 pipeline runs once per
     # doc, not once per branch (the persisted-signature-table shape)
     pre = spread_for_compute(docs).select(
         "doc_id",
-        H.minhash_bands(sig).alias("bands"),
-        F.array_distinct(H.shingles(F.col("text"))).alias("sh"),
+        H.minhash_bands("text").alias("bands"),
+        F.array_distinct(H.shingles("text")).alias("sh"),
     ).localCheckpoint(eager=False)
     keyed = pre.select(
         "doc_id", "bands", F.posexplode("bands").alias("band_idx", "band_key")
@@ -172,7 +171,7 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """Inspectable minhash signatures (first 4 components as columns)."""
-    sig = H.minhash_signature(F.col("text"))
+    sig = H.minhash_signature("text")
     return docs.select(
         "doc_id",
         *[F.element_at(sig, i + 1).alias(f"mh{i}") for i in range(4)],
@@ -322,11 +321,11 @@ def containment_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     (quote extraction, boilerplate wrapping), which symmetric jaccard
     misses. Same banded candidate join as minhash_near_dups; both
     directed containments are emitted per unordered candidate pair."""
-    sig = H.minhash_signature(F.col("text"))
+    sig = H.minhash_signature("text")
     pre = spread_for_compute(docs).select(
         "doc_id",
-        H.minhash_bands(sig).alias("bands"),
-        F.array_distinct(H.shingles(F.col("text"))).alias("sh"),
+        H.minhash_bands("text").alias("bands"),
+        F.array_distinct(H.shingles("text")).alias("sh"),
     ).localCheckpoint(eager=False)
     keyed = pre.select(
         "doc_id", "bands", F.posexplode("bands").alias("band_idx", "band_key")

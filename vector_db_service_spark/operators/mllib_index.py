@@ -83,7 +83,7 @@ def minhash_jaccard_join(spark: SparkSession, sf_dir: str,
     pairs with Jaccard DISTANCE below `threshold`. The idiomatic
     counterpart of operators/dedup.py::minhash_near_dups."""
     docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(shingles(F.col("text"))).alias("sh")
+        "doc_id", F.array_distinct(shingles("text")).alias("sh")
     )
     tf = HashingTF(inputCol="sh", outputCol="tf_vec", numFeatures=1 << 16, binary=True)
     featured = tf.transform(docs).filter(F.col("sh").isNotNull() & (F.size("sh") > 0))
