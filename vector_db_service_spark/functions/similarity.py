@@ -37,8 +37,15 @@ def _d(x: Column) -> Column:
 def vector_lit(vec: Sequence[float]) -> Column:
     """A query vector as a literal array<double> column. This is how a
     materialized query embedding enters the plan — same shape as the
-    reference passing np.ndarray into index.search (algorithms.py:161)."""
-    return F.array(*[F.lit(float(v)) for v in vec])
+    reference passing np.ndarray into index.search (algorithms.py:161).
+    Built as ONE parsed SQL string: the F.array(*[F.lit(v) ...]) form
+    costs dim+1 py4j round trips per use (and these literals appear once
+    per hyperplane per band across the LSH family). repr() round-trips
+    each float64 bit-for-bit; the D suffix keeps Spark from parsing the
+    literal as DECIMAL."""
+    return F.expr(
+        "array(" + ", ".join(f"{float(v)!r}D" for v in vec) + ")"
+    )
 
 
 def dot(a: Column, b: Column) -> Column:
