@@ -2162,7 +2162,9 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # identical compare over ALL registered oracles.
 _PRIORITY_50 = [
     # sentinels (driver-green in r5/r6; regression cover)
-    "knn_search_hydrated", "dedup_minhash_pairs", "stream_windowed_event_counts",
+    "knn_search_hydrated", "dedup_minhash_pairs",
+    # PNG decode (added after the r7 rotation commit; never sampled)
+    "mm_decode_png",
     # knn variants / stored-IVF probe / index info
     "knn_prefiltered_lang", "i11_stored_ivf_probe", "i12_index_info",
     # CDC merge + file-format roundtrips
