@@ -860,6 +860,33 @@ register(
     lambda s, d: textops.token_stats(load(s, d, "documents")),
     opl.token_stats_sql(),
 )
+register(
+    # benchmark-decontamination hygiene pass: 5-gram overlap of every
+    # training doc against the held-out slice's gram set (broadcast)
+    "text_decontamination",
+    lambda s, d: textops.decontamination(load(s, d, "documents")),
+    opl.decontamination_sql(),
+)
+register(
+    # Gopher-style within-doc repetition: dup-gram and top-gram
+    # fractions per n-gram size, long format
+    "text_repetition_scores",
+    lambda s, d: textops.repetition_scores(load(s, d, "documents")),
+    opl.repetition_scores_sql(),
+)
+register(
+    # stacked Gopher quality rules with per-rule flags + conjunction
+    "text_gopher_filter",
+    lambda s, d: textops.gopher_filter(load(s, d, "documents")),
+    opl.gopher_filter_sql(),
+)
+register(
+    # sqrt-temperature domain-mixture sampling weights over
+    # (lang, source); integer-exact cross-group math
+    "text_mixture_weights",
+    lambda s, d: textops.mixture_weights(load(s, d, "documents")),
+    opl.mixture_weights_sql(),
+)
 # ingest chunking (document -> sentence_number'd chunks, the step the
 # reference's create_document_with_chunks consumes pre-split)
 register(

@@ -295,3 +295,183 @@ SELECT doc_id,
                / CAST(sum(c) AS DOUBLE), 6) AS char_entropy
 FROM counts GROUP BY doc_id
 """
+
+
+def decontamination(
+    docs: DataFrame, n: int = 5, holdout_mod: int = 23, threshold: float = 0.05
+) -> DataFrame:
+    """Benchmark decontamination check — the training-data hygiene pass
+    every LLM corpus pipeline runs before training: flag documents whose
+    word n-grams overlap a held-out evaluation set (here the
+    deterministic `doc_id % holdout_mod == 0` slice stands in for the
+    benchmark corpus; in production it is the actual eval suites).
+
+    Per surviving (non-holdout) document: distinct n-gram count, how
+    many of those grams appear ANYWHERE in the holdout set, the
+    contamination fraction, and the above-threshold verdict.
+
+    100 TB shape: the holdout side is tiny by nature (benchmarks are
+    MBs, corpora are TBs), so its distinct gram-hash set is broadcast —
+    the corpus side is one map-side explode + broadcast-hash lookup and
+    one groupBy(doc_id); the full text never shuffles, only int64 gram
+    hashes keyed by doc_id."""
+    from ..functions import hashing as H
+
+    grams = F.array_distinct(F.expr(H.shingle_hashes_sql("text", n)))
+    g = docs.select("doc_id", F.explode(grams).alias("gh"))
+    hold = (
+        g.filter(F.col("doc_id") % holdout_mod == 0)
+        .select("gh")
+        .distinct()
+        .withColumn("_hit", F.lit(1).cast("long"))
+    )
+    train = g.filter(F.col("doc_id") % holdout_mod != 0)
+    frac = F.round(
+        F.col("n_contaminated").cast("double") / F.col("n_grams").cast("double"), 6
+    )
+    return (
+        train.join(F.broadcast(hold), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            frac.alias("contamination_frac"),
+            (frac > F.lit(threshold)).alias("is_contaminated"),
+        )
+    )
+
+
+def repetition_scores(docs: DataFrame, sizes: tuple[int, ...] = (2, 3)) -> DataFrame:
+    """Gopher-style within-document repetition signals: for each n-gram
+    size, the fraction of gram occurrences that are repeats of an
+    earlier gram (dup_gram_frac) and the share claimed by the single
+    most frequent gram (top_gram_frac). Boilerplate and spam sit high on
+    both; output is long-format (doc_id, gram_n) so any n-gram size list
+    rides one plan.
+
+    One explode + two keyed aggregations per size; gram strings shuffle
+    once keyed by (doc_id, gram_n, gram) — at corpus scale that is the
+    document itself re-keyed, the same cost class as tokenization."""
+    from ..functions import hashing as H
+
+    parts = [
+        docs.select(
+            "doc_id",
+            F.lit(n).alias("gram_n"),
+            F.explode(F.expr(H.shingles_sql("text", n))).alias("gram"),
+        )
+        for n in sizes
+    ]
+    ex = parts[0]
+    for p in parts[1:]:
+        ex = ex.unionByName(p)
+    per = ex.groupBy("doc_id", "gram_n", "gram").agg(F.count("*").alias("c"))
+    n_grams = F.sum("c").cast("long")
+    n_distinct = F.count("*")
+    top = F.max("c").cast("long")
+    return (
+        per.groupBy("doc_id", "gram_n")
+        .agg(
+            n_grams.alias("n_grams"),
+            n_distinct.alias("n_distinct"),
+            top.alias("top_gram_n"),
+        )
+        .select(
+            "doc_id",
+            "gram_n",
+            "n_grams",
+            "n_distinct",
+            "top_gram_n",
+            F.round(
+                F.col("top_gram_n").cast("double") / F.col("n_grams").cast("double"), 6
+            ).alias("top_gram_frac"),
+            F.round(
+                (F.col("n_grams") - F.col("n_distinct")).cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("dup_gram_frac"),
+        )
+    )
+
+
+def gopher_filter(docs: DataFrame) -> DataFrame:
+    """Composite Gopher-rule quality verdict — the standard stacked
+    heuristic filter (Rae et al. 2021 table A1 shape, thresholds tuned
+    to this corpus's ranges so both populations are non-empty): word
+    count, mean token length, alphabetic density, stopword evidence,
+    each as its own flag plus the conjunction. Pure single-pass
+    projection — embarrassingly parallel, no shuffle at any scale."""
+    toks = T.tokens(F.col("text"))
+    n_words = T.word_count(F.col("text"))
+    mean_tok_len = F.round(
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double"))
+        / F.size(toks).cast("double"),
+        6,
+    )
+    alpha_density = F.round(
+        T.alpha_chars(F.col("text")).cast("double") / F.length("text").cast("double"), 6
+    )
+    stop_hits = T.stopword_hits(F.col("text"), "en")
+    r_len = (n_words >= 30) & (n_words <= 1000)
+    r_mwl = (mean_tok_len >= 3.0) & (mean_tok_len <= 5.0)
+    r_alpha = alpha_density >= 0.81
+    r_stop = stop_hits >= 2
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_tok_len.alias("mean_token_len"),
+        alpha_density.alias("alpha_density"),
+        stop_hits.cast("int").alias("stop_hits"),
+        r_len.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_len"),
+        r_alpha.alias("rule_alpha"),
+        r_stop.alias("rule_stopwords"),
+        (r_len & r_mwl & r_alpha & r_stop).alias("passes"),
+    )
+
+
+def mixture_weights(docs: DataFrame) -> DataFrame:
+    """Domain-mixture sampling weights — sqrt-temperature reweighting of
+    (lang, source) domains, the standard recipe for flattening a corpus'
+    domain skew when drawing a training mix. All cross-group math is
+    integer-exact (token counts and integer-floored sqrt weights sum
+    exactly in any order), so the derived double ratios are
+    bit-deterministic across engines and partitionings.
+
+    Plan: one groupBy over ~|domains| groups (map-side partial agg), one
+    broadcast of the 1-row global totals — corpus scans once."""
+    toks = T.tokens(F.col("text"))
+    per = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+    )
+    per = per.withColumn(
+        "w_raw", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+    )
+    totals = per.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("w_raw").cast("long").alias("total_w"),
+    )
+    joined = per.crossJoin(F.broadcast(totals))
+    return joined.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double"), 6
+        ).alias("token_share"),
+        F.round(F.col("w_raw").cast("double") / F.col("total_w").cast("double"), 6).alias(
+            "weight"
+        ),
+        F.round(
+            (F.col("w_raw") * F.col("total_tokens")).cast("double")
+            / (F.col("total_w") * F.col("n_tokens")).cast("double"),
+            6,
+        ).alias("sample_mult"),
+    )

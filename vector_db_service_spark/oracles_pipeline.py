@@ -580,3 +580,129 @@ SELECT doc_id,
        CAST(strlen(text) - (ceil(strlen(text) / 256.0) - 1) * 256 AS BIGINT) AS tail_bytes
 FROM documents
 """
+
+
+def _shingles_n(n: int) -> str:
+    """Word n-gram shingles for arbitrary n — the DuckDB twin of
+    functions/hashing.py::shingles_sql (same short-doc whole-text
+    fallback)."""
+    gram = " || ' ' || ".join(f"{TOKS}[i+{j}]" for j in range(n))
+    return f"""
+CASE WHEN len({TOKS}) >= {n}
+     THEN list_transform(generate_series(1, len({TOKS}) - {n - 1}), i -> {gram})
+     ELSE [lower(text)] END
+"""
+
+
+def decontamination_sql(
+    n: int = 5, holdout_mod: int = 23, threshold: float = 0.05
+) -> str:
+    hashes = f"list_transform({_shingles_n(n)}, s -> {_token_hash('s')})"
+    return f"""
+WITH g AS (
+  SELECT doc_id, unnest(list_distinct({hashes})) AS gh FROM documents
+),
+hold AS (SELECT DISTINCT gh FROM g WHERE doc_id % {holdout_mod} = 0),
+train AS (SELECT * FROM g WHERE doc_id % {holdout_mod} != 0),
+agg AS (
+  SELECT t.doc_id,
+         count(*) AS n_grams,
+         CAST(sum(CASE WHEN h.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated
+  FROM train t LEFT JOIN hold h ON t.gh = h.gh
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_grams, n_contaminated,
+       round(CAST(n_contaminated AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+         AS contamination_frac,
+       round(CAST(n_contaminated AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+         > {threshold!r} AS is_contaminated
+FROM agg
+"""
+
+
+def repetition_scores_sql(sizes: tuple[int, ...] = (2, 3)) -> str:
+    branches = " UNION ALL ".join(
+        f"SELECT doc_id, {n} AS gram_n, unnest({_shingles_n(n)}) AS gram FROM documents"
+        for n in sizes
+    )
+    return f"""
+WITH ex AS ({branches}),
+per AS (
+  SELECT doc_id, gram_n, gram, count(*) AS c
+  FROM ex GROUP BY doc_id, gram_n, gram
+),
+agg AS (
+  SELECT doc_id, gram_n,
+         CAST(sum(c) AS BIGINT) AS n_grams,
+         count(*) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS top_gram_n
+  FROM per GROUP BY doc_id, gram_n
+)
+SELECT doc_id, gram_n, n_grams, n_distinct, top_gram_n,
+       round(CAST(top_gram_n AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+         AS top_gram_frac,
+       round(CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+         AS dup_gram_frac
+FROM agg
+"""
+
+
+def gopher_filter_sql() -> str:
+    mwl = (
+        f"round(list_sum(list_transform({TOKS}, t -> CAST(length(t) AS DOUBLE)))"
+        f" / CAST(len({TOKS}) AS DOUBLE), 6)"
+    )
+    ad = (
+        "round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)"
+        " / CAST(length(text) AS DOUBLE), 6)"
+    )
+    return f"""
+WITH feat AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+         {mwl} AS mean_token_len,
+         {ad} AS alpha_density,
+         CAST({_hits('en')} AS INTEGER) AS stop_hits
+  FROM documents
+),
+flags AS (
+  SELECT *,
+         (n_words >= 30 AND n_words <= 1000) AS rule_word_count,
+         (mean_token_len >= 3.0 AND mean_token_len <= 5.0) AS rule_mean_len,
+         (alpha_density >= 0.81) AS rule_alpha,
+         (stop_hits >= 2) AS rule_stopwords
+  FROM feat
+)
+SELECT doc_id, n_words, mean_token_len, alpha_density, stop_hits,
+       rule_word_count, rule_mean_len, rule_alpha, rule_stopwords,
+       (rule_word_count AND rule_mean_len AND rule_alpha AND rule_stopwords)
+         AS passes
+FROM flags
+"""
+
+
+def mixture_weights_sql() -> str:
+    return f"""
+WITH per AS (
+  SELECT lang, source, count(*) AS n_docs,
+         CAST(sum(len({TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang, source
+),
+w AS (
+  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_raw
+  FROM per
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(w_raw) AS BIGINT) AS total_w
+  FROM w
+)
+SELECT lang, source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+         AS token_share,
+       round(CAST(w_raw AS DOUBLE) / CAST(total_w AS DOUBLE), 6) AS weight,
+       round(CAST(w_raw * total_tokens AS DOUBLE)
+             / CAST(total_w * n_tokens AS DOUBLE), 6) AS sample_mult
+FROM w, tot
+"""
