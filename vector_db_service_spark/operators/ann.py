@@ -901,7 +901,12 @@ def blocked_pair_recall(
     blocked = (
         ba.join(bb, ["label", "band_idx", "band_key"])
         .filter(F.col("vec_id_1") < F.col("vec_id_2"))
-        .filter(F.col("band_idx") == first_collision(F.col("b1"), F.col("b2")))
+        .filter(
+            F.col("band_idx")
+            == first_collision(
+                F.col("b1"), F.col("b2"), len(planes) // band_bits
+            )
+        )
         .filter(F.round(cos, 6) >= F.lit(threshold))
         .select("label", "vec_id_1", "vec_id_2")
     )
@@ -1079,7 +1084,10 @@ def knn_join(
     return (
         a.join(b, join_keys)
         .filter(F.col("src") != F.col("dst"))
-        .filter(F.col("band_idx") == first_collision(F.col("ba"), F.col("bb")))
+        .filter(
+            F.col("band_idx")
+            == first_collision(F.col("ba"), F.col("bb"), N_SIGN_BANDS)
+        )
         .withColumn("score", F.round(cos, 6))
         .select("label", "src", "dst", "score")
         .withColumn("rnk", F.row_number().over(w))

@@ -58,7 +58,8 @@ def exact_dedup_keep_first(docs: DataFrame) -> DataFrame:
 
 
 def _pair_join(keyed: DataFrame, key_cols: list[str], payload: list[str],
-               bands_col: str | None = None) -> DataFrame:
+               bands_col: str | None = None,
+               n_bands: int | None = None) -> DataFrame:
     """Candidate pairs sharing a bucket key: equi-self-join, id1 < id2.
     The only shuffle is on the bucket key.
 
@@ -79,7 +80,9 @@ def _pair_join(keyed: DataFrame, key_cols: list[str], payload: list[str],
 
     return pairs.filter(
         F.col(key_cols[0])
-        == first_collision(F.col(f"{bands_col}_1"), F.col(f"{bands_col}_2"))
+        == first_collision(
+            F.col(f"{bands_col}_1"), F.col(f"{bands_col}_2"), n_bands
+        )
     ).select(out_cols)
 
 
@@ -97,7 +100,8 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
     keyed = pre.select(
         "doc_id", "bands", F.posexplode("bands").alias("band_idx", "band_key")
     )
-    pairs = _pair_join(keyed, ["band_idx", "band_key"], ["doc_id"], bands_col="bands")
+    pairs = _pair_join(keyed, ["band_idx", "band_key"], ["doc_id"],
+                       bands_col="bands", n_bands=H.MINHASH_BANDS)
     sh = pre.select("doc_id", "sh")
     j = (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_id_1").withColumnRenamed("sh", "sh_1"), "doc_id_1")
@@ -141,24 +145,26 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         "block_idx", "block_key", F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh_2")
     )
     # both dedup stages are MAP-SIDE: the hamming bit_count verify, then
-    # the first-collision predicate (lsh.first_collision) over the block
-    # arrays — recomputed from the fingerprints both sides already carry
-    # (4 shift/mask ops) — which keeps a multi-block-colliding pair only
-    # in its first shared block. No distinct: the candidate pair stream
-    # is never shuffled at all
-    from .lsh import first_collision
-
+    # the first-collision predicate — the first block index whose bits
+    # agree — which keeps a multi-block-colliding pair only in its first
+    # shared block. No distinct: the candidate pair stream is never
+    # shuffled at all. The predicate is PURE SCALAR xor/shift/mask on the
+    # two fingerprints (block i agrees iff ((sh_1^sh_2)>>(i*w)) & mask
+    # = 0) — the earlier array-valued form (lsh.first_collision over
+    # simhash_blocks of both sides) allocated two arrays + an interpreted
+    # zip_with per candidate row, ~8M allocations at sf0.1.
+    width = H.SIMHASH_BITS // H.SIMHASH_BLOCKS
+    mask = (1 << width) - 1
+    first_coll = "CASE " + " ".join(
+        f"WHEN (shiftright(sh_1 ^ sh_2, {i * width}) & {mask}) = 0 THEN {i}"
+        for i in range(H.SIMHASH_BLOCKS - 1)
+    ) + f" ELSE {H.SIMHASH_BLOCKS - 1} END"
     return (
         left.join(right, ["block_idx", "block_key"])
         .filter(F.col("doc_id_1") < F.col("doc_id_2"))
         .withColumn("hamming", H.hamming(F.col("sh_1"), F.col("sh_2")))
         .filter(F.col("hamming") <= max_hamming)
-        .filter(
-            F.col("block_idx")
-            == first_collision(
-                H.simhash_blocks(F.col("sh_1")), H.simhash_blocks(F.col("sh_2"))
-            )
-        )
+        .filter(F.col("block_idx") == F.expr(first_coll))
         .select("doc_id_1", "doc_id_2", "hamming")
     )
 
@@ -245,7 +251,10 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.8,
     return (
         a.join(b, ["label", "band_idx", "band_key"])
         .filter(F.col("vec_id_1") < F.col("vec_id_2"))
-        .filter(F.col("band_idx") == first_collision(F.col("b1"), F.col("b2")))
+        .filter(
+            F.col("band_idx")
+            == first_collision(F.col("b1"), F.col("b2"), N_SIGN_BANDS)
+        )
         .withColumn("cos", F.round(cos, 6))
         .filter(F.col("cos") >= F.lit(threshold))
         .select("label", "vec_id_1", "vec_id_2", "cos")
@@ -330,7 +339,8 @@ def containment_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     keyed = pre.select(
         "doc_id", "bands", F.posexplode("bands").alias("band_idx", "band_key")
     )
-    pairs = _pair_join(keyed, ["band_idx", "band_key"], ["doc_id"], bands_col="bands")
+    pairs = _pair_join(keyed, ["band_idx", "band_key"], ["doc_id"],
+                       bands_col="bands", n_bands=H.MINHASH_BANDS)
     sh = pre.select("doc_id", "sh")
     joined = (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_id_1").withColumnRenamed("sh", "sh_1"), "doc_id_1")

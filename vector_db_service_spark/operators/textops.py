@@ -443,8 +443,14 @@ def mixture_weights(docs: DataFrame) -> DataFrame:
     exactly in any order), so the derived double ratios are
     bit-deterministic across engines and partitionings.
 
-    Plan: one groupBy over ~|domains| groups (map-side partial agg), one
-    broadcast of the 1-row global totals — corpus scans once."""
+    Plan: one groupBy over ~|domains| groups (map-side partial agg),
+    then the global totals as an unpartitioned window over the AGGREGATED
+    frame — |domains| rows (languages x sources is thousands at any
+    corpus size), so the single-partition window exchange is trivially
+    bounded and the corpus scans exactly ONCE (a crossJoin against a
+    separate totals aggregate re-scans it)."""
+    from pyspark.sql import Window
+
     toks = T.tokens(F.col("text"))
     per = docs.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
@@ -453,11 +459,10 @@ def mixture_weights(docs: DataFrame) -> DataFrame:
     per = per.withColumn(
         "w_raw", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
     )
-    totals = per.agg(
-        F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.sum("w_raw").cast("long").alias("total_w"),
-    )
-    joined = per.crossJoin(F.broadcast(totals))
+    w = Window.partitionBy()
+    joined = per.withColumn(
+        "total_tokens", F.sum("n_tokens").over(w).cast("long")
+    ).withColumn("total_w", F.sum("w_raw").over(w).cast("long"))
     return joined.select(
         "lang",
         "source",
