@@ -93,3 +93,58 @@ def test_mixture_weights_single_corpus_scan(spark):
     # section), so ONE physical scan == exactly 2 occurrences
     assert plan.count("Scan parquet") <= 2
     assert "BatchEvalPython" not in plan
+
+
+def test_sequence_packing_invariants(spark):
+    docs = load(spark, SF, "documents")
+    rows = textops.sequence_packing(docs).collect()
+    assert rows
+    from pyspark.sql import Row
+    per_source = {
+        r.source: r.n_docs
+        for r in docs.groupBy("source").count().withColumnRenamed("count", "n_docs").collect()
+    }
+    for r in rows:
+        assert r.n_docs == per_source[r.source]
+        assert r.n_sequences >= 1
+        # straddlers can't exceed the interior boundaries
+        assert 0 <= r.n_straddlers <= r.n_sequences
+        assert 0.0 < r.fill_rate <= 1.0
+        # concat-chunk invariant: total tokens land inside the sequences
+        assert (r.n_sequences - 1) * 256 < r.n_tokens <= r.n_sequences * 256
+
+
+def test_sequence_packing_windows_per_shard_not_global(spark):
+    plan = _plan(E.QUERIES["pipeline_sequence_packing"](spark, SF))
+    # running offset must partition by source, never a global
+    # single-partition prefix sum
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_quantile_histogram_monotone_and_bounded(spark):
+    rows = E.QUERIES["sketch_quantile_histogram"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_bins_used <= 64
+        assert r.est_p50 <= r.est_p90 <= r.est_p99
+        # estimates are upper bin edges: multiples of the bin width
+        for v in (r.est_p50, r.est_p90, r.est_p99):
+            assert v % 8.0 == 0.0 and 0 < v <= 64 * 8.0
+
+
+def test_quantile_histogram_matches_order_statistic(spark):
+    import math
+
+    ev = load(spark, SF, "events")
+    by_type: dict[str, list[float]] = {}
+    for r in ev.select("event_type", "value").collect():
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for r in E.QUERIES["sketch_quantile_histogram"](spark, SF).collect():
+        vals = sorted(by_type[r.event_type])
+        for q, est in ((50, r.est_p50), (90, r.est_p90), (99, r.est_p99)):
+            # the sketch's quantile definition: the ceil(q% * n)-th order
+            # statistic; the estimate must be the upper edge of ITS bin
+            v = vals[math.ceil(len(vals) * q / 100) - 1]
+            expected = (min(63, math.floor(v / 8.0)) + 1) * 8.0
+            assert est == expected, (r.event_type, q, v, est, expected)

@@ -887,6 +887,13 @@ register(
     lambda s, d: textops.mixture_weights(load(s, d, "documents")),
     opl.mixture_weights_sql(),
 )
+register(
+    # GPT-style concat-and-chunk sequence packing, per source shard:
+    # deterministic md5 order, straddling docs counted, fill rates
+    "pipeline_sequence_packing",
+    lambda s, d: textops.sequence_packing(load(s, d, "documents")),
+    textops.sequence_packing_sql(),
+)
 # ingest chunking (document -> sentence_number'd chunks, the step the
 # reference's create_document_with_chunks consumes pre-split)
 register(
@@ -1538,6 +1545,13 @@ register(
     "sketch_kmv_overlap",
     lambda s, d: sketches.kmv_overlap(s, d),
     sketches.kmv_overlap_sql(),
+)
+register(
+    # mergeable fixed-bin quantile sketch per event_type: state is
+    # (group, bin) counts, estimates are exact integer-threshold math
+    "sketch_quantile_histogram",
+    lambda s, d: sketches.quantile_histogram(s, d),
+    sketches.quantile_histogram_sql(),
 )
 
 # --- second-stage retrieval (hybrid fusion + diversification) -------------

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.tables import load
 
@@ -455,4 +456,86 @@ SELECT g AS {group}, CAST(n_nonempty AS BIGINT) AS n_registers,
                   ELSE e_raw END, 4) AS hll_estimate,
        CAST(exact_distinct AS BIGINT) AS exact_distinct
 FROM est
+"""
+
+
+QH_BINS = 64      # fixed equi-width bins
+QH_BIN_W = 8.0    # bin width: covers events.value's [0, 512) envelope
+QH_QUANTILES = (50, 90, 99)   # integer percents: exact threshold math
+
+
+def quantile_histogram(
+    spark: SparkSession, sf_dir: str, group: str = "event_type"
+) -> DataFrame:
+    """Mergeable fixed-bin quantile sketch over events.value, one sketch
+    per `group` — the histogram half of a t-digest-style pipeline
+    monitor. Sketch state is (group, bin) -> count: per-partition
+    partials combine with sum(), so the identical plan serves streaming
+    accumulation, 100 TB batch, and cross-day sketch merges.
+
+    The quantile estimate is the UPPER EDGE of the first bin whose
+    cumulative count reaches ceil(q% * n) — all integer thresholds and
+    exact power-of-two-free double edges (bin * 8.0), so the DuckDB
+    oracle reproduces estimates bit-for-bit. The cumulative pass runs
+    over <= QH_BINS rows per group."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col(group).alias("g"), F.col("value").alias("v")
+    )
+    bin_ = F.least(
+        F.lit(QH_BINS - 1), F.floor(F.col("v") / F.lit(QH_BIN_W)).cast("int")
+    )
+    counts = ev.select("g", bin_.alias("b")).groupBy("g", "b").agg(
+        F.count("*").alias("c")
+    )
+    w = Window.partitionBy("g").orderBy("b")
+    cum = counts.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("g"))
+    )
+    qcols = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.col("n") * F.lit(q) / F.lit(100)),
+                (F.col("b") + 1).cast("double") * F.lit(QH_BIN_W),
+            )
+        ).alias(f"est_p{q}")
+        for q in QH_QUANTILES
+    ]
+    return (
+        cum.groupBy("g")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.count("*").alias("n_bins_used"),
+            *qcols,
+        )
+        .select(
+            F.col("g").alias(group), "n_events", "n_bins_used",
+            *[f"est_p{q}" for q in QH_QUANTILES],
+        )
+    )
+
+
+def quantile_histogram_sql(group: str = "event_type") -> str:
+    qsel = ",\n       ".join(
+        f"min(CASE WHEN cum >= ceil(n * {q} / 100.0) "
+        f"THEN (b + 1) * {QH_BIN_W} END) AS est_p{q}"
+        for q in QH_QUANTILES
+    )
+    return f"""
+WITH counts AS (
+  SELECT {group} AS g,
+         least({QH_BINS - 1}, CAST(floor(value / {QH_BIN_W}) AS INTEGER)) AS b,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, b, c,
+         sum(c) OVER (PARTITION BY g ORDER BY b) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM counts
+)
+SELECT g AS {group},
+       CAST(max(n) AS BIGINT) AS n_events,
+       count(*) AS n_bins_used,
+       {qsel}
+FROM cum GROUP BY g
 """

@@ -480,3 +480,90 @@ def mixture_weights(docs: DataFrame) -> DataFrame:
             6,
         ).alias("sample_mult"),
     )
+
+
+PACK_CAP = 256  # tokens per packed training sequence
+
+
+def sequence_packing(docs: DataFrame, cap: int = PACK_CAP) -> DataFrame:
+    """GPT-style sequence packing accounting: documents are concatenated
+    in a deterministic order and chunked into fixed `cap`-token training
+    sequences (documents straddle boundaries; the attention mask handles
+    the joins) — the standard pretraining packing step. Packing runs PER
+    SOURCE SHARD, which is both how real pipelines do it (shards pack
+    independently, so packing parallelism = shard count at any corpus
+    size) and what keeps the plan scalable: the running token offset is
+    a window over each source partition, never a global single-partition
+    prefix sum.
+
+    Order within a shard is (md5(text), doc_id) — the same reproducible
+    no-RNG shuffle the contrastive-pair ring uses. Output is the
+    per-shard packing summary: sequence count, straddler count, mean
+    docs per sequence, and fill rate of the last (ragged) sequence."""
+    from pyspark.sql import Window
+
+    toks = T.tokens(F.col("text"))
+    w = Window.partitionBy("source").orderBy("ord", "doc_id")
+    placed = docs.select(
+        "source", "doc_id", F.md5("text").alias("ord"),
+        F.size(toks).cast("long").alias("n_tok"),
+    ).withColumn("cum", F.sum("n_tok").over(w))
+    placed = placed.select(
+        "source", "doc_id", "n_tok",
+        F.floor((F.col("cum") - F.col("n_tok")) / F.lit(cap)).alias("start_bin"),
+        F.floor((F.col("cum") - 1) / F.lit(cap)).alias("end_bin"),
+        F.col("cum"),
+    )
+    return (
+        placed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            (F.max("end_bin") + 1).cast("long").alias("n_sequences"),
+            F.sum(
+                (F.col("end_bin") > F.col("start_bin")).cast("long")
+            ).alias("n_straddlers"),
+        )
+        .select(
+            "source", "n_docs", "n_tokens", "n_sequences", "n_straddlers",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_sequences").cast("double"),
+                6,
+            ).alias("docs_per_sequence"),
+            F.round(
+                F.col("n_tokens").cast("double")
+                / (F.col("n_sequences") * F.lit(cap)).cast("double"),
+                6,
+            ).alias("fill_rate"),
+        )
+    )
+
+
+def sequence_packing_sql(cap: int = PACK_CAP) -> str:
+    return f"""
+WITH placed AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+         sum(CAST(len(string_split(lower(text), ' ')) AS BIGINT))
+           OVER (PARTITION BY source ORDER BY md5(text), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+),
+bins AS (
+  SELECT source, n_tok,
+         CAST(floor((cum - n_tok) / {cap}.0) AS BIGINT) AS start_bin,
+         CAST(floor((cum - 1) / {cap}.0) AS BIGINT) AS end_bin
+  FROM placed
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(max(end_bin) + 1 AS BIGINT) AS n_sequences,
+       CAST(sum(CASE WHEN end_bin > start_bin THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_straddlers,
+       round(CAST(count(*) AS DOUBLE) / CAST(max(end_bin) + 1 AS DOUBLE), 6)
+         AS docs_per_sequence,
+       round(CAST(sum(n_tok) AS DOUBLE)
+             / CAST((max(end_bin) + 1) * {cap} AS DOUBLE), 6) AS fill_rate
+FROM bins GROUP BY source
+"""
