@@ -148,3 +148,27 @@ def test_quantile_histogram_matches_order_statistic(spark):
             v = vals[math.ceil(len(vals) * q / 100) - 1]
             expected = (min(63, math.floor(v / 8.0)) + 1) * 8.0
             assert est == expected, (r.event_type, q, v, est, expected)
+
+
+def test_index_advisor_crosses_reference_thresholds(spark, tmp_path):
+    # synthesize libraries on each side of the reference's
+    # choose_search_strategy thresholds (similarity.py:397-436)
+    from pyspark.sql import functions as FF
+
+    emb = (
+        spark.range(72_000)
+        .select(
+            FF.when(FF.col("id") < 5_000, 0)       # small (<10K) -> batch
+            .when(FF.col("id") < 17_000, 1)        # medium (<50K, <100MB) -> batch
+            .otherwise(2)                          # 55K (>=50K) -> heap
+            .alias("label"),
+            FF.col("id").alias("vec_id"),
+            FF.array(FF.lit(1.0)).alias("embedding"),
+        )
+    )
+    emb.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    from vector_db_service_spark.operators import observability
+
+    rows = {r.library_id: r.strategy
+            for r in observability.index_advisor(spark, str(tmp_path)).collect()}
+    assert rows == {0: "batch", 1: "batch", 2: "heap"}

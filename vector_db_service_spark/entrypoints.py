@@ -1669,6 +1669,14 @@ FROM sess, wm WHERE e_us <= wm.w
 """,
 )
 register(
+    # streaming accumulation of the mergeable quantile sketch: counts
+    # sum across micro-batches exactly as across partitions, so the
+    # BATCH oracle is value-hash exact against the streamed state
+    "stream_quantile_histogram",
+    stream_ops.quantile_histogram_stream,
+    sketches.quantile_histogram_sql(),
+)
+register(
     "stream_dedup_events",
     stream_ops.dedup_events_stream,
     """
@@ -2184,6 +2192,13 @@ register(
     "obs_clear_library_stats",
     lambda s, d: observability.clear_library_stats(s, d, library=0),
     observability.clear_library_stats_sql(library=0),
+)
+register(
+    # the reference's choose_search_strategy rules (similarity.py:
+    # 397-436) evaluated declaratively per library over corpus stats
+    "obs_index_advisor",
+    observability.index_advisor,
+    observability.index_advisor_sql(),
 )
 
 

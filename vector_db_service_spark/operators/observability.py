@@ -277,3 +277,52 @@ def timed_search(
         "query_id int, library_id long, k int, similarity_function string,"
         " total_found long, best_score double, search_time_ms double",
     )
+
+
+def index_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet-level search-strategy advisor — the reference's
+    choose_search_strategy decision rules (vector_db/similarity.py:
+    397-436: <10K vectors -> batch; <50K AND score buffer <100 MB ->
+    batch; else heap) evaluated declaratively per library over the
+    corpus stats, instead of per call inside the engine. One grouped
+    aggregation; the memory estimate is the reference's own
+    n_vectors * 4 bytes score-buffer formula."""
+    emb = load(spark, sf_dir, "embeddings")
+    per = emb.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.max(F.size("embedding")).alias("dim"),
+    )
+    est_mb = F.col("n_vectors").cast("double") * F.lit(4.0) / F.lit(1024.0 * 1024.0)
+    strategy = (
+        F.when(F.col("n_vectors") < 10_000, F.lit("batch"))
+        .when((F.col("n_vectors") < 50_000) & (est_mb < 100.0), F.lit("batch"))
+        .otherwise(F.lit("heap"))
+    )
+    return per.select(
+        F.col("label").alias("library_id"),
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.col("dim").cast("int").alias("dim"),
+        F.round(est_mb, 6).alias("est_score_buffer_mb"),
+        strategy.alias("strategy"),
+    )
+
+
+def index_advisor_sql() -> str:
+    return """
+WITH per AS (
+  SELECT label AS library_id, count(*) AS n_vectors,
+         max(len(embedding)) AS dim
+  FROM embeddings GROUP BY label
+)
+SELECT library_id,
+       CAST(n_vectors AS BIGINT) AS n_vectors,
+       CAST(dim AS INTEGER) AS dim,
+       round(CAST(n_vectors AS DOUBLE) * 4.0 / (1024.0 * 1024.0), 6)
+         AS est_score_buffer_mb,
+       CASE WHEN n_vectors < 10000 THEN 'batch'
+            WHEN n_vectors < 50000
+                 AND CAST(n_vectors AS DOUBLE) * 4.0 / (1024.0 * 1024.0) < 100.0
+                 THEN 'batch'
+            ELSE 'heap' END AS strategy
+FROM per
+"""

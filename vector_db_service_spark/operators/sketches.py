@@ -481,12 +481,22 @@ def quantile_histogram(
     ev = load(spark, sf_dir, "events").select(
         F.col(group).alias("g"), F.col("value").alias("v")
     )
-    bin_ = F.least(
-        F.lit(QH_BINS - 1), F.floor(F.col("v") / F.lit(QH_BIN_W)).cast("int")
-    )
-    counts = ev.select("g", bin_.alias("b")).groupBy("g", "b").agg(
-        F.count("*").alias("c")
-    )
+    counts = ev.select("g", histogram_bin(F.col("v")).alias("b")).groupBy(
+        "g", "b"
+    ).agg(F.count("*").alias("c"))
+    return histogram_quantiles(counts, group)
+
+
+def histogram_bin(v) -> "F.Column":
+    """Fixed equi-width bin id for the quantile histogram (shared by the
+    batch sketch and its streaming accumulator)."""
+    return F.least(F.lit(QH_BINS - 1), F.floor(v / F.lit(QH_BIN_W)).cast("int"))
+
+
+def histogram_quantiles(counts: DataFrame, group: str) -> DataFrame:
+    """Finalize (g, b) -> c sketch state into per-group quantile
+    estimates — identical math whether the state came from a batch
+    aggregation or a streaming complete-mode accumulator."""
     w = Window.partitionBy("g").orderBy("b")
     cum = counts.withColumn("cum", F.sum("c").over(w)).withColumn(
         "n", F.sum("c").over(Window.partitionBy("g"))

@@ -425,3 +425,33 @@ def session_window_counts(spark: SparkSession, sf_dir: str,
         F.unix_micros("session_window.end").alias("e_us"),
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+
+def quantile_histogram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING accumulation of the mergeable quantile-histogram sketch
+    (operators/sketches.py::quantile_histogram): the stream maintains the
+    (event_type, bin) -> count state in complete mode — the exact
+    mergeable-state property the sketch was designed around (counts sum
+    across micro-batches the same way they sum across partitions or
+    days) — and the finished state finalizes through the IDENTICAL
+    histogram_quantiles math as the batch sketch, so the batch DuckDB
+    oracle is value-hash exact. State size is bounded by
+    |event_types| x QH_BINS regardless of stream length."""
+    from ..operators.sketches import histogram_bin, histogram_quantiles
+
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.select(
+            F.col("event_type").alias("g"), histogram_bin(F.col("value")).alias("b")
+        )
+        .groupBy("g", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    name = f"qh_{uuid.uuid4().hex[:12]}"
+    with _bounded_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    return histogram_quantiles(spark.table(name), "event_type")
