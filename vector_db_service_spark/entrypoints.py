@@ -2217,8 +2217,10 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # displaced stays green under tests/test_oracle_parity.py, which runs the
 # identical compare over ALL registered oracles.
 _PRIORITY_50 = [
-    # sentinels (driver-green in r5/r6; regression cover)
-    "knn_search_hydrated", "dedup_minhash_pairs",
+    # round-7 additions, never sampled (the former sentinels are
+    # redundant: entry() smoke-checks the flagship each round, and both
+    # were driver-green twice already)
+    "text_decontamination", "pipeline_sequence_packing",
     # PNG decode (added after the r7 rotation commit; never sampled)
     "mm_decode_png",
     # knn variants / stored-IVF probe / index info
