@@ -172,3 +172,10 @@ def test_index_advisor_crosses_reference_thresholds(spark, tmp_path):
     rows = {r.library_id: r.strategy
             for r in observability.index_advisor(spark, str(tmp_path)).collect()}
     assert rows == {0: "batch", 1: "batch", 2: "heap"}
+
+
+def test_hll_merge_property_holds(spark):
+    row = E.QUERIES["sketch_hll_merge"](spark, SF).collect()[0]
+    assert row.merge_matches_whole is True
+    assert row.est_merged == row.est_whole
+    assert row.exact_distinct > 0

@@ -1553,6 +1553,13 @@ register(
     lambda s, d: sketches.quantile_histogram(s, d),
     sketches.quantile_histogram_sql(),
 )
+register(
+    # HLL merge property as a checkable query: per-slice registers
+    # merged with max() must estimate EXACTLY like the one-pass sketch
+    "sketch_hll_merge",
+    lambda s, d: sketches.hll_merge(s, d),
+    sketches.hll_merge_sql(),
+)
 
 # --- second-stage retrieval (hybrid fusion + diversification) -------------
 from .operators import retrieval  # noqa: E402

@@ -549,3 +549,108 @@ SELECT g AS {group},
        {qsel}
 FROM cum GROUP BY g
 """
+
+
+def _hll_est(n_nonempty, s_nonempty):
+    """Standard HLL estimate with small-range correction, as a Column —
+    shared by the whole-corpus, per-slice, and merged estimates so the
+    merge demonstration uses ONE formula."""
+    est_raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / (
+        s_nonempty + (F.lit(HLL_M) - n_nonempty)
+    )
+    zeros = F.lit(HLL_M) - n_nonempty
+    return F.when(
+        (est_raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(est_raw)
+
+
+def hll_merge(spark: SparkSession, sf_dir: str, key: str = "user_id") -> DataFrame:
+    """The MERGE property of the HLL sketch demonstrated as a checkable
+    query: events split into two disjoint slices (event_id parity — the
+    stand-in for two ingest days), a register set built per slice, the
+    two register sets merged with max(), and the merged estimate
+    compared against the estimate built over the whole corpus in one
+    pass. max() is associative, so merged == whole EXACTLY — the
+    property that lets 100 TB pipelines sketch per day/shard and
+    combine without rescanning; `merge_matches_whole` pins it.
+
+    One scan builds the per-slice registers; every later frame is at
+    most 2 x HLL_M rows (broadcast scalar combines)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col(key).alias("k"), (F.col("event_id") % 2).alias("slc")
+    )
+    h = _hash52(F.col("k"), "hll:")
+    w = (h / F.lit(HLL_M)).cast("long")
+    rank = F.when(w == 0, F.lit(47)).otherwise(F.lit(47) - F.length(F.bin(w)))
+    sliced = ev.select("slc", (h % HLL_M).alias("bucket"), rank.alias("r"))
+    regs_slice = sliced.groupBy("slc", "bucket").agg(F.max("r").alias("m_j"))
+
+    def estimate(regs: DataFrame, out: str) -> DataFrame:
+        agg = regs.agg(
+            F.count("*").alias("n_ne"),
+            F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("s_ne"),
+        )
+        return agg.select(F.round(_hll_est(F.col("n_ne"), F.col("s_ne")), 4).alias(out))
+
+    merged = regs_slice.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    whole = sliced.groupBy("bucket").agg(F.max("r").alias("m_j"))
+    e0 = estimate(regs_slice.filter(F.col("slc") == 0), "est_slice0")
+    e1 = estimate(regs_slice.filter(F.col("slc") == 1), "est_slice1")
+    em = estimate(merged, "est_merged")
+    ew = estimate(whole, "est_whole")
+    exact = ev.agg(F.countDistinct("k").cast("long").alias("exact_distinct"))
+    row = (
+        e0.crossJoin(F.broadcast(e1))
+        .crossJoin(F.broadcast(em))
+        .crossJoin(F.broadcast(ew))
+        .crossJoin(F.broadcast(exact))
+    )
+    return row.select(
+        "est_slice0", "est_slice1", "est_merged", "est_whole", "exact_distinct",
+        (F.col("est_merged") == F.col("est_whole")).alias("merge_matches_whole"),
+    )
+
+
+def hll_merge_sql(key: str = "user_id") -> str:
+    h = (
+        f"CAST(concat('0x', substr(md5(concat('hll:', CAST({key} AS VARCHAR)))"
+        f", 1, {HLL_HASH_HEX})) AS BIGINT)"
+    )
+
+    def est(src: str, out: str) -> str:
+        return f"""
+{out}_agg AS (
+  SELECT count(*) AS n_ne, sum(power(2.0, -m_j)) AS s_ne FROM {src}
+),
+{out}_v AS (
+  SELECT round(CASE WHEN {HLL_ALPHA * HLL_M * HLL_M} / (s_ne + ({HLL_M} - n_ne))
+                         <= {2.5 * HLL_M} AND ({HLL_M} - n_ne) > 0
+               THEN {float(HLL_M)} * ln({float(HLL_M)} / ({HLL_M} - n_ne))
+               ELSE {HLL_ALPHA * HLL_M * HLL_M} / (s_ne + ({HLL_M} - n_ne))
+               END, 4) AS {out}
+  FROM {out}_agg
+)"""
+
+    return f"""
+WITH sliced AS (
+  SELECT event_id % 2 AS slc, {h} % {HLL_M} AS bucket,
+         CASE WHEN CAST(floor({h} / {HLL_M}.0) AS BIGINT) = 0 THEN 47
+              ELSE 47 - length(bin(CAST(floor({h} / {HLL_M}.0) AS BIGINT)))
+         END AS r
+  FROM events
+),
+regs_slice AS (SELECT slc, bucket, max(r) AS m_j FROM sliced GROUP BY slc, bucket),
+s0 AS (SELECT bucket, m_j FROM regs_slice WHERE slc = 0),
+s1 AS (SELECT bucket, m_j FROM regs_slice WHERE slc = 1),
+merged AS (SELECT bucket, max(m_j) AS m_j FROM regs_slice GROUP BY bucket),
+whole AS (SELECT bucket, max(r) AS m_j FROM sliced GROUP BY bucket),
+{est('s0', 'est_slice0')[1:]},
+{est('s1', 'est_slice1')[1:]},
+{est('merged', 'est_merged')[1:]},
+{est('whole', 'est_whole')[1:]},
+ex AS (SELECT CAST(count(DISTINCT {key}) AS BIGINT) AS exact_distinct FROM events)
+SELECT est_slice0, est_slice1, est_merged, est_whole, exact_distinct,
+       est_merged = est_whole AS merge_matches_whole
+FROM est_slice0_v, est_slice1_v, est_merged_v, est_whole_v, ex
+"""
