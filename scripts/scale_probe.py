@@ -1,0 +1,122 @@
+"""Scale probe: measure key operators at sf0.01, sf0.1, and a synthetic
+10x-sf0.1 corpus (~50K docs / 20K vectors / 600K events) built by
+unioning sf0.1 with id offsets and a per-copy token mutation.
+
+Evidence for the design-for-scale claims: operators whose plans are
+single-scan projections / bucketed joins / mergeable aggregations
+should scale ~linearly in rows; the dedup pair family grows with the
+duplicate structure the synthetic corpus deliberately injects (every
+doc gains 9 near-twins), so its growth is reported, not asserted
+linear.
+
+Writes one JSON line; run exclusively (no concurrent Spark work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from vector_db_service_spark.session import get_spark  # noqa: E402
+from vector_db_service_spark import entrypoints  # noqa: E402
+
+COPIES = 10
+SYN = "/tmp/spark_graft_scale/sf1.0syn"
+PROBES = [
+    "knn_search_hydrated",
+    "text_gopher_filter",
+    "text_decontamination",
+    "pipeline_sequence_packing",
+    "sketch_quantile_histogram",
+    "sketch_hll_merge",
+    "a1_count_by_library",
+    "rel_revenue_by_nation",
+    "dedup_minhash_pairs",
+]
+# lineitem-backed queries only have real data at the source SFs; the
+# synthetic corpus scales documents/embeddings/events 10x and reuses
+# sf0.1's relational tables unchanged (rel_* stays flat as a control).
+
+
+def build_synthetic(spark) -> None:
+    if os.path.isdir(SYN):
+        shutil.rmtree(SYN)
+    os.makedirs(SYN, exist_ok=True)
+    src = "/root/testdata/sf0.1"
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    copies = spark.range(COPIES).select(F.col("id").alias("cp"))
+    # documents: offset ids; mutate ONE token per copy so copies are
+    # near-dups (the realistic shape), not byte-identical
+    d = (
+        docs.crossJoin(copies)
+        .select(
+            (F.col("doc_id") + F.col("cp") * F.lit(10_000_000)).alias("doc_id"),
+            F.when(F.col("cp") == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" rev"), F.col("cp").cast("string")))
+            .alias("text"),
+            "lang", "source", "n_chars",
+        )
+    )
+    d.write.mode("overwrite").parquet(f"{SYN}/documents.parquet")
+    e = (
+        emb.crossJoin(copies)
+        .select(
+            (F.col("vec_id") + F.col("cp") * F.lit(10_000_000)).alias("vec_id"),
+            "label",
+            F.col("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "label", "embedding")],
+        )
+    )
+    e.write.mode("overwrite").parquet(f"{SYN}/embeddings.parquet")
+    v = (
+        ev.crossJoin(copies)
+        .select(
+            (F.col("event_id") + F.col("cp") * F.lit(100_000_000)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("cp") * F.lit(10_000_000)).alias("user_id"),
+            "event_type", "value", "props",
+        )
+    )
+    v.write.mode("overwrite").parquet(f"{SYN}/events.parquet")
+    # relational tables pass through unchanged (control group)
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{SYN}/{t}.parquet"
+        )
+
+
+def main() -> None:
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_synthetic(spark)
+    entrypoints.flagship(spark, "/root/testdata/sf0.1").count()
+    for w in ("dedup_simhash_fingerprints", "dedup_minhash_signatures"):
+        entrypoints.QUERIES[w](spark, "/root/testdata/sf0.1").count()
+    out: dict[str, dict[str, float]] = {}
+    for sf_name, sf_dir in (
+        ("sf0.01", "/root/testdata/sf0.01"),
+        ("sf0.1", "/root/testdata/sf0.1"),
+        ("syn10x", SYN),
+    ):
+        for name in PROBES:
+            t0 = time.perf_counter()
+            df = entrypoints.QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            out.setdefault(name, {})[sf_name] = round(time.perf_counter() - t0, 3)
+            print(f"# {sf_name} {name}: {out[name][sf_name]}s", file=sys.stderr)
+    print(json.dumps({"copies": COPIES, "timings": out}))
+
+
+if __name__ == "__main__":
+    main()
