@@ -1684,6 +1684,14 @@ register(
     sketches.quantile_histogram_sql(),
 )
 register(
+    # stream-static hygiene gate: per-micro-batch decontamination
+    # against the broadcast static holdout gram set; stateless, so the
+    # batch oracle is exact over the union of batches
+    "stream_decontamination",
+    stream_ops.decontamination_stream,
+    opl.decontamination_sql(),
+)
+register(
     "stream_dedup_events",
     stream_ops.dedup_events_stream,
     """

@@ -298,7 +298,8 @@ FROM counts GROUP BY doc_id
 
 
 def decontamination(
-    docs: DataFrame, n: int = 5, holdout_mod: int = 23, threshold: float = 0.05
+    docs: DataFrame, n: int = 5, holdout_mod: int = 23, threshold: float = 0.05,
+    holdout_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination check — the training-data hygiene pass
     every LLM corpus pipeline runs before training: flag documents whose
@@ -314,17 +315,18 @@ def decontamination(
     MBs, corpora are TBs), so its distinct gram-hash set is broadcast —
     the corpus side is one map-side explode + broadcast-hash lookup and
     one groupBy(doc_id); the full text never shuffles, only int64 gram
-    hashes keyed by doc_id."""
+    hashes keyed by doc_id. `holdout_grams` lets a caller pass the
+    precomputed gram set (one `gh` column) — the streaming analog builds
+    it ONCE from the static table and reuses it per micro-batch."""
     from ..functions import hashing as H
 
     grams = F.array_distinct(F.expr(H.shingle_hashes_sql("text", n)))
     g = docs.select("doc_id", F.explode(grams).alias("gh"))
     hold = (
-        g.filter(F.col("doc_id") % holdout_mod == 0)
-        .select("gh")
-        .distinct()
-        .withColumn("_hit", F.lit(1).cast("long"))
-    )
+        holdout_grams
+        if holdout_grams is not None
+        else g.filter(F.col("doc_id") % holdout_mod == 0).select("gh").distinct()
+    ).withColumn("_hit", F.lit(1).cast("long"))
     train = g.filter(F.col("doc_id") % holdout_mod != 0)
     frac = F.round(
         F.col("n_contaminated").cast("double") / F.col("n_grams").cast("double"), 6

@@ -455,3 +455,54 @@ def quantile_histogram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return histogram_quantiles(spark.table(name), "event_type")
+
+
+def decontamination_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING benchmark decontamination: documents arrive as a stream
+    and each micro-batch is checked against the STATIC holdout gram set
+    (built once from the benchmark slice, broadcast into every batch) —
+    the stream-static hygiene-gate shape an ingest pipeline runs before
+    admitting documents to the training corpus.
+
+    Deliberately STATELESS: a document's verdict depends only on its own
+    grams and the static holdout, so foreachBatch appends per-batch
+    results to a durable sink and streaming state stays empty — no
+    unbounded per-doc aggregation state at any corpus size. Batch
+    semantics are identical to text_decontamination, so the batch DuckDB
+    oracle is value-hash exact over the union of batches."""
+    from ..operators.textops import decontamination
+    from ..functions import hashing as H
+
+    out_dir = tempfile.mkdtemp(prefix="vdbs_decon_")
+    sink = os.path.join(out_dir, "out")
+    ckpt = os.path.join(out_dir, "ckpt")
+    docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    static_docs = load(spark, sf_dir, "documents")
+    grams = F.array_distinct(F.expr(H.shingle_hashes_sql("text", 5)))
+    holdout = (
+        static_docs.filter(F.col("doc_id") % 23 == 0)
+        .select(F.explode(grams).alias("gh"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        from ..sources.tables import spread_for_compute
+
+        out = decontamination(spread_for_compute(batch), holdout_grams=holdout)
+        out.write.mode("append").parquet(sink)
+
+    with _bounded_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(sink)
