@@ -179,3 +179,42 @@ def test_hll_merge_property_holds(spark):
     assert row.merge_matches_whole is True
     assert row.est_merged == row.est_whole
     assert row.exact_distinct > 0
+
+
+def test_blocklist_filter_single_pass_and_mask(spark):
+    plan = _plan(E.QUERIES["text_blocklist_filter"](spark, SF))
+    assert "Exchange" not in plan, "blocklist filter must be a pure projection"
+    assert "BatchEvalPython" not in plan
+    docs = load(spark, SF, "documents")
+    raw = {r.doc_id: r.md5 for r in docs.select("doc_id", F.md5("text").alias("md5")).collect()}
+    out = textops.blocklist_filter(docs).collect()
+    assert len(out) == docs.count()
+    kept = sum(r.keep for r in out)
+    assert 0 < kept < len(out), "keep threshold must split the corpus"
+    for r in out:
+        assert 0 <= r.n_blocked <= r.n_tokens
+        assert r.keep == (r.n_blocked * 1000 <= 130 * r.n_tokens)
+        if r.n_blocked == 0:
+            assert r.masked_md5 == raw[r.doc_id], "unblocked doc must be unchanged"
+        else:
+            assert r.masked_md5 != raw[r.doc_id], "blocked doc must be redacted"
+
+
+def test_unigram_logprob_broadcasts_vocab_and_buckets_exactly(spark):
+    plan = _plan(E.QUERIES["text_unigram_logprob"](spark, SF))
+    assert "BroadcastHashJoin" in plan, "vocab model must broadcast"
+    assert "BatchEvalPython" not in plan
+    docs = load(spark, SF, "documents")
+    out = textops.unigram_logprob(docs).collect()
+    assert len(out) == docs.count()
+    buckets = {r.ppl_bucket for r in out}
+    assert buckets <= {"head", "middle", "tail"}
+    assert len(buckets) >= 2, "bucket thresholds must split the corpus"
+    for r in out:
+        assert r.avg_logprob < 0.0, "log-probabilities are negative"
+        # the bucket verdict must agree with the integer-millinat score
+        s_mln = round(r.avg_logprob * 1000 * r.n_tokens)
+        if r.ppl_bucket == "head":
+            assert s_mln >= -3399 * r.n_tokens
+        elif r.ppl_bucket == "tail":
+            assert s_mln < -3404 * r.n_tokens

@@ -888,6 +888,21 @@ register(
     opl.mixture_weights_sql(),
 )
 register(
+    # C4-style banned-termlist hygiene pass: per-doc blocked-token
+    # fraction (integer-exact keep verdict) + md5 of the redacted text
+    "text_blocklist_filter",
+    lambda s, d: textops.blocklist_filter(load(s, d, "documents")),
+    opl.blocklist_filter_sql(),
+)
+register(
+    # CCNet-style unigram LM quality score: corpus-fit unigram model,
+    # per-doc mean log-prob in integer millinats, head/middle/tail
+    # perplexity buckets decided by integer comparison
+    "text_unigram_logprob",
+    lambda s, d: textops.unigram_logprob(load(s, d, "documents")),
+    opl.unigram_logprob_sql(),
+)
+register(
     # GPT-style concat-and-chunk sequence packing, per source shard:
     # deterministic md5 order, straddling docs counted, fill rates
     "pipeline_sequence_packing",

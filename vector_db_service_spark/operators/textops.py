@@ -569,3 +569,105 @@ SELECT source,
              / CAST((max(end_bin) + 1) * {cap} AS DOUBLE), 6) AS fill_rate
 FROM bins GROUP BY source
 """
+
+
+BLOCK_TERMS = ("customer", "spark", "merge", "slow")
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    terms: tuple[str, ...] = BLOCK_TERMS,
+    max_permille: int = 130,
+) -> DataFrame:
+    """C4-style termlist filter (the LDNOOBW / banned-words hygiene
+    pass): count blocked tokens per document, redact them in place, and
+    keep only documents whose blocked fraction stays under the
+    threshold. The termlist is a compile-time literal (real pipelines
+    broadcast a few-KB list), so the whole operator is ONE codegen'd
+    projection per document — no shuffle, no UDF, embarrassingly
+    parallel at any corpus size.
+
+    The keep verdict compares integers (n_blocked * 1000 <=
+    max_permille * n_tokens) so the threshold decision is exact — no
+    float boundary can disagree across engines or partitionings. The
+    redacted text is proven by md5 (the full masked text never leaves
+    the executor)."""
+    toks = T.tokens(F.col("text"))
+    blocked = F.filter(toks, lambda t: t.isin(*terms))
+    masked = F.array_join(
+        F.transform(
+            toks,
+            lambda t: F.when(t.isin(*terms), F.lit("[MASK]")).otherwise(t),
+        ),
+        " ",
+    )
+    n = F.size(toks).cast("long")
+    nb = F.size(blocked).cast("long")
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        nb.alias("n_blocked"),
+        F.round(nb.cast("double") / n.cast("double"), 6).alias("blocked_frac"),
+        (nb * F.lit(1000) <= F.lit(max_permille) * n).alias("keep"),
+        F.md5(masked).alias("masked_md5"),
+    )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """CCNet-style unigram LM quality score: fit a unigram language
+    model on the corpus itself (token -> count / total), score every
+    document by its mean token log-probability, and bucket into
+    head / middle / tail — the perplexity-tertile routing CCNet uses to
+    stratify CommonCrawl by fluency.
+
+    Determinism at any partitioning: each token's log-prob is quantized
+    ONCE to integer millinats (round(ln(p) * 1000)), so the per-doc
+    score is an integer sum (order-independent, overflow-safe: |mln| <=
+    ~25k, docs < 2^40 tokens) and the bucket verdict compares integers
+    (s_mln vs threshold * n_tokens) — no float-boundary flake.
+
+    Plan: per-doc token counts are ONE groupBy of the exploded corpus;
+    the vocabulary aggregate derives from that (tiny — |vocab| rows),
+    its global total is a window over the aggregated frame, and the
+    scoring join broadcasts the vocab back. Corpus text never shuffles;
+    only (doc_id, token-hashable, count) rows move."""
+    from pyspark.sql import Window
+
+    toks = T.tokens(F.col("text"))
+    dc = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c_dt"))
+    )
+    vocab = dc.groupBy("tok").agg(F.sum("c_dt").cast("long").alias("c"))
+    w = Window.partitionBy()
+    lp = vocab.withColumn("t", F.sum("c").over(w)).select(
+        "tok",
+        F.round(
+            F.log(F.col("c").cast("double") / F.col("t").cast("double")) * 1000, 0
+        )
+        .cast("long")
+        .alias("mln"),
+    )
+    per = (
+        dc.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_dt").cast("long").alias("n_tokens"),
+            F.sum(F.col("c_dt") * F.col("mln")).cast("long").alias("s_mln"),
+        )
+    )
+    bucket = (
+        F.when(F.col("s_mln") >= F.lit(-3399) * F.col("n_tokens"), F.lit("head"))
+        .when(F.col("s_mln") < F.lit(-3404) * F.col("n_tokens"), F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("s_mln").cast("double") / (F.col("n_tokens").cast("double") * 1000.0),
+            6,
+        ).alias("avg_logprob"),
+        bucket.alias("ppl_bucket"),
+    )

@@ -706,3 +706,57 @@ SELECT lang, source, n_docs, n_tokens,
              / CAST(total_w * n_tokens AS DOUBLE), 6) AS sample_mult
 FROM w, tot
 """
+
+
+def blocklist_filter_sql(
+    terms: tuple[str, ...] = ("customer", "spark", "merge", "slow"),
+    max_permille: int = 130,
+) -> str:
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter({TOKS}, t -> t IN ({inlist}))) AS BIGINT)
+           AS n_blocked,
+         md5(array_to_string(
+               list_transform({TOKS},
+                 t -> CASE WHEN t IN ({inlist}) THEN '[MASK]' ELSE t END),
+               ' ')) AS masked_md5
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_blocked,
+       round(CAST(n_blocked AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS blocked_frac,
+       n_blocked * 1000 <= {max_permille} * n_tokens AS keep,
+       masked_md5
+FROM b
+"""
+
+
+def unigram_logprob_sql() -> str:
+    return f"""
+WITH g AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+dc AS (SELECT doc_id, tok, count(*) AS c_dt FROM g GROUP BY doc_id, tok),
+v AS (SELECT tok, CAST(sum(c_dt) AS BIGINT) AS c FROM dc GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM v),
+lp AS (
+  SELECT tok,
+         CAST(round(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1000) AS BIGINT)
+           AS mln
+  FROM v, tot
+),
+per AS (
+  SELECT dc.doc_id,
+         CAST(sum(c_dt) AS BIGINT) AS n_tokens,
+         CAST(sum(c_dt * mln) AS BIGINT) AS s_mln
+  FROM dc JOIN lp USING (tok) GROUP BY dc.doc_id
+)
+SELECT doc_id, n_tokens,
+       round(CAST(s_mln AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000.0), 6)
+         AS avg_logprob,
+       CASE WHEN s_mln >= -3399 * n_tokens THEN 'head'
+            WHEN s_mln < -3404 * n_tokens THEN 'tail'
+            ELSE 'middle' END AS ppl_bucket
+FROM per
+"""
