@@ -199,6 +199,23 @@ def test_pointer_doubling_components_match_plain_propagation(spark):
     assert plain == fast
 
 
+def test_keep_canonical_one_survivor_per_component(spark):
+    """near_dup_keep_canonical keeps EXACTLY one doc per component (the
+    component-min canonical), so total survivors across sources must
+    equal the number of distinct components, and singleton docs always
+    survive."""
+    from vector_db_service_spark.operators import dedup
+
+    docs = load(spark, SF, "documents")
+    n_components = dedup.near_dup_components_fast(docs).count()
+    out = dedup.near_dup_keep_canonical(docs).collect()
+    assert sum(r.n_survivors for r in out) == n_components
+    assert sum(r.n_docs for r in out) == docs.count()
+    for r in out:
+        assert r.n_removed == r.n_docs - r.n_survivors
+        assert 0.0 <= r.removal_frac < 1.0
+
+
 def test_knn_safe_swallows_internal_errors_only(spark, monkeypatch):
     """Query-level error swallow (reference vector_service.py:290-310):
     internal failures degrade to the empty search response; embedding

@@ -692,6 +692,13 @@ register(
     lambda s, d: dedup.near_dup_components_fast(load(s, d, "documents")),
     opl.near_dup_components_sql(),
 )
+register(
+    # deduped-corpus materialization: one canonical (= component-min)
+    # survivor per near-dup cluster, per-source removal accounting
+    "dedup_keep_canonical",
+    lambda s, d: dedup.near_dup_keep_canonical(load(s, d, "documents")),
+    opl.near_dup_keep_canonical_sql(),
+)
 def _containment_sql(threshold: float = 0.5) -> str:
     band_match = " OR ".join(
         f"a.band{b} = b.band{b}" for b in range(opl.MINHASH_BANDS)

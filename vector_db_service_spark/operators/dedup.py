@@ -280,15 +280,21 @@ def _dup_graph(docs: DataFrame, max_hamming: int) -> tuple[DataFrame, DataFrame]
     return edges, nodes
 
 
-def _with_isolated(docs: DataFrame, nodes: DataFrame, labels: DataFrame) -> DataFrame:
-    """Re-attach isolated documents (their own singleton component) and
-    aggregate to (comp, n_docs) — identical to propagating over the full
-    corpus, since an isolated node's label never moves."""
+def _all_labels(docs: DataFrame, nodes: DataFrame, labels: DataFrame) -> DataFrame:
+    """Full per-document labeling: re-attach isolated documents (their
+    own singleton component) to the dup-graph labels — identical to
+    propagating over the full corpus, since an isolated node's label
+    never moves. Returns (node, comp) for EVERY document."""
     isolated = docs.join(nodes, docs.doc_id == nodes.node, "left_anti").select(
         F.col("doc_id").alias("node"), F.col("doc_id").alias("comp")
     )
+    return labels.unionByName(isolated)
+
+
+def _with_isolated(docs: DataFrame, nodes: DataFrame, labels: DataFrame) -> DataFrame:
+    """Aggregate the full labeling to (comp, n_docs)."""
     return (
-        labels.unionByName(isolated)
+        _all_labels(docs, nodes, labels)
         .groupBy("comp")
         .agg(F.count("*").alias("n_docs"))
     )
@@ -360,6 +366,17 @@ def containment_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 
 def near_dup_components_fast(docs: DataFrame, max_hamming: int = 3,
                              rounds: int = 5) -> DataFrame:
+    """Aggregated (comp, n_docs) view of near_dup_labels_fast — the
+    registered dedup_components variant."""
+    return (
+        near_dup_labels_fast(docs, max_hamming, rounds)
+        .groupBy("comp")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def near_dup_labels_fast(docs: DataFrame, max_hamming: int = 3,
+                         rounds: int = 5) -> DataFrame:
     """The O(log diameter) form of near_dup_components: each round does
     one neighbor-min propagation THEN one pointer-jump (comp <- comp of
     comp), so label information travels 2^r hops in r rounds instead of
@@ -420,7 +437,7 @@ def near_dup_components_fast(docs: DataFrame, max_hamming: int = 3,
     # tiny action on the checkpointed contracted frame skips it.
     if edges.isEmpty():
         full_labels = m
-        return _with_isolated(docs, nodes, full_labels)
+        return _all_labels(docs, nodes, full_labels)
     labels = m.select(F.col("comp").alias("node")).distinct().select(
         "node", F.col("node").alias("comp")
     )
@@ -469,7 +486,46 @@ def near_dup_components_fast(docs: DataFrame, max_hamming: int = 3,
         labels.select(F.col("node").alias("rep"), F.col("comp").alias("rcomp")),
         m.comp == F.col("rep"),
     ).select("node", F.col("rcomp").alias("comp"))
-    return _with_isolated(docs, nodes, full_labels)
+    return _all_labels(docs, nodes, full_labels)
+
+
+def near_dup_keep_canonical(docs: "DataFrame", max_hamming: int = 3,
+                            rounds: int = 5) -> "DataFrame":
+    """Deduped-corpus materialization — the step that turns duplicate
+    DETECTION into a training corpus: label every document with its
+    near-dup component (simhash graph, contracted pointer-doubling
+    components), keep exactly the CANONICAL document per cluster, and
+    report per-source survivor accounting. The canonical is the
+    component label itself: min-label propagation converges to the
+    component's minimum doc_id, so `doc_id == comp` selects one
+    deterministic survivor per cluster with no extra pass.
+
+    Plan: component labels are (node, comp) for every document; the
+    verdict join back to the corpus is an equi-join on doc_id (hash
+    co-partitionable at any scale — at 100 TB both sides bucket by
+    doc_id) and the accounting is one map-side-combinable groupBy over
+    |sources| groups. The survivor SET (doc_id == comp) is available to
+    a writer as the same frame pre-aggregation."""
+    labels = near_dup_labels_fast(docs, max_hamming, rounds)
+    per_doc = docs.join(labels, docs.doc_id == labels.node).select(
+        "source", (F.col("doc_id") == F.col("comp")).alias("survives")
+    )
+    surv = F.sum(F.col("survives").cast("long")).alias("n_survivors")
+    return (
+        per_doc.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), surv)
+        .select(
+            "source",
+            "n_docs",
+            "n_survivors",
+            (F.col("n_docs") - F.col("n_survivors")).alias("n_removed"),
+            F.round(
+                (F.col("n_docs") - F.col("n_survivors")).cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("removal_frac"),
+        )
+    )
 
 
 def contrastive_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:

@@ -149,9 +149,11 @@ WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
 """
 
 
-def near_dup_components_sql(max_hamming: int = 3, rounds: int = 10) -> str:
-    """Oracle for dedup.near_dup_components: the SAME bounded min-label
-    propagation, unrolled as `rounds` chained CTE stages."""
+def _components_with_clause(max_hamming: int, rounds: int) -> str:
+    """Shared WITH clause for the component-labeling oracles: bounded
+    min-label propagation over the simhash near-dup graph, unrolled as
+    `rounds` chained CTE stages; l{rounds} holds (node, comp) for every
+    document."""
     # every CTE is MATERIALIZED: DuckDB otherwise inlines CTEs per
     # reference, and each stage references the previous one twice ->
     # 2^rounds recomputation of the whole pair pipeline
@@ -179,8 +181,36 @@ edges AS MATERIALIZED (
   UNION ALL SELECT d2, d1 FROM pairs
 ),
 l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS comp FROM documents),{chain}
-SELECT comp, count(*) AS n_docs FROM l{rounds} GROUP BY comp
 """
+
+
+def near_dup_components_sql(max_hamming: int = 3, rounds: int = 10) -> str:
+    """Oracle for dedup.near_dup_components: the SAME bounded min-label
+    propagation, unrolled as `rounds` chained CTE stages."""
+    return (
+        _components_with_clause(max_hamming, rounds)
+        + f"SELECT comp, count(*) AS n_docs FROM l{rounds} GROUP BY comp"
+    )
+
+
+def near_dup_keep_canonical_sql(max_hamming: int = 3, rounds: int = 10) -> str:
+    """Oracle for dedup.near_dup_keep_canonical: survivor = the doc
+    whose id equals its component label (the component minimum)."""
+    return (
+        _components_with_clause(max_hamming, rounds)
+        + f"""
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN l.comp = d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_survivors,
+       CAST(count(*) - sum(CASE WHEN l.comp = d.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+       round(CAST(count(*) - sum(CASE WHEN l.comp = d.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS removal_frac
+FROM l{rounds} l JOIN documents d ON d.doc_id = l.node
+GROUP BY d.source
+"""
+    )
 
 
 def exact_dedup_summary_sql() -> str:
