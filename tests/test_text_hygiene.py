@@ -218,3 +218,19 @@ def test_unigram_logprob_broadcasts_vocab_and_buckets_exactly(spark):
             assert s_mln >= -3399 * r.n_tokens
         elif r.ppl_bucket == "tail":
             assert s_mln < -3404 * r.n_tokens
+
+
+def test_matryoshka_recall_bounds_and_shape(spark):
+    from vector_db_service_spark.operators import ann
+
+    out = ann.matryoshka_recall(spark, SF).collect()
+    dims = {r.trunc_dim for r in out}
+    assert dims == {16, 32}
+    assert len(out) == 2 * 5, "2 truncations x 5 queries"
+    for r in out:
+        assert 0 <= r.n_overlap <= r.k
+        assert abs(r.recall_at_k - r.n_overlap / r.k) < 1e-9
+        # the query vector itself survives any prefix truncation (its
+        # truncated self-similarity is still the max, score 1.0), so
+        # overlap is never zero
+        assert r.n_overlap >= 1

@@ -863,6 +863,13 @@ register(
     opl.index_recall_report_sql(k=10, nprobe=2, dim=_DIM),
 )
 register(
+    # Matryoshka adaptive retrieval: prefix-truncated (16/32 of 64 dims)
+    # cosine top-k vs the full-dimension top-k, recall@k per query
+    "ann_matryoshka_recall",
+    lambda s, d: ann.matryoshka_recall(s, d),
+    opl.matryoshka_recall_sql(),
+)
+register(
     "text_token_stats",
     lambda s, d: textops.token_stats(load(s, d, "documents")),
     opl.token_stats_sql(),

@@ -1094,3 +1094,70 @@ def knn_join(
         .filter(F.col("rnk") <= m)
         .select("label", "src", "dst", "score", "rnk")
     )
+
+
+def matryoshka_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    trunc_dims: tuple[int, ...] = (16, 32),
+) -> DataFrame:
+    """Matryoshka (MRL-style) truncated-dimension retrieval check: score
+    the corpus with only the FIRST d dimensions of each embedding
+    (d = 16, 32 of 64 — the adaptive-retrieval trick of matryoshka
+    representations: a prefix of the vector is itself a usable lower-
+    rank embedding) and report, per query and truncation, how much of
+    the full-dimension top-k the cheap prefix retrieval retains
+    (n_overlap, recall@k). This is the measurement a pipeline runs
+    before committing to prefix-truncated first-stage retrieval with
+    full-dimension re-rank.
+
+    Plan shape: one broadcast of the |query_ids|-row query frame per
+    scored pass; each pass is scan -> codegen'd kernel projection ->
+    per-query TakeOrdered window; the overlap check is a broadcast-sized
+    join of two (|queries| x k)-row frames. Corpus scans: 1 + |dims| —
+    at 100 TB each is partition-parallel with nothing shuffled but the
+    top-k rows. Tiebreaks: (score DESC, vec_id) on both engines."""
+    query_ids = query_ids or [0, 1, 2, 3, 4]
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+    def topk_ids(d: int | None) -> DataFrame:
+        ev = F.col("embedding") if d is None else F.slice("embedding", 1, d)
+        qv = F.col("qv") if d is None else F.slice("qv", 1, d)
+        scored = emb.join(F.broadcast(queries)).withColumn(
+            "score", F.round(sim.cosine(ev, qv), 6)
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "vec_id")
+        )
+
+    full = topk_ids(None).withColumn("hit", F.lit(1).cast("long"))
+    parts = []
+    for d in trunc_dims:
+        overlap = (
+            topk_ids(d)
+            .join(full, ["query_id", "vec_id"], "left")
+            .groupBy("query_id")
+            .agg(F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_overlap"))
+            .select(
+                F.lit(d).alias("trunc_dim"),
+                "query_id",
+                F.lit(k).alias("k"),
+                "n_overlap",
+                F.round(F.col("n_overlap").cast("double") / F.lit(float(k)), 6).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+        parts.append(overlap)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

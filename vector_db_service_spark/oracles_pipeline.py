@@ -790,3 +790,55 @@ SELECT doc_id, n_tokens,
             ELSE 'middle' END AS ppl_bucket
 FROM per
 """
+
+
+def matryoshka_recall_sql(
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    trunc_dims: tuple[int, ...] = (16, 32),
+) -> str:
+    from .oracles import cosine_sql
+
+    query_ids = query_ids or [0, 1, 2, 3, 4]
+    ids = ", ".join(str(i) for i in query_ids)
+    full_score = cosine_sql("e.embedding", "q.qv")
+    branches = []
+    for d in trunc_dims:
+        tscore = cosine_sql(
+            f"list_slice(e.embedding, 1, {d})", f"list_slice(q.qv, 1, {d})"
+        )
+        branches.append(f"""
+t{d} AS MATERIALIZED (
+  SELECT q.query_id, e.vec_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY round({tscore}, 6) DESC, e.vec_id) AS rnk
+  FROM embeddings e, q
+  QUALIFY rnk <= {k}
+)""")
+    chain = ",".join(branches)
+    unions = " UNION ALL ".join(
+        f"""
+SELECT {d} AS trunc_dim, t.query_id, {k} AS k,
+       CAST(sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overlap,
+       round(CAST(sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / {k}.0, 6) AS recall_at_k
+FROM t{d} t LEFT JOIN full_k f
+  ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+GROUP BY t.query_id"""
+        for d in trunc_dims
+    )
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN ({ids})
+),
+full_k AS MATERIALIZED (
+  SELECT q.query_id, e.vec_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY round({full_score}, 6) DESC, e.vec_id) AS rnk
+  FROM embeddings e, q
+  QUALIFY rnk <= {k}
+),{chain}
+{unions}
+"""
