@@ -41,6 +41,10 @@ PROBES = [
     "a1_count_by_library",
     "rel_revenue_by_nation",
     "dedup_minhash_pairs",
+    "text_blocklist_filter",
+    "text_unigram_logprob",
+    "dedup_keep_canonical",
+    "ann_matryoshka_recall",
 ]
 # lineitem-backed queries only have real data at the source SFs; the
 # synthetic corpus scales documents/embeddings/events 10x and reuses
