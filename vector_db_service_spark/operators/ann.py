@@ -14,7 +14,7 @@ index surface — the scale path for embedding similarity at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import similarity as sim
@@ -1113,51 +1113,71 @@ def matryoshka_recall(
     before committing to prefix-truncated first-stage retrieval with
     full-dimension re-rank.
 
-    Plan shape: one broadcast of the |query_ids|-row query frame per
-    scored pass; each pass is scan -> codegen'd kernel projection ->
-    per-query TakeOrdered window; the overlap check is a broadcast-sized
-    join of two (|queries| x k)-row frames. Corpus scans: 1 + |dims| —
-    at 100 TB each is partition-parallel with nothing shuffled but the
-    top-k rows. Tiebreaks: (score DESC, vec_id) on both engines."""
+    Plan shape — ONE corpus scan and ONE shuffle: the full and all
+    truncated scores are computed in the same codegen'd projection over
+    the broadcast-joined scan, and every rank is a row_number window
+    with the SAME partitioning (query_id), so Catalyst reuses a single
+    Exchange and only re-sorts per variant. The overlap verdict is then
+    a per-row flag (rnk_d <= k AND rnk_full <= k) aggregated map-side —
+    nothing but (query, rank-flag) rows move after the one shuffle.
+    Tiebreaks: (score DESC, vec_id) on both engines."""
     query_ids = query_ids or [0, 1, 2, 3, 4]
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
+    scored = emb.join(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        F.round(sim.cosine(F.col("embedding"), F.col("qv")), 6).alias("s_full"),
+        *[
+            F.round(
+                sim.cosine(F.slice("embedding", 1, d), F.slice("qv", 1, d)), 6
+            ).alias(f"s_{d}")
+            for d in trunc_dims
+        ],
+    )
 
-    def topk_ids(d: int | None) -> DataFrame:
-        ev = F.col("embedding") if d is None else F.slice("embedding", 1, d)
-        qv = F.col("qv") if d is None else F.slice("qv", 1, d)
-        scored = emb.join(F.broadcast(queries)).withColumn(
-            "score", F.round(sim.cosine(ev, qv), 6)
-        )
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
-        return (
-            scored.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= k)
-            .select("query_id", "vec_id")
-        )
+    def rank_of(col: str) -> Column:
+        w = Window.partitionBy("query_id").orderBy(F.desc(col), F.asc("vec_id"))
+        return F.row_number().over(w)
 
-    full = topk_ids(None).withColumn("hit", F.lit(1).cast("long"))
-    parts = []
-    for d in trunc_dims:
-        overlap = (
-            topk_ids(d)
-            .join(full, ["query_id", "vec_id"], "left")
-            .groupBy("query_id")
-            .agg(F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_overlap"))
-            .select(
-                F.lit(d).alias("trunc_dim"),
-                "query_id",
-                F.lit(k).alias("k"),
-                "n_overlap",
-                F.round(F.col("n_overlap").cast("double") / F.lit(float(k)), 6).alias(
-                    "recall_at_k"
-                ),
+    ranked = scored.select(
+        "query_id",
+        rank_of("s_full").alias("rnk_full"),
+        *[rank_of(f"s_{d}").alias(f"rnk_{d}") for d in trunc_dims],
+    )
+    # ONE aggregation computes every truncation's overlap (a union of
+    # per-dim branches would re-run the scan+window per branch); the
+    # long format is an explode of the per-query counts
+    agg = ranked.groupBy("query_id").agg(
+        *[
+            F.sum(
+                ((F.col(f"rnk_{d}") <= k) & (F.col("rnk_full") <= k)).cast("long")
+            ).alias(f"ov_{d}")
+            for d in trunc_dims
+        ]
+    )
+    stacked = agg.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("trunc_dim"),
+                        F.col(f"ov_{d}").alias("n_overlap"),
+                    )
+                    for d in trunc_dims
+                ]
             )
-        )
-        parts.append(overlap)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        ).alias("o"),
+    )
+    return stacked.select(
+        F.col("o.trunc_dim").alias("trunc_dim"),
+        "query_id",
+        F.lit(k).alias("k"),
+        F.col("o.n_overlap").alias("n_overlap"),
+        F.round(F.col("o.n_overlap").cast("double") / F.lit(float(k)), 6).alias(
+            "recall_at_k"
+        ),
+    )
