@@ -634,10 +634,14 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     toks = T.tokens(F.col("text"))
+    # dc feeds BOTH the vocab fit and the scoring join; localCheckpoint
+    # materializes it once (the persisted-signature-table shape the
+    # dedup family uses) instead of exploding the corpus per branch
     dc = (
         docs.select("doc_id", F.explode(toks).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("c_dt"))
+        .localCheckpoint(eager=False)
     )
     vocab = dc.groupBy("tok").agg(F.sum("c_dt").cast("long").alias("c"))
     w = Window.partitionBy()
