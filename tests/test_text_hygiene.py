@@ -234,3 +234,33 @@ def test_matryoshka_recall_bounds_and_shape(spark):
         # truncated self-similarity is still the max, score 1.0), so
         # overlap is never zero
         assert r.n_overlap >= 1
+
+
+def test_train_val_split_partitions_and_freezes(spark):
+    docs = load(spark, SF, "documents")
+    out = textops.train_val_split(docs).collect()
+    assert {r.split for r in out} == {"train", "val", "test"}
+    assert sum(r.n_docs for r in out) == docs.count()
+    assert abs(sum(r.doc_share for r in out) - 1.0) < 1e-3
+    # frozen property: a doc's split is a function of doc_id alone, so
+    # computing on any subset must reproduce the same assignment — the
+    # per-(split, lang) counts over even doc_ids agree between the
+    # subset run and an even-only re-aggregation of the full run
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    sub = {(r.split, r.lang): r.n_docs
+           for r in textops.train_val_split(half).collect()}
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % F.lit(100)
+    )
+    split = (
+        F.when(bucket < 5, F.lit("test"))
+        .when(bucket < 10, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    full_even = {
+        (r.split, r.lang): r.n
+        for r in half.select(split.alias("split"), "lang")
+        .groupBy("split", "lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert sub == full_even

@@ -902,6 +902,13 @@ register(
     opl.mixture_weights_sql(),
 )
 register(
+    # frozen train/val/test split assignment: md5(doc_id) buckets so
+    # docs never migrate between splits; per-split/lang accounting
+    "pipeline_train_val_split",
+    lambda s, d: textops.train_val_split(load(s, d, "documents")),
+    opl.train_val_split_sql(),
+)
+register(
     # C4-style banned-termlist hygiene pass: per-doc blocked-token
     # fraction (integer-exact keep verdict) + md5 of the redacted text
     "text_blocklist_filter",

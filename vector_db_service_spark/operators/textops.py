@@ -675,3 +675,53 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
         ).alias("avg_logprob"),
         bucket.alias("ppl_bucket"),
     )
+
+
+def train_val_split(
+    docs: DataFrame, val_pct: int = 5, test_pct: int = 5
+) -> DataFrame:
+    """Deterministic train/val/test split assignment — the partition a
+    corpus pipeline freezes before training so examples NEVER migrate
+    between splits across runs, engines, retries, or corpus growth
+    (appending docs cannot move an existing doc's bucket). The split key
+    is the same md5(doc_id) bucket the stratified sampler uses: bucket
+    < test_pct -> test, < test_pct+val_pct -> val, else train.
+
+    Output: per (split, lang) doc/token counts plus each split's
+    integer-exact share of the corpus (counts sum exactly in any order;
+    the share divides two integers once). One groupBy over
+    |splits x langs| groups, global totals as an unpartitioned window
+    over that tiny aggregated frame — the corpus scans ONCE."""
+    from pyspark.sql import Window
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % F.lit(100)
+    )
+    split = (
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    toks = T.tokens(F.col("text"))
+    per = (
+        docs.select(split.alias("split"), "lang", F.size(toks).alias("n_tok"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        per.withColumn("total_docs", F.sum("n_docs").over(w).cast("long"))
+        .select(
+            "split",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("total_docs").cast("double"), 6
+            ).alias("doc_share"),
+        )
+    )

@@ -842,3 +842,29 @@ full_k AS MATERIALIZED (
 ),{chain}
 {unions}
 """
+
+
+def train_val_split_sql(val_pct: int = 5, test_pct: int = 5) -> str:
+    bucket = (
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+        " % 100"
+    )
+    return f"""
+WITH tagged AS (
+  SELECT CASE WHEN {bucket} < {test_pct} THEN 'test'
+              WHEN {bucket} < {test_pct + val_pct} THEN 'val'
+              ELSE 'train' END AS split,
+         lang, len({TOKS}) AS n_tok
+  FROM documents
+),
+per AS (
+  SELECT split, lang, count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM tagged GROUP BY split, lang
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM per)
+SELECT split, lang, n_docs, n_tokens,
+       round(CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE), 6)
+         AS doc_share
+FROM per, tot
+"""
