@@ -626,24 +626,21 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     ~25k, docs < 2^40 tokens) and the bucket verdict compares integers
     (s_mln vs threshold * n_tokens) — no float-boundary flake.
 
-    Plan: per-doc token counts are ONE groupBy of the exploded corpus;
-    the vocabulary aggregate derives from that (tiny — |vocab| rows),
-    its global total is a window over the aggregated frame, and the
-    scoring join broadcasts the vocab back. Corpus text never shuffles;
-    only (doc_id, token-hashable, count) rows move."""
+    Plan: two cheap projection scans, TINY shuffles. The vocabulary fit
+    is a groupBy(token) of the exploded corpus — map-side partial
+    aggregation shrinks each task's contribution to |vocab| rows before
+    the (tiny) shuffle; the global total is a window over that
+    aggregated frame. Scoring joins the exploded stream directly
+    against the BROADCAST vocab and aggregates by doc_id — again
+    map-side partial first, so the only scoring shuffle carries ~|docs|
+    partial rows, never the token stream. (An earlier form materialized
+    the (doc_id, token, count) pair table; at 100x docs that shuffled
+    ~26M pair rows twice — this form shuffles |docs| + |vocab|.)"""
     from pyspark.sql import Window
 
     toks = T.tokens(F.col("text"))
-    # dc feeds BOTH the vocab fit and the scoring join; localCheckpoint
-    # materializes it once (the persisted-signature-table shape the
-    # dedup family uses) instead of exploding the corpus per branch
-    dc = (
-        docs.select("doc_id", F.explode(toks).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("c_dt"))
-        .localCheckpoint(eager=False)
-    )
-    vocab = dc.groupBy("tok").agg(F.sum("c_dt").cast("long").alias("c"))
+    g = docs.select("doc_id", F.explode(toks).alias("tok"))
+    vocab = g.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
     w = Window.partitionBy()
     lp = vocab.withColumn("t", F.sum("c").over(w)).select(
         "tok",
@@ -654,11 +651,11 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
         .alias("mln"),
     )
     per = (
-        dc.join(F.broadcast(lp), "tok")
+        g.join(F.broadcast(lp), "tok")
         .groupBy("doc_id")
         .agg(
-            F.sum("c_dt").cast("long").alias("n_tokens"),
-            F.sum(F.col("c_dt") * F.col("mln")).cast("long").alias("s_mln"),
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("mln").cast("long").alias("s_mln"),
         )
     )
     bucket = (
