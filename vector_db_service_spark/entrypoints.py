@@ -699,6 +699,13 @@ register(
     lambda s, d: dedup.near_dup_keep_canonical(load(s, d, "documents")),
     opl.near_dup_keep_canonical_sql(),
 )
+register(
+    # span-level cross-doc duplication (hash-window analog of
+    # suffix-array substring dedup): per-doc duplicated-span fraction
+    "dedup_substring_spans",
+    lambda s, d: dedup.substring_span_stats(load(s, d, "documents")),
+    opl.substring_span_stats_sql(),
+)
 def _containment_sql(threshold: float = 0.5) -> str:
     band_match = " OR ".join(
         f"a.band{b} = b.band{b}" for b in range(opl.MINHASH_BANDS)

@@ -567,3 +567,52 @@ def contrastive_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
         )
         negs = j if negs is None else negs.unionByName(j)
     return pos.unionByName(negs.filter(F.col("anchor_id") != F.col("other_id")))
+
+
+def substring_span_stats(docs: DataFrame, n: int = 5,
+                         flag_threshold: float = 0.2) -> DataFrame:
+    """Exact substring-span dedup accounting (the hash-window analog of
+    Lee et al. 2022's suffix-array dedup, "Deduplicating Training Data
+    Makes Language Models Better"): a span is a word n-gram window; a
+    span is DUPLICATED when its hash occurs in at least one other
+    document. Per document: total spans, spans duplicated elsewhere,
+    the duplicated fraction, and a flag at `flag_threshold`. Complements
+    repetition_scores (within-doc repeats) and the doc-level minhash /
+    simhash / jaccard families (whole-doc resemblance) with span-level
+    cross-doc duplication — the signal used to cut boilerplate and
+    licence blocks out of pretraining corpora.
+
+    100 TB shape: the text is hashed to int64 window hashes map-side and
+    never shuffles. The (doc_id, gh) partial count shrinks repeats
+    before any exchange; gram doc-frequencies aggregate over that
+    reduced pair table; the join back is an equi-join on the gram hash
+    between two already-gh-partitioned frames. Everything downstream of
+    tokenization moves only (int64, int64) rows.
+    """
+    from ..functions import hashing as H
+
+    ex = docs.select(
+        "doc_id", F.explode(F.expr(H.shingle_hashes_sql("text", n))).alias("gh")
+    )
+    pairs = ex.groupBy("doc_id", "gh").agg(F.count("*").alias("c"))
+    freq = pairs.groupBy("gh").agg(F.count("*").alias("n_docs"))
+    frac = F.round(
+        F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double"), 6
+    )
+    return (
+        pairs.join(freq, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            frac.alias("dup_span_frac"),
+            (frac >= F.lit(flag_threshold)).alias("is_flagged"),
+        )
+    )

@@ -868,3 +868,30 @@ SELECT split, lang, n_docs, n_tokens,
          AS doc_share
 FROM per, tot
 """
+
+
+def substring_span_stats_sql(n: int = 5, flag_threshold: float = 0.2) -> str:
+    """Oracle for dedup.substring_span_stats: same windows, same hash,
+    same >=2-docs duplication rule."""
+    hashes = f"list_transform({_shingles_n(n)}, s -> {_token_hash('s')})"
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest({hashes}) AS gh FROM documents
+),
+pairs AS (SELECT doc_id, gh, count(*) AS c FROM ex GROUP BY doc_id, gh),
+freq AS (SELECT gh, count(*) AS n_docs FROM pairs GROUP BY gh),
+agg AS (
+  SELECT p.doc_id,
+         CAST(sum(p.c) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN f.n_docs >= 2 THEN p.c ELSE 0 END) AS BIGINT)
+           AS n_dup_spans
+  FROM pairs p JOIN freq f ON p.gh = f.gh
+  GROUP BY p.doc_id
+)
+SELECT doc_id, n_spans, n_dup_spans,
+       round(CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE), 6)
+         AS dup_span_frac,
+       round(CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE), 6)
+         >= {flag_threshold!r} AS is_flagged
+FROM agg
+"""
