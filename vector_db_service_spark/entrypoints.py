@@ -1473,6 +1473,13 @@ register(
     oracles_quant.ivfpq_topk_sql(query_id=0, k=10),
 )
 register(
+    # SemDeDup-style paraphrase-level dedup: canonical-Lloyd clusters,
+    # deterministic per-cluster representative, cosine-to-rep verdict
+    "dedup_semantic_keep",
+    lambda s, d: ann.semantic_dedup_keep(s, d),
+    oracles_quant.semantic_dedup_keep_sql(),
+)
+register(
     "mllib_brp_approx_knn",
     lambda s, d: mllib_index.brp_approx_knn(s, d, query_id=0, k=10),
     mllib_index.brp_approx_knn_sql(query_id=0, k=10),

@@ -339,3 +339,34 @@ CROSS JOIN probes p
 LEFT JOIN ov ON ov.nprobe = p.nprobe AND ov.query_id = q.query_id
 ORDER BY p.nprobe, q.query_id
 """
+
+
+def semantic_dedup_keep_sql(n_lists: int = 7, threshold: float = 0.35) -> str:
+    """Oracle for ann.semantic_dedup_keep: replay the canonical coarse
+    fit, the unrounded-argmin assignment, the (round(d2,6), vec_id)
+    representative order, and the cosine-to-representative verdict."""
+    cos = oracles.cosine_sql("a.embedding", "r.rep_emb")
+    d2 = _l2sq("e.embedding", "b.c")
+    return f"""
+WITH {coarse_fit_ctes(n_lists=n_lists)},
+asg AS MATERIALIZED (
+  SELECT vec_id, embedding, CAST(cid AS INTEGER) AS list_id,
+         round(d2x, 6) AS d2r
+  FROM (
+    SELECT e.vec_id, e.embedding, b.cid, {d2} AS d2x,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, b.cid) AS rn
+    FROM embeddings e CROSS JOIN ccb b
+  ) WHERE rn = 1
+),
+rep AS (
+  SELECT list_id, vec_id AS rep_id, embedding AS rep_emb FROM (
+    SELECT list_id, vec_id, embedding,
+           row_number() OVER (PARTITION BY list_id ORDER BY d2r, vec_id) AS rn
+    FROM asg
+  ) WHERE rn = 1
+)
+SELECT a.vec_id, a.list_id, r.rep_id,
+       round({cos}, 6) AS cos_to_rep,
+       (a.vec_id = r.rep_id OR round({cos}, 6) < {threshold!r}) AS keep
+FROM asg a JOIN rep r ON a.list_id = r.list_id
+"""
