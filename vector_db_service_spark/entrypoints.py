@@ -961,6 +961,13 @@ FROM documents
 """,
 )
 register(
+    # tokenizer-training primitive: first BPE merge iteration — top
+    # adjacent char-pair counts over the distinct-word table
+    "text_bpe_merge_pairs",
+    lambda s, d: textops.bpe_merge_pairs(load(s, d, "documents")),
+    opl.bpe_merge_pairs_sql(),
+)
+register(
     "text_quality_scores",
     lambda s, d: textops.quality_scores(load(s, d, "documents")),
     opl.quality_scores_sql(),

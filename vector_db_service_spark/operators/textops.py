@@ -722,3 +722,37 @@ def train_val_split(
             ).alias("doc_share"),
         )
     )
+
+
+def bpe_merge_pairs(docs: DataFrame, k: int = 25) -> DataFrame:
+    """First BPE merge iteration (Sennrich et al. 2016): corpus-wide
+    counts of adjacent character pairs, the statistic a byte-pair
+    tokenizer trainer maximizes when picking its next merge. Complements
+    bpe_token_estimate (applying a tokenizer) with the TRAINING-side
+    primitive (inducing one).
+
+    100 TB shape: pair extraction rides the DISTINCT-WORD table, not the
+    corpus — explode + groupBy(word) gets map-side partial counts, so
+    the shuffle carries one row per distinct word per partition (Zipf:
+    orders of magnitude below corpus size), and the char-pair explode
+    multiplies only that reduced table by word frequency. Top-k is
+    TakeOrderedAndProject with the repo-wide (count DESC, pair ASC)
+    total order.
+    """
+    words = docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    wc = words.groupBy("w").agg(F.count("*").alias("wn"))
+    pairs = (
+        wc.filter(F.length("w") >= 2)
+        .select(
+            "wn",
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            ).alias("pair"),
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wn").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(k)
+    )

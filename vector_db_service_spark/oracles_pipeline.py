@@ -895,3 +895,23 @@ SELECT doc_id, n_spans, n_dup_spans,
          >= {flag_threshold!r} AS is_flagged
 FROM agg
 """
+
+
+def bpe_merge_pairs_sql(k: int = 25) -> str:
+    """Oracle for textops.bpe_merge_pairs: same distinct-word reduction,
+    same adjacent-pair expansion, same total order."""
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+wc AS (SELECT w, count(*) AS wn FROM words GROUP BY w),
+pairs AS (
+  SELECT wn,
+         unnest(list_transform(generate_series(1, strlen(w) - 1),
+                               i -> substr(w, i, 2))) AS pair
+  FROM wc WHERE strlen(w) >= 2
+)
+SELECT pair, CAST(sum(wn) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC LIMIT {k}
+"""
