@@ -62,6 +62,7 @@ def main() -> None:
     for _warm, _wsf in (
         ("dedup_simhash_fingerprints", sf_dir),
         ("dedup_minhash_signatures", sf_dir),
+        ("dedup_substring_spans", sf_dir),
         ("mm_blob_features", "/root/testdata/sf0.001"),
     ):
         try:

@@ -931,6 +931,13 @@ register(
     opl.unigram_logprob_sql(),
 )
 register(
+    # CCNet-style perplexity-bucket resampling: deterministic md5-draw
+    # acceptance at per-bucket ppm rates, per-bucket accounting
+    "pipeline_quality_resample",
+    lambda s, d: textops.quality_resample(load(s, d, "documents")),
+    opl.quality_resample_sql(),
+)
+register(
     # GPT-style concat-and-chunk sequence packing, per source shard:
     # deterministic md5 order, straddling docs counted, fill rates
     "pipeline_sequence_packing",

@@ -756,3 +756,65 @@ def bpe_merge_pairs(docs: DataFrame, k: int = 25) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(k)
     )
+
+
+def quality_resample(
+    docs: DataFrame,
+    accept_ppm: dict[str, int] | None = None,
+) -> DataFrame:
+    """CCNet-style perplexity-bucket resampling: keep head-bucket
+    documents outright, downsample middle and tail by fixed acceptance
+    probabilities — the corpus-rebalancing step between quality scoring
+    and training. Acceptance is DETERMINISTIC importance sampling, not
+    RNG: a doc keeps iff md5('resample:' || doc_id) mod 1e6 falls under
+    its bucket's parts-per-million rate, so the kept set is frozen
+    across runs, engines, retries, and partitionings (same argument as
+    train_val_split), and appending docs never flips an existing doc's
+    verdict.
+
+    Output: per-bucket accounting (docs, kept docs, tokens, kept
+    tokens, integer-exact measured accept rate vs the target rate).
+
+    100 TB shape: rides unigram_logprob's two-scan plan (tiny vocab
+    shuffle + |docs| partial rows); the verdict and the md5 draw are
+    map-side column expressions; the final aggregate has 3 groups."""
+    accept_ppm = accept_ppm or {"head": 1_000_000, "middle": 500_000, "tail": 100_000}
+    scored = unigram_logprob(docs)
+    u = (
+        F.expr(
+            "CAST(conv(substring(md5(concat('resample:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        )
+        % F.lit(1_000_000)
+    )
+    target = (
+        F.when(F.col("ppl_bucket") == "head", F.lit(accept_ppm["head"]))
+        .when(F.col("ppl_bucket") == "middle", F.lit(accept_ppm["middle"]))
+        .otherwise(F.lit(accept_ppm["tail"]))
+    )
+    keep = u < target
+    return (
+        scored.select(
+            "ppl_bucket", "n_tokens", target.alias("ppm"), keep.alias("keep")
+        )
+        .groupBy("ppl_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.max("ppm").alias("ppm"),
+        )
+        .select(
+            "ppl_bucket",
+            "n_docs",
+            "n_kept",
+            "n_tokens",
+            "kept_tokens",
+            F.round(
+                F.col("n_kept").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("accept_rate"),
+            F.round(F.col("ppm").cast("double") / 1_000_000.0, 6).alias("target_rate"),
+        )
+    )

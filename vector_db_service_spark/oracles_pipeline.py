@@ -915,3 +915,35 @@ SELECT pair, CAST(sum(wn) AS BIGINT) AS n
 FROM pairs GROUP BY pair
 ORDER BY n DESC, pair ASC LIMIT {k}
 """
+
+
+def quality_resample_sql(accept_ppm: dict[str, int] | None = None) -> str:
+    """Oracle for textops.quality_resample: same per-doc scores (nested
+    unigram-logprob replay), same md5 draw, same ppm thresholds."""
+    accept_ppm = accept_ppm or {"head": 1_000_000, "middle": 500_000, "tail": 100_000}
+    draw = (
+        "CAST(concat('0x', substr(md5('resample:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) % 1000000"
+    )
+    ppm = (
+        f"CASE WHEN ppl_bucket = 'head' THEN {accept_ppm['head']} "
+        f"WHEN ppl_bucket = 'middle' THEN {accept_ppm['middle']} "
+        f"ELSE {accept_ppm['tail']} END"
+    )
+    return f"""
+WITH scored AS ({unigram_logprob_sql()}),
+verdict AS (
+  SELECT ppl_bucket, n_tokens, {ppm} AS ppm,
+         ({draw}) < ({ppm}) AS keep
+  FROM scored
+)
+SELECT ppl_bucket,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+       round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS accept_rate,
+       round(CAST(max(ppm) AS DOUBLE) / 1000000.0, 6) AS target_rate
+FROM verdict GROUP BY ppl_bucket
+"""
