@@ -45,6 +45,8 @@ PROBES = [
     "text_unigram_logprob",
     "dedup_keep_canonical",
     "ann_matryoshka_recall",
+    "dedup_substring_spans",
+    "dedup_semantic_keep",
 ]
 # lineitem-backed queries only have real data at the source SFs; the
 # synthetic corpus scales documents/embeddings/events 10x and reuses

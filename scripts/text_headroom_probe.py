@@ -38,6 +38,8 @@ PROBES = [
     "pipeline_train_val_split",
     "pipeline_sequence_packing",
     "text_mixture_weights",
+    "text_bpe_merge_pairs",
+    "pipeline_quality_resample",
 ]
 
 

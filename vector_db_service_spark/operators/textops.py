@@ -769,8 +769,10 @@ def quality_resample(
     RNG: a doc keeps iff md5('resample:' || doc_id) mod 1e6 falls under
     its bucket's parts-per-million rate, so the kept set is frozen
     across runs, engines, retries, and partitionings (same argument as
-    train_val_split), and appending docs never flips an existing doc's
-    verdict.
+    train_val_split). The DRAW is per-doc frozen; the bucket is
+    corpus-fit (unigram_logprob), so re-scoring a grown corpus can
+    re-bucket a doc — freeze the scored snapshot alongside the split
+    when that matters.
 
     Output: per-bucket accounting (docs, kept docs, tokens, kept
     tokens, integer-exact measured accept rate vs the target rate).
