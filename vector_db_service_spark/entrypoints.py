@@ -1756,6 +1756,13 @@ register(
     opl.decontamination_sql(),
 )
 register(
+    # stream-static admission gate: per-micro-batch perplexity-bucket
+    # resampling against the ONCE-fit static unigram model
+    "stream_quality_resample",
+    stream_ops.quality_resample_stream,
+    opl.resample_verdicts_sql(),
+)
+register(
     "stream_dedup_events",
     stream_ops.dedup_events_stream,
     """

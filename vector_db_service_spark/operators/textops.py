@@ -636,33 +636,7 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     partial rows, never the token stream. (An earlier form materialized
     the (doc_id, token, count) pair table; at 100x docs that shuffled
     ~26M pair rows twice — this form shuffles |docs| + |vocab|.)"""
-    from pyspark.sql import Window
-
-    toks = T.tokens(F.col("text"))
-    g = docs.select("doc_id", F.explode(toks).alias("tok"))
-    vocab = g.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
-    w = Window.partitionBy()
-    lp = vocab.withColumn("t", F.sum("c").over(w)).select(
-        "tok",
-        F.round(
-            F.log(F.col("c").cast("double") / F.col("t").cast("double")) * 1000, 0
-        )
-        .cast("long")
-        .alias("mln"),
-    )
-    per = (
-        g.join(F.broadcast(lp), "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum("mln").cast("long").alias("s_mln"),
-        )
-    )
-    bucket = (
-        F.when(F.col("s_mln") >= F.lit(-3399) * F.col("n_tokens"), F.lit("head"))
-        .when(F.col("s_mln") < F.lit(-3404) * F.col("n_tokens"), F.lit("tail"))
-        .otherwise(F.lit("middle"))
-    )
+    per = unigram_doc_scores(docs, unigram_lp(docs))
     return per.select(
         "doc_id",
         "n_tokens",
@@ -670,7 +644,48 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
             F.col("s_mln").cast("double") / (F.col("n_tokens").cast("double") * 1000.0),
             6,
         ).alias("avg_logprob"),
-        bucket.alias("ppl_bucket"),
+        _ppl_bucket().alias("ppl_bucket"),
+    )
+
+
+def unigram_lp(docs: DataFrame) -> DataFrame:
+    """The corpus-fit unigram LM as a (tok, mln) frame — factored out so
+    a STREAM can fit once on the static corpus and score every
+    micro-batch against the same frozen model (resample_verdicts)."""
+    from pyspark.sql import Window
+
+    g = docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    vocab = g.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    w = Window.partitionBy()
+    return vocab.withColumn("t", F.sum("c").over(w)).select(
+        "tok",
+        F.round(
+            F.log(F.col("c").cast("double") / F.col("t").cast("double")) * 1000, 0
+        )
+        .cast("long")
+        .alias("mln"),
+    )
+
+
+def unigram_doc_scores(docs: DataFrame, lp: DataFrame) -> DataFrame:
+    """Per-doc (n_tokens, s_mln) against a BROADCAST (tok, mln) model —
+    the scoring half of unigram_logprob's plan."""
+    g = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    return (
+        g.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("mln").cast("long").alias("s_mln"),
+        )
+    )
+
+
+def _ppl_bucket():
+    return (
+        F.when(F.col("s_mln") >= F.lit(-3399) * F.col("n_tokens"), F.lit("head"))
+        .when(F.col("s_mln") < F.lit(-3404) * F.col("n_tokens"), F.lit("tail"))
+        .otherwise(F.lit("middle"))
     )
 
 
@@ -782,17 +797,8 @@ def quality_resample(
     map-side column expressions; the final aggregate has 3 groups."""
     accept_ppm = accept_ppm or {"head": 1_000_000, "middle": 500_000, "tail": 100_000}
     scored = unigram_logprob(docs)
-    u = (
-        F.expr(
-            "CAST(conv(substring(md5(concat('resample:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
-        )
-        % F.lit(1_000_000)
-    )
-    target = (
-        F.when(F.col("ppl_bucket") == "head", F.lit(accept_ppm["head"]))
-        .when(F.col("ppl_bucket") == "middle", F.lit(accept_ppm["middle"]))
-        .otherwise(F.lit(accept_ppm["tail"]))
-    )
+    u = _resample_draw()
+    target = _resample_target(accept_ppm)
     keep = u < target
     return (
         scored.select(
@@ -819,4 +825,45 @@ def quality_resample(
             ).alias("accept_rate"),
             F.round(F.col("ppm").cast("double") / 1_000_000.0, 6).alias("target_rate"),
         )
+    )
+
+
+def _resample_draw():
+    """Deterministic per-doc uniform in [0, 1e6): md5 of a purpose-tagged
+    doc_id — frozen across runs/engines/partitionings."""
+    return (
+        F.expr(
+            "CAST(conv(substring(md5(concat('resample:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        )
+        % F.lit(1_000_000)
+    )
+
+
+def _resample_target(accept_ppm: dict[str, int]):
+    return (
+        F.when(F.col("ppl_bucket") == "head", F.lit(accept_ppm["head"]))
+        .when(F.col("ppl_bucket") == "middle", F.lit(accept_ppm["middle"]))
+        .otherwise(F.lit(accept_ppm["tail"]))
+    )
+
+
+def resample_verdicts(
+    docs: DataFrame,
+    lp: DataFrame | None = None,
+    accept_ppm: dict[str, int] | None = None,
+) -> DataFrame:
+    """Per-document resample verdict (doc_id, n_tokens, ppl_bucket,
+    keep) — quality_resample's row-level form. `lp` lets a caller score
+    against a model fit elsewhere: the streaming gate fits ONCE on the
+    static corpus and scores every micro-batch against that frozen
+    model, so a doc's verdict is identical whether it arrives in batch
+    or on the stream."""
+    accept_ppm = accept_ppm or {"head": 1_000_000, "middle": 500_000, "tail": 100_000}
+    per = unigram_doc_scores(docs, unigram_lp(docs) if lp is None else lp)
+    scored = per.select("doc_id", "n_tokens", _ppl_bucket().alias("ppl_bucket"))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "ppl_bucket",
+        (_resample_draw() < _resample_target(accept_ppm)).alias("keep"),
     )

@@ -947,3 +947,23 @@ SELECT ppl_bucket,
        round(CAST(max(ppm) AS DOUBLE) / 1000000.0, 6) AS target_rate
 FROM verdict GROUP BY ppl_bucket
 """
+
+
+def resample_verdicts_sql(accept_ppm: dict[str, int] | None = None) -> str:
+    """Oracle for textops.resample_verdicts / the streaming gate: the
+    per-doc row form of quality_resample_sql."""
+    accept_ppm = accept_ppm or {"head": 1_000_000, "middle": 500_000, "tail": 100_000}
+    draw = (
+        "CAST(concat('0x', substr(md5('resample:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) % 1000000"
+    )
+    ppm = (
+        f"CASE WHEN ppl_bucket = 'head' THEN {accept_ppm['head']} "
+        f"WHEN ppl_bucket = 'middle' THEN {accept_ppm['middle']} "
+        f"ELSE {accept_ppm['tail']} END"
+    )
+    return f"""
+WITH scored AS ({unigram_logprob_sql()})
+SELECT doc_id, n_tokens, ppl_bucket, ({draw}) < ({ppm}) AS keep
+FROM scored
+"""

@@ -506,3 +506,48 @@ def decontamination_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.read.parquet(sink)
+
+
+def quality_resample_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING perplexity-bucket resampling: the unigram LM fits ONCE
+    on the static corpus (tiny (tok, mln) frame, lazily checkpointed and
+    broadcast into every batch) and each arriving micro-batch is scored,
+    bucketed, and md5-draw-resampled against that frozen model — the
+    admission gate an ingest pipeline runs between quality scoring and
+    the training corpus.
+
+    STATELESS like decontamination_stream: a doc's verdict depends only
+    on its own tokens, the static model, and its frozen draw, so
+    foreachBatch appends verdicts to a durable sink and streaming state
+    stays empty at any corpus size. Batch semantics are identical to
+    resample_verdicts over the full table, so the batch DuckDB oracle is
+    value-hash exact over the union of batches."""
+    from ..operators.textops import resample_verdicts, unigram_lp
+
+    out_dir = tempfile.mkdtemp(prefix="vdbs_resample_")
+    sink = os.path.join(out_dir, "out")
+    ckpt = os.path.join(out_dir, "ckpt")
+    docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    lp = unigram_lp(load(spark, sf_dir, "documents")).localCheckpoint(eager=False)
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        from ..sources.tables import spread_for_compute
+
+        resample_verdicts(spread_for_compute(batch), lp=lp).write.mode(
+            "append"
+        ).parquet(sink)
+
+    with _bounded_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(sink)
