@@ -931,6 +931,13 @@ register(
     opl.unigram_logprob_sql(),
 )
 register(
+    # DSIR-style data selection: per-doc log importance ratio between a
+    # target-slice unigram model and the general corpus model
+    "text_dsir_importance",
+    lambda s, d: textops.dsir_importance(load(s, d, "documents")),
+    opl.dsir_importance_sql(),
+)
+register(
     # CCNet-style perplexity-bucket resampling: deterministic md5-draw
     # acceptance at per-bucket ppm rates, per-bucket accounting
     "pipeline_quality_resample",

@@ -967,3 +967,44 @@ WITH scored AS ({unigram_logprob_sql()})
 SELECT doc_id, n_tokens, ppl_bucket, ({draw}) < ({ppm}) AS keep
 FROM scored
 """
+
+
+def dsir_importance_sql(target_lang: str = "en", oov_mln: int = -15_000) -> str:
+    """Oracle for textops.dsir_importance: replay both unigram fits, the
+    OOV penalty, and the integer log-ratio verdict."""
+    return f"""
+WITH g AS (SELECT doc_id, lang, unnest({TOKS}) AS tok FROM documents),
+vc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY tok),
+tc AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM vc),
+lpc AS (
+  SELECT tok,
+         CAST(round(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1000) AS BIGINT)
+           AS mln_c
+  FROM vc, tc
+),
+vt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM g
+       WHERE lang = '{target_lang}' GROUP BY tok),
+tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM vt),
+lpt AS (
+  SELECT tok,
+         CAST(round(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1000) AS BIGINT)
+           AS mln_t
+  FROM vt, tt
+),
+model AS (
+  SELECT lpc.tok, lpc.mln_c, coalesce(lpt.mln_t, {oov_mln}) AS mln_t
+  FROM lpc LEFT JOIN lpt ON lpc.tok = lpt.tok
+),
+per AS (
+  SELECT g.doc_id, g.lang,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(m.mln_t) AS BIGINT) AS s_t,
+         CAST(sum(m.mln_c) AS BIGINT) AS s_c
+  FROM g JOIN model m ON g.tok = m.tok
+  GROUP BY g.doc_id, g.lang
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(s_t - s_c AS BIGINT) AS log_ratio_mln,
+       s_t >= s_c AS is_target_like
+FROM per
+"""
