@@ -95,3 +95,29 @@ def test_quality_resample_draw_is_stable(spark):
          textops.quality_resample(
              load(spark, SF, "documents").repartition(7)).collect()}
     assert a == b, "verdicts must not depend on partitioning"
+
+
+def test_dsir_target_slice_scores_higher(spark):
+    rows = E.QUERIES["text_dsir_importance"](spark, SF).collect()
+    assert rows
+    en = [r for r in rows if r.lang == "en"]
+    other = [r for r in rows if r.lang != "en"]
+    assert en and other
+    rate = lambda rs: sum(1 for r in rs if r.is_target_like) / len(rs)
+    assert rate(en) > rate(other), "target-slice docs must look more target-like"
+    for r in rows:
+        assert r.is_target_like == (r.log_ratio_mln >= 0)
+
+
+def test_stream_resample_matches_batch_verdicts(spark):
+    from vector_db_service_spark.operators.textops import resample_verdicts
+
+    stream_rows = {
+        (r.doc_id, r.ppl_bucket, r.keep)
+        for r in E.QUERIES["stream_quality_resample"](spark, SF).collect()
+    }
+    batch_rows = {
+        (r.doc_id, r.ppl_bucket, r.keep)
+        for r in resample_verdicts(load(spark, SF, "documents")).collect()
+    }
+    assert stream_rows == batch_rows, "stream gate must equal batch verdicts"
