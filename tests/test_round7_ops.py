@@ -121,3 +121,14 @@ def test_stream_resample_matches_batch_verdicts(spark):
         for r in resample_verdicts(load(spark, SF, "documents")).collect()
     }
     assert stream_rows == batch_rows, "stream gate must equal batch verdicts"
+
+
+def test_dataset_manifest_sig_is_order_independent(spark):
+    from vector_db_service_spark.operators.textops import dataset_manifest
+
+    a = {(r.source, r.lang): r.content_sig for r in
+         E.QUERIES["pipeline_dataset_manifest"](spark, SF).collect()}
+    b = {(r.source, r.lang): r.content_sig for r in
+         dataset_manifest(
+             load(spark, SF, "documents").repartition(13)).collect()}
+    assert a == b, "content signature must not depend on partitioning"

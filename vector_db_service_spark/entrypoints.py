@@ -931,6 +931,13 @@ register(
     opl.unigram_logprob_sql(),
 )
 register(
+    # content-addressed per-shard dataset card: counts + an
+    # order-independent xor content signature per (source, lang)
+    "pipeline_dataset_manifest",
+    lambda s, d: textops.dataset_manifest(load(s, d, "documents")),
+    opl.dataset_manifest_sql(),
+)
+register(
     # DSIR-style data selection: per-doc log importance ratio between a
     # target-slice unigram model and the general corpus model
     "text_dsir_importance",

@@ -922,3 +922,33 @@ def dsir_importance(docs: DataFrame, target_lang: str = "en") -> DataFrame:
         (F.col("s_t") - F.col("s_c")).cast("long").alias("log_ratio_mln"),
         (F.col("s_t") >= F.col("s_c")).alias("is_target_like"),
     )
+
+
+def dataset_manifest(docs: DataFrame) -> DataFrame:
+    """Content-addressed dataset manifest — the per-shard "dataset card"
+    a corpus release freezes next to the data: per (source, lang) doc /
+    token / byte counts plus an ORDER-INDEPENDENT content signature
+    (bit_xor of each doc's md5-prefix int64), so two pipelines can
+    verify they materialized the identical shard without comparing rows
+    in any particular order. Any added, dropped, or edited doc flips the
+    signature; xor makes the fold commutative so the signature is
+    identical at any partitioning, engine, or row order.
+
+    One scan, one map-side-combinable groupBy over |sources x langs|
+    groups — nothing but the per-group partials ever shuffles."""
+    sig = F.expr(
+        "bit_xor(CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT))"
+    )
+    return (
+        docs.select(
+            "source", "lang", "text",
+            F.size(T.tokens(F.col("text"))).cast("long").alias("n_toks"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum(F.length("text")).cast("long").alias("n_bytes"),
+            sig.alias("content_sig"),
+        )
+    )

@@ -1008,3 +1008,18 @@ SELECT doc_id, lang, n_tokens,
        s_t >= s_c AS is_target_like
 FROM per
 """
+
+
+def dataset_manifest_sql() -> str:
+    """Oracle for textops.dataset_manifest: same counts, same
+    order-independent xor signature."""
+    return f"""
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(sum(len({TOKS})) AS BIGINT) AS n_tokens,
+       CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+       bit_xor(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT))
+         AS content_sig
+FROM documents
+GROUP BY source, lang
+"""
