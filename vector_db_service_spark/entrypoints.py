@@ -1777,6 +1777,14 @@ register(
     opl.resample_verdicts_sql(),
 )
 register(
+    # mergeable-state demo #3 (after HLL and the quantile histogram):
+    # the manifest's counts sum and its xor signature folds across
+    # micro-batches; batch oracle value-hash exact
+    "stream_dataset_manifest",
+    stream_ops.dataset_manifest_stream,
+    opl.dataset_manifest_sql(),
+)
+register(
     "stream_dedup_events",
     stream_ops.dedup_events_stream,
     """

@@ -551,3 +551,47 @@ def quality_resample_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.read.parquet(sink)
+
+
+def dataset_manifest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING accumulation of the content-addressed dataset manifest
+    (operators/textops.py::dataset_manifest): counts SUM and the md5
+    content signature XOR-folds across micro-batches exactly as they do
+    across partitions — the same mergeable-state argument as the HLL and
+    quantile-histogram streams, demonstrated on a third state type
+    (commutative xor). Complete-mode aggregation over
+    |sources x langs| groups; state is one row per group regardless of
+    stream length, and the finished manifest is value-hash identical to
+    the batch oracle because every aggregate is order-independent."""
+    from ..functions import text as T
+
+    docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    sig = F.expr(
+        "bit_xor(CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT))"
+    )
+    agg = (
+        stream.select(
+            "source", "lang", "text",
+            F.size(T.tokens(F.col("text"))).cast("long").alias("n_toks"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum(F.length("text")).cast("long").alias("n_bytes"),
+            sig.alias("content_sig"),
+        )
+    )
+    name = f"manifest_{uuid.uuid4().hex[:12]}"
+    with _bounded_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
