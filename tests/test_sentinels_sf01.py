@@ -24,7 +24,9 @@ QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
 # one sentinel per family: flagship kNN, LSH, grid, dedup, streaming,
-# aggregate, stored index, trained quantizer, multimodal, relational
+# aggregate, stored index, trained quantizer, multimodal, relational,
+# plus the round-7 dedup/hygiene flagships (substring spans, SemDeDup
+# keep, the stream-static resample gate)
 SENTINELS = (
     "knn_search_hydrated",
     "knn_lsh_cosine",
@@ -36,6 +38,9 @@ SENTINELS = (
     "ann_ivfpq_topk",
     "mm_decode",
     "rel_asof_purchase_click",
+    "dedup_substring_spans",
+    "dedup_semantic_keep",
+    "stream_quality_resample",
 )
 
 pytestmark = pytest.mark.skipif(
