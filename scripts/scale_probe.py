@@ -73,6 +73,9 @@ def build_synthetic(spark) -> None:
             .alias("text"),
             "lang", "source", "n_chars",
         )
+        # declared size must track the mutated text (operators that
+        # trust n_chars — embed validity, catalog stats — stay honest)
+        .withColumn("n_chars", F.length("text"))
     )
     d.write.mode("overwrite").parquet(f"{SYN}/documents.parquet")
     e = (

@@ -63,6 +63,8 @@ def build(spark) -> None:
             "source",
             "n_chars",
         )
+        # declared size must track the mutated text
+        .withColumn("n_chars", F.length("text"))
         .repartition(32)
         .write.mode("overwrite")
         .parquet(f"{SYN}/documents.parquet")

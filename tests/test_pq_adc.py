@@ -36,8 +36,8 @@ def test_pq_adc_recall_vs_exact(spark):
 def test_pq_adc_orders_by_exact_distance(spark, sf_dir):
     rows = ann.pq_topk(spark, sf_dir, query_id=0, k=5, n_subvectors=4).collect()
     assert len(rows) == 5
-    assert rows[0]["vec_id"] == 0 and rows[0]["dist"] == 0.0  # self-match first
-    dists = [r["dist"] for r in rows]
+    assert rows[0]["vec_id"] == 0 and rows[0]["dist_us"] == 0  # self-match first
+    dists = [r["dist_us"] for r in rows]
     assert dists == sorted(dists)
 
 
@@ -53,8 +53,8 @@ def test_ivfpq_recall_vs_exact(spark):
     a = {r["vec_id"] for r in rows}
     e = {r["vec_id"] for r in exact.collect()}
     assert 0 in a, "self-match pruned by IVF routing"
-    assert rows[0]["vec_id"] == 0 and rows[0]["dist"] == 0.0
-    dists = [r["dist"] for r in rows]
+    assert rows[0]["vec_id"] == 0 and rows[0]["dist_us"] == 0
+    dists = [r["dist_us"] for r in rows]
     assert dists == sorted(dists)
     # deterministic seeded pipeline => stable measured overlap; on the
     # structureless synthetic corpus routing keeps ~nprobe/n_lists of

@@ -688,15 +688,22 @@ register(
     # path); the oracle is the 10-round plain propagation, equal
     # whenever component diameter <= 10 (equality with the plain
     # variant is pinned in tests)
+    # the component labeling is memoized per corpus (eager checkpoint)
+    # and SHARED with dedup_keep_canonical — one graph pass, two readers
     "dedup_components",
-    lambda s, d: dedup.near_dup_components_fast(load(s, d, "documents")),
+    lambda s, d: dedup.near_dup_components_fast(
+        load(s, d, "documents"), labels=dedup.near_dup_labels_cached(s, d)
+    ),
     opl.near_dup_components_sql(),
 )
 register(
     # deduped-corpus materialization: one canonical (= component-min)
-    # survivor per near-dup cluster, per-source removal accounting
+    # survivor per near-dup cluster, per-source removal accounting;
+    # shares the memoized labeling with dedup_components
     "dedup_keep_canonical",
-    lambda s, d: dedup.near_dup_keep_canonical(load(s, d, "documents")),
+    lambda s, d: dedup.near_dup_keep_canonical(
+        load(s, d, "documents"), labels=dedup.near_dup_labels_cached(s, d)
+    ),
     opl.near_dup_keep_canonical_sql(),
 )
 register(

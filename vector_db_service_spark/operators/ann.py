@@ -663,21 +663,28 @@ def pq_topk(
         adc_terms.append(f"element_at({lut_sql}, code{s} + 1)")
     adc = F.expr(" + ".join(adc_terms))
 
+    # hash surface is integer micro-units (engine-version-proof: razor-
+    # edge double rounding is ULP-sensitive across DuckDB/JVM builds;
+    # the integer-millinat pattern in textops kills that class) — and
+    # the rerank cut orders by the SAME integer key on both sides so
+    # the candidate set is bit-identical too
+    adc_us = F.round(adc * F.lit(1e6), 0).cast("bigint")
     cand_ids = (
         emb.select("vec_id", *codes_cols)
-        .withColumn("adc", adc)
-        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .withColumn("adc_us", adc_us)
+        .orderBy(F.asc("adc_us"), F.asc("vec_id"))
         .limit(rerank)
-        .select("vec_id", F.round("adc", 6).alias("adc"))
+        .select("vec_id", "adc_us")
     )
     qlit = sim.vector_lit(q)
-    rer = emb.join(F.broadcast(cand_ids), "vec_id").withColumn(
-        "dist", F.round(sim.DISTANCES["euclidean"](F.col("embedding"), qlit), 6)
-    )
+    dist_us = F.round(
+        sim.DISTANCES["euclidean"](F.col("embedding"), qlit) * F.lit(1e6), 0
+    ).cast("bigint")
+    rer = emb.join(F.broadcast(cand_ids), "vec_id").withColumn("dist_us", dist_us)
     return (
-        rer.orderBy(F.asc("dist"), F.asc("vec_id"))
+        rer.orderBy(F.asc("dist_us"), F.asc("vec_id"))
         .limit(k)
-        .select("vec_id", "label", "adc", "dist")
+        .select("vec_id", "label", "adc_us", "dist_us")
     )
 
 
@@ -736,10 +743,15 @@ def ivfpq_topk(
     )
 
     centers = np.asarray(cents, dtype=np.float64)
-    # 6dp-rounded routing distances + index tiebreak: the same total
-    # order the SQL oracle's ORDER BY round(d2, 6), cid replays
-    d2 = np.round(((centers - np.asarray(q)) ** 2).sum(axis=1), 6)
-    probed = [int(i) for i in np.lexsort((np.arange(len(d2)), d2))[:nprobe]]
+    # integer micro-unit routing key + index tiebreak: the same total
+    # order the SQL oracle's ORDER BY CAST(round(d2*1e6) AS BIGINT),
+    # cid replays (floor(x+0.5) == HALF_UP for the non-negative d2,
+    # matching both Spark's and DuckDB's round; np.round would be
+    # half-to-even)
+    d2u = np.floor(
+        ((centers - np.asarray(q)) ** 2).sum(axis=1) * 1e6 + 0.5
+    ).astype(np.int64)
+    probed = [int(i) for i in np.lexsort((np.arange(len(d2u)), d2u))[:nprobe]]
 
     codebooks, sub_dim = _pq_train(
         emb, n_subvectors=n_subvectors, codebook_k=codebook_k, train_pct=train_pct
@@ -756,22 +768,25 @@ def ivfpq_topk(
         adc_terms.append(f"element_at({lut_sql}, code{s} + 1)")
     adc = F.expr(" + ".join(adc_terms))
 
+    # integer micro-unit ADC + rerank keys on both sides — see pq_topk
+    adc_us = F.round(adc * F.lit(1e6), 0).cast("bigint")
     cand_ids = (
         assigned.filter(F.col("list_id").isin(probed))
         .select("vec_id", "list_id", *codes_cols)
-        .withColumn("adc", adc)
-        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .withColumn("adc_us", adc_us)
+        .orderBy(F.asc("adc_us"), F.asc("vec_id"))
         .limit(rerank)
-        .select("vec_id", "list_id", F.round("adc", 6).alias("adc"))
+        .select("vec_id", "list_id", "adc_us")
     )
     qlit = sim.vector_lit(q)
-    rer = emb.join(F.broadcast(cand_ids), "vec_id").withColumn(
-        "dist", F.round(sim.DISTANCES["euclidean"](F.col("embedding"), qlit), 6)
-    )
+    dist_us = F.round(
+        sim.DISTANCES["euclidean"](F.col("embedding"), qlit) * F.lit(1e6), 0
+    ).cast("bigint")
+    rer = emb.join(F.broadcast(cand_ids), "vec_id").withColumn("dist_us", dist_us)
     return (
-        rer.orderBy(F.asc("dist"), F.asc("vec_id"))
+        rer.orderBy(F.asc("dist_us"), F.asc("vec_id"))
         .limit(k)
-        .select("vec_id", "label", "list_id", "adc", "dist")
+        .select("vec_id", "label", "list_id", "adc_us", "dist_us")
     )
 
 

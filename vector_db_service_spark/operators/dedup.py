@@ -365,14 +365,48 @@ def containment_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 
 
 def near_dup_components_fast(docs: DataFrame, max_hamming: int = 3,
-                             rounds: int = 5) -> DataFrame:
+                             rounds: int = 5,
+                             labels: DataFrame | None = None) -> DataFrame:
     """Aggregated (comp, n_docs) view of near_dup_labels_fast — the
     registered dedup_components variant."""
-    return (
-        near_dup_labels_fast(docs, max_hamming, rounds)
-        .groupBy("comp")
-        .agg(F.count("*").alias("n_docs"))
+    if labels is None:
+        labels = near_dup_labels_fast(docs, max_hamming, rounds)
+    return labels.groupBy("comp").agg(F.count("*").alias("n_docs"))
+
+
+_LABELS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def near_dup_labels_cached(spark, sf_dir: str, max_hamming: int = 3,
+                           rounds: int = 5) -> DataFrame:
+    """Memoized per-corpus component labeling (the _COARSE_CACHE
+    pattern from ann.py): dedup_components and dedup_keep_canonical
+    both need the SAME simhash-graph labeling of the same file — in a
+    sweep that ran the full banded join + contraction + pointer-doubling
+    chain twice. Key is (file identity, params, Spark app id); the
+    cached frame is an eager localCheckpoint, so the second consumer
+    reads materialized (node, comp) rows instead of recomputing the
+    graph. At 100 TB this is exactly 'write the labeling once, join it
+    from both consumers' — the checkpoint stands in for the shared
+    intermediate table."""
+    import os as _os
+
+    from ..sources.tables import load, path_signature
+
+    p = _os.path.join(sf_dir, "documents.parquet")
+    key = (
+        *path_signature(p), max_hamming, rounds,
+        spark.sparkContext.applicationId,
     )
+    cached = _LABELS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = load(spark, sf_dir, "documents")
+    labels = near_dup_labels_fast(docs, max_hamming, rounds).localCheckpoint(
+        eager=True
+    )
+    _LABELS_CACHE[key] = labels
+    return labels
 
 
 def near_dup_labels_fast(docs: DataFrame, max_hamming: int = 3,
@@ -490,7 +524,8 @@ def near_dup_labels_fast(docs: DataFrame, max_hamming: int = 3,
 
 
 def near_dup_keep_canonical(docs: "DataFrame", max_hamming: int = 3,
-                            rounds: int = 5) -> "DataFrame":
+                            rounds: int = 5,
+                            labels: "DataFrame | None" = None) -> "DataFrame":
     """Deduped-corpus materialization — the step that turns duplicate
     DETECTION into a training corpus: label every document with its
     near-dup component (simhash graph, contracted pointer-doubling
@@ -506,7 +541,8 @@ def near_dup_keep_canonical(docs: "DataFrame", max_hamming: int = 3,
     doc_id) and the accounting is one map-side-combinable groupBy over
     |sources| groups. The survivor SET (doc_id == comp) is available to
     a writer as the same frame pre-aggregation."""
-    labels = near_dup_labels_fast(docs, max_hamming, rounds)
+    if labels is None:
+        labels = near_dup_labels_fast(docs, max_hamming, rounds)
     per_doc = docs.join(labels, docs.doc_id == labels.node).select(
         "source", (F.col("doc_id") == F.col("comp")).alias("survives")
     )

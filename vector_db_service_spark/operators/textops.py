@@ -410,14 +410,27 @@ def gopher_filter(docs: DataFrame) -> DataFrame:
     projection — embarrassingly parallel, no shuffle at any scale."""
     toks = T.tokens(F.col("text"))
     n_words = T.word_count(F.col("text"))
-    mean_tok_len = F.round(
-        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double"))
-        / F.size(toks).cast("double"),
-        6,
-    )
-    alpha_density = F.round(
-        T.alpha_chars(F.col("text")).cast("double") / F.length("text").cast("double"), 6
-    )
+    # empty-input guards: without them Spark yields NaN (0.0/0) where
+    # DuckDB yields NULL, and NaN > threshold is TRUE in Spark — a
+    # latent cross-engine divergence on empty docs/token lists
+    mean_tok_len = F.when(
+        F.size(toks) > 0,
+        F.round(
+            F.aggregate(
+                toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+            )
+            / F.size(toks).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    alpha_density = F.when(
+        F.length("text") > 0,
+        F.round(
+            T.alpha_chars(F.col("text")).cast("double")
+            / F.length("text").cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
     stop_hits = T.stopword_hits(F.col("text"), "en")
     r_len = (n_words >= 30) & (n_words <= 1000)
     r_mwl = (mean_tok_len >= 3.0) & (mean_tok_len <= 5.0)
@@ -948,7 +961,7 @@ def dataset_manifest(docs: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_toks").cast("long").alias("n_tokens"),
-            F.sum(F.length("text")).cast("long").alias("n_bytes"),
+            F.sum(F.octet_length("text")).cast("long").alias("n_bytes"),
             sig.alias("content_sig"),
         )
     )

@@ -679,13 +679,16 @@ FROM agg
 
 
 def gopher_filter_sql() -> str:
+    # empty-input guards mirror textops.gopher_filter (0.0, not NULL)
     mwl = (
+        f"CASE WHEN len({TOKS}) > 0 THEN "
         f"round(list_sum(list_transform({TOKS}, t -> CAST(length(t) AS DOUBLE)))"
-        f" / CAST(len({TOKS}) AS DOUBLE), 6)"
+        f" / CAST(len({TOKS}) AS DOUBLE), 6) ELSE 0.0 END"
     )
     ad = (
+        "CASE WHEN length(text) > 0 THEN "
         "round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)"
-        " / CAST(length(text) AS DOUBLE), 6)"
+        " / CAST(length(text) AS DOUBLE), 6) ELSE 0.0 END"
     )
     return f"""
 WITH feat AS (
@@ -907,9 +910,9 @@ WITH words AS (
 wc AS (SELECT w, count(*) AS wn FROM words GROUP BY w),
 pairs AS (
   SELECT wn,
-         unnest(list_transform(generate_series(1, strlen(w) - 1),
+         unnest(list_transform(generate_series(1, length(w) - 1),
                                i -> substr(w, i, 2))) AS pair
-  FROM wc WHERE strlen(w) >= 2
+  FROM wc WHERE length(w) >= 2
 )
 SELECT pair, CAST(sum(wn) AS BIGINT) AS n
 FROM pairs GROUP BY pair

@@ -232,12 +232,13 @@ adcp AS MATERIALIZED (
   GROUP BY e.vec_id
 ),
 cand AS (
-  SELECT vec_id, {tsum} AS adc FROM adcp
-  ORDER BY {tsum}, vec_id LIMIT {rerank}
+  SELECT vec_id, CAST(round(({tsum}) * 1e6) AS BIGINT) AS adc_us FROM adcp
+  ORDER BY adc_us, vec_id LIMIT {rerank}
 )
-SELECT e.vec_id, e.label, round(c.adc, 6) AS adc, round({dist}, 6) AS dist
+SELECT e.vec_id, e.label, c.adc_us,
+       CAST(round(({dist}) * 1e6) AS BIGINT) AS dist_us
 FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, qv q
-ORDER BY round({dist}, 6), e.vec_id LIMIT {k}
+ORDER BY dist_us, e.vec_id LIMIT {k}
 """
 
 
@@ -252,7 +253,7 @@ def ivfpq_topk_sql(
 ) -> str:
     ts, tsum = _adc_terms(n_subvectors)
     dist = oracles.euclidean_distance_sql("e.embedding", "q.embedding")
-    route = f"round({_l2sq('q.embedding', 'b.c')}, 6)"
+    route = f"CAST(round({_l2sq('q.embedding', 'b.c')} * 1e6) AS BIGINT)"
     return f"""
 WITH {coarse_fit_ctes(n_lists=n_lists)},
 {pq_fit_ctes(n_subvectors=n_subvectors, sub_dim=sub_dim)},
@@ -272,13 +273,14 @@ adcp AS MATERIALIZED (
   GROUP BY e.vec_id, a.list_id
 ),
 cand AS (
-  SELECT vec_id, list_id, {tsum} AS adc FROM adcp
-  ORDER BY {tsum}, vec_id LIMIT {rerank}
+  SELECT vec_id, list_id, CAST(round(({tsum}) * 1e6) AS BIGINT) AS adc_us
+  FROM adcp
+  ORDER BY adc_us, vec_id LIMIT {rerank}
 )
-SELECT e.vec_id, e.label, c.list_id, round(c.adc, 6) AS adc,
-       round({dist}, 6) AS dist
+SELECT e.vec_id, e.label, c.list_id, c.adc_us,
+       CAST(round(({dist}) * 1e6) AS BIGINT) AS dist_us
 FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, qv q
-ORDER BY round({dist}, 6), e.vec_id LIMIT {k}
+ORDER BY dist_us, e.vec_id LIMIT {k}
 """
 
 

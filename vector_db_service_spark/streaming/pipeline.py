@@ -583,7 +583,7 @@ def dataset_manifest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_toks").cast("long").alias("n_tokens"),
-            F.sum(F.length("text")).cast("long").alias("n_bytes"),
+            F.sum(F.octet_length("text")).cast("long").alias("n_bytes"),
             sig.alias("content_sig"),
         )
     )
