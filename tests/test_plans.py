@@ -203,3 +203,18 @@ def test_spread_for_compute_is_noop_when_parallel(spark):
     narrow = load(spark, SF, "documents").coalesce(1)
     spread = spread_for_compute(narrow)
     assert spread.rdd.getNumPartitions() >= want
+
+
+def test_contrastive_ring_windows_are_sharded(spark):
+    """The negative-sampling ring must never be a single global window:
+    every Window node in the plan partitions by the md5 shard key, so
+    the ring scales out with the corpus instead of serializing on one
+    partition."""
+    from vector_db_service_spark.operators import dedup
+
+    df = dedup.contrastive_pairs(load(spark, SF, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines, "expected Window nodes in the contrastive plan"
+    for ln in win_lines:
+        assert "windowspecdefinition(shard" in ln, ln

@@ -1472,9 +1472,14 @@ register(
 )
 register(
     # n_lists=7 / nprobe=4: the operating point the recall sweep
-    # (ann_ivf_recall_sweep) measures at 0.84 avg recall@10 on sf0.01
+    # (ann_ivf_recall_sweep) measures at 0.84 avg recall@10 on sf0.01.
+    # EXACT oracle since r8: the seed-42 kmeans|| fit is bit-stable for
+    # the single-split test corpora, so the fitted centers replay as
+    # pinned literals (mllib_index.IVF_KMEANS_CENTERS_SF001) and
+    # assignment/routing reuse the ivfpq oracle's argmin algebra
     "mllib_ivf_kmeans_topk",
     lambda s, d: ann.ivf_kmeans_topk(s, d, query_id=0, k=10, n_lists=7, nprobe=4),
+    mllib_index.ivf_kmeans_topk_sql(query_id=0, k=10, nprobe=4),
 )
 register(
     # measured recall@10 of the canonical-Lloyd IVF quantizer over
@@ -1520,8 +1525,12 @@ register(
     mllib_index.brp_approx_knn_sql(query_id=0, k=10),
 )
 register(
+    # EXACT oracle since r8: md5-based feature indices (SQL-replayable,
+    # unlike HashingTF murmur3) + pinned seed-42 randCoefficients replay
+    # the full MinHashLSH candidate join + jaccard verdict in DuckDB
     "mllib_minhash_jaccard_join",
     lambda s, d: mllib_index.minhash_jaccard_join(s, d, threshold=0.5),
+    mllib_index.minhash_jaccard_join_sql(threshold=0.5),
 )
 
 
@@ -1815,17 +1824,26 @@ WITH pos AS (
   SELECT doc_id_1 AS anchor_id, doc_id_2 AS other_id, 'pos' AS label
   FROM ({opl.minhash_near_dups_sql(threshold=0.2)})
 ),
-ranked AS (
-  SELECT doc_id, row_number() OVER (ORDER BY md5(text), doc_id) AS rk,
-         count(*) OVER () AS n_docs
+sharded AS (
+  SELECT doc_id, text,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {dedup.CONTRASTIVE_SHARDS} AS shard
   FROM documents
+),
+ranked AS (
+  SELECT doc_id, shard,
+         row_number() OVER (PARTITION BY shard ORDER BY md5(text), doc_id) AS rk,
+         count(*) OVER (PARTITION BY shard) AS n_docs
+  FROM sharded
 ),
 negs AS (
   SELECT a.doc_id AS anchor_id, b.doc_id AS other_id, 'neg' AS label
-  FROM ranked a JOIN ranked b ON b.rk = a.rk % a.n_docs + 1
+  FROM ranked a JOIN ranked b
+    ON b.shard = a.shard AND b.rk = a.rk % a.n_docs + 1
   UNION ALL
   SELECT a.doc_id, b.doc_id, 'neg'
-  FROM ranked a JOIN ranked b ON b.rk = (a.rk + 1) % a.n_docs + 1
+  FROM ranked a JOIN ranked b
+    ON b.shard = a.shard AND b.rk = (a.rk + 1) % a.n_docs + 1
 )
 SELECT anchor_id, other_id, label FROM pos
 UNION ALL

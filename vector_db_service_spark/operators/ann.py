@@ -109,48 +109,66 @@ def ivf_kmeans_topk(
     nprobe: int = 2,
     metric: str = "cosine",
 ) -> DataFrame:
-    """IVF with a PROPERLY TRAINED coarse quantizer: MLlib KMeans (seeded)
-    partitions the corpus into n_lists cells; search scores the query
-    against the n_lists centroids (tiny), keeps the best nprobe lists, and
-    exact-ranks only those lists' vectors. At 100 TB the assignment column
-    is the partition key of the embedding table, so the probe is partition
-    pruning; training samples the corpus. Rows-only check: KMeans
-    initialization is not SQL-reproducible."""
+    """IVF with a PROPERLY TRAINED coarse quantizer: MLlib KMeans (seeded,
+    kmeans|| init) fits the n_lists centers on a bounded deterministic
+    sample; ASSIGNMENT and ROUTING then run over the FITTED centers via
+    this module's own codegen'd expressions (_list_id_expr argmin +
+    scored-centroid routing) — one distributed projection, no second
+    MLlib pass. That split is what makes the query EXACTLY oracle-able:
+    the fit is deterministic for a fixed input split (the test corpora
+    are single-split parquet files, pinned by tests/test_mllib_oracles
+    .py), so the fitted centers replay as SQL literals
+    (mllib_index.ivf_kmeans_topk_sql) and everything downstream is the
+    same argmin/score algebra the ivfpq oracle already replays. At
+    100 TB the assignment column is the partition key of the embedding
+    table, so the probe is partition pruning; training samples the
+    corpus. Scores surface as integer micro-units (engine-version-proof
+    hash surface, same rationale as pq_topk)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
-    emb = load(spark, sf_dir, "embeddings").withColumn(
+    emb = load(spark, sf_dir, "embeddings")
+    vec = emb.withColumn(
         "vec", array_to_vector(F.col("embedding").cast("array<double>"))
     )
     km = KMeans(k=n_lists, seed=42, featuresCol="vec", predictionCol="list_id")
     # quantizer trains on a bounded deterministic sample; ASSIGNMENT
-    # stays a single full-corpus transform (one distributed pass)
-    model = km.fit(_quantizer_train_sample(emb, n_rows=row_count(sf_dir, "embeddings")))
-    assigned = model.transform(emb)
+    # stays one distributed codegen'd projection over the corpus
+    model = km.fit(_quantizer_train_sample(vec, n_rows=row_count(sf_dir, "embeddings")))
+    cents = [[float(x) for x in c] for c in model.clusterCenters()]
 
     qrow = emb.filter(F.col("vec_id") == query_id).select("embedding").head()
     if qrow is None:
         raise KeyError(f"query vector {query_id} not found")
     q = sim.vector_lit([float(x) for x in qrow[0]])
 
+    assigned = emb.select(
+        "vec_id", "label", "embedding", _list_id_expr(cents).alias("list_id")
+    )
     centers = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, c) for i, c in enumerate(cents)],
         "list_id int, centroid array<double>",
     )
-    w = Window.orderBy(F.desc("c_score"), F.asc("list_id"))
+    c_us = F.round(sim.score(metric, F.col("centroid"), q) * F.lit(1e6), 0).cast(
+        "bigint"
+    )
+    w = Window.orderBy(F.desc("c_us"), F.asc("list_id"))
     probed = (
-        centers.withColumn("c_score", sim.score(metric, F.col("centroid"), q))
+        centers.withColumn("c_us", c_us)
         .withColumn("c_rnk", F.row_number().over(w))
         .filter(F.col("c_rnk") <= nprobe)
         .select("list_id")
     )
+    score_us = F.round(
+        sim.score(metric, F.col("embedding"), q) * F.lit(1e6), 0
+    ).cast("bigint")
     return (
         assigned.join(F.broadcast(probed), "list_id")
-        .withColumn("score", F.round(sim.score(metric, F.col("embedding"), q), 6))
-        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .withColumn("score_us", score_us)
+        .orderBy(F.desc("score_us"), F.asc("vec_id"))
         .limit(k)
-        .select("vec_id", "label", "list_id", "score")
+        .select("vec_id", "label", "list_id", "score_us")
     )
 
 

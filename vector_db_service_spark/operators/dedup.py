@@ -564,7 +564,11 @@ def near_dup_keep_canonical(docs: "DataFrame", max_hamming: int = 3,
     )
 
 
-def contrastive_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
+CONTRASTIVE_SHARDS = 8
+
+
+def contrastive_pairs(docs: DataFrame, threshold: float = 0.2,
+                      n_shards: int = CONTRASTIVE_SHARDS) -> DataFrame:
     """Training-pair generation for contrastive/embedding fine-tuning:
     POSITIVES are the verified minhash near-dup pairs; NEGATIVES pair
     every document with its two successors on a deterministic md5 ring
@@ -572,11 +576,14 @@ def contrastive_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
     "random" negatives with no RNG, stable across engines, runs and
     partitionings. Output: (anchor_id, other_id, label).
 
-    Scale note: the ring uses one global row_number, acceptable for a
-    deterministic demonstrator; at 100 TB the same ring is built per
-    hash bucket (mod-sharded rings), which changes WHICH negatives are
-    drawn but not their statistics — the ring order is arbitrary by
-    design."""
+    The ring is SHARDED: each document lands in one of `n_shards` frozen
+    md5(doc_id) buckets and rings with its shard-mates only, so the
+    row_number window partitions by shard — no single-partition global
+    window anywhere in the plan. At 100 TB n_shards scales with the
+    cluster; which negatives are drawn changes with n_shards but their
+    statistics don't (the ring order is arbitrary by design), and for a
+    FIXED n_shards the draw is exactly reproducible (the oracle replays
+    the same sharded ring)."""
     pos = minhash_near_dups(docs, threshold=threshold).select(
         F.col("doc_id_1").alias("anchor_id"),
         F.col("doc_id_2").alias("other_id"),
@@ -584,21 +591,34 @@ def contrastive_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
-    ranked = docs.select(
-        "doc_id", F.row_number().over(W.orderBy(F.md5("text"), F.col("doc_id"))).alias("rk")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % n_shards
     )
-    n = ranked.agg(F.count("*").alias("n_docs"))
-    ring = ranked.crossJoin(F.broadcast(n))
-    succ1 = ring.select("doc_id", (F.col("rk") % F.col("n_docs") + 1).alias("nrk"))
-    succ2 = ring.select(
-        "doc_id", ((F.col("rk") + 1) % F.col("n_docs") + 1).alias("nrk")
+    w = W.partitionBy("shard")
+    ranked = (
+        docs.select("doc_id", "text", shard.alias("shard"))
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number()
+            .over(w.orderBy(F.md5("text"), F.col("doc_id")))
+            .alias("rk"),
+            F.count("*").over(w).alias("n_docs"),
+        )
+    )
+    succ1 = ranked.select(
+        "doc_id", "shard", (F.col("rk") % F.col("n_docs") + 1).alias("nrk")
+    )
+    succ2 = ranked.select(
+        "doc_id", "shard", ((F.col("rk") + 1) % F.col("n_docs") + 1).alias("nrk")
+    )
+    other = ranked.select(
+        F.col("doc_id").alias("other_id"), "shard", F.col("rk").alias("nrk")
     )
     negs = None
     for s in (succ1, succ2):
-        j = s.join(
-            ranked.select(F.col("doc_id").alias("other_id"), F.col("rk").alias("nrk")),
-            "nrk",
-        ).select(
+        j = s.join(other, ["shard", "nrk"]).select(
             F.col("doc_id").alias("anchor_id"), "other_id", F.lit("neg").alias("label")
         )
         negs = j if negs is None else negs.unionByName(j)

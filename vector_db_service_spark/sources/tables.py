@@ -153,24 +153,38 @@ def _ts_stat_max(sf_dir: str) -> int:
     return mx
 
 
+_ROW_COUNT_CACHE: dict[tuple, int] = {}
+
+
 def row_count(sf_dir: str, name: str) -> int:
     """Exact table row count from parquet FOOTER metadata — a driver-side
     metadata read, zero Spark jobs. Sampling-rate calculations (IVF/PQ
     train caps, recall-measurement caps) only need |T|, and paying a
     full-scan `df.count()` job for it is pure overhead; at scale this is
-    one footer read per file, the same cost as planning the scan."""
+    one footer read per file, the same cost as planning the scan.
+    Memoized per file identity (path_signature) so repeated probes of
+    the same table — obs_health's ten-table liveness sweep, every
+    train-cap calculation in a bench run — stat the files but reread no
+    footers."""
     import glob
     import os
 
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/{name}.parquet"
+    key = path_signature(path)
+    cached = _ROW_COUNT_CACHE.get(key)
+    if cached is not None:
+        return cached
     if os.path.isdir(path):
-        return sum(
+        n = sum(
             pq.read_metadata(f).num_rows
             for f in sorted(glob.glob(os.path.join(path, "*.parquet")))
         )
-    return pq.read_metadata(path).num_rows
+    else:
+        n = pq.read_metadata(path).num_rows
+    _ROW_COUNT_CACHE[key] = n
+    return n
 
 
 def spread_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame:
