@@ -47,19 +47,100 @@ def test_single_pixel_and_single_row():
         assert out.tobytes() == raster.tobytes()
 
 
-def test_unsupported_png_flavor_raises():
+def _chunk(tag: bytes, data: bytes) -> bytes:
     import struct
     import zlib
 
-    def chunk(tag, data):
-        return (struct.pack(">I", len(data)) + tag + data
-                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
-    # grayscale (color type 0) is not RGB — must gate, not misdecode
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
-    blob = mm._PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError):
+
+def _scanlines(px: np.ndarray, filters: list[int]) -> bytes:
+    """Filter the (h, stride) byte matrix with the given per-row filter
+    types (independent reimplementation of the spec, 1-byte-per-pixel
+    flavors only, so the reader is tested against the math rather than
+    against its own encoder)."""
+    h, stride = px.shape
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        row = px[y].astype(np.int64)
+        left = np.concatenate([[0], row[:-1]])
+        upleft = np.concatenate([[0], prev[:-1]])
+        ft = filters[y % len(filters)]
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = (row - left) % 256
+        elif ft == 2:
+            filt = (row - prev) % 256
+        elif ft == 3:
+            filt = (row - (left + prev) // 2) % 256
+        else:
+            filt = (row - mm._paeth(left, prev, upleft)) % 256
+        raw.append(ft)
+        raw += filt.astype(np.uint8).tobytes()
+        prev = row
+    return bytes(raw)
+
+
+def test_grayscale_png_decodes_replicated():
+    import struct
+    import zlib
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(10, 6), dtype=np.uint8)
+    raw = _scanlines(px, [0, 1, 2, 3, 4])
+    ihdr = struct.pack(">IIBBBBB", 6, 10, 8, 0, 0, 0, 0)
+    blob = (mm._PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    w, h, maxval, out = mm.decode_image(blob)
+    assert (w, h, maxval) == (6, 10, 255)
+    expected = np.repeat(px.reshape(10, 6, 1), 3, axis=2)
+    assert out.tobytes() == expected.tobytes()
+
+
+def test_palette_png_decodes_via_plte():
+    import struct
+    import zlib
+
+    rng = np.random.RandomState(5)
+    palette = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(10, 7), dtype=np.uint8)
+    raw = _scanlines(idx, [0, 1, 2, 3, 4])
+    ihdr = struct.pack(">IIBBBBB", 7, 10, 8, 3, 0, 0, 0)
+    blob = (mm._PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", palette.tobytes())
+            + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    w, h, maxval, out = mm.decode_image(blob)
+    assert (w, h, maxval) == (7, 10, 255)
+    assert out.tobytes() == palette[idx].tobytes()
+
+
+def test_palette_index_out_of_range_raises():
+    import struct
+    import zlib
+
+    palette = np.zeros((4, 3), dtype=np.uint8)  # indices 0..3 valid
+    idx = np.full((2, 2), 9, dtype=np.uint8)
+    raw = _scanlines(idx, [0])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    blob = (mm._PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", palette.tobytes())
+            + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="palette index"):
         mm.decode_image(blob)
+
+
+def test_unsupported_png_flavor_raises():
+    import struct
+
+    # RGBA (color type 6) and 16-bit depth stay honestly gated
+    for bit_depth, color_type in ((8, 6), (16, 2), (8, 4)):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, bit_depth, color_type, 0, 0, 0)
+        blob = mm._PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(blob)
 
 
 def test_truncated_idat_raises():

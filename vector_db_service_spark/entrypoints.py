@@ -713,6 +713,22 @@ register(
     lambda s, d: dedup.substring_span_stats(load(s, d, "documents")),
     opl.substring_span_stats_sql(),
 )
+register(
+    # CCNet-style paragraph-level exact dedup: keep-first per paragraph
+    # hash corpus-wide, per-source removal accounting + survivor xor
+    # signature (new r8)
+    "dedup_paragraphs",
+    lambda s, d: dedup.paragraph_dedup(load(s, d, "documents")),
+    opl.paragraph_dedup_sql(),
+)
+register(
+    # MOSS winnowing fingerprints: window-min of 3-gram hashes, per-doc
+    # fingerprint density + cross-doc shared-fingerprint fraction
+    # (new r8)
+    "dedup_winnowing_fingerprints",
+    lambda s, d: dedup.winnowing_fingerprints(load(s, d, "documents")),
+    opl.winnowing_fingerprints_sql(),
+)
 def _containment_sql(threshold: float = 0.5) -> str:
     band_match = " OR ".join(
         f"a.band{b} = b.band{b}" for b in range(opl.MINHASH_BANDS)
@@ -1518,6 +1534,21 @@ register(
     "dedup_semantic_keep",
     lambda s, d: ann.semantic_dedup_keep(s, d),
     oracles_quant.semantic_dedup_keep_sql(),
+)
+register(
+    # simplified (centroid) silhouette audit of the IVF quantizer — the
+    # "is k right" check before trusting an inverted-list layout; linear
+    # in corpus size, one scan, |n_lists|-group aggregate (new r8)
+    "ann_cluster_silhouette",
+    lambda s, d: ann.cluster_silhouette(s, d, n_lists=7),
+    oracles_quant.cluster_silhouette_sql(n_lists=7),
+)
+register(
+    # 3-sigma embedding-norm outlier screen over integer-micro norms —
+    # embedding hygiene before indexing/contrastive sampling (new r8)
+    "emb_norm_outliers",
+    lambda s, d: ann.norm_outliers(s, d),
+    oracles_quant.norm_outliers_sql(),
 )
 register(
     "mllib_brp_approx_knn",
@@ -2342,48 +2373,44 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 # --- Registration order ---------------------------------------------------
 # External correctness tooling samples the FIRST 50 registered queries.
-# Round-7 ROTATION: rounds 1-6 driver-verified 119 distinct queries; this
-# head holds the ENTIRE never-driver-sampled remainder (40 oracled + 7
-# rows-only = 47) plus 3 sentinels from earlier heads (flagship + one
-# dedup + one streaming) for regression cover — after this round every
-# registered query has been driver-verified at least once. Everything
-# displaced stays green under tests/test_oracle_parity.py, which runs the
-# identical compare over ALL registered oracles.
+# Round-8 ROTATION (re-armed per the round-7 review): 21 never-driver-
+# sampled queries (the round-7 hygiene/dedup/sketch/stream flagships),
+# the 10 queries whose plans or hash surfaces changed THIS round (the
+# integer micro-unit PQ/MLlib family, fused mm_decode, shared-label
+# dedup, sharded contrastive ring, cached obs_health, batched recall
+# sweep), and the 19 stalest earlier rows (last driver-verified in
+# rounds 1-3) as regression cover. Everything displaced stays green
+# under tests/test_oracle_parity.py, which runs the identical compare
+# over ALL registered oracles.
 _PRIORITY_50 = [
-    # round-7 additions, never sampled (the former sentinels are
-    # redundant: entry() smoke-checks the flagship each round, and both
-    # were driver-green twice already)
-    "text_decontamination", "pipeline_sequence_packing",
-    # PNG decode (added after the r7 rotation commit; never sampled)
-    "mm_decode_png",
-    # knn variants / stored-IVF probe / index info
-    "knn_prefiltered_lang", "i11_stored_ivf_probe", "i12_index_info",
-    # CDC merge + file-format roundtrips
-    "s10_cdc_merge", "s17_csv_file_roundtrip", "s18_orc_file_roundtrip",
-    # relational / window surface remainder (§2.10)
-    "rel_parts_by_type_size", "rel_customer_segments",
-    "rel_order_size_distribution", "rel_orders_cube", "rel_sliding_1h_sum",
-    "rel_moving_avg_value", "rel_percent_rank_orders", "rel_above_nation_avg",
-    "rel_user_day_retention",
-    # sketches remainder
-    "sketch_hll_by_event_type", "sketch_bloom_membership", "sketch_kmv_overlap",
-    # second-stage retrieval family (new in r6, never sampled)
-    "retrieval_bm25_scores", "retrieval_hybrid_rrf", "retrieval_mmr_rerank",
-    # streaming + text + pipeline remainder
-    "stream_session_windows", "text_char_entropy",
-    "pipeline_contrastive_pairs", "pipeline_curation_end_to_end",
-    # scans / inserts / updates (S4-S9, S14)
-    "s4_scan_by_parent", "s5_full_scan", "s6_vector_store_scan",
-    "s8_insert", "s9_batch_insert", "s14_flag_update",
-    # projection / predicates / stats / kernels / guards
-    "p1_projection", "p5_title_match", "a3_library_stats",
-    "a4_document_stats", "kernel_zero_guard", "t5_k_exceeds_n",
-    # observability remainder
-    "obs_search_meta", "obs_health", "obs_clear_library_stats",
-    # model-fit family (rows-only until pinned oracles land)
-    "mllib_ivf_kmeans_topk", "ann_ivf_recall_sweep", "ann_product_quantize",
-    "ann_pq_topk", "ann_ivfpq_topk", "mllib_minhash_jaccard_join",
-    "obs_timed_search",
+    # -- never driver-sampled (round-7 additions) --
+    "dedup_keep_canonical", "dedup_substring_spans", "dedup_semantic_keep",
+    "ann_matryoshka_recall",
+    "text_repetition_scores", "text_gopher_filter", "text_mixture_weights",
+    "text_blocklist_filter", "text_unigram_logprob", "text_dsir_importance",
+    "text_bpe_merge_pairs",
+    "pipeline_train_val_split", "pipeline_dataset_manifest",
+    "pipeline_quality_resample",
+    "sketch_quantile_histogram", "sketch_hll_merge",
+    "stream_quantile_histogram", "stream_decontamination",
+    "stream_quality_resample", "stream_dataset_manifest",
+    "obs_index_advisor",
+    # -- changed this round: re-verify under the driver --
+    "ann_pq_topk", "ann_ivfpq_topk",
+    "mllib_ivf_kmeans_topk", "mllib_minhash_jaccard_join",
+    "mm_decode", "mm_decode_png",
+    "dedup_components", "pipeline_contrastive_pairs",
+    "ann_ivf_recall_sweep", "obs_health",
+    # -- new this round: verify while fresh --
+    "dedup_paragraphs", "dedup_winnowing_fingerprints",
+    "ann_cluster_silhouette", "emb_norm_outliers",
+    # -- stalest regression cover (last driver-green in rounds 1-3) --
+    "dedup_simhash_fingerprints", "dedup_exact_keep_first",
+    "dedup_minhash_signatures", "grid_cell_stats", "grid_stats_by_library",
+    "knn_dist_cosine", "knn_dist_euclidean", "knn_dist_manhattan",
+    "knn_flat_cosine_library", "knn_flat_dot_product", "knn_flat_euclidean",
+    "knn_flat_manhattan", "p3_json_filter", "rel_docs_top_by_length",
+    "rel_events_hourly",
 ]
 
 

@@ -352,14 +352,17 @@ def ivf_kmeans_recall_sweep(
         "vec_id", "label", "embedding", _list_id_expr(cents).alias("list_id")
     )
 
-    # derived from the RAW table (the assignment expr would be dead code
-    # here) and lineage-truncated: this tiny frame feeds the pairs join,
-    # the centroid ranking, AND every sweep branch's left join — without
-    # the checkpoint each use replays a full scan
-    queries = (
-        emb.filter(F.col("vec_id").isin(query_ids))
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-        .localCheckpoint(eager=False)
+    # literal frame from the memoized per-vector lookups (knn._QVEC_CACHE
+    # — shared with every other search query touching ids 0..4): feeds
+    # the pairs join, the centroid ranking, AND every sweep branch's
+    # left join with zero scan jobs, where the previous checkpointed
+    # filter-scan paid a materialization job per sweep call
+    from .knn import query_vector_rows
+
+    qvecs = query_vector_rows(spark, sf_dir, query_ids)
+    queries = spark.createDataFrame(
+        [(int(qid), qvecs[qid][0]) for qid in query_ids],
+        "query_id bigint, qv array<double>",
     )
     pairs = (
         assigned.join(F.broadcast(queries))
@@ -1289,4 +1292,119 @@ def semantic_dedup_keep(
             ((F.col("vec_id") == F.col("rep_id")) | (cos < F.lit(threshold)))
             .alias("keep"),
         )
+    )
+
+
+def cluster_silhouette(
+    spark: SparkSession, sf_dir: str, n_lists: int = 7
+) -> DataFrame:
+    """Simplified (centroid) silhouette audit of the IVF coarse
+    quantizer — the standard "is k right for this corpus" check run
+    before trusting an IVF layout: per vector, a = distance to its own
+    centroid (= the argmin distance), b = distance to the second-nearest
+    centroid, s = 1 - a/b in [0, 1] (the medoid-free silhouette of
+    Rousseeuw 1987 computed against centers, which is linear in corpus
+    size — the full pairwise silhouette is quadratic and never runs at
+    100 TB). Reported per inverted list: population and mean silhouette
+    in integer micro-units.
+
+    One codegen'd projection computes ALL center distances per vector
+    (the same array algebra as _list_id_expr), sorts the tiny n_lists
+    array, and aggregates map-side — the corpus is scanned once and
+    never shuffled (the |n_lists|-group aggregate is the only exchange).
+    Exact oracle: oracles_quant.cluster_silhouette_sql replays the
+    canonical Lloyd fit and the same second-smallest algebra. Per-vector
+    s is integer-micro-rounded BEFORE averaging so the group mean is a
+    ratio of exact integers on both engines."""
+    cents = _coarse_centers(spark, sf_dir, n_lists)
+    emb = load(spark, sf_dir, "embeddings")
+    cb = "array(" + ", ".join(
+        "array(" + ", ".join(repr(float(x)) for x in c) + ")" for c in cents
+    ) + ")"
+    darr = (
+        f"transform({cb}, c -> aggregate("
+        f"zip_with(embedding, c, (x, ci) -> (CAST(x AS DOUBLE) - ci) * (CAST(x AS DOUBLE) - ci)), "
+        f"CAST(0.0 AS DOUBLE), (a, x) -> a + x))"
+    )
+    scored = emb.select(
+        "vec_id",
+        _list_id_expr(cents).alias("list_id"),
+        F.expr(f"element_at(array_sort({darr}), 1)").alias("a2"),
+        F.expr(f"element_at(array_sort({darr}), 2)").alias("b2"),
+    )
+    s_us = F.when(
+        F.col("b2") > 0,
+        F.round((F.lit(1.0) - F.sqrt("a2") / F.sqrt("b2")) * F.lit(1e6), 0),
+    ).otherwise(F.lit(0.0)).cast("bigint")
+    return (
+        scored.withColumn("s_us", s_us)
+        .groupBy("list_id")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("s_us"), 0).cast("bigint").alias("avg_sil_us"),
+        )
+        .orderBy("list_id")
+    )
+
+
+def norm_outliers(spark: SparkSession, sf_dir: str, sigmas: float = 3.0) -> DataFrame:
+    """3-sigma embedding-norm outlier screen — the embedding-hygiene
+    pass a training pipeline runs before ANN indexing or contrastive
+    sampling (degenerate near-zero vectors and exploded norms poison
+    both cosine kernels and quantizer fits). Per-vector L2 norms are
+    integer-micro-rounded FIRST, so the mean/stddev arithmetic is over
+    exact integers (sum and sum-of-squares are exact in BIGINT at test
+    scale; at 100 TB the same two partials run in DECIMAL(38)) and the
+    verdict thresholds replay bit-identically in any engine. Everything
+    is one scan + one map-side-combinable aggregate + a broadcast-scalar
+    verdict projection — no shuffle of the embedding table, no window.
+
+    Output per library: population, sub/super-threshold counts, and the
+    global integer-micro bounds used (constant columns, so the verdict
+    is auditable from the result alone)."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm_us = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+        * F.lit(1e6),
+        0,
+    ).cast("bigint")
+    normed = emb.select("vec_id", "label", norm_us.alias("norm_us"))
+    stats = normed.agg(
+        F.count("*").alias("n"),
+        F.sum("norm_us").alias("s1"),
+        F.sum(F.col("norm_us") * F.col("norm_us")).alias("s2"),
+    ).select(
+        (F.col("s1").cast("double") / F.col("n").cast("double")).alias("mean"),
+        F.sqrt(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double")
+                / F.col("n").cast("double")
+            )
+            / F.col("n").cast("double")
+        ).alias("sd"),
+    ).select(
+        F.round(F.col("mean") - F.lit(sigmas) * F.col("sd"), 0)
+        .cast("bigint")
+        .alias("lo_us"),
+        F.round(F.col("mean") + F.lit(sigmas) * F.col("sd"), 0)
+        .cast("bigint")
+        .alias("hi_us"),
+    )
+    return (
+        normed.crossJoin(F.broadcast(stats))
+        .groupBy("label", "lo_us", "hi_us")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum((F.col("norm_us") < F.col("lo_us")).cast("long")).alias("n_low"),
+            F.sum((F.col("norm_us") > F.col("hi_us")).cast("long")).alias("n_high"),
+        )
+        .select("label", "n_vectors", "n_low", "n_high", "lo_us", "hi_us")
+        .orderBy("label")
     )

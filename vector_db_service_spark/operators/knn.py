@@ -84,6 +84,36 @@ def query_vector_row(
     return _QVEC_CACHE[key]
 
 
+def query_vector_rows(
+    spark: SparkSession, sf_dir: str, query_ids: list[int]
+) -> dict[int, tuple[list[float], int]]:
+    """Batch form of query_vector_row: ONE filter-isin scan fills the
+    memo for every missing id (a sweep over 5 query points costs one
+    job, not five), then everything reads from _QVEC_CACHE."""
+    import os
+
+    from ..sources.tables import path_signature
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    sig = path_signature(p)
+    missing = [q for q in query_ids if (*sig, q) not in _QVEC_CACHE]
+    if missing:
+        rows = (
+            load(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id").isin([int(q) for q in missing]))
+            .select("vec_id", "embedding", "label")
+            .collect()
+        )
+        for r in rows:
+            _QVEC_CACHE[(*sig, int(r["vec_id"]))] = (
+                list(r["embedding"]), int(r["label"]),
+            )
+        still = [q for q in missing if (*sig, q) not in _QVEC_CACHE]
+        if still:
+            raise KeyError(f"query vectors not found: {still}")
+    return {q: _QVEC_CACHE[(*sig, q)] for q in query_ids}
+
+
 def score_all(
     emb: DataFrame,
     qvec: Sequence[float],

@@ -116,12 +116,15 @@ def _paeth(a, b, c):
 
 
 def _decode_png(blob: bytes) -> tuple[int, int, int, "object"]:
-    """Pure-Python PNG decode for non-interlaced 8-bit RGB (color type
-    2): chunk walk -> stdlib zlib inflate -> per-scanline unfilter (all
-    five filter types: None/Sub/Up/Average/Paeth). No codec library —
-    DEFLATE is the only compression PNG uses and zlib ships with Python.
-    Other PNG flavors (palette, alpha, 16-bit, interlaced) raise
-    NotImplementedError so the codec gate stays honest."""
+    """Pure-Python PNG decode for non-interlaced 8-bit truecolor RGB
+    (color type 2), grayscale (type 0) and palette (type 3): chunk walk
+    -> stdlib zlib inflate -> per-scanline unfilter (all five filter
+    types: None/Sub/Up/Average/Paeth, generic over bytes-per-pixel) ->
+    channel expansion (gray replicated, palette looked up in PLTE). No
+    codec library — DEFLATE is the only compression PNG uses and zlib
+    ships with Python. Remaining flavors (alpha, 16-bit, sub-byte
+    depths, interlaced) raise NotImplementedError so the codec gate
+    stays honest."""
     import struct
     import zlib
 
@@ -129,13 +132,15 @@ def _decode_png(blob: bytes) -> tuple[int, int, int, "object"]:
 
     if blob[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, idat, ihdr = 8, b"", None
+    pos, idat, ihdr, plte = 8, b"", None, None
     while pos + 8 <= len(blob):
         (ln,), tag = struct.unpack(">I", blob[pos : pos + 4]), blob[pos + 4 : pos + 8]
         data = blob[pos + 8 : pos + 8 + ln]
         pos += 12 + ln  # length + tag + data + crc
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = data
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -143,14 +148,20 @@ def _decode_png(blob: bytes) -> tuple[int, int, int, "object"]:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     width, height, bit_depth, color_type, _comp, _filt, interlace = ihdr
-    if (bit_depth, color_type, interlace) != (8, 2, 0):
+    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 3):
         raise NotImplementedError(
             f"PNG flavor not supported by the pure-Python reader "
             f"(bit_depth={bit_depth}, color_type={color_type}, "
-            f"interlace={interlace}); only 8-bit non-interlaced RGB"
+            f"interlace={interlace}); only 8-bit non-interlaced "
+            f"gray/RGB/palette"
         )
+    if color_type == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing a valid PLTE chunk")
+        palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    bpp = 3 if color_type == 2 else 1  # bytes per pixel pre-expansion
     raw = zlib.decompress(idat)
-    stride = width * 3
+    stride = width * bpp
     if len(raw) != height * (stride + 1):
         raise ValueError(f"bad IDAT payload: {len(raw)} bytes")
     out = np.zeros((height, stride), dtype=np.int64)
@@ -165,24 +176,34 @@ def _decode_png(blob: bytes) -> tuple[int, int, int, "object"]:
             rec = (cur + prev) % 256
         else:
             # Sub/Average/Paeth depend on the reconstructed left pixel —
-            # sequential in x, vectorized over the 3 channels per step
+            # sequential in x, vectorized over the bpp channels per step
             rec = np.zeros(stride, dtype=np.int64)
-            for x in range(0, stride, 3):
-                a = rec[x - 3 : x] if x else np.zeros(3, dtype=np.int64)
-                b = prev[x : x + 3]
+            for x in range(0, stride, bpp):
+                a = rec[x - bpp : x] if x else np.zeros(bpp, dtype=np.int64)
+                b = prev[x : x + bpp]
                 if ft == 1:  # Sub
                     pred = a
                 elif ft == 3:  # Average
                     pred = (a + b) // 2
                 elif ft == 4:  # Paeth
-                    c = prev[x - 3 : x] if x else np.zeros(3, dtype=np.int64)
+                    c = prev[x - bpp : x] if x else np.zeros(bpp, dtype=np.int64)
                     pred = _paeth(a, b, c)
                 else:
                     raise ValueError(f"unknown PNG filter type {ft}")
-                rec[x : x + 3] = (cur[x : x + 3] + pred) % 256
+                rec[x : x + bpp] = (cur[x : x + bpp] + pred) % 256
         out[y] = rec
         prev = rec
-    return width, height, 255, out.astype(np.uint8).reshape(height, width, 3)
+    px = out.astype(np.uint8)
+    if color_type == 2:
+        raster = px.reshape(height, width, 3)
+    elif color_type == 0:
+        raster = np.repeat(px.reshape(height, width, 1), 3, axis=2)
+    else:  # palette lookup
+        idx = px.reshape(height, width)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        raster = palette[idx]
+    return width, height, 255, raster
 
 
 def _encode_png(raster: "object") -> bytes:

@@ -1026,3 +1026,70 @@ SELECT source, lang,
 FROM documents
 GROUP BY source, lang
 """
+
+
+def paragraph_dedup_sql(para_tokens: int = 20) -> str:
+    """Oracle for dedup.paragraph_dedup: same fixed-window paragraphs,
+    same keep-first (min (doc_id, para_idx)) policy, same survivor xor
+    signature."""
+    pt = para_tokens
+    piece = f"array_to_string(toks[para_idx*{pt}+1 : para_idx*{pt}+{pt}], ' ')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+),
+p AS (
+  SELECT doc_id, source, toks,
+         unnest(range(0, GREATEST(CAST(ceil(len(toks) / {pt}.0) AS BIGINT), 1)))
+           AS para_idx
+  FROM t
+),
+paras AS (
+  SELECT doc_id, source, para_idx,
+         md5({piece}) AS h,
+         CAST(concat('0x', substr(md5({piece}), 1, 8)) AS BIGINT) AS h32,
+         doc_id * 1000000 + para_idx AS okey
+  FROM p
+),
+kept AS (SELECT h, min(okey) AS keep_key FROM paras GROUP BY h)
+SELECT source, count(*) AS n_paras,
+       CAST(sum(CASE WHEN okey = keep_key THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_removed,
+       round(CAST(sum(CASE WHEN okey = keep_key THEN 0 ELSE 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS removal_frac,
+       bit_xor(CASE WHEN okey = keep_key THEN h32 END) AS survivor_sig
+FROM paras JOIN kept USING (h)
+GROUP BY source
+"""
+
+
+def winnowing_fingerprints_sql(window: int = 4) -> str:
+    """Oracle for dedup.winnowing_fingerprints: same 3-gram hash
+    sequence, same window-min selection (short docs keep the global
+    min), same cross-doc doc-frequency verdict."""
+    w = window
+    return f"""
+WITH g AS (
+  SELECT doc_id, {SHINGLE_HASHES} AS gh FROM documents
+),
+f AS (
+  SELECT doc_id, CAST(len(gh) AS BIGINT) AS n_grams,
+         list_distinct(
+           CASE WHEN len(gh) >= {w}
+                THEN list_transform(generate_series(1, len(gh) - {w} + 1),
+                                    i -> list_min(gh[i : i + {w} - 1]))
+                ELSE [list_min(gh)] END) AS fps
+  FROM g
+),
+ex AS (SELECT doc_id, n_grams, unnest(fps) AS fp FROM f),
+freq AS (SELECT fp, count(DISTINCT doc_id) AS df FROM ex GROUP BY fp),
+per AS (
+  SELECT e.doc_id, min(e.n_grams) AS n_grams, count(*) AS n_fingerprints,
+         CAST(sum(CASE WHEN q.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+  FROM ex e JOIN freq q USING (fp) GROUP BY e.doc_id
+)
+SELECT doc_id, n_grams, n_fingerprints, n_shared,
+       round(CAST(n_shared AS DOUBLE) / CAST(n_fingerprints AS DOUBLE), 6)
+         AS shared_frac
+FROM per
+"""

@@ -372,3 +372,67 @@ SELECT a.vec_id, a.list_id, r.rep_id,
        (a.vec_id = r.rep_id OR round({cos}, 6) < {threshold!r}) AS keep
 FROM asg a JOIN rep r ON a.list_id = r.list_id
 """
+
+
+def cluster_silhouette_sql(n_lists: int = 7) -> str:
+    """Oracle for ann.cluster_silhouette: canonical-Lloyd fit replay,
+    per-vector nearest / second-nearest center distances via the same
+    (d2, cid) total order, same 1 - sqrt(a)/sqrt(b) micro-unit algebra,
+    same integer-mean aggregation."""
+    d2 = _l2sq("e.embedding", "b.c")
+    return f"""
+WITH {coarse_fit_ctes(n_lists=n_lists)},
+d AS (
+  SELECT e.vec_id, CAST(b.cid AS INTEGER) AS cid, {d2} AS d2
+  FROM embeddings e CROSS JOIN ccb b
+),
+r AS (
+  SELECT vec_id, cid, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM d
+),
+per AS (
+  SELECT a.vec_id, a.cid AS list_id,
+         CASE WHEN b.d2 > 0
+              THEN CAST(round((1.0 - sqrt(a.d2) / sqrt(b.d2)) * 1e6) AS BIGINT)
+              ELSE 0 END AS s_us
+  FROM r a JOIN r b ON b.vec_id = a.vec_id AND a.rn = 1 AND b.rn = 2
+)
+SELECT list_id, count(*) AS n_vectors,
+       CAST(round(avg(s_us)) AS BIGINT) AS avg_sil_us
+FROM per GROUP BY list_id ORDER BY list_id
+"""
+
+
+def norm_outliers_sql(sigmas: float = 3.0) -> str:
+    """Oracle for ann.norm_outliers: same integer-micro norms, same
+    term-for-term mean/sd/bounds arithmetic, same verdict counts."""
+    norm_us = (
+        "CAST(round(sqrt(list_sum(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1e6) AS BIGINT)"
+    )
+    mean = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    sd = (
+        "sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))"
+    )
+    return f"""
+WITH normed AS (
+  SELECT vec_id, label, {norm_us} AS norm_us FROM embeddings
+),
+st AS (
+  SELECT count(*) AS n, sum(norm_us) AS s1, sum(norm_us * norm_us) AS s2
+  FROM normed
+),
+b AS (
+  SELECT CAST(round({mean} - {sigmas!r} * {sd}) AS BIGINT) AS lo_us,
+         CAST(round({mean} + {sigmas!r} * {sd}) AS BIGINT) AS hi_us
+  FROM st
+)
+SELECT label, count(*) AS n_vectors,
+       CAST(sum(CASE WHEN norm_us < lo_us THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(sum(CASE WHEN norm_us > hi_us THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       lo_us, hi_us
+FROM normed, b
+GROUP BY label, lo_us, hi_us ORDER BY label
+"""
