@@ -47,6 +47,9 @@ PROBES = [
     "ann_matryoshka_recall",
     "dedup_substring_spans",
     "dedup_semantic_keep",
+    # round-8: prefix-filtered allpairs — pair output grows with the
+    # injected duplicate structure like the rest of the dedup family
+    "dedup_allpairs_cosine",
 ]
 # lineitem-backed queries only have real data at the source SFs; the
 # synthetic corpus scales documents/embeddings/events 10x and reuses

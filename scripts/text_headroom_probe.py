@@ -40,6 +40,12 @@ PROBES = [
     "text_mixture_weights",
     "text_bpe_merge_pairs",
     "pipeline_quality_resample",
+    # round-8 additions: paragraph keep-first (hash-pair shuffles only),
+    # winnowing selection (one projection + fingerprint-pair shuffle),
+    # zipf audit (map-side-combined vocab aggregate)
+    "dedup_paragraphs",
+    "dedup_winnowing_fingerprints",
+    "text_zipf_audit",
 ]
 
 

@@ -178,3 +178,94 @@ def test_norm_outliers_no_window_no_python(spark):
     plan = _plan(E.QUERIES["emb_norm_outliers"](spark, SF))
     assert "BatchEvalPython" not in plan
     assert "Window" not in plan
+
+
+# --- allpairs cosine -------------------------------------------------------
+
+
+def test_allpairs_prefix_is_proper_subset(spark):
+    # the Bayardo filter must index strictly fewer (doc, shingle) rows
+    # than the full posting table, and the result must carry only pairs
+    # at or above tau = 0.8 in micro units
+    rows = E.QUERIES["dedup_allpairs_cosine"](spark, SF).collect()
+    for r in rows:
+        assert r.doc_id_1 < r.doc_id_2
+        assert 799_999 <= r.cos_us <= 1_000_000
+
+
+def test_allpairs_self_duplicate_found(spark):
+    # two identical documents have cosine exactly 1; a disjoint third
+    # must not pair with them
+    txt = "alpha beta gamma delta epsilon zeta eta theta"
+    out = dedup.allpairs_cosine(
+        _docs(
+            spark,
+            [(1, "a", txt), (2, "a", txt), (3, "b", "q1 q2 q3 q4 q5 q6 q7")],
+        )
+    ).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert (r.doc_id_1, r.doc_id_2) == (1, 2)
+    assert r.cos_us == 1_000_000
+
+
+def test_allpairs_no_python_no_crossjoin(spark):
+    plan = _plan(E.QUERIES["dedup_allpairs_cosine"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# --- lsh tuning curve ------------------------------------------------------
+
+
+def test_tuning_curve_monotone_in_similarity(spark):
+    rows = E.QUERIES["dedup_lsh_tuning_curve"](spark, SF).collect()
+    assert len(rows) == 5 * 19
+    by_split = {}
+    for r in rows:
+        by_split.setdefault((r.bands, r.rows), []).append((r.s_pct, r.p_collide_us))
+    for (b, rr), pts in by_split.items():
+        assert b * rr == 16
+        pts.sort()
+        probs = [p for _, p in pts]
+        # S-curve: collision probability is nondecreasing in similarity
+        assert probs == sorted(probs)
+        assert 0 <= probs[0] and probs[-1] <= 1_000_000
+
+
+def test_tuning_curve_threshold_orders_with_rows(spark):
+    # more rows per band -> higher 50%-collision threshold (stricter)
+    rows = E.QUERIES["dedup_lsh_tuning_curve"](spark, SF).collect()
+    s50 = sorted({(r.rows, r.s50_us) for r in rows})
+    thresholds = [t for _, t in s50]
+    assert thresholds == sorted(thresholds)
+
+
+# --- zipf audit ------------------------------------------------------------
+
+
+def test_zipf_audit_ranks_and_constants(spark):
+    rows = E.QUERIES["text_zipf_audit"](spark, SF).collect()
+    assert rows
+    ranks = sorted(r.rank for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    freqs = [r.freq for r in sorted(rows, key=lambda r: r.rank)]
+    assert freqs == sorted(freqs, reverse=True)
+    assert len({(r.vocab_size, r.total_tokens, r.n_hapax) for r in rows}) == 1
+    for r in rows:
+        assert r.zipf_product == r.freq * r.rank
+        assert 0 < r.share_ppm <= 1_000_000
+
+
+# --- minhash vs exact recall ----------------------------------------------
+
+
+def test_recall_eval_count_invariants(spark):
+    (r,) = E.QUERIES["dedup_minhash_recall_vs_exact"](spark, SF).collect()
+    assert r.n_hits <= min(r.n_truth, r.n_candidates)
+    assert 0 <= r.precision_us <= 1_000_000
+    assert 0 <= r.recall_us <= 1_000_000
+    if r.n_candidates == 0:
+        assert r.precision_us == 0
+    if r.n_truth == 0:
+        assert r.recall_us == 0

@@ -729,6 +729,30 @@ register(
     lambda s, d: dedup.winnowing_fingerprints(load(s, d, "documents")),
     opl.winnowing_fingerprints_sql(),
 )
+register(
+    # Bayardo AllPairs prefix-filtered TF-IDF cosine join; the naive
+    # quadratic oracle proves the prefix pruning lossless at tau=0.5
+    # (new r8)
+    "dedup_allpairs_cosine",
+    lambda s, d: dedup.allpairs_cosine(load(s, d, "documents")),
+    opl.allpairs_cosine_sql(),
+)
+register(
+    # MinHash-LSH S-curve tuning table: collision probability per
+    # (bands, rows) split of the 16 perms over a similarity grid, in
+    # integer micros (new r8)
+    "dedup_lsh_tuning_curve",
+    lambda s, d: dedup.lsh_tuning_curve(s),
+    opl.lsh_tuning_curve_sql(),
+)
+register(
+    # candidate-quality evaluation: banded-jaccard MinHash pipeline
+    # scored against the deterministic AllPairs cosine ground truth —
+    # precision/recall in integer micros (new r8)
+    "dedup_minhash_recall_vs_exact",
+    lambda s, d: dedup.minhash_vs_exact_recall(load(s, d, "documents")),
+    opl.minhash_vs_exact_recall_sql(),
+)
 def _containment_sql(threshold: float = 0.5) -> str:
     band_match = " OR ".join(
         f"a.band{b} = b.band{b}" for b in range(opl.MINHASH_BANDS)
@@ -952,6 +976,14 @@ register(
     "text_unigram_logprob",
     lambda s, d: textops.unigram_logprob(load(s, d, "documents")),
     opl.unigram_logprob_sql(),
+)
+register(
+    # Zipf rank-frequency corpus audit: top-k terms with the integer
+    # zipf product and ppm share, plus vocab/hapax Heaps'-law constants
+    # (new r8)
+    "text_zipf_audit",
+    lambda s, d: textops.zipf_audit(load(s, d, "documents")),
+    opl.zipf_audit_sql(),
 )
 register(
     # content-addressed per-shard dataset card: counts + an
@@ -2404,12 +2436,13 @@ _PRIORITY_50 = [
     # -- new this round: verify while fresh --
     "dedup_paragraphs", "dedup_winnowing_fingerprints",
     "ann_cluster_silhouette", "emb_norm_outliers",
+    "dedup_allpairs_cosine", "dedup_lsh_tuning_curve", "text_zipf_audit",
+    "dedup_minhash_recall_vs_exact",
     # -- stalest regression cover (last driver-green in rounds 1-3) --
     "dedup_simhash_fingerprints", "dedup_exact_keep_first",
     "dedup_minhash_signatures", "grid_cell_stats", "grid_stats_by_library",
-    "knn_dist_cosine", "knn_dist_euclidean", "knn_dist_manhattan",
-    "knn_flat_cosine_library", "knn_flat_dot_product", "knn_flat_euclidean",
-    "knn_flat_manhattan", "p3_json_filter", "rel_docs_top_by_length",
+    "knn_dist_cosine", "knn_dist_euclidean",
+    "knn_flat_cosine_library", "p3_json_filter", "rel_docs_top_by_length",
     "rel_events_hourly",
 ]
 

@@ -833,3 +833,230 @@ def winnowing_fingerprints(docs: DataFrame, window: int = WINNOW_WINDOW) -> Data
             ).alias("shared_frac"),
         )
     )
+
+
+def lsh_tuning_curve(spark: SparkSession) -> DataFrame:
+    """The MinHash-LSH operating-characteristic table the banded join's
+    parameters come from: for every (bands b, rows r) factorization of
+    the NUM_MINHASH=16 permutations, the probability a pair at Jaccard
+    similarity s becomes a candidate is P(s) = 1 - (1 - s^r)^b
+    (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3).
+    Evaluated over a 5%-step similarity grid in integer micros, plus
+    each split's 50%-collision threshold s50 = (1 - (1/2)^(1/b))^(1/r)
+    — the knob that trades recall against candidate volume BEFORE
+    paying for a 100 TB banded join. Pure closed-form math (no corpus
+    scan); registered so the tuning surface itself is under the exact
+    cross-engine gate (pow/round parity).
+
+    Reference parity: the reference tunes its LSH analogically with
+    fixed num_planes heuristics (vector_db/algorithms.py LSH section);
+    this is the principled version for the MinHash family."""
+    splits = [(b, H.NUM_MINHASH // b) for b in (1, 2, 4, 8, 16)]
+    base = spark.createDataFrame(splits, "bands int, rows int")
+    s = F.col("s_pct").cast("double") / F.lit(100.0)
+    p_band = F.pow(s, F.col("rows").cast("double"))
+    p = F.lit(1.0) - F.pow(F.lit(1.0) - p_band, F.col("bands").cast("double"))
+    s50 = F.pow(
+        F.lit(1.0) - F.pow(F.lit(0.5), F.lit(1.0) / F.col("bands").cast("double")),
+        F.lit(1.0) / F.col("rows").cast("double"),
+    )
+    return (
+        base.select(
+            "bands",
+            "rows",
+            F.explode(F.sequence(F.lit(5), F.lit(95), F.lit(5))).alias("s_pct"),
+        )
+        .select(
+            "bands",
+            "rows",
+            "s_pct",
+            F.round(p * 1e6, 0).cast("bigint").alias("p_collide_us"),
+            F.round(s50 * 1e6, 0).cast("bigint").alias("s50_us"),
+        )
+    )
+
+
+def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
+                    tau_den: int = 5) -> DataFrame:
+    """AllPairs prefix-filtered TF-IDF cosine similarity join (Bayardo,
+    Ma, Srikant 2007, "Scaling Up All Pairs Similarity Search") over
+    word-3-gram shingle features — the lexical near-dup primitive
+    between exact-hash and MinHash: find every document pair whose
+    shingle-TF-IDF cosine >= tau = tau_num/tau_den (default 0.8)
+    WITHOUT the all-pairs product and WITHOUT MinHash's probabilistic
+    recall. The prefix filter is lossless: index a document under only
+    its heaviest shingles (the minimal prefix such that the residual
+    tail mass can no longer reach tau on its own), probe with full
+    vectors, and any pair at cosine >= tau must collide on an indexed
+    prefix shingle of its lower-id side — completeness holds by
+    Cauchy-Schwarz on the tail. Shingle (not unigram) features because
+    discrimination is the point: this corpus has a ~31-word vocabulary,
+    so unigram TF-IDF rates half the corpus as similar, while shared
+    rare 3-gram runs isolate true near-dups (same feature convention as
+    the MinHash family).
+
+    Every comparison that decides membership is INTEGER-EXACT on both
+    engines: idf is quantized once to millinats, weights w = tf *
+    idf_mln are bigints, norms and dots are exact integer sums, the
+    prefix boundary is tau_den^2 * tail2 >= tau_num^2 * norm2 (tau
+    squared, cleared of denominators), and the final verdict tau_den^2
+    * dot^2 >= tau_num^2 * norm2_1 * norm2_2 runs in DECIMAL(38,0)
+    (dot^2 can exceed int64; the DuckDB side uses HUGEINT). The
+    reported cosine is the only float and is rounded to integer micros
+    AFTER the verdict. df == n_docs shingles carry idf_mln = 0 and are
+    dropped exactly (they cannot contribute).
+
+    100 TB shape: tf/df/weights are map-side-combined aggregates of the
+    exploded shingle stream (shuffles carry |doc x distinct-shingle|
+    and |shingle-vocab| rows, never text); the prefix is a per-doc
+    window over the weight table (partitioned by doc, never global);
+    candidate generation is an equi-join of the SMALL prefix table
+    against the full posting table on shingle hash (the banded-equi-join
+    shape of the MinHash family, but with a deterministic completeness
+    guarantee); verification joins only candidate pairs. tau is the
+    volume knob: higher tau -> shorter prefixes -> fewer candidates."""
+    from pyspark.sql import Window
+
+    p2, q2 = tau_num * tau_num, tau_den * tau_den
+    # features are 64-bit shingle HASHES, not shingle strings: every
+    # downstream shuffle (tf, df, postings, candidate join, dot join)
+    # then carries (bigint, bigint) rows — text never shuffles, the
+    # dedup-family invariant. Both engines hash with the same
+    # md5-prefix map, so a (vanishingly rare) collision merges the
+    # same two shingles on both sides and parity is unaffected.
+    toks = docs.select(
+        "doc_id", F.explode(H.shingle_hashes("text")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").cast("long").alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    n_docs = docs.select(F.count("*").cast("double").alias("n_docs"))
+    idf = df_.crossJoin(F.broadcast(n_docs)).select(
+        "tok",
+        F.round(F.log(F.col("n_docs") / F.col("df").cast("double")) * 1000, 0)
+        .cast("long")
+        .alias("idf_mln"),
+    )
+    w = (
+        tf.join(idf.filter(F.col("idf_mln") > 0), "tok")
+        .select("doc_id", "tok", (F.col("tf") * F.col("idf_mln")).alias("w"))
+    )
+    # per-doc: norm2 (exact), and the tail mass at-or-after each shingle
+    # in (w desc, tok asc) order; a shingle is in the PREFIX iff the
+    # tail including it could still reach tau
+    by_doc = Window.partitionBy("doc_id")
+    tail_w = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("w").desc(), F.col("tok").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    wn = w.select(
+        "doc_id",
+        "tok",
+        "w",
+        F.sum(F.col("w") * F.col("w")).over(by_doc).alias("norm2"),
+        F.sum(F.col("w") * F.col("w")).over(tail_w).alias("tail2"),
+    ).localCheckpoint(eager=False)
+    prefix = wn.filter(F.lit(q2) * F.col("tail2") >= F.lit(p2) * F.col("norm2"))
+    # candidates: lower-id side indexed by prefix shingles, probed by
+    # the FULL posting list of the higher-id side (completeness needs
+    # only the doc_id_1-side prefix)
+    full = wn.select(
+        F.col("doc_id").alias("doc_id_2"), "tok", F.col("norm2").alias("norm2_2")
+    )
+    cand = (
+        prefix.select(
+            F.col("doc_id").alias("doc_id_1"), "tok", F.col("norm2").alias("norm2_1")
+        )
+        .join(full, "tok")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(
+            F.first("norm2_1").alias("norm2_1"),
+            F.first("norm2_2").alias("norm2_2"),
+        )
+    )
+    # exact verification: dot over the two full weight vectors
+    w1 = wn.select(F.col("doc_id").alias("doc_id_1"), "tok", F.col("w").alias("w_1"))
+    w2 = wn.select(F.col("doc_id").alias("doc_id_2"), "tok", F.col("w").alias("w_2"))
+    dots = (
+        cand.join(w1, "doc_id_1")
+        .join(w2, ["doc_id_2", "tok"])
+        .groupBy("doc_id_1", "doc_id_2", "norm2_1", "norm2_2")
+        .agg(F.sum(F.col("w_1") * F.col("w_2")).cast("long").alias("dot"))
+    )
+    dec = "decimal(38,0)"
+    verdict = (
+        F.lit(q2).cast(dec) * F.col("dot").cast(dec) * F.col("dot").cast(dec)
+        >= F.lit(p2).cast(dec) * F.col("norm2_1").cast(dec) * F.col("norm2_2").cast(dec)
+    ) & (F.col("dot") > 0)
+    return (
+        dots.filter(verdict)
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("norm2_1").cast("double"))
+                   * F.sqrt(F.col("norm2_2").cast("double")))
+                * 1e6,
+                0,
+            )
+            .cast("bigint")
+            .alias("cos_us"),
+        )
+    )
+
+
+def minhash_vs_exact_recall(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """Candidate-quality evaluation of the MinHash-LSH banded join
+    against the DETERMINISTIC lexical ground truth — 'measure, don't
+    guess' applied to the dedup family itself: how much of the exact
+    prefix-filtered AllPairs result (shingle-TF-IDF cosine >= 0.8, the
+    pair set a lossless near-dup pass must produce) does the
+    banded-jaccard candidate pipeline (jaccard >= threshold) actually
+    cover, and at what precision? At 100 TB this is the acceptance
+    check run on a sample shard before trusting a probabilistic dedup
+    configuration corpus-wide; the tuning knob it feeds is
+    lsh_tuning_curve's (bands, rows) table.
+
+    Runs on a DETERMINISTIC 40% sample shard (frozen md5 bucket of
+    doc_id, the train_val_split draw convention) — at 100 TB the
+    acceptance check audits a shard, never the full corpus; both pair
+    pipelines and the ground truth restrict to the same shard, so the
+    measured precision/recall is exact for that shard.
+
+    One row: truth/candidate/hit counts and precision/recall in
+    integer micros (ratios of exact integer counts). Both inputs are
+    bucketed equi-join pipelines; the overlap join is on (id, id)
+    pairs."""
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT) % 10"
+    )
+    shard = docs.filter(bucket < 4)
+    truth = allpairs_cosine(shard).select("doc_id_1", "doc_id_2")
+    cand = minhash_near_dups(shard, threshold).select("doc_id_1", "doc_id_2")
+    hit = truth.join(cand, ["doc_id_1", "doc_id_2"], "left_semi")
+    counts = (
+        truth.agg(F.count("*").cast("long").alias("n_truth"))
+        .crossJoin(cand.agg(F.count("*").cast("long").alias("n_candidates")))
+        .crossJoin(hit.agg(F.count("*").cast("long").alias("n_hits")))
+    )
+    # empty-denominator guard: an empty pair set reports 0, not NaN
+    prec = F.when(
+        F.col("n_candidates") > 0,
+        F.round(F.col("n_hits").cast("double")
+                / F.col("n_candidates").cast("double") * 1e6, 0),
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("n_truth") > 0,
+        F.round(F.col("n_hits").cast("double")
+                / F.col("n_truth").cast("double") * 1e6, 0),
+    ).otherwise(F.lit(0.0))
+    return counts.select(
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        prec.cast("bigint").alias("precision_us"),
+        rec.cast("bigint").alias("recall_us"),
+    )

@@ -965,3 +965,54 @@ def dataset_manifest(docs: DataFrame) -> DataFrame:
             sig.alias("content_sig"),
         )
     )
+
+
+def zipf_audit(docs: DataFrame, top_k: int = 50) -> DataFrame:
+    """Zipf rank-frequency audit of the corpus vocabulary — the
+    corpus-health check a pipeline runs before trusting token-level
+    heuristics (a corpus whose head departs from freq x rank ~ const is
+    usually templated/synthetic/boilerplate-heavy): top-k terms by
+    frequency with the integer-exact Zipf product freq * rank and its
+    parts-per-million share of the token mass, plus constant audit
+    columns (vocab size, total tokens, hapax count — Heaps'-law inputs).
+    All ratios derive from exact integer sums, so the verdict surface is
+    engine-proof.
+
+    Plan: one explode scan -> map-side-combined groupBy(token) (the
+    shuffle carries |vocab| rows, never the token stream); top-k via
+    TakeOrderedAndProject (per-partition heaps, no global sort); rank is
+    a row_number over the k-row result; the corpus-level constants are a
+    second aggregate of the SAME vocab frame, broadcast back as
+    one-row scalars."""
+    from pyspark.sql import Window
+
+    g = docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    vocab = g.groupBy("tok").agg(F.count("*").cast("long").alias("freq"))
+    summary = vocab.agg(
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum("freq").cast("long").alias("total_tokens"),
+        F.sum((F.col("freq") == 1).cast("long")).alias("n_hapax"),
+    )
+    top = vocab.orderBy(F.col("freq").desc(), F.col("tok").asc()).limit(top_k)
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    ranked = top.withColumn("rank", F.row_number().over(w).cast("long"))
+    return (
+        ranked.crossJoin(F.broadcast(summary))
+        .select(
+            "rank",
+            "tok",
+            "freq",
+            (F.col("freq") * F.col("rank")).alias("zipf_product"),
+            F.round(
+                F.col("freq").cast("double")
+                * F.lit(1e6)
+                / F.col("total_tokens").cast("double"),
+                0,
+            )
+            .cast("bigint")
+            .alias("share_ppm"),
+            "vocab_size",
+            "total_tokens",
+            "n_hapax",
+        )
+    )

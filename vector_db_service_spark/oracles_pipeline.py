@@ -1093,3 +1093,129 @@ SELECT doc_id, n_grams, n_fingerprints, n_shared,
          AS shared_frac
 FROM per
 """
+
+
+def lsh_tuning_curve_sql(num_minhash: int = NUM_MINHASH) -> str:
+    """Closed-form S-curve replay of dedup.lsh_tuning_curve: same
+    (bands, rows) factorizations, same 5%-step grid, same
+    integer-micro rounding of pow-based probabilities."""
+    splits = ", ".join(f"({b}, {num_minhash // b})" for b in (1, 2, 4, 8, 16))
+    return f"""
+WITH splits(bands, rows) AS (VALUES {splits}),
+grid AS (SELECT unnest(generate_series(5, 95, 5)) AS s_pct)
+SELECT bands, rows, s_pct,
+       CAST(round((1 - pow(1 - pow(CAST(s_pct AS DOUBLE) / 100.0,
+                                   CAST(rows AS DOUBLE)),
+                           CAST(bands AS DOUBLE))) * 1e6, 0) AS BIGINT)
+         AS p_collide_us,
+       CAST(round(pow(1 - pow(0.5, 1.0 / CAST(bands AS DOUBLE)),
+                      1.0 / CAST(rows AS DOUBLE)) * 1e6, 0) AS BIGINT)
+         AS s50_us
+FROM splits, grid
+"""
+
+
+def zipf_audit_sql(top_k: int = 50) -> str:
+    """Replay of textops.zipf_audit: vocab fit over the same
+    single-space tokenizer, top-k by (freq DESC, tok ASC), integer
+    zipf product, ppm share, corpus constants."""
+    return f"""
+WITH g AS (SELECT unnest({TOKS}) AS tok FROM documents),
+vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM g GROUP BY tok),
+summary AS (
+  SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+         CAST(sum(freq) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM vocab
+),
+top AS (
+  SELECT tok, freq,
+         CAST(row_number() OVER (ORDER BY freq DESC, tok ASC) AS BIGINT) AS rank
+  FROM vocab ORDER BY freq DESC, tok ASC LIMIT {top_k}
+)
+SELECT rank, tok, freq, freq * rank AS zipf_product,
+       CAST(round(CAST(freq AS DOUBLE) * 1e6
+                  / CAST(total_tokens AS DOUBLE), 0) AS BIGINT) AS share_ppm,
+       vocab_size, total_tokens, n_hapax
+FROM top, summary
+"""
+
+
+def allpairs_cosine_sql(tau_num: int = 4, tau_den: int = 5) -> str:
+    """Replay of dedup.allpairs_cosine with the NAIVE quadratic
+    candidate set (every pair sharing ANY positive-idf shingle hash) —
+    equality against the Spark prefix-filtered result proves the
+    Bayardo pruning is lossless at tau = tau_num/tau_den. All verdict
+    arithmetic is integer-exact (idf millinats, bigint weights, HUGEINT
+    for dot^2)."""
+    p2, q2 = tau_num * tau_num, tau_den * tau_den
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({SHINGLE_HASHES}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, tok),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+idf AS (
+  SELECT tok,
+         CAST(round(ln(n_docs / CAST(count(*) AS DOUBLE)) * 1000, 0) AS BIGINT)
+           AS idf_mln
+  FROM tf, n GROUP BY tok, n_docs
+),
+w AS (
+  SELECT f.doc_id, f.tok, f.tf * i.idf_mln AS w
+  FROM tf f JOIN idf i USING (tok) WHERE i.idf_mln > 0
+),
+norms AS (SELECT doc_id, sum(w * w) AS norm2 FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         CAST(sum(a.w * b.w) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d.doc_id_1, d.doc_id_2,
+       CAST(round(CAST(d.dot AS DOUBLE)
+                  / (sqrt(CAST(n1.norm2 AS DOUBLE))
+                     * sqrt(CAST(n2.norm2 AS DOUBLE))) * 1e6, 0) AS BIGINT)
+         AS cos_us
+FROM dots d
+JOIN norms n1 ON n1.doc_id = d.doc_id_1
+JOIN norms n2 ON n2.doc_id = d.doc_id_2
+WHERE d.dot > 0
+  AND {q2} * CAST(d.dot AS HUGEINT) * CAST(d.dot AS HUGEINT)
+      >= {p2} * CAST(n1.norm2 AS HUGEINT) * CAST(n2.norm2 AS HUGEINT)
+"""
+
+
+def minhash_vs_exact_recall_sql(threshold: float = 0.2) -> str:
+    """Replay of dedup.minhash_vs_exact_recall: composes the naive
+    quadratic forms of BOTH pair pipelines as subqueries and counts
+    the overlap; integer counts, micro-unit ratios."""
+    shard = (
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+        " AS BIGINT) % 10 < 4"
+    )
+    truth = allpairs_cosine_sql().strip().replace(
+        "FROM documents", f"FROM (SELECT * FROM documents WHERE {shard})"
+    )
+    cand = minhash_near_dups_sql(threshold).strip().replace(
+        "FROM documents", f"FROM (SELECT * FROM documents WHERE {shard})"
+    )
+    return f"""
+WITH truth AS (SELECT doc_id_1, doc_id_2 FROM ({truth})),
+cand AS (SELECT doc_id_1, doc_id_2 FROM ({cand})),
+hits AS (SELECT * FROM truth INTERSECT SELECT * FROM cand),
+c AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+         (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits
+)
+SELECT n_truth, n_candidates, n_hits,
+       CASE WHEN n_candidates > 0
+            THEN CAST(round(CAST(n_hits AS DOUBLE)
+                            / CAST(n_candidates AS DOUBLE) * 1e6, 0) AS BIGINT)
+            ELSE 0 END AS precision_us,
+       CASE WHEN n_truth > 0
+            THEN CAST(round(CAST(n_hits AS DOUBLE)
+                            / CAST(n_truth AS DOUBLE) * 1e6, 0) AS BIGINT)
+            ELSE 0 END AS recall_us
+FROM c
+"""
