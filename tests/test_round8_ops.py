@@ -269,3 +269,58 @@ def test_recall_eval_count_invariants(spark):
         assert r.precision_us == 0
     if r.n_truth == 0:
         assert r.recall_us == 0
+
+
+# --- heaps curve -----------------------------------------------------------
+
+
+def test_heaps_curve_monotone_and_conserved(spark):
+    rows = sorted(
+        E.QUERIES["text_heaps_curve"](spark, SF).collect(), key=lambda r: r.bucket
+    )
+    assert rows
+    cum_v = [r.cum_vocab for r in rows]
+    cum_t = [r.cum_tokens for r in rows]
+    assert cum_v == sorted(cum_v) and cum_t == sorted(cum_t)
+    # marginal new_tokens sums to the final cumulative vocabulary
+    assert sum(r.new_tokens for r in rows) == cum_v[-1]
+    # vocabulary can never exceed tokens seen
+    for r in rows:
+        assert 0 < r.cum_vocab <= r.cum_tokens
+
+
+def test_heaps_curve_stability_under_repartition(spark):
+    from vector_db_service_spark.operators import textops
+    from vector_db_service_spark.sources.tables import load
+
+    docs = load(spark, SF, "documents")
+    a = sorted(map(tuple, textops.heaps_curve(docs).collect()))
+    b = sorted(map(tuple, textops.heaps_curve(docs.repartition(17)).collect()))
+    assert a == b
+
+
+# --- spectrum audit --------------------------------------------------------
+
+
+def test_spectrum_audit_bounds(spark):
+    (r,) = E.QUERIES["emb_spectrum_audit"](spark, SF).collect()
+    from vector_db_service_spark.sources.tables import load
+
+    d = len(load(spark, SF, "embeddings").select("embedding").first()[0])
+    # participation ratio lives in [1, d]
+    assert 1_000_000 <= r.eff_rank_ppm <= d * 1_000_000
+    assert 0 <= r.top_dim < d
+    # heaviest diagonal holds at least 1/d of the trace
+    assert r.top_dim_share_ppm * d >= 1_000_000
+    assert r.tr_m > 0 and r.n_vectors > 0
+
+
+def test_spectrum_audit_exchange_is_dim_bounded(spark):
+    # the corpus flows through ONE Arrow-batched Gram stage
+    # (MapInPandas — vectorized numpy matmul, not per-row Python), and
+    # the only wide exchange carries the (a, b) partials it emits,
+    # folded map-side by a partial HashAggregate
+    plan = _plan(E.QUERIES["emb_spectrum_audit"](spark, SF))
+    assert "BatchEvalPython" not in plan  # no per-row Python UDFs
+    assert "MapInPandas" in plan
+    assert "HashAggregate" in plan

@@ -986,6 +986,13 @@ register(
     opl.zipf_audit_sql(),
 )
 register(
+    # Heaps'-law vocabulary growth: first-appearance inversion makes
+    # the 10-prefix curve ONE scan + a |vocab| shuffle (new r8)
+    "text_heaps_curve",
+    lambda s, d: textops.heaps_curve(load(s, d, "documents")),
+    opl.heaps_curve_sql(),
+)
+register(
     # content-addressed per-shard dataset card: counts + an
     # order-independent xor content signature per (source, lang)
     "pipeline_dataset_manifest",
@@ -1581,6 +1588,14 @@ register(
     "emb_norm_outliers",
     lambda s, d: ann.norm_outliers(s, d),
     oracles_quant.norm_outliers_sql(),
+)
+register(
+    # participation-ratio effective rank of the embedding second
+    # moment — dimensional-collapse audit; O(d^2) exchange at any
+    # corpus size (new r8)
+    "emb_spectrum_audit",
+    lambda s, d: ann.spectrum_audit(s, d),
+    oracles_quant.spectrum_audit_sql(),
 )
 register(
     "mllib_brp_approx_knn",

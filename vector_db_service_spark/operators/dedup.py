@@ -885,11 +885,13 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
     shingle-TF-IDF cosine >= tau = tau_num/tau_den (default 0.8)
     WITHOUT the all-pairs product and WITHOUT MinHash's probabilistic
     recall. The prefix filter is lossless: index a document under only
-    its heaviest shingles (the minimal prefix such that the residual
-    tail mass can no longer reach tau on its own), probe with full
-    vectors, and any pair at cosine >= tau must collide on an indexed
-    prefix shingle of its lower-id side — completeness holds by
-    Cauchy-Schwarz on the tail. Shingle (not unigram) features because
+    its rarest shingles under a GLOBAL rarest-first feature order (the
+    minimal prefix such that the residual tail mass can no longer
+    reach tau on its own), join prefixes to prefixes, and any pair at
+    cosine >= tau must collide on its first-in-global-order shared
+    feature, which lies in BOTH prefixes — completeness holds by
+    Cauchy-Schwarz on the tail (the PPJoin-family prefix filter:
+    Chaudhuri/Ganti/Kaushik 2006, Vernica/Carey/Li SIGMOD 2010). Shingle (not unigram) features because
     discrimination is the point: this corpus has a ~31-word vocabulary,
     so unigram TF-IDF rates half the corpus as similar, while shared
     rare 3-gram runs isolate true near-dups (same feature convention as
@@ -938,51 +940,112 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
     )
     w = (
         tf.join(idf.filter(F.col("idf_mln") > 0), "tok")
-        .select("doc_id", "tok", (F.col("tf") * F.col("idf_mln")).alias("w"))
+        .select(
+            "doc_id", "tok", "idf_mln",
+            (F.col("tf") * F.col("idf_mln")).alias("w"),
+        )
     )
     # per-doc: norm2 (exact), and the tail mass at-or-after each shingle
-    # in (w desc, tok asc) order; a shingle is in the PREFIX iff the
-    # tail including it could still reach tau
+    # under the GLOBAL rarest-first feature order (idf desc = df asc,
+    # tok asc — the PPJoin/Chaudhuri prefix-filter ordering). A shingle
+    # is in the PREFIX iff the tail including it could still reach tau.
+    # Because the order is global, the FIRST shared feature of any
+    # tau-pair lies in BOTH prefixes, so candidate generation is a
+    # prefix-to-prefix equi-join: common (long-posting-list) shingles
+    # fall outside both prefixes and never fan out. (The earlier
+    # per-doc weight order was only sound for prefix-vs-FULL probing,
+    # whose posting lists made a densified corpus quadratic: 400 s on
+    # the syn10x probe vs 8 s with this order.)
     by_doc = Window.partitionBy("doc_id")
     tail_w = (
         Window.partitionBy("doc_id")
-        .orderBy(F.col("w").desc(), F.col("tok").asc())
+        .orderBy(F.col("idf_mln").desc(), F.col("tok").asc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     wn = w.select(
         "doc_id",
         "tok",
+        "idf_mln",
         "w",
         F.sum(F.col("w") * F.col("w")).over(by_doc).alias("norm2"),
         F.sum(F.col("w") * F.col("w")).over(tail_w).alias("tail2"),
     ).localCheckpoint(eager=False)
     prefix = wn.filter(F.lit(q2) * F.col("tail2") >= F.lit(p2) * F.col("norm2"))
-    # candidates: lower-id side indexed by prefix shingles, probed by
-    # the FULL posting list of the higher-id side (completeness needs
-    # only the doc_id_1-side prefix)
-    full = wn.select(
-        F.col("doc_id").alias("doc_id_2"), "tok", F.col("norm2").alias("norm2_2")
+    # candidates: prefix-to-prefix equi-join on the shingle hash; the
+    # first-in-global-order shared feature argument makes this complete.
+    # The pair aggregation also applies the POSITIONAL suffix filter
+    # (PPJoin's second filter, exact): for the FIRST shared feature t*
+    # (max idf, min hash — the global order), every shared feature of
+    # the pair lies in both suffixes at t*, so by Cauchy-Schwarz
+    # dot^2 <= tail2_1(t*) * tail2_2(t*); a pair whose suffix-mass
+    # product cannot reach tau^2 * norm2_1 * norm2_2 is pruned BEFORE
+    # the dot-verification join ever sees it. On a densified corpus
+    # this is the step that matters: a small closed vocabulary makes
+    # near-every doc pair share SOME prefix feature (20.3M candidate
+    # pairs on the syn10x probe), but false pairs share only common
+    # features — late in the rarest-first order, tiny suffix mass —
+    # so the bound kills them by arithmetic (20.3M -> ~truth-sized)
+    # while the verify join stays reserved for plausible pairs.
+    dec = "decimal(38,0)"
+    left = prefix.select(
+        F.col("doc_id").alias("doc_id_1"), "tok", "idf_mln",
+        F.col("norm2").alias("norm2_1"), F.col("tail2").alias("tail2_1"),
+    )
+    right = prefix.select(
+        F.col("doc_id").alias("doc_id_2"), "tok",
+        F.col("norm2").alias("norm2_2"), F.col("tail2").alias("tail2_2"),
     )
     cand = (
-        prefix.select(
-            F.col("doc_id").alias("doc_id_1"), "tok", F.col("norm2").alias("norm2_1")
-        )
-        .join(full, "tok")
+        left.join(right, "tok")
         .filter(F.col("doc_id_1") < F.col("doc_id_2"))
         .groupBy("doc_id_1", "doc_id_2")
         .agg(
             F.first("norm2_1").alias("norm2_1"),
             F.first("norm2_2").alias("norm2_2"),
+            F.max_by(
+                F.struct(
+                    F.col("tail2_1").alias("t1"), F.col("tail2_2").alias("t2")
+                ),
+                F.struct(F.col("idf_mln"), (-F.col("tok")).alias("nt")),
+            ).alias("fst"),
         )
+        .filter(
+            F.lit(q2).cast(dec)
+            * F.col("fst.t1").cast(dec) * F.col("fst.t2").cast(dec)
+            >= F.lit(p2).cast(dec)
+            * F.col("norm2_1").cast(dec) * F.col("norm2_2").cast(dec)
+        )
+        .drop("fst")
     )
-    # exact verification: dot over the two full weight vectors
-    w1 = wn.select(F.col("doc_id").alias("doc_id_1"), "tok", F.col("w").alias("w_1"))
-    w2 = wn.select(F.col("doc_id").alias("doc_id_2"), "tok", F.col("w").alias("w_2"))
+    # exact verification: per-doc feature MAPS, one map-side zip-merge
+    # dot per surviving pair. The naive verify (candidates exploded
+    # against both posting tables and re-aggregated) shuffles
+    # |candidates| x |features-per-doc| rows — ~500M on the syn10x
+    # probe; attaching the two bounded maps keeps the shuffle at
+    # |candidates| rows and the O(features) merge inside codegen.
+    vecs = wn.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("tok", "w"))).alias("vec")
+    )
     dots = (
-        cand.join(w1, "doc_id_1")
-        .join(w2, ["doc_id_2", "tok"])
-        .groupBy("doc_id_1", "doc_id_2", "norm2_1", "norm2_2")
-        .agg(F.sum(F.col("w_1") * F.col("w_2")).cast("long").alias("dot"))
+        cand.join(
+            vecs.select(F.col("doc_id").alias("doc_id_1"), F.col("vec").alias("v1")),
+            "doc_id_1",
+        )
+        .join(
+            vecs.select(F.col("doc_id").alias("doc_id_2"), F.col("vec").alias("v2")),
+            "doc_id_2",
+        )
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            "norm2_1",
+            "norm2_2",
+            F.expr(
+                "aggregate(map_entries(v1), CAST(0 AS BIGINT), "
+                "(acc, e) -> acc + e.value * coalesce(try_element_at(v2, e.key), "
+                "CAST(0 AS BIGINT)))"
+            ).alias("dot"),
+        )
     )
     dec = "decimal(38,0)"
     verdict = (

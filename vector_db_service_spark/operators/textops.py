@@ -1016,3 +1016,60 @@ def zipf_audit(docs: DataFrame, top_k: int = 50) -> DataFrame:
             "n_hapax",
         )
     )
+
+
+def heaps_curve(docs: DataFrame, buckets: int = 10) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve in ONE corpus scan: how many
+    NEW distinct tokens each additional tenth of the corpus contributes
+    (corpus order = frozen md5 buckets of doc_id, the train_val_split
+    draw, so the curve is stable under any physical partitioning). A
+    healthy natural corpus grows vocabulary ~ n^beta with beta in
+    [0.4, 0.6]; a flat curve means a closed vocabulary (templated or
+    synthetic text), an ever-linear curve means noise/IDs — either way
+    the audit changes how much dedup/filtering the corpus needs BEFORE
+    a 100 TB run pays for it.
+
+    The naive form scans the corpus once per prefix (10 scans,
+    distinct-counting each); this form inverts it: each token's FIRST
+    bucket of appearance is a map-side-combinable min, the per-bucket
+    counts of first appearances are the marginal vocabulary, and the
+    cumulative curve is a running sum over the 10-row aggregate. One
+    explode scan, one |vocab|-row shuffle, a 10-row window."""
+    from pyspark.sql import Window
+
+    bucket = (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT)"
+        )
+        % F.lit(buckets)
+    )
+    toks = docs.select(
+        bucket.alias("bucket"), F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    first_seen = toks.groupBy("tok").agg(
+        F.min("bucket").cast("long").alias("first_bucket")
+    )
+    marginal = first_seen.groupBy("first_bucket").agg(
+        F.count("*").cast("long").alias("new_tokens")
+    )
+    per_bucket_tokens = toks.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket_tokens.join(
+            marginal.withColumnRenamed("first_bucket", "bucket"), "bucket", "left"
+        )
+        .select(
+            "bucket",
+            "n_tokens",
+            F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"),
+        )
+        .select(
+            "bucket",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.sum("new_tokens").over(w).cast("long").alias("cum_vocab"),
+            "new_tokens",
+        )
+    )

@@ -1219,3 +1219,38 @@ SELECT n_truth, n_candidates, n_hits,
             ELSE 0 END AS recall_us
 FROM c
 """
+
+
+def heaps_curve_sql(buckets: int = 10) -> str:
+    """Replay of textops.heaps_curve: same md5 bucket draw, same
+    first-appearance inversion, same cumulative sums."""
+    bucket = (
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+        f" AS BIGINT) % {buckets}"
+    )
+    return f"""
+WITH toks AS (
+  SELECT {bucket} AS bucket, unnest({TOKS}) AS tok FROM documents
+),
+first_seen AS (
+  SELECT tok, CAST(min(bucket) AS BIGINT) AS first_bucket
+  FROM toks GROUP BY tok
+),
+marginal AS (
+  SELECT first_bucket AS bucket, CAST(count(*) AS BIGINT) AS new_tokens
+  FROM first_seen GROUP BY first_bucket
+),
+per_bucket AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY bucket
+)
+SELECT p.bucket,
+       CAST(sum(p.n_tokens) OVER (ORDER BY p.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens,
+       CAST(sum(coalesce(m.new_tokens, 0)) OVER (ORDER BY p.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_vocab,
+       CAST(coalesce(m.new_tokens, 0) AS BIGINT) AS new_tokens
+FROM per_bucket p LEFT JOIN marginal m ON m.bucket = p.bucket
+"""

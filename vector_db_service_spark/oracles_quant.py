@@ -436,3 +436,45 @@ SELECT label, count(*) AS n_vectors,
 FROM normed, b
 GROUP BY label, lo_us, hi_us ORDER BY label
 """
+
+
+def spectrum_audit_sql() -> str:
+    """Replay of ann.spectrum_audit: same integer-micro quantization,
+    same upper-triangle second-moment sums (BIGINT), same
+    HUGEINT trace-of-M-squared with doubled off-diagonals, same final
+    double ratios of exact integers."""
+    return """
+WITH x AS (
+  SELECT list_transform(embedding,
+                        v -> CAST(round(CAST(v AS DOUBLE) * 1e6, 0) AS BIGINT))
+           AS xs
+  FROM embeddings
+),
+expanded AS (
+  SELECT ta.a AS a, tb.b AS b, xs[ta.a + 1] * xs[tb.b + 1] AS p
+  FROM x,
+       unnest(generate_series(0, len(xs) - 1)) AS ta(a),
+       unnest(generate_series(ta.a, len(xs) - 1)) AS tb(b)
+),
+m AS (
+  SELECT a, b, CAST(sum(p) AS BIGINT) AS m FROM expanded GROUP BY a, b
+),
+traces AS (
+  SELECT CAST(sum(CASE WHEN a = b THEN m END) AS BIGINT) AS tr_m,
+         sum(CASE WHEN a = b THEN CAST(m AS HUGEINT) * m
+                  ELSE 2 * CAST(m AS HUGEINT) * m END) AS tr_m2
+  FROM m
+),
+top AS (
+  SELECT a AS top_dim, m AS top_m FROM m WHERE a = b
+  ORDER BY m DESC, a ASC LIMIT 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings)
+SELECT n_vectors, tr_m,
+       CAST(round(CAST(tr_m AS DOUBLE) * CAST(tr_m AS DOUBLE)
+                  / CAST(tr_m2 AS DOUBLE) * 1e6, 0) AS BIGINT) AS eff_rank_ppm,
+       top_dim,
+       CAST(round(CAST(top_m AS DOUBLE) / CAST(tr_m AS DOUBLE) * 1e6, 0)
+            AS BIGINT) AS top_dim_share_ppm
+FROM n, traces, top
+"""
