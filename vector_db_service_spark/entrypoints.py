@@ -2452,13 +2452,12 @@ _PRIORITY_50 = [
     "dedup_paragraphs", "dedup_winnowing_fingerprints",
     "ann_cluster_silhouette", "emb_norm_outliers",
     "dedup_allpairs_cosine", "dedup_lsh_tuning_curve", "text_zipf_audit",
-    "dedup_minhash_recall_vs_exact",
+    "dedup_minhash_recall_vs_exact", "text_heaps_curve", "emb_spectrum_audit",
     # -- stalest regression cover (last driver-green in rounds 1-3) --
     "dedup_simhash_fingerprints", "dedup_exact_keep_first",
     "dedup_minhash_signatures", "grid_cell_stats", "grid_stats_by_library",
-    "knn_dist_cosine", "knn_dist_euclidean",
-    "knn_flat_cosine_library", "p3_json_filter", "rel_docs_top_by_length",
-    "rel_events_hourly",
+    "knn_dist_cosine",
+    "knn_flat_cosine_library", "p3_json_filter", "rel_events_hourly",
 ]
 
 
