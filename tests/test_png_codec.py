@@ -55,18 +55,19 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
 
-def _scanlines(px: np.ndarray, filters: list[int]) -> bytes:
+def _scanlines(px: np.ndarray, filters: list[int], bpp: int = 1) -> bytes:
     """Filter the (h, stride) byte matrix with the given per-row filter
-    types (independent reimplementation of the spec, 1-byte-per-pixel
-    flavors only, so the reader is tested against the math rather than
-    against its own encoder)."""
+    types (independent reimplementation of the spec, generic over
+    bytes-per-pixel, so the reader is tested against the math rather
+    than against its own encoder)."""
     h, stride = px.shape
     raw = bytearray()
+    zeros = np.zeros(bpp, dtype=np.int64)
     prev = np.zeros(stride, dtype=np.int64)
     for y in range(h):
         row = px[y].astype(np.int64)
-        left = np.concatenate([[0], row[:-1]])
-        upleft = np.concatenate([[0], prev[:-1]])
+        left = np.concatenate([zeros, row[:-bpp]])
+        upleft = np.concatenate([zeros, prev[:-bpp]])
         ft = filters[y % len(filters)]
         if ft == 0:
             filt = row
@@ -135,12 +136,45 @@ def test_palette_index_out_of_range_raises():
 def test_unsupported_png_flavor_raises():
     import struct
 
-    # RGBA (color type 6) and 16-bit depth stay honestly gated
-    for bit_depth, color_type in ((8, 6), (16, 2), (8, 4)):
-        ihdr = struct.pack(">IIBBBBB", 2, 2, bit_depth, color_type, 0, 0, 0)
+    # 16-bit depth and interlaced stay honestly gated
+    for bit_depth, color_type, interlace in ((16, 2, 0), (8, 2, 1)):
+        ihdr = struct.pack(
+            ">IIBBBBB", 2, 2, bit_depth, color_type, 0, 0, interlace
+        )
         blob = mm._PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
         with pytest.raises(NotImplementedError):
             mm.decode_image(blob)
+
+
+def test_rgba_png_drops_alpha():
+    import struct
+    import zlib
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(9, 5, 4), dtype=np.uint8)
+    raw = _scanlines(px.reshape(9, 20), [0, 1, 2, 3, 4], bpp=4)
+    ihdr = struct.pack(">IIBBBBB", 5, 9, 8, 6, 0, 0, 0)
+    blob = (mm._PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    w, h, maxv, out = mm._decode_png(blob)
+    assert (w, h, maxv) == (5, 9, 255)
+    assert out.tobytes() == px[:, :, :3].tobytes()
+
+
+def test_gray_alpha_png_replicates_and_drops_alpha():
+    import struct
+    import zlib
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(7, 4, 2), dtype=np.uint8)
+    raw = _scanlines(px.reshape(7, 8), [4, 3, 2, 1, 0], bpp=2)
+    ihdr = struct.pack(">IIBBBBB", 4, 7, 8, 4, 0, 0, 0)
+    blob = (mm._PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    w, h, maxv, out = mm._decode_png(blob)
+    assert (w, h, maxv) == (4, 7, 255)
+    expect = np.repeat(px[:, :, :1], 3, axis=2)
+    assert out.tobytes() == expect.tobytes()
 
 
 def test_truncated_idat_raises():

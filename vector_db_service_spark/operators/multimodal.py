@@ -117,14 +117,14 @@ def _paeth(a, b, c):
 
 def _decode_png(blob: bytes) -> tuple[int, int, int, "object"]:
     """Pure-Python PNG decode for non-interlaced 8-bit truecolor RGB
-    (color type 2), grayscale (type 0) and palette (type 3): chunk walk
-    -> stdlib zlib inflate -> per-scanline unfilter (all five filter
-    types: None/Sub/Up/Average/Paeth, generic over bytes-per-pixel) ->
-    channel expansion (gray replicated, palette looked up in PLTE). No
-    codec library — DEFLATE is the only compression PNG uses and zlib
-    ships with Python. Remaining flavors (alpha, 16-bit, sub-byte
-    depths, interlaced) raise NotImplementedError so the codec gate
-    stays honest."""
+    (color type 2), grayscale (0), palette (3), gray+alpha (4) and RGBA
+    (6): chunk walk -> stdlib zlib inflate -> per-scanline unfilter
+    (all five filter types: None/Sub/Up/Average/Paeth, generic over
+    bytes-per-pixel) -> channel normalization to RGB (gray replicated,
+    palette looked up in PLTE, alpha dropped). No codec library —
+    DEFLATE is the only compression PNG uses and zlib ships with
+    Python. Remaining flavors (16-bit, sub-byte depths, interlaced)
+    raise NotImplementedError so the codec gate stays honest."""
     import struct
     import zlib
 
@@ -148,18 +148,19 @@ def _decode_png(blob: bytes) -> tuple[int, int, int, "object"]:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     width, height, bit_depth, color_type, _comp, _filt, interlace = ihdr
-    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 3):
+    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 3, 4, 6):
         raise NotImplementedError(
             f"PNG flavor not supported by the pure-Python reader "
             f"(bit_depth={bit_depth}, color_type={color_type}, "
             f"interlace={interlace}); only 8-bit non-interlaced "
-            f"gray/RGB/palette"
+            f"gray/RGB/palette/gray+alpha/RGBA"
         )
     if color_type == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG missing a valid PLTE chunk")
         palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-    bpp = 3 if color_type == 2 else 1  # bytes per pixel pre-expansion
+    # bytes per pixel pre-expansion (gray 1, gray+alpha 2, RGB 3, RGBA 4)
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     raw = zlib.decompress(idat)
     stride = width * bpp
     if len(raw) != height * (stride + 1):
@@ -196,8 +197,12 @@ def _decode_png(blob: bytes) -> tuple[int, int, int, "object"]:
     px = out.astype(np.uint8)
     if color_type == 2:
         raster = px.reshape(height, width, 3)
+    elif color_type == 6:  # RGBA: color channels, alpha dropped
+        raster = px.reshape(height, width, 4)[:, :, :3]
     elif color_type == 0:
         raster = np.repeat(px.reshape(height, width, 1), 3, axis=2)
+    elif color_type == 4:  # gray+alpha: gray replicated, alpha dropped
+        raster = np.repeat(px.reshape(height, width, 2)[:, :, :1], 3, axis=2)
     else:  # palette lookup
         idx = px.reshape(height, width)
         if int(idx.max(initial=0)) >= len(palette):
