@@ -63,6 +63,7 @@ def main() -> None:
         ("dedup_simhash_fingerprints", sf_dir),
         ("dedup_minhash_signatures", sf_dir),
         ("dedup_substring_spans", sf_dir),
+        ("dedup_embedding_pairs", sf_dir),
         ("mm_blob_features", "/root/testdata/sf0.001"),
     ):
         try:
