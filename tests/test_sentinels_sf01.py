@@ -41,6 +41,12 @@ SENTINELS = (
     "dedup_substring_spans",
     "dedup_semantic_keep",
     "stream_quality_resample",
+    # round-8 flagships: lossless AllPairs join, paragraph keep-first,
+    # winnowing fingerprints, spectrum audit
+    "dedup_allpairs_cosine",
+    "dedup_paragraphs",
+    "dedup_winnowing_fingerprints",
+    "emb_spectrum_audit",
 )
 
 pytestmark = pytest.mark.skipif(
