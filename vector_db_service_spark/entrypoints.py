@@ -688,7 +688,9 @@ register(
     # path); the oracle is the 10-round plain propagation, equal
     # whenever component diameter <= 10 (equality with the plain
     # variant is pinned in tests)
-    # the component labeling is memoized per corpus (eager checkpoint)
+    # the component labeling is materialized ONCE per corpus to a temp
+    # parquet (NOT a checkpoint — block-manager cleanup between timed
+    # queries evicted cached checkpoints; see near_dup_labels_cached)
     # and SHARED with dedup_keep_canonical — one graph pass, two readers
     "dedup_components",
     lambda s, d: dedup.near_dup_components_fast(
@@ -730,9 +732,9 @@ register(
     opl.winnowing_fingerprints_sql(),
 )
 register(
-    # Bayardo AllPairs prefix-filtered TF-IDF cosine join; the naive
-    # quadratic oracle proves the prefix pruning lossless at tau=0.5
-    # (new r8)
+    # Bayardo AllPairs prefix-filtered TF-IDF cosine join over shingle
+    # hashes; the naive quadratic oracle proves the prefix + positional
+    # pruning lossless at the registered tau = 4/5 = 0.8 (new r8)
     "dedup_allpairs_cosine",
     lambda s, d: dedup.allpairs_cosine(load(s, d, "documents")),
     opl.allpairs_cosine_sql(),
@@ -1531,7 +1533,11 @@ register(
     # EXACT oracle since r8: the seed-42 kmeans|| fit is bit-stable for
     # the single-split test corpora, so the fitted centers replay as
     # pinned literals (mllib_index.IVF_KMEANS_CENTERS_SF001) and
-    # assignment/routing reuse the ivfpq oracle's argmin algebra
+    # assignment/routing reuse the ivfpq oracle's argmin algebra.
+    # PRECONDITION: the oracle is valid on the sf0.01 corpus ONLY (the
+    # driver's gate scale) — any other corpus refits live on the Spark
+    # side and mismatches by construction; local runs go through
+    # test_oracle_parity._PINNED_SF
     "mllib_ivf_kmeans_topk",
     lambda s, d: ann.ivf_kmeans_topk(s, d, query_id=0, k=10, n_lists=7, nprobe=4),
     mllib_index.ivf_kmeans_topk_sql(query_id=0, k=10, nprobe=4),
@@ -2425,8 +2431,8 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # the 10 queries whose plans or hash surfaces changed THIS round (the
 # integer micro-unit PQ/MLlib family, fused mm_decode, shared-label
 # dedup, sharded contrastive ring, cached obs_health, batched recall
-# sweep), and the 19 stalest earlier rows (last driver-verified in
-# rounds 1-3) as regression cover. Everything displaced stays green
+# sweep), ALL TEN round-8 additions, and the 9 stalest earlier rows
+# (last driver-verified in rounds 1-3) as regression cover. Everything displaced stays green
 # under tests/test_oracle_parity.py, which runs the identical compare
 # over ALL registered oracles.
 _PRIORITY_50 = [

@@ -508,19 +508,29 @@ def _lloyd_canonical(X, k_eff: int, iters: int):
     return centers
 
 
+def _center_d2_sql(centers: list, vec_sql: str = "embedding") -> str:
+    """Squared-L2 distances from `vec_sql` to every center, as ONE SQL
+    array expression. This fold is the cross-engine parity-critical
+    surface (element order must mirror the DuckDB oracle's list_sum
+    replay), so every consumer — list assignment, PQ encoding,
+    semantic-keep representatives, the silhouette audit — builds it
+    HERE rather than hand-maintaining copies."""
+    cb = "array(" + ", ".join(
+        "array(" + ", ".join(repr(float(x)) for x in c) + ")" for c in centers
+    ) + ")"
+    return (
+        f"transform({cb}, c -> aggregate("
+        f"zip_with({vec_sql}, c, (x, ci) -> (CAST(x AS DOUBLE) - ci) * (CAST(x AS DOUBLE) - ci)), "
+        f"CAST(0.0 AS DOUBLE), (a, x) -> a + x))"
+    )
+
+
 def _list_id_expr(centers: list) -> F.Column:
     """Distributed IVF list assignment: argmin over the center array of
     squared L2 — ONE whole-stage-codegen'd projection (same SQL-string
     technique as _pq_code_exprs; ties break to the lowest list id via
     array_position-of-min)."""
-    cb = "array(" + ", ".join(
-        "array(" + ", ".join(repr(float(x)) for x in c) + ")" for c in centers
-    ) + ")"
-    darr = (
-        f"transform({cb}, c -> aggregate("
-        f"zip_with(embedding, c, (x, ci) -> (CAST(x AS DOUBLE) - ci) * (CAST(x AS DOUBLE) - ci)), "
-        f"CAST(0.0 AS DOUBLE), (a, x) -> a + x))"
-    )
+    darr = _center_d2_sql(centers)
     return F.expr(
         f"CAST(element_at(transform(array({darr}), "
         f"d -> array_position(d, array_min(d)) - 1), 1) AS INT)"
@@ -611,15 +621,7 @@ def _pq_code_exprs(codebooks: list, sub_dim: int) -> tuple[list, list]:
     err_terms = []
     for s, centers in enumerate(codebooks):
         lo = s * sub_dim + 1  # slice is 1-based
-        cb = "array(" + ", ".join(
-            "array(" + ", ".join(repr(float(x)) for x in c) + ")" for c in centers
-        ) + ")"
-        darr = (
-            f"transform({cb}, c -> aggregate("
-            f"zip_with(slice(embedding, {lo}, {sub_dim}), c, "
-            f"(x, ci) -> (CAST(x AS DOUBLE) - ci) * (CAST(x AS DOUBLE) - ci)), "
-            f"CAST(0.0 AS DOUBLE), (a, x) -> a + x))"
-        )
+        darr = _center_d2_sql(centers, f"slice(embedding, {lo}, {sub_dim})")
         codes_cols.append(F.expr(
             f"CAST(element_at(transform(array({darr}), "
             f"d -> array_position(d, array_min(d)) - 1), 1) AS INT)"
@@ -1251,14 +1253,7 @@ def semantic_dedup_keep(
     cluster stays bounded — no quadratic within-cluster stage.
     """
     cents = _coarse_centers(spark, sf_dir, n_lists)
-    cb = "array(" + ", ".join(
-        "array(" + ", ".join(repr(float(x)) for x in c) + ")" for c in cents
-    ) + ")"
-    darr = (
-        f"transform({cb}, c -> aggregate("
-        f"zip_with(embedding, c, (x, ci) -> (CAST(x AS DOUBLE) - ci) * (CAST(x AS DOUBLE) - ci)), "
-        f"CAST(0.0 AS DOUBLE), (a, x) -> a + x))"
-    )
+    darr = _center_d2_sql(cents)
     # let-bound distance array: list_id = unrounded argmin (ties to the
     # lowest id, = _list_id_expr), d2r = 6dp-rounded min for the
     # cross-engine-safe representative order
@@ -1318,14 +1313,7 @@ def cluster_silhouette(
     ratio of exact integers on both engines."""
     cents = _coarse_centers(spark, sf_dir, n_lists)
     emb = load(spark, sf_dir, "embeddings")
-    cb = "array(" + ", ".join(
-        "array(" + ", ".join(repr(float(x)) for x in c) + ")" for c in cents
-    ) + ")"
-    darr = (
-        f"transform({cb}, c -> aggregate("
-        f"zip_with(embedding, c, (x, ci) -> (CAST(x AS DOUBLE) - ci) * (CAST(x AS DOUBLE) - ci)), "
-        f"CAST(0.0 AS DOUBLE), (a, x) -> a + x))"
-    )
+    darr = _center_d2_sql(cents)
     scored = emb.select(
         "vec_id",
         _list_id_expr(cents).alias("list_id"),

@@ -1109,8 +1109,19 @@ def minhash_vs_exact_recall(docs: DataFrame, threshold: float = 0.2) -> DataFram
         " AS BIGINT) % 10"
     )
     shard = docs.filter(bucket < 4)
-    truth = allpairs_cosine(shard).select("doc_id_1", "doc_id_2")
-    cand = minhash_near_dups(shard, threshold).select("doc_id_1", "doc_id_2")
+    # lineage-cut both pair sets: each feeds its own count AND the hit
+    # join — without the cut the full AllPairs / banded-MinHash
+    # pipelines execute once per consumer
+    truth = (
+        allpairs_cosine(shard)
+        .select("doc_id_1", "doc_id_2")
+        .localCheckpoint(eager=False)
+    )
+    cand = (
+        minhash_near_dups(shard, threshold)
+        .select("doc_id_1", "doc_id_2")
+        .localCheckpoint(eager=False)
+    )
     hit = truth.join(cand, ["doc_id_1", "doc_id_2"], "left_semi")
     counts = (
         truth.agg(F.count("*").cast("long").alias("n_truth"))

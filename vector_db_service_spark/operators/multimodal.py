@@ -517,6 +517,23 @@ def png_image_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_make, schema)
 
 
+def _append_decode_row(rows: dict, doc_id: int, blob: bytes) -> None:
+    """Decode one blob and append the DECODE_SCHEMA row — the single
+    definition of the decode output contract (rounding, exact-integer
+    checksum, column set) shared by the fused synthesize+decode path
+    and the composable blob-decode path."""
+    w, h, maxval, px = decode_image(blob)
+    flat = px.astype("float64")
+    rows["doc_id"].append(int(doc_id))
+    rows["width"].append(w)
+    rows["height"].append(h)
+    rows["maxval"].append(maxval)
+    rows["mean_r"].append(float(flat[:, :, 0].mean()))
+    rows["mean_g"].append(float(flat[:, :, 1].mean()))
+    rows["mean_b"].append(float(flat[:, :, 2].mean()))
+    rows["checksum"].append(int(flat.sum()))
+
+
 def _synth_decode_batches(encode) -> "object":
     """Fused synthesize+decode generator: ONE mapInPandas pass builds
     each blob and immediately decodes it in the same Python worker —
@@ -530,16 +547,7 @@ def _synth_decode_batches(encode) -> "object":
         for pdf in batches:
             rows = {c: [] for c in cols}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                w, h, maxval, px = decode_image(encode(text))
-                flat = px.astype("float64")
-                rows["doc_id"].append(int(doc_id))
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["maxval"].append(maxval)
-                rows["mean_r"].append(float(flat[:, :, 0].mean()))
-                rows["mean_g"].append(float(flat[:, :, 1].mean()))
-                rows["mean_b"].append(float(flat[:, :, 2].mean()))
-                rows["checksum"].append(int(flat.sum()))
+                _append_decode_row(rows, doc_id, encode(text))
             yield pd.DataFrame(rows, columns=cols)
 
     return gen
@@ -589,16 +597,7 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = {c: [] for c in cols}
         for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-            w, h, maxval, px = decode_image(bytes(blob))
-            flat = px.astype("float64")
-            rows["doc_id"].append(int(doc_id))
-            rows["width"].append(w)
-            rows["height"].append(h)
-            rows["maxval"].append(maxval)
-            rows["mean_r"].append(float(flat[:, :, 0].mean()))
-            rows["mean_g"].append(float(flat[:, :, 1].mean()))
-            rows["mean_b"].append(float(flat[:, :, 2].mean()))
-            rows["checksum"].append(int(flat.sum()))
+            _append_decode_row(rows, doc_id, bytes(blob))
         yield pd.DataFrame(rows, columns=cols)
 
 
