@@ -43,8 +43,15 @@ def test_every_query_has_callable():
 def test_oracle_parity(spark, con, name):
     sf = _PINNED_SF.get(name, SF)
     if sf != SF:
-        if not os.path.isdir(sf):
-            pytest.skip(f"pinned corpus {sf} absent")
+        # FAIL, not skip: the pinned oracle stays registered whether or
+        # not its corpus is present, so a silent skip would leave it
+        # unverified with no signal — any consumer running the registry
+        # at another SF would then hit an unexplained mismatch.
+        assert os.path.isdir(sf), (
+            f"{name}: pinned corpus {sf} is ABSENT but its corpus-scoped "
+            "oracle is still registered; restore the corpus or unregister "
+            "the pinned oracle (mllib_index.IVF_KMEANS_CENTERS_SF001)"
+        )
         pinned_con = duckdb_con(sf)
         try:
             sdf = QUERIES[name](spark, sf)

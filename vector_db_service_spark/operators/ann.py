@@ -1341,9 +1341,10 @@ def norm_outliers(spark: SparkSession, sf_dir: str, sigmas: float = 3.0) -> Data
     sampling (degenerate near-zero vectors and exploded norms poison
     both cosine kernels and quantizer fits). Per-vector L2 norms are
     integer-micro-rounded FIRST, so the mean/stddev arithmetic is over
-    exact integers (sum and sum-of-squares are exact in BIGINT at test
-    scale; at 100 TB the same two partials run in DECIMAL(38)) and the
-    verdict thresholds replay bit-identically in any engine. Everything
+    exact integers (sum and sum-of-squares accumulate in DECIMAL(38,0)
+    — exact to ~1e26 rows, where a BIGINT s2 would wrap silently past
+    ~9.2e6 unit-norm rows) and the verdict thresholds replay
+    bit-identically in any engine. Everything
     is one scan + one map-side-combinable aggregate + a broadcast-scalar
     verdict projection — no shuffle of the embedding table, no window.
 
@@ -1363,10 +1364,16 @@ def norm_outliers(spark: SparkSession, sf_dir: str, sigmas: float = 3.0) -> Data
         0,
     ).cast("bigint")
     normed = emb.select("vec_id", "label", norm_us.alias("norm_us"))
+    # DECIMAL(38,0) partials, exactly as documented: a BIGINT s2 wraps
+    # silently past ~9.2e6 unit-norm rows (norm_us^2 ~ 1e12 each); the
+    # decimal accumulation is exact to 1e38 (~1e26 rows) and mirrors
+    # the DuckDB oracle's HUGEINT sum. (19,0) casts keep the per-term
+    # square representable in (38,0).
+    _d19 = "decimal(19,0)"
     stats = normed.agg(
         F.count("*").alias("n"),
-        F.sum("norm_us").alias("s1"),
-        F.sum(F.col("norm_us") * F.col("norm_us")).alias("s2"),
+        F.sum(F.col("norm_us").cast(_d19)).alias("s1"),
+        F.sum(F.col("norm_us").cast(_d19) * F.col("norm_us").cast(_d19)).alias("s2"),
     ).select(
         (F.col("s1").cast("double") / F.col("n").cast("double")).alias("mean"),
         F.sqrt(
@@ -1398,17 +1405,19 @@ def norm_outliers(spark: SparkSession, sf_dir: str, sigmas: float = 3.0) -> Data
     )
 
 
-def spectrum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def spectrum_audit(spark: SparkSession, sf_dir: str,
+                   _m2_safe: int | None = None) -> DataFrame:
     """Embedding-spectrum collapse audit via the participation ratio
     R_eff = (tr M)^2 / tr(M^2) of the uncentered second-moment matrix
     M = X^T X — the standard effective-rank measure for detecting
     dimensional collapse in an embedding table (R_eff ~ d: isotropic,
     healthy; R_eff ~ 1: all vectors on a line — cosine kernels and
     quantizers both degrade) without any eigendecomposition. Exact and
-    engine-proof: components quantize once to integer micros, every
-    M_ab is an exact BIGINT sum, the two traces accumulate in
-    DECIMAL(38)/HUGEINT, and the only floats are the final ratios of
-    exact integers.
+    engine-proof: components quantize once to integer micros; every
+    M_ab and both traces accumulate in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) with a loud raise_error() guard past the exact
+    domain (a BIGINT fold would wrap silently at ~9.2e6 rows); the
+    only floats are the final ratios of exact integers.
 
     One corpus scan: each Arrow batch contributes one exact-int64
     numpy Gram matrix (q.T @ q), emitted as its d(d+1)/2 upper-triangle
@@ -1446,18 +1455,45 @@ def spectrum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = emb.select("embedding").mapInPandas(
         _gram_partials, "a int, b int, p long"
     )
-    m = pairs.groupBy("a", "b").agg(F.sum("p").cast("long").alias("m"))
+    # M_ab accumulates in DECIMAL(38,0), as the docstring promises: a
+    # BIGINT fold of the batch partials wraps silently once n_rows *
+    # 1e12 passes 2^63 (~9.2e6 rows). |M_ab| <= sqrt(M_aa * M_bb) <=
+    # tr(M), so one guard on tr_m <= M2_SAFE = isqrt((1e38-1)/2) makes
+    # every 2*m^2 term of tr(M^2) representable in (38,0); a corpus
+    # beyond the domain (or any overflow, surfacing as NULL) raises
+    # loudly instead of skip-nulling terms into a wrong trace.
+    import math as _math
+
     dec = "decimal(38,0)"
+    m = pairs.groupBy("a", "b").agg(F.sum(F.col("p").cast(dec)).alias("m"))
+    # injectable so tests can shrink the domain and prove the loud path
+    if _m2_safe is None:
+        _m2_safe = _math.isqrt((10**38 - 1) // 2)
+    _tr_err = (
+        "spectrum_audit: tr(M) exceeds the exact-trace domain "
+        f"(NULL or > {_m2_safe}); decimal(38,0) squares would overflow — "
+        "shard the corpus or rescale the micro quantization"
+    )
+    _tr2_err = (
+        "spectrum_audit: tr(M^2) overflowed decimal(38,0); shard the "
+        "corpus or rescale the micro quantization"
+    )
     traces = m.agg(
-        F.sum(F.when(F.col("a") == F.col("b"), F.col("m"))).cast("long").alias("tr_m"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("m"))).alias("tr_m_dec"),
         F.sum(
             F.when(
                 F.col("a") == F.col("b"),
-                F.col("m").cast(dec) * F.col("m").cast(dec),
-            ).otherwise(
-                F.lit(2).cast(dec) * F.col("m").cast(dec) * F.col("m").cast(dec)
-            )
+                F.col("m") * F.col("m"),
+            ).otherwise(F.lit(2).cast(dec) * F.col("m") * F.col("m"))
         ).alias("tr_m2"),
+    ).select(
+        F.when(
+            F.col("tr_m_dec").isNull()
+            | (F.col("tr_m_dec") > F.lit(str(_m2_safe)).cast(dec)),
+            F.raise_error(_tr_err),
+        ).otherwise(F.col("tr_m_dec").cast("long")).alias("tr_m"),
+        F.when(F.col("tr_m2").isNull(), F.raise_error(_tr2_err))
+        .otherwise(F.col("tr_m2")).alias("tr_m2"),
     )
     top = (
         m.filter(F.col("a") == F.col("b"))

@@ -889,7 +889,9 @@ def lsh_tuning_curve(spark: SparkSession) -> DataFrame:
 
 
 def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
-                    tau_den: int = 5) -> DataFrame:
+                    tau_den: int = 5,
+                    _w_safe: int | None = None,
+                    _norm_safe: int | None = None) -> DataFrame:
     """AllPairs prefix-filtered TF-IDF cosine similarity join (Bayardo,
     Ma, Srikant 2007, "Scaling Up All Pairs Similarity Search") over
     word-3-gram shingle features — the lexical near-dup primitive
@@ -911,14 +913,29 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
 
     Every comparison that decides membership is INTEGER-EXACT on both
     engines: idf is quantized once to millinats, weights w = tf *
-    idf_mln are bigints, norms and dots are exact integer sums, the
-    prefix boundary is tau_den^2 * tail2 >= tau_num^2 * norm2 (tau
-    squared, cleared of denominators), and the final verdict tau_den^2
-    * dot^2 >= tau_num^2 * norm2_1 * norm2_2 runs in DECIMAL(38,0)
-    (dot^2 can exceed int64; the DuckDB side uses HUGEINT). The
-    reported cosine is the only float and is rounded to integer micros
-    AFTER the verdict. df == n_docs shingles carry idf_mln = 0 and are
-    dropped exactly (they cannot contribute).
+    idf_mln and the norm/tail window sums are accumulated in
+    DECIMAL(38,0) (exact — a bigint accumulation could wrap silently
+    on heavy-tailed corpora), the prefix boundary is tau_den^2 * tail2
+    >= tau_num^2 * norm2 (tau squared, cleared of denominators), and
+    the final verdict tau_den^2 * dot^2 >= tau_num^2 * norm2_1 *
+    norm2_2 runs in DECIMAL(38,0) (dot^2 can exceed int64; the DuckDB
+    side uses HUGEINT). The reported cosine is the only float and is
+    rounded to integer micros AFTER the verdict. df == n_docs shingles
+    carry idf_mln = 0 and are dropped exactly (they cannot contribute).
+
+    EXACTNESS-DOMAIN GUARD: decimal(38,0) triple products (q2 * tail2_1
+    * tail2_2 and q2 * dot^2 vs p2 * norm2_1 * norm2_2) are only exact
+    while every norm2 <= isqrt((10^38 - 1) / max(p2, q2)) (~2e18 at
+    tau = 0.8) — beyond that, non-ANSI Spark would NULL the overflowed
+    multiply and the filter would silently DROP the pair, breaking the
+    lossless guarantee exactly at scale. Per-doc norms are therefore
+    computed exactly in decimal and raise_error()d past the bound (and
+    on any upstream decimal overflow, which surfaces as NULL), so an
+    out-of-domain corpus fails LOUDLY instead of losing pairs; all
+    downstream bigint arithmetic (w <= sqrt(norm2), dot <=
+    sqrt(norm2_1 * norm2_2), positive partial sums) is then provably
+    wrap-free by Cauchy-Schwarz. The DuckDB oracle's HUGEINT holds
+    ~1.7e38, so the oracle stays exact over the full guarded domain.
 
     100 TB shape: tf/df/weights are map-side-combined aggregates of the
     exploded shingle stream (shuffles carry |doc x distinct-shingle|
@@ -950,11 +967,16 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
         .cast("long")
         .alias("idf_mln"),
     )
+    # weights in DECIMAL(38,0): (19,0) x (19,0) cannot overflow 38
+    # digits, so w is exact for any bigint tf/idf pair; the window sums
+    # below stay decimal-exact to 1e38 and the guard after them bounds
+    # everything that flows back into bigint arithmetic.
+    d19 = "decimal(19,0)"
     w = (
         tf.join(idf.filter(F.col("idf_mln") > 0), "tok")
         .select(
             "doc_id", "tok", "idf_mln",
-            (F.col("tf") * F.col("idf_mln")).alias("w"),
+            (F.col("tf").cast(d19) * F.col("idf_mln").cast(d19)).alias("w"),
         )
     )
     # per-doc: norm2 (exact), and the tail mass at-or-after each shingle
@@ -974,15 +996,74 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
         .orderBy(F.col("idf_mln").desc(), F.col("tok").asc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    wn = w.select(
-        "doc_id",
-        "tok",
-        "idf_mln",
+    # --- exactness-domain guards (see docstring) -----------------------
+    # W_SAFE: a per-term bound so w*w is representable in decimal(38,0);
+    # WITHOUT it an overflowed square becomes a NULL term that sum()
+    # SKIPS — a silently-too-small norm, worse than a loud failure.
+    # NORM_SAFE: the largest norm2 for which every downstream decimal
+    # triple product provably fits 38 digits and every bigint cast /
+    # dot partial sum is wrap-free.
+    import math as _math
+
+    dec = "decimal(38,0)"
+    # the _w_safe/_norm_safe knobs exist so tests can shrink the domain
+    # and prove the loud-failure path end-to-end without a 1e18 corpus
+    W_SAFE = _w_safe if _w_safe is not None else 10**18
+    NORM_SAFE = (
+        _norm_safe if _norm_safe is not None
+        else _math.isqrt((10**38 - 1) // max(p2, q2))
+    )
+    _w_err = (
+        "allpairs_cosine: tf*idf weight exceeds the exact-verdict domain "
+        f"(w > {W_SAFE}); rescale idf quantization before rerunning"
+    )
+    _n_err = (
+        "allpairs_cosine: document norm exceeds the exact-verdict domain "
+        f"(norm2 NULL or > {NORM_SAFE}); decimal(38,0) products would "
+        "overflow and silently drop pairs — shard or rescale the corpus"
+    )
+    w = w.withColumn(
         "w",
-        F.sum(F.col("w") * F.col("w")).over(by_doc).alias("norm2"),
-        F.sum(F.col("w") * F.col("w")).over(tail_w).alias("tail2"),
-    ).localCheckpoint(eager=False)
-    prefix = wn.filter(F.lit(q2) * F.col("tail2") >= F.lit(p2) * F.col("norm2"))
+        F.when(
+            F.col("w") > F.lit(str(W_SAFE)).cast(dec), F.raise_error(_w_err)
+        ).otherwise(F.col("w")),
+    )
+    norm2_dec = F.sum(F.col("w") * F.col("w")).over(by_doc)
+    tail2_dec = F.sum(F.col("w") * F.col("w")).over(tail_w)
+    _norm_guard = F.when(
+        F.col("norm2_dec").isNull()
+        | (F.col("norm2_dec") > F.lit(str(NORM_SAFE)).cast(dec)),
+        F.raise_error(_n_err),
+    )
+    wn = (
+        w.select(
+            "doc_id",
+            "tok",
+            "idf_mln",
+            "w",
+            norm2_dec.alias("norm2_dec"),
+            tail2_dec.alias("tail2_dec"),
+        )
+        # past the guard every value is <= NORM_SAFE < 2^63, so the
+        # bigint casts are exact and the fast codegen'd long arithmetic
+        # below is wrap-free (w <= sqrt(norm2), tail2 <= norm2, dot <=
+        # sqrt(norm2_1 * norm2_2), positive partial sums)
+        .select(
+            "doc_id",
+            "tok",
+            "idf_mln",
+            F.col("w").cast("long").alias("w"),
+            _norm_guard.otherwise(F.col("norm2_dec").cast("long")).alias("norm2"),
+            F.col("tail2_dec").cast("long").alias("tail2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # decimal, not long: q2 * tail2 can reach ~q2 * NORM_SAFE (> 2^63)
+    # inside the guarded domain — a long multiply would wrap silently
+    prefix = wn.filter(
+        F.lit(q2).cast(dec) * F.col("tail2").cast(dec)
+        >= F.lit(p2).cast(dec) * F.col("norm2").cast(dec)
+    )
     # candidates: prefix-to-prefix equi-join on the shingle hash; the
     # first-in-global-order shared feature argument makes this complete.
     # The pair aggregation also applies the POSITIONAL suffix filter

@@ -99,9 +99,15 @@ MINHASH_RAND_COEFFICIENTS: list[tuple[int, int]] = [
     (592164477, 1482678032),
 ]
 
+# One default shared by the operator AND its oracle builder: they once
+# diverged (0.8 vs 0.5), which guaranteed a confusing mismatch for any
+# caller comparing default-to-default even though the registered pair
+# pinned both explicitly.
+MINHASH_JOIN_THRESHOLD: float = 0.5
+
 
 def minhash_jaccard_join(spark: SparkSession, sf_dir: str,
-                         threshold: float = 0.8,
+                         threshold: float = MINHASH_JOIN_THRESHOLD,
                          num_features: int = MINHASH_NUM_FEATURES) -> DataFrame:
     """MLlib MinHashLSH near-duplicate join over binary shingle-feature
     vectors: pairs with Jaccard DISTANCE below `threshold`. The
@@ -163,7 +169,7 @@ def minhash_jaccard_join(spark: SparkSession, sf_dir: str,
     )
 
 
-def minhash_jaccard_join_sql(threshold: float = 0.5,
+def minhash_jaccard_join_sql(threshold: float = MINHASH_JOIN_THRESHOLD,
                              num_features: int = MINHASH_NUM_FEATURES) -> str:
     """DuckDB mirror of minhash_jaccard_join: same md5 feature indices,
     same pinned (a, b) coefficients, same Long-arithmetic minhash, same

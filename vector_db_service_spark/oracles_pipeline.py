@@ -70,12 +70,17 @@ def _band_exprs() -> list[str]:
     ]
 
 
-def _sig_cte() -> str:
+def _sig_cte(source: str = "documents") -> str:
+    """`source` is the relation the signatures scan — "documents" by
+    default, or a parenthesized subquery when a composed oracle needs a
+    sharded view (threaded as a PARAMETER, never post-hoc string
+    replacement of the generated SQL, which silently broke the moment
+    any alias/comment/CTE contained the substring)."""
     mh = ", ".join(f"{e} AS mh{i}" for i, e in enumerate(_minhash_cols()))
     bands = ", ".join(f"{e} AS band{b}" for b, e in enumerate(_band_exprs()))
     return f"""
 base_t AS (SELECT doc_id, {SHINGLE_HASHES} AS base,
-                  list_distinct({SHINGLES}) AS sh FROM documents),
+                  list_distinct({SHINGLES}) AS sh FROM {source}),
 sigs AS (SELECT doc_id, sh, {mh} FROM base_t),
 banded AS (SELECT doc_id, sh, {bands} FROM sigs)
 """
@@ -89,10 +94,11 @@ SELECT doc_id, {mh4} FROM base_t
 """
 
 
-def minhash_near_dups_sql(threshold: float = 0.2) -> str:
+def minhash_near_dups_sql(threshold: float = 0.2,
+                          source: str = "documents") -> str:
     band_match = " OR ".join(f"a.band{b} = b.band{b}" for b in range(MINHASH_BANDS))
     return f"""
-WITH {_sig_cte()},
+WITH {_sig_cte(source)},
 pairs AS (
   SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -1141,19 +1147,21 @@ FROM top, summary
 """
 
 
-def allpairs_cosine_sql(tau_num: int = 4, tau_den: int = 5) -> str:
+def allpairs_cosine_sql(tau_num: int = 4, tau_den: int = 5,
+                        source: str = "documents") -> str:
     """Replay of dedup.allpairs_cosine with the NAIVE quadratic
     candidate set (every pair sharing ANY positive-idf shingle hash) —
     equality against the Spark prefix-filtered result proves the
     Bayardo pruning is lossless at tau = tau_num/tau_den. All verdict
     arithmetic is integer-exact (idf millinats, bigint weights, HUGEINT
-    for dot^2)."""
+    for dot^2). `source` lets composed oracles scan a sharded view — a
+    real parameter, not post-hoc string surgery on the generated SQL."""
     p2, q2 = tau_num * tau_num, tau_den * tau_den
     return f"""
-WITH toks AS (SELECT doc_id, unnest({SHINGLE_HASHES}) AS tok FROM documents),
+WITH toks AS (SELECT doc_id, unnest({SHINGLE_HASHES}) AS tok FROM {source}),
 tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
        FROM toks GROUP BY doc_id, tok),
-n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM {source}),
 idf AS (
   SELECT tok,
          CAST(round(ln(n_docs / CAST(count(*) AS DOUBLE)) * 1000, 0) AS BIGINT)
@@ -1193,12 +1201,9 @@ def minhash_vs_exact_recall_sql(threshold: float = 0.2) -> str:
         "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
         " AS BIGINT) % 10 < 4"
     )
-    truth = allpairs_cosine_sql().strip().replace(
-        "FROM documents", f"FROM (SELECT * FROM documents WHERE {shard})"
-    )
-    cand = minhash_near_dups_sql(threshold).strip().replace(
-        "FROM documents", f"FROM (SELECT * FROM documents WHERE {shard})"
-    )
+    sharded = f"(SELECT * FROM documents WHERE {shard})"
+    truth = allpairs_cosine_sql(source=sharded).strip()
+    cand = minhash_near_dups_sql(threshold, source=sharded).strip()
     return f"""
 WITH truth AS (SELECT doc_id_1, doc_id_2 FROM ({truth})),
 cand AS (SELECT doc_id_1, doc_id_2 FROM ({cand})),
