@@ -32,9 +32,17 @@ def main() -> None:
     spark = get_spark("vdbs-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers once so per-query numbers measure
-    # execution, not first-touch JIT/IO setup
-    entrypoints.flagship(spark, sf_dir).count()
+    # warm the JVM + parquet footers/pages once so per-query numbers
+    # measure execution, not first-touch IO setup. Plain per-table
+    # counts only: no TIMED QUERY is ever pre-run on the timed data
+    # (a query pre-run would JIT its exact codegen paths against its
+    # own inputs and shade the harness — round-8 review finding).
+    for _t in ("documents", "embeddings", "events", "orders", "lineitem",
+               "customer", "supplier", "part", "nation", "region"):
+        try:
+            spark.read.parquet(os.path.join(sf_dir, f"{_t}.parquet")).count()
+        except Exception:
+            pass
     # pre-build the stored indexes (build-once is index lifecycle, not
     # query cost): the i11_* probes then time the warm read path —
     # partition-pruned stored-row read + broadcast re-rank
@@ -46,28 +54,97 @@ def main() -> None:
     # streaming listener threads, micro-batch planner) on the SMALLEST
     # dataset so the first timed stream_* query measures steady-state
     # execution, not first-touch engine init (~5-8 s observed)
-    try:
-        from vector_db_service_spark.streaming import pipeline as _sp
+    if sf_dir.rstrip("/") != "/root/testdata/sf0.001":
+        try:
+            from vector_db_service_spark.streaming import pipeline as _sp
 
-        _sp.windowed_event_counts(spark, "/root/testdata/sf0.001").count()
+            _sp.windowed_event_counts(spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass
+    # warm the heavyweight interpreted-HOF expression families (simhash /
+    # minhash / rolling-hash / embedding-dot folds are Catalyst-
+    # interpreted, and the JVM only JITs those paths after enough row
+    # volume — the first full-scale run would otherwise pay ~2.5 s of
+    # interpreter cost billed to whichever dedup query runs first) on a
+    # SYNTHETIC deterministic corpus, never on any timed (query, sf_dir)
+    # pair: warming a timed query on its own timed data shades the
+    # harness (round-8 review finding). Row volume, not data identity,
+    # is what carries the interpreter across the JIT threshold.
+    try:
+        from pyspark.sql import functions as F
+
+        from vector_db_service_spark.functions import hashing as H
+
+        # token volume matched to (and exceeding) the timed corpora: the
+        # interpreter JITs per-evaluation, so rows x tokens is the knob
+        _syn_n = 6000
+        _syn = spark.range(_syn_n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.substring(
+                        F.md5(F.concat(F.col("id").cast("string"), F.lit(str(i)))),
+                        1, 8,
+                    )
+                    for i in range(50)
+                ],
+            ).alias("text"),
+        ).localCheckpoint()
+        for _ in range(2):
+            _syn.select(
+                H.simhash("text").alias("x")
+            ).select(
+                "x", H.hamming(F.col("x"), F.col("x") + 1).alias("hd"),
+                H.simhash_blocks(F.col("x")).alias("blk"),
+            ).write.mode("overwrite").format("noop").save()
+            _syn.select(
+                H.minhash_bands("text").alias("b"),
+                F.array_distinct(H.shingles("text")).alias("s"),
+            ).write.mode("overwrite").format("noop").save()
+            _syn.select(
+                F.explode(H.shingle_hashes("text")).alias("t")
+            ).write.mode("overwrite").format("noop").save()
+        # embedding kernels: the SAME library expression trees the knn /
+        # embedding-pair queries run (zip_with+aggregate dot, norm,
+        # euclidean/manhattan folds, hyperplane band keys and the
+        # first-collision predicate), over synthetic vectors
+        from vector_db_service_spark.functions import similarity as sim
+        from vector_db_service_spark.operators.lsh import (
+            N_SIGN_BANDS, SEED, band_keys, first_collision, hyperplanes,
+        )
+
+        _planes = hyperplanes(64, N_SIGN_BANDS * 2, SEED)
+        _emb = spark.range(6000).select(
+            F.expr(
+                "transform(sequence(1, 64), i -> "
+                "cast(pmod(id * i, 97) as float) / 97.0f)"
+            ).alias("v"),
+            F.expr(
+                "transform(sequence(1, 64), i -> "
+                "cast(pmod(id * i + 13, 89) as float) / 89.0f)"
+            ).alias("w"),
+        ).localCheckpoint()
+        for _ in range(2):
+            _emb.select(
+                sim.dot(F.col("v"), F.col("w")).alias("d"),
+                sim.norm(F.col("v")).alias("n"),
+                sim.euclidean_distance(F.col("v"), F.col("w")).alias("e"),
+                sim.manhattan_distance(F.col("v"), F.col("w")).alias("m"),
+                band_keys(F.col("v"), _planes, 2).alias("b"),
+            ).select(
+                "d", "n", "e", "m", "b",
+                first_collision(F.col("b"), F.col("b"), N_SIGN_BANDS).alias("fc"),
+            ).write.mode("overwrite").format("noop").save()
     except Exception:
         pass
-    # warm the heavyweight interpreted-HOF expression families (simhash /
-    # minhash folds are Catalyst-interpreted, and the JVM only JITs those
-    # paths after enough invocations — small-SF warmups measurably do NOT
-    # cross the threshold, so the first full-scale run would pay ~2.5 s
-    # of interpreter cost billed to whichever dedup query runs first) and
-    # the Python-worker/Arrow spawn for the first mapInPandas query.
-    # Same steady-state rationale as the pre-built stored indexes above.
-    for _warm, _wsf in (
-        ("dedup_simhash_fingerprints", sf_dir),
-        ("dedup_minhash_signatures", sf_dir),
-        ("dedup_substring_spans", sf_dir),
-        ("dedup_embedding_pairs", sf_dir),
-        ("mm_blob_features", "/root/testdata/sf0.001"),
-    ):
+    # Python-worker/Arrow spawn for the first mapInPandas query: warmed
+    # at the SMALLEST sf, and only when that is not the timed sf
+    if sf_dir.rstrip("/") != "/root/testdata/sf0.001":
         try:
-            entrypoints.QUERIES[_warm](spark, _wsf).count()
+            entrypoints.QUERIES["mm_blob_features"](
+                spark, "/root/testdata/sf0.001"
+            ).count()
         except Exception:
             pass
 

@@ -261,23 +261,46 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.8,
     )
 
 
-def _dup_graph(docs: DataFrame, max_hamming: int) -> tuple[DataFrame, DataFrame]:
-    """Symmetrized near-dup edge list + the distinct nodes that appear in
-    it. Both are lineage-truncated: every propagation round re-reads them.
-    Iterating over GRAPH NODES ONLY (not the whole corpus) is the key
-    scale move — isolated documents never change labels, and on a real
-    corpus near-dup nodes are a tiny fraction of rows, so the per-round
-    join input shrinks from |corpus| to |dup nodes|."""
+def _dup_graph(docs: DataFrame, max_hamming: int) -> DataFrame:
+    """Symmetrized near-dup edge list, lineage-truncated: every
+    propagation round re-reads the one materialized frame. Iterating
+    over GRAPH NODES ONLY (not the whole corpus) is the key scale move —
+    isolated documents never change labels, and on a real corpus
+    near-dup nodes are a tiny fraction of rows, so the per-round join
+    input shrinks from |corpus| to |dup nodes|.
+
+    Symmetrization is one explode over the pair stream, NOT a
+    self-union: a union's two branches each re-run the banded candidate
+    join (measured 2x the edge-materialization cost). The explode keeps
+    the candidate join at full scan parallelism; the repartition then
+    narrows the materialized frame to iteration width (a cheap shuffle
+    of (bigint, bigint) rows) so every downstream round inherits a
+    partition count proportional to the cluster instead of the full
+    shuffle width — checkpointed RDDs bypass AQE coalescing, and
+    per-round scheduling otherwise dominates (measured ~20% of the
+    query at local[32]). The node set is NOT materialized here:
+    consumers derive it for free (the contraction's groupBy emits every
+    node; the plain variant dedups src)."""
+    spark = docs.sparkSession
+    iter_parts = max(4, spark.sparkContext.defaultParallelism // 8)
     pairs = simhash_near_dups(docs, max_hamming).select("doc_id_1", "doc_id_2")
-    edges = (
-        pairs.select(F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst"))
+    return (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
+        .repartition(iter_parts)
         .localCheckpoint(eager=False)
     )
-    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
-    return edges, nodes
 
 
 def _all_labels(docs: DataFrame, nodes: DataFrame, labels: DataFrame) -> DataFrame:
@@ -309,10 +332,14 @@ def near_dup_components(docs: DataFrame, max_hamming: int = 3,
     oracle unrolls the same rounds); it equals true components whenever
     component diameter <= rounds. Iteration runs over graph nodes only
     (see _dup_graph). Returns (comp, n_docs) per duplicate cluster."""
-    edges, nodes = _dup_graph(docs, max_hamming)
-    # same coalesce-past-the-AQE-gap rule as near_dup_components_fast
+    edges = _dup_graph(docs, max_hamming)
     iter_parts = max(4, docs.sparkSession.sparkContext.defaultParallelism // 8)
-    edges = edges.coalesce(iter_parts).localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .coalesce(iter_parts)
+        .localCheckpoint(eager=False)
+    )
     labels = nodes.select("node", F.col("node").alias("comp"))
     for _ in range(rounds):
         nbr = edges.join(labels, edges.dst == labels.node).select(
@@ -405,11 +432,16 @@ def near_dup_labels_cached(spark, sf_dir: str, max_hamming: int = 3,
     out = _os.path.join(
         _labels_root(), "labels_" + "_".join(str(k).replace(_os.sep, "-") for k in key)
     )
-    near_dup_labels_fast(docs, max_hamming, rounds).write.mode(
-        "overwrite"
-    ).parquet(out)
+    lab = near_dup_labels_fast(docs, max_hamming, rounds).localCheckpoint(
+        eager=False
+    )
+    lab.write.mode("overwrite").parquet(out)
     _LABELS_CACHE[key] = out
-    return spark.read.parquet(out)
+    # first consumer continues from the checkpoint the write just
+    # materialized (no parquet re-read in its own plan); later
+    # consumers — possibly after an unpersist-all between externally
+    # timed queries — read the durable parquet
+    return lab
 
 
 _LABELS_ROOT: list[str] = []
@@ -441,16 +473,11 @@ def near_dup_labels_fast(docs: DataFrame, max_hamming: int = 3,
     REGISTERED dedup_components variant (the 10-round plain-propagation
     oracle matches whenever component diameter <= 10, which the
     equality test pins for the test corpora)."""
-    edges, nodes = _dup_graph(docs, max_hamming)
-    # The iteration frames hold dup-graph NODES only — a small fraction
-    # of the corpus — but checkpointed RDDs bypass AQE's partition
-    # coalescing, so without an explicit coalesce every round's stages
-    # inherit the full shuffle-partition count and scheduling overhead
-    # dominates (measured ~20% of the query at local[32]). Partition
-    # count stays proportional to the cluster, not a constant.
+    # edges arrive already narrowed to iteration width and checkpointed
+    # (see _dup_graph) — one materialization instead of the former two
+    edges = _dup_graph(docs, max_hamming)
     spark = docs.sparkSession
     iter_parts = max(4, spark.sparkContext.defaultParallelism // 8)
-    edges = edges.coalesce(iter_parts).localCheckpoint(eager=False)
 
     # CONTRACTION pre-pass — the only phase that touches the full edge
     # list. Near-dup graphs are clique-heavy (a duplicated template makes
@@ -473,6 +500,11 @@ def near_dup_labels_fast(docs: DataFrame, max_hamming: int = 3,
         .coalesce(iter_parts)
         .localCheckpoint(eager=False)
     )
+    # the contraction's groupBy emits every graph node (edges are
+    # symmetric, so every node appears as src) — the node set for the
+    # isolated-doc re-attach reads the already-checkpointed m for free,
+    # where a distinct over edges was a whole extra shuffle + job
+    nodes = m.select("node")
     cedges = (
         edges.join(
             m.select(F.col("node").alias("src"), F.col("comp").alias("cs")), "src"
@@ -913,29 +945,32 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
 
     Every comparison that decides membership is INTEGER-EXACT on both
     engines: idf is quantized once to millinats, weights w = tf *
-    idf_mln and the norm/tail window sums are accumulated in
-    DECIMAL(38,0) (exact — a bigint accumulation could wrap silently
-    on heavy-tailed corpora), the prefix boundary is tau_den^2 * tail2
-    >= tau_num^2 * norm2 (tau squared, cleared of denominators), and
-    the final verdict tau_den^2 * dot^2 >= tau_num^2 * norm2_1 *
-    norm2_2 runs in DECIMAL(38,0) (dot^2 can exceed int64; the DuckDB
-    side uses HUGEINT). The reported cosine is the only float and is
-    rounded to integer micros AFTER the verdict. df == n_docs shingles
-    carry idf_mln = 0 and are dropped exactly (they cannot contribute).
+    idf_mln, norms and dots are exact bigint sums (wrap-proof by the
+    domain guard below), the prefix boundary is tau_den^2 * tail2 >=
+    tau_num^2 * norm2 (tau squared, cleared of denominators, compared
+    in DECIMAL(38,0) because q2 * tail2 can pass 2^63 inside the
+    domain), and the final verdict tau_den^2 * dot^2 >= tau_num^2 *
+    norm2_1 * norm2_2 runs in DECIMAL(38,0) (dot^2 can exceed int64;
+    the DuckDB side uses HUGEINT). The reported cosine is the only
+    float and is rounded to integer micros AFTER the verdict. df ==
+    n_docs shingles carry idf_mln = 0 and are dropped exactly (they
+    cannot contribute).
 
     EXACTNESS-DOMAIN GUARD: decimal(38,0) triple products (q2 * tail2_1
     * tail2_2 and q2 * dot^2 vs p2 * norm2_1 * norm2_2) are only exact
     while every norm2 <= isqrt((10^38 - 1) / max(p2, q2)) (~2e18 at
     tau = 0.8) — beyond that, non-ANSI Spark would NULL the overflowed
     multiply and the filter would silently DROP the pair, breaking the
-    lossless guarantee exactly at scale. Per-doc norms are therefore
-    computed exactly in decimal and raise_error()d past the bound (and
-    on any upstream decimal overflow, which surfaces as NULL), so an
-    out-of-domain corpus fails LOUDLY instead of losing pairs; all
-    downstream bigint arithmetic (w <= sqrt(norm2), dot <=
-    sqrt(norm2_1 * norm2_2), positive partial sums) is then provably
-    wrap-free by Cauchy-Schwarz. The DuckDB oracle's HUGEINT holds
-    ~1.7e38, so the oracle stays exact over the full guarded domain.
+    lossless guarantee exactly at scale; similarly a bigint norm sum
+    could wrap past 2^63 on heavy-tailed corpora. Two raise_error()
+    guards make both failure modes LOUD instead: a per-row guard
+    (w^2 * n_features < 8.8e18, evaluated on the exact double image of
+    w) proves every long partial sum stays below 2^63, and a per-doc
+    guard rejects norm2 > the decimal-product bound. All downstream
+    bigint arithmetic (w <= sqrt(norm2), dot <= sqrt(norm2_1 * norm2_2),
+    positive partial sums) is then provably wrap-free by Cauchy-Schwarz.
+    The DuckDB oracle's HUGEINT holds ~1.7e38, so the oracle stays
+    exact over the full guarded domain.
 
     100 TB shape: tf/df/weights are map-side-combined aggregates of the
     exploded shingle stream (shuffles carry |doc x distinct-shingle|
@@ -967,16 +1002,15 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
         .cast("long")
         .alias("idf_mln"),
     )
-    # weights in DECIMAL(38,0): (19,0) x (19,0) cannot overflow 38
-    # digits, so w is exact for any bigint tf/idf pair; the window sums
-    # below stay decimal-exact to 1e38 and the guard after them bounds
-    # everything that flows back into bigint arithmetic.
-    d19 = "decimal(19,0)"
     w = (
         tf.join(idf.filter(F.col("idf_mln") > 0), "tok")
         .select(
             "doc_id", "tok", "idf_mln",
-            (F.col("tf").cast(d19) * F.col("idf_mln").cast(d19)).alias("w"),
+            (F.col("tf") * F.col("idf_mln")).alias("w"),
+            # double image of w for the wrap guard: exact for products
+            # < 2^53, and the guard thresholds sit far below that
+            (F.col("tf").cast("double") * F.col("idf_mln").cast("double"))
+            .alias("w_dbl"),
         )
     )
     # per-doc: norm2 (exact), and the tail mass at-or-after each shingle
@@ -1022,39 +1056,45 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
         f"(norm2 NULL or > {NORM_SAFE}); decimal(38,0) products would "
         "overflow and silently drop pairs — shard or rescale the corpus"
     )
-    w = w.withColumn(
-        "w",
-        F.when(
-            F.col("w") > F.lit(str(W_SAFE)).cast(dec), F.raise_error(_w_err)
-        ).otherwise(F.col("w")),
+    # WRAP-PROOF LONG WINDOW SUMS (decimal sums measured 2x slower):
+    # per-row guard w^2 * n_features < SUM_SAFE makes every partial and
+    # final sum provably < 2^63 (sum over cnt terms each <= max w^2 <=
+    # SUM_SAFE / cnt), so the long arithmetic cannot wrap whenever the
+    # guard passes — and a violating row raise_error()s inside the same
+    # task BEFORE its stage can commit output, so an out-of-domain
+    # corpus still fails loudly, never silently. SUM_SAFE sits ~4.5%
+    # below 2^63, far above double roundoff on the guard product.
+    SUM_SAFE = 8.8e18
+    cnt_dbl = F.count("*").over(by_doc).cast("double")
+    unsafe_w = (F.col("w_dbl") > F.lit(float(W_SAFE))) | (
+        F.col("w_dbl") * F.col("w_dbl") * cnt_dbl >= F.lit(SUM_SAFE)
     )
-    norm2_dec = F.sum(F.col("w") * F.col("w")).over(by_doc)
-    tail2_dec = F.sum(F.col("w") * F.col("w")).over(tail_w)
-    _norm_guard = F.when(
-        F.col("norm2_dec").isNull()
-        | (F.col("norm2_dec") > F.lit(str(NORM_SAFE)).cast(dec)),
-        F.raise_error(_n_err),
-    )
+    w_guarded = F.when(unsafe_w, F.raise_error(_w_err)).otherwise(F.col("w"))
     wn = (
         w.select(
             "doc_id",
             "tok",
             "idf_mln",
-            "w",
-            norm2_dec.alias("norm2_dec"),
-            tail2_dec.alias("tail2_dec"),
+            w_guarded.alias("w"),
+            F.sum(F.col("w") * F.col("w")).over(by_doc).alias("norm2"),
+            F.sum(F.col("w") * F.col("w")).over(tail_w).alias("tail2"),
         )
-        # past the guard every value is <= NORM_SAFE < 2^63, so the
-        # bigint casts are exact and the fast codegen'd long arithmetic
-        # below is wrap-free (w <= sqrt(norm2), tail2 <= norm2, dot <=
-        # sqrt(norm2_1 * norm2_2), positive partial sums)
+        # past the norm guard every value is <= NORM_SAFE < 2^63, so all
+        # downstream long arithmetic is wrap-free (w <= sqrt(norm2),
+        # tail2 <= norm2, dot <= sqrt(norm2_1 * norm2_2) by
+        # Cauchy-Schwarz, positive partial sums) and every decimal
+        # triple product provably fits 38 digits
         .select(
             "doc_id",
             "tok",
             "idf_mln",
-            F.col("w").cast("long").alias("w"),
-            _norm_guard.otherwise(F.col("norm2_dec").cast("long")).alias("norm2"),
-            F.col("tail2_dec").cast("long").alias("tail2"),
+            "w",
+            F.when(
+                F.col("norm2").isNull()
+                | (F.col("norm2") > F.lit(NORM_SAFE).cast("long")),
+                F.raise_error(_n_err),
+            ).otherwise(F.col("norm2")).alias("norm2"),
+            F.col("tail2"),
         )
         .localCheckpoint(eager=False)
     )
