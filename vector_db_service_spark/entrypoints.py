@@ -2426,44 +2426,47 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 # --- Registration order ---------------------------------------------------
 # External correctness tooling samples the FIRST 50 registered queries.
-# Round-8 ROTATION (re-armed per the round-7 review): 21 never-driver-
-# sampled queries (the round-7 hygiene/dedup/sketch/stream flagships),
-# the 10 queries whose plans or hash surfaces changed THIS round (the
-# integer micro-unit PQ/MLlib family, fused mm_decode, shared-label
-# dedup, sharded contrastive ring, cached obs_health, batched recall
-# sweep), ALL TEN round-8 additions, and the 9 stalest earlier rows
-# (last driver-verified in rounds 1-3) as regression cover. Everything displaced stays green
-# under tests/test_oracle_parity.py, which runs the identical compare
-# over ALL registered oracles.
+# Round-9 ROTATION (per the round-8 review): (a) stream_stateful_user_
+# totals — the ONLY query in eight rounds with zero driver-green
+# evidence (errored r4 on the events ts schema drift, fixed since,
+# never re-sampled) — pinned first; (b) the flagship read-path family
+# (last green r5/r6, the reference's core path); (c) every query whose
+# plan or arithmetic changed THIS round (overflow-guarded allpairs /
+# norm / spectrum, restructured components/keep_canonical edge graph,
+# fused recall sweep, shared-default mllib join); (d) the 15 stalest
+# rows (11 last green in r3, 4 in r4); (e) the next-stalest r5 rows to
+# fill 50. Everything displaced stays green under
+# tests/test_oracle_parity.py, which runs the identical compare over
+# ALL registered oracles.
 _PRIORITY_50 = [
-    # -- never driver-sampled (round-7 additions) --
-    "dedup_keep_canonical", "dedup_substring_spans", "dedup_semantic_keep",
-    "ann_matryoshka_recall",
-    "text_repetition_scores", "text_gopher_filter", "text_mixture_weights",
-    "text_blocklist_filter", "text_unigram_logprob", "text_dsir_importance",
-    "text_bpe_merge_pairs",
-    "pipeline_train_val_split", "pipeline_dataset_manifest",
-    "pipeline_quality_resample",
-    "sketch_quantile_histogram", "sketch_hll_merge",
-    "stream_quantile_histogram", "stream_decontamination",
-    "stream_quality_resample", "stream_dataset_manifest",
-    "obs_index_advisor",
-    # -- changed this round: re-verify under the driver --
-    "ann_pq_topk", "ann_ivfpq_topk",
-    "mllib_ivf_kmeans_topk", "mllib_minhash_jaccard_join",
-    "mm_decode", "mm_decode_png",
-    "dedup_components", "pipeline_contrastive_pairs",
-    "ann_ivf_recall_sweep", "obs_health",
-    # -- new this round: verify while fresh --
-    "dedup_paragraphs", "dedup_winnowing_fingerprints",
-    "ann_cluster_silhouette", "emb_norm_outliers",
-    "dedup_allpairs_cosine", "dedup_lsh_tuning_curve", "text_zipf_audit",
-    "dedup_minhash_recall_vs_exact", "text_heaps_curve", "emb_spectrum_audit",
-    # -- stalest regression cover (last driver-green in rounds 1-3) --
-    "dedup_simhash_fingerprints", "dedup_exact_keep_first",
-    "dedup_minhash_signatures", "grid_cell_stats", "grid_stats_by_library",
-    "knn_dist_cosine",
-    "knn_flat_cosine_library", "p3_json_filter", "rel_events_hourly",
+    # -- (a) never driver-green in any round: close the gap --
+    "stream_stateful_user_totals",
+    # -- (b) flagship read-path family (verdict #5) --
+    "knn_search_hydrated",
+    "knn_dispatch_flat", "knn_dispatch_lsh", "knn_dispatch_grid",
+    "stream_embed_pending",
+    # -- (c) changed this round: re-verify under the driver --
+    "dedup_allpairs_cosine", "dedup_components", "dedup_keep_canonical",
+    "dedup_minhash_recall_vs_exact", "ann_ivf_recall_sweep",
+    "emb_norm_outliers", "emb_spectrum_audit", "mllib_minhash_jaccard_join",
+    # -- (d) stalest rows: last driver-green r3 --
+    "knn_dist_euclidean", "knn_dist_manhattan", "knn_flat_dot_product",
+    "knn_flat_euclidean", "knn_flat_manhattan",
+    "rel_docs_top_by_length", "rel_order_priority_rollup",
+    "rel_revenue_by_nation", "rel_sessionize_events", "rel_status_pivot",
+    "rel_top_customers",
+    # -- (d) stalest rows: last driver-green r4 --
+    "a6_memory_stats", "ann_blocked_pair_recall", "p4_exists_probe",
+    "s13_partial_update",
+    # -- (e) next-stalest (last driver-green r5) --
+    "a2_chunk_stats", "a5_vector_stats", "a7_dim_minmax",
+    "ann_band_skew_report", "ann_brute_force_topk", "ann_ivf_topk",
+    "ann_knn_join", "ann_knn_join_salted", "ann_scalar_quantize",
+    "dedup_embedding_pairs", "dedup_exact_summary",
+    "dedup_ngram_jaccard_topk", "dedup_simhash_pairs", "grid_cells",
+    "i11_stored_index_probe", "j2_semi_join", "j3_orphan_anti_join",
+    "knn_flat_cosine", "knn_safe_flat", "lsh_bucket_stats",
+    "lsh_signatures",
 ]
 
 

@@ -368,13 +368,6 @@ def ivf_kmeans_recall_sweep(
         assigned.join(F.broadcast(queries))
         .withColumn("score", F.round(sim.score(metric, F.col("embedding"), F.col("qv")), 6))
         .select("query_id", "vec_id", "list_id", "score")
-        .localCheckpoint(eager=False)
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
-    exact = (
-        pairs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "vec_id")
     )
 
     centers = spark.createDataFrame(
@@ -391,13 +384,18 @@ def ivf_kmeans_recall_sweep(
         .select("query_id", "list_id", "c_rnk")
     )
 
-    # ALL nprobe branches in ONE plan: tag every pair with its list's
-    # centroid rank, replicate across the (tiny, broadcast) nprobe axis,
-    # filter to the probed lists, and take per-(nprobe, query) top-k in a
-    # single window. A per-nprobe loop of join+window+agg branches costs
-    # ~3 scheduled stages per probe point at local scale; this fused form
-    # is a constant number of stages regardless of len(nprobes).
-    nprobe_df = spark.createDataFrame([(int(p),) for p in nprobes], "nprobe int")
+    # ALL nprobe branches — AND the exact-truth branch — in ONE plan:
+    # tag every pair with its list's centroid rank, replicate across the
+    # (tiny, broadcast) nprobe axis EXTENDED with an internal nprobe =
+    # n_lists point, filter to the probed lists, and take per-(nprobe,
+    # query) top-k in a single window. nprobe = n_lists scans every
+    # list, so that branch IS the exact top-k — the former separate
+    # exact branch (its own window pass over a checkpointed pairs
+    # frame) collapses into the same scan + shuffle. One corpus scan,
+    # one exchange, any number of probe points: the shape that holds at
+    # 100 TB, where a second full-scan truth branch is the bottleneck.
+    all_probes = sorted(set(int(p) for p in nprobes) | {int(n_lists)})
+    nprobe_df = spark.createDataFrame([(p,) for p in all_probes], "nprobe int")
     sw = Window.partitionBy("nprobe", "query_id").orderBy(
         F.desc("score"), F.asc("vec_id")
     )
@@ -408,13 +406,23 @@ def ivf_kmeans_recall_sweep(
         .withColumn("rnk", F.row_number().over(sw))
         .filter(F.col("rnk") <= k)
         .select("nprobe", "query_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    exact = sweep_topk.filter(F.col("nprobe") == n_lists).select(
+        "query_id", "vec_id"
     )
     overlap = (
-        exact.join(sweep_topk, ["query_id", "vec_id"])
+        exact.join(
+            sweep_topk.filter(F.col("nprobe").isin([int(p) for p in nprobes])),
+            ["query_id", "vec_id"],
+        )
         .groupBy("nprobe", "query_id")
         .agg(F.count("*").alias("n_overlap"))
     )
-    grid_qp = queries.select("query_id").crossJoin(F.broadcast(nprobe_df))
+    req_df = spark.createDataFrame(
+        [(int(p),) for p in nprobes], "nprobe int"
+    )
+    grid_qp = queries.select("query_id").crossJoin(F.broadcast(req_df))
     return (
         grid_qp.join(overlap, ["nprobe", "query_id"], "left")
         .select(

@@ -1070,34 +1070,25 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
         F.col("w_dbl") * F.col("w_dbl") * cnt_dbl >= F.lit(SUM_SAFE)
     )
     w_guarded = F.when(unsafe_w, F.raise_error(_w_err)).otherwise(F.col("w"))
-    wn = (
-        w.select(
-            "doc_id",
-            "tok",
-            "idf_mln",
-            w_guarded.alias("w"),
-            F.sum(F.col("w") * F.col("w")).over(by_doc).alias("norm2"),
-            F.sum(F.col("w") * F.col("w")).over(tail_w).alias("tail2"),
-        )
-        # past the norm guard every value is <= NORM_SAFE < 2^63, so all
-        # downstream long arithmetic is wrap-free (w <= sqrt(norm2),
-        # tail2 <= norm2, dot <= sqrt(norm2_1 * norm2_2) by
-        # Cauchy-Schwarz, positive partial sums) and every decimal
-        # triple product provably fits 38 digits
-        .select(
-            "doc_id",
-            "tok",
-            "idf_mln",
-            "w",
-            F.when(
-                F.col("norm2").isNull()
-                | (F.col("norm2") > F.lit(NORM_SAFE).cast("long")),
-                F.raise_error(_n_err),
-            ).otherwise(F.col("norm2")).alias("norm2"),
-            F.col("tail2"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    # past the norm guard every value is <= NORM_SAFE < 2^63, so all
+    # downstream long arithmetic is wrap-free (w <= sqrt(norm2),
+    # tail2 <= norm2, dot <= sqrt(norm2_1 * norm2_2) by Cauchy-Schwarz,
+    # positive partial sums) and every decimal triple product provably
+    # fits 38 digits. One select: Catalyst extracts the window sums out
+    # of the guard's CASE WHEN, and each saved Dataset creation saves a
+    # driver-side incremental-analysis pass over this (wide) plan.
+    norm2_w = F.sum(F.col("w") * F.col("w")).over(by_doc)
+    wn = w.select(
+        "doc_id",
+        "tok",
+        "idf_mln",
+        w_guarded.alias("w"),
+        F.when(
+            norm2_w.isNull() | (norm2_w > F.lit(NORM_SAFE).cast("long")),
+            F.raise_error(_n_err),
+        ).otherwise(norm2_w).alias("norm2"),
+        F.sum(F.col("w") * F.col("w")).over(tail_w).alias("tail2"),
+    ).localCheckpoint(eager=False)
     # decimal, not long: q2 * tail2 can reach ~q2 * NORM_SAFE (> 2^63)
     # inside the guarded domain — a long multiply would wrap silently
     prefix = wn.filter(
