@@ -395,27 +395,48 @@ def resize_blobs(df: DataFrame) -> DataFrame:
 
 
 def blob_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """queries() surface: scalar resize outputs. The corpus text is
-    ASCII, so byte k of the blob == character k+1 of the text and the
-    DuckDB oracle reproduces stride sampling with ord(substr(...)) —
-    the checksum verifies the actual sampled bytes, not just counts."""
+    """queries() surface: scalar resize outputs. The DuckDB oracle
+    reproduces the stride sampling over the UTF-8 BYTE list of the text
+    (utf8_bytes_sql — exact for any corpus, not just ASCII); the
+    checksum verifies the actual sampled bytes, not just counts."""
     return resize_blobs(blobs(spark, sf_dir)).select(
         "doc_id", "orig_bytes", "resized_bytes", "stride", "checksum"
     )
 
 
+def utf8_bytes_sql(col: str = "text") -> str:
+    """DuckDB expression: the UTF-8 BYTE-VALUE list of a string column.
+    DuckDB cannot index into a BLOB, so the bytes are reconstructed
+    arithmetically from each code point via the UTF-8 encoding identity
+    (1/2/3/4-byte regimes; string_split(s, '') splits per code point,
+    unicode(c) yields it). The blob oracles must run over BYTES — the
+    former ord(substr(...)) per-CHARACTER forms agreed with the Spark
+    byte math only on pure-ASCII corpora (caught by the round-9 UTF-8
+    fixture)."""
+    u = "unicode(c)"
+    return f"""flatten(list_transform(string_split({col}, ''), c ->
+  CASE WHEN {u} < 128 THEN [{u}]
+       WHEN {u} < 2048 THEN [192 + ({u} // 64), 128 + ({u} % 64)]
+       WHEN {u} < 65536 THEN [224 + ({u} // 4096), 128 + (({u} // 64) % 64), 128 + ({u} % 64)]
+       ELSE [240 + ({u} // 262144), 128 + (({u} // 4096) % 64), 128 + (({u} // 64) % 64), 128 + ({u} % 64)]
+  END))"""
+
+
 def blob_resize_sql(target: int = RESIZE_TARGET) -> str:
     return f"""
-WITH base AS (
-  SELECT doc_id, text, length(text) AS n,
-         GREATEST(1, length(text) // {target}) AS stride
-  FROM documents
+WITH raw AS (
+  SELECT doc_id, {utf8_bytes_sql()} AS bl FROM documents
+),
+base AS (
+  SELECT doc_id, bl, len(bl) AS n,
+         GREATEST(1, len(bl) // {target}) AS stride
+  FROM raw
 ),
 sampled AS (
   SELECT doc_id, n, stride,
          list_transform(
            range(0, LEAST({target}, CAST(ceil(n / (1.0 * stride)) AS BIGINT))),
-           i -> ord(substr(text, CAST(1 + i * stride AS BIGINT), 1))
+           i -> bl[CAST(1 + i * stride AS BIGINT)]
          ) AS vals
   FROM base
 )
@@ -623,17 +644,21 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mm_decode_sql() -> str:
-    """Byte-level oracle: pixel byte j of doc d is ord(text[j mod n])
-    (ASCII corpus; zero raster when the text is empty). Channel c keeps
-    bytes with j % 3 = c under the interleaved-RGB P6 layout."""
+    """Byte-level oracle: pixel byte j of doc d is byte (j mod n) of
+    the UTF-8 ENCODING of its text (utf8_bytes_sql; zero raster when
+    the text is empty). Channel c keeps bytes with j % 3 = c under the
+    interleaved-RGB P6 layout."""
     n_px = IMG_W * IMG_H * 3
     byte_j = (
         "CASE WHEN n = 0 THEN 0 "
-        "ELSE ord(substr(text, CAST(j % n + 1 AS BIGINT), 1)) END"
+        "ELSE bl[CAST(j % n + 1 AS BIGINT)] END"
     )
     return f"""
-WITH base AS (
-  SELECT doc_id, text, length(text) AS n FROM documents
+WITH raw AS (
+  SELECT doc_id, {utf8_bytes_sql()} AS bl FROM documents
+),
+base AS (
+  SELECT doc_id, bl, len(bl) AS n FROM raw
 ),
 px AS (
   SELECT doc_id, j, {byte_j} AS v

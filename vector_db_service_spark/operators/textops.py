@@ -650,13 +650,21 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     the (doc_id, token, count) pair table; at 100x docs that shuffled
     ~26M pair rows twice — this form shuffles |docs| + |vocab|.)"""
     per = unigram_doc_scores(docs, unigram_lp(docs))
+    # avg_logprob via EXACT integer half-away-from-zero rounding to
+    # micros, then one double division by 1e6 — round(double, 6) of the
+    # raw quotient sat on a half boundary where Spark's BigDecimal
+    # HALF_UP and DuckDB's C-library rounding disagreed by 1 ulp (caught
+    # by the round-9 UTF-8 fixture). Identical integer + identical IEEE
+    # division = bit-identical doubles on every engine.
+    us = F.expr(
+        "CASE WHEN s_mln >= 0"
+        " THEN (2 * s_mln * 1000 + n_tokens) DIV (2 * n_tokens)"
+        " ELSE -((2 * (-s_mln) * 1000 + n_tokens) DIV (2 * n_tokens)) END"
+    )
     return per.select(
         "doc_id",
         "n_tokens",
-        F.round(
-            F.col("s_mln").cast("double") / (F.col("n_tokens").cast("double") * 1000.0),
-            6,
-        ).alias("avg_logprob"),
+        (us.cast("double") / F.lit(1e6)).alias("avg_logprob"),
         _ppl_bucket().alias("ppl_bucket"),
     )
 

@@ -410,13 +410,27 @@ FROM documents
 
 def blob_features_sql() -> str:
     """Scalar checks for the mapInPandas featurizer: byte length, frame
-    count, mean byte over utf-8 codes (documents text is ascii, so bytes
-    == ascii codes)."""
-    return """
+    count, mean byte over the UTF-8 ENCODING of the text. The former
+    form summed ascii(c) per character — code points, not bytes — which
+    silently agreed with the Spark byte math only because every corpus
+    was pure ASCII (caught by the round-9 UTF-8 fixture). DuckDB cannot
+    index into a BLOB, so the per-character byte sum is reconstructed
+    arithmetically from the code point via the UTF-8 encoding identity
+    (1/2/3/4-byte regimes); verified equal to Python's
+    sum(s.encode('utf-8')) across all regimes incl. astral planes."""
+    byte_sum = """
+list_sum(list_transform(string_split(text, ''), c -> CAST(
+  CASE WHEN unicode(c) < 128 THEN unicode(c)
+       WHEN unicode(c) < 2048 THEN 192 + (unicode(c) // 64) + 128 + (unicode(c) % 64)
+       WHEN unicode(c) < 65536 THEN 224 + (unicode(c) // 4096) + 128 + ((unicode(c) // 64) % 64) + 128 + (unicode(c) % 64)
+       ELSE 240 + (unicode(c) // 262144) + 128 + ((unicode(c) // 4096) % 64) + 128 + ((unicode(c) // 64) % 64) + 128 + (unicode(c) % 64)
+  END AS DOUBLE)))
+"""
+    return f"""
 SELECT doc_id,
        strlen(text) AS n_bytes,
        CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS n_frames,
-       round(list_sum(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS DOUBLE)))
+       round({byte_sum}
              / CAST(strlen(text) AS DOUBLE), 6) AS mean_byte
 FROM documents
 """
@@ -792,7 +806,10 @@ per AS (
   FROM dc JOIN lp USING (tok) GROUP BY dc.doc_id
 )
 SELECT doc_id, n_tokens,
-       round(CAST(s_mln AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000.0), 6)
+       CAST(CASE WHEN s_mln >= 0
+                 THEN (2 * s_mln * 1000 + n_tokens) // (2 * n_tokens)
+                 ELSE -((2 * (-s_mln) * 1000 + n_tokens) // (2 * n_tokens))
+            END AS DOUBLE) / 1000000.0
          AS avg_logprob,
        CASE WHEN s_mln >= -3399 * n_tokens THEN 'head'
             WHEN s_mln < -3404 * n_tokens THEN 'tail'
