@@ -736,7 +736,9 @@ register(
     # hashes; the naive quadratic oracle proves the prefix + positional
     # pruning lossless at the registered tau = 4/5 = 0.8 (new r8)
     "dedup_allpairs_cosine",
-    lambda s, d: dedup.allpairs_cosine(load(s, d, "documents")),
+    # materialize-once: the recall audit joins this same pair table as
+    # its ground truth (compute on miss, so each surface stays honest)
+    lambda s, d: dedup.allpairs_cached(s, d),
     opl.allpairs_cosine_sql(),
 )
 register(
@@ -749,10 +751,14 @@ register(
 )
 register(
     # candidate-quality evaluation: banded-jaccard MinHash pipeline
-    # scored against the deterministic AllPairs cosine ground truth —
-    # precision/recall in integer micros (new r8)
+    # scored against the deterministic corpus-wide AllPairs ground
+    # truth restricted to a frozen 40% shard; the truth table is the
+    # SHARED materialized pair frame (allpairs_cached), never a
+    # recompute (new r8, re-scoped r9)
     "dedup_minhash_recall_vs_exact",
-    lambda s, d: dedup.minhash_vs_exact_recall(load(s, d, "documents")),
+    lambda s, d: dedup.minhash_vs_exact_recall(
+        load(s, d, "documents"), truth_pairs=dedup.allpairs_cached(s, d)
+    ),
     opl.minhash_vs_exact_recall_sql(),
 )
 def _containment_sql(threshold: float = 0.5) -> str:
@@ -993,6 +999,22 @@ register(
     "text_heaps_curve",
     lambda s, d: textops.heaps_curve(load(s, d, "documents")),
     opl.heaps_curve_sql(),
+)
+register(
+    # per-doc Unicode script profile (Latin/Cyrillic/Greek/CJK/astral/
+    # marks/digits/space/other code-point counts + dominant script):
+    # one codegen'd regex projection, no shuffle (new r9)
+    "text_script_profile",
+    lambda s, d: textops.script_profile(load(s, d, "documents")),
+    opl.script_profile_sql(),
+)
+register(
+    # PII detect/redact hygiene pass: email/phone/card-candidate counts,
+    # Luhn-validated card count, md5 of the redacted text — one JVM
+    # regex projection, deterministic injected PII (new r9)
+    "text_pii_scrub",
+    lambda s, d: textops.pii_scrub(load(s, d, "documents")),
+    opl.pii_scrub_sql(),
 )
 register(
     # content-addressed per-shard dataset card: counts + an

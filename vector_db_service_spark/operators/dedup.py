@@ -990,7 +990,11 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
     # dedup-family invariant. Both engines hash with the same
     # md5-prefix map, so a (vanishingly rare) collision merges the
     # same two shingles on both sides and parity is unaffected.
-    toks = docs.select(
+    # spread BEFORE the shingle hashing (same convention as the MinHash
+    # and SimHash pipelines): a single-row-group scan would otherwise
+    # serialize the whole md5 stage on one core; no-op at production
+    # file counts
+    toks = spread_for_compute(docs).select(
         "doc_id", F.explode(H.shingle_hashes("text")).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").cast("long").alias("tf"))
@@ -1194,7 +1198,52 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
     )
 
 
-def minhash_vs_exact_recall(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
+def allpairs_cached(spark, sf_dir: str, tau_num: int = 4,
+                    tau_den: int = 5) -> DataFrame:
+    """Memoized per-corpus AllPairs result (doc_id_1, doc_id_2, cos_us):
+    the exact near-dup pair table is the most expensive artifact of the
+    dedup family and has TWO registered consumers — dedup_allpairs_cosine
+    itself and the minhash_vs_exact_recall audit's ground truth. Same
+    materialize-once-to-parquet pattern (and cache dict) as
+    near_dup_labels_cached: compute on miss, every later consumer reads
+    the durable table. At 100 TB this is 'persist the similarity-join
+    output once, audit and downstream passes join against it'."""
+    import os as _os
+
+    from ..sources.tables import load, path_signature
+
+    p = _os.path.join(sf_dir, "documents.parquet")
+    key = (*path_signature(p), "allpairs", tau_num, tau_den)
+    cached = _LABELS_CACHE.get(key)
+    if cached is not None:
+        return spark.read.parquet(cached)
+    docs = load(spark, sf_dir, "documents")
+    out = _os.path.join(
+        _labels_root(),
+        "allpairs_" + "_".join(str(k).replace(_os.sep, "-") for k in key),
+    )
+    pairs = allpairs_cosine(docs, tau_num, tau_den).localCheckpoint(eager=False)
+    pairs.write.mode("overwrite").parquet(out)
+    _LABELS_CACHE[key] = out
+    return pairs
+
+
+def _shard4(col: str) -> "F.Column":
+    """Frozen 40% md5 sample bucket of a doc-id column (the
+    train_val_split draw convention), applicable to either endpoint of
+    a pair row."""
+    return (
+        F.expr(
+            f"CAST(conv(substring(md5(CAST({col} AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT)"
+        )
+        % 10
+        < 4
+    )
+
+
+def minhash_vs_exact_recall(docs: DataFrame, threshold: float = 0.2,
+                            truth_pairs: DataFrame | None = None) -> DataFrame:
     """Candidate-quality evaluation of the MinHash-LSH banded join
     against the DETERMINISTIC lexical ground truth — 'measure, don't
     guess' applied to the dedup family itself: how much of the exact
@@ -1206,26 +1255,29 @@ def minhash_vs_exact_recall(docs: DataFrame, threshold: float = 0.2) -> DataFram
     configuration corpus-wide; the tuning knob it feeds is
     lsh_tuning_curve's (bands, rows) table.
 
-    Runs on a DETERMINISTIC 40% sample shard (frozen md5 bucket of
-    doc_id, the train_val_split draw convention) — at 100 TB the
-    acceptance check audits a shard, never the full corpus; both pair
-    pipelines and the ground truth restrict to the same shard, so the
-    measured precision/recall is exact for that shard.
+    Audited on a DETERMINISTIC 40% sample shard (frozen md5 bucket of
+    doc_id, the train_val_split draw convention): the ground truth is
+    the CORPUS-WIDE AllPairs pair set (production idf — the actual
+    configuration being accepted) restricted to pairs with BOTH
+    endpoints in the shard, against the banded candidate pipeline run
+    on the shard (banding and jaccard are per-doc/per-pair, so
+    shard-run == full-run restricted to shard endpoints). At 100 TB
+    the truth table is the persisted similarity-join output
+    (allpairs_cached) — the audit JOINS it, never recomputes it, and
+    never re-derives idf on the sample.
 
     One row: truth/candidate/hit counts and precision/recall in
     integer micros (ratios of exact integer counts). Both inputs are
     bucketed equi-join pipelines; the overlap join is on (id, id)
     pairs."""
-    bucket = F.expr(
-        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
-        " AS BIGINT) % 10"
-    )
-    shard = docs.filter(bucket < 4)
+    shard = docs.filter(_shard4("doc_id"))
+    if truth_pairs is None:
+        truth_pairs = allpairs_cosine(docs)
     # lineage-cut both pair sets: each feeds its own count AND the hit
     # join — without the cut the full AllPairs / banded-MinHash
     # pipelines execute once per consumer
     truth = (
-        allpairs_cosine(shard)
+        truth_pairs.filter(_shard4("doc_id_1") & _shard4("doc_id_2"))
         .select("doc_id_1", "doc_id_2")
         .localCheckpoint(eager=False)
     )

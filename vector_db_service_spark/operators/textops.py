@@ -1081,3 +1081,164 @@ def heaps_curve(docs: DataFrame, buckets: int = 10) -> DataFrame:
             "new_tokens",
         )
     )
+
+
+# Unicode script classes as (java-regex, re2-regex) range pairs — the
+# Java side feeds the Spark projection, the RE2 side the DuckDB oracle
+# (oracles_pipeline.script_profile_sql). Ranges are disjoint by
+# construction so n_other = n_chars - sum(classes) never double-counts.
+# Cross-engine agreement for every class (incl. astral planes and
+# combining marks) is proven by the UTF-8 fixture parity suite.
+SCRIPT_CLASSES: tuple[tuple[str, str, str], ...] = (
+    ("latin", "[A-Za-z\\u00C0-\\u024F]", "[A-Za-z\\x{00C0}-\\x{024F}]"),
+    ("cyrillic", "[\\u0400-\\u04FF]", "[\\x{0400}-\\x{04FF}]"),
+    ("greek", "[\\u0370-\\u03FF]", "[\\x{0370}-\\x{03FF}]"),
+    (
+        "cjk",
+        "[\\u3040-\\u30FF\\u4E00-\\u9FFF\\uFF00-\\uFFEF]",
+        "[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}\\x{FF00}-\\x{FFEF}]",
+    ),
+    (
+        "astral",
+        "[\\x{1D400}-\\x{1D7FF}\\x{1F000}-\\x{1FAFF}]",
+        "[\\x{1D400}-\\x{1D7FF}\\x{1F000}-\\x{1FAFF}]",
+    ),
+    ("mark", "[\\u0300-\\u036F]", "[\\x{0300}-\\x{036F}]"),
+    ("digit", "[0-9]", "[0-9]"),
+    (
+        "space",
+        "[ \\t\\n\\r\\u00A0\\u2028\\u2029]",
+        "[ \\t\\n\\r\\x{00A0}\\x{2028}\\x{2029}]",
+    ),
+)
+
+
+def script_profile(docs: DataFrame) -> DataFrame:
+    """Per-document Unicode SCRIPT profile: code-point counts per script
+    class (Latin, Cyrillic, Greek, CJK, astral/emoji, combining marks,
+    digits, whitespace, other) plus the dominant script — the standard
+    corpus-hygiene signal for routing documents to per-script pipelines
+    and catching mojibake (a 'latin' doc with a high `n_other` or
+    `n_mark` count is a decode bug upstream).
+
+    Counts are code points, the convention all engines share
+    (Spark numChars == DuckDB length == Python len); each class count
+    is `length(text) - length(regexp_replace(text, class+, ''))`, so
+    the whole profile is ONE codegen'd JVM projection per document —
+    no tokenizer, no Python, no shuffle, embarrassingly parallel at
+    100 TB. `main_script` breaks max ties by the fixed class order
+    above (empty text -> 'none'), identically on both engines.
+
+    Beyond the reference (its documents router stores text verbatim,
+    routers.py documents endpoints); this is LLM-pipeline surface.
+    """
+    n = F.length("text")
+    counts = {
+        name: (n - F.length(F.regexp_replace("text", jre + "+", ""))).cast("long")
+        for name, jre, _ in SCRIPT_CLASSES
+    }
+    cols = [F.col("doc_id"), n.cast("long").alias("n_chars")]
+    cols += [counts[name].alias(f"n_{name}") for name, _, _ in SCRIPT_CLASSES]
+    known = None
+    for name, _, _ in SCRIPT_CLASSES:
+        known = counts[name] if known is None else known + counts[name]
+    cols.append((n.cast("long") - known).alias("n_other"))
+    # dominant SCRIPT class (not whitespace/digits/marks): fixed-order
+    # tie-break, first listed class wins ties
+    script_names = ("latin", "cyrillic", "greek", "cjk", "astral")
+    m = F.greatest(*[counts[s] for s in script_names])
+    main = F.when(n == 0, F.lit("none")).when(m == 0, F.lit("other"))
+    for s in script_names:
+        main = main.when(counts[s] == m, F.lit(s))
+    cols.append(main.alias("main_script"))
+    return docs.select(*cols)
+
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+1-555-[0-9]{4}"
+CARD_RE = "[0-9]{16}"
+
+# deterministic PII injection (SQL fragment, identical in Spark and the
+# DuckDB oracle): the corpus text is synthetic TPC-H prose with no real
+# PII, so the scrubber is exercised on per-doc generated email / phone /
+# 16-digit card candidates. Even doc_ids get a Luhn-VALID card (check
+# digit computed by the same Luhn sum both engines run), odd doc_ids a
+# corrupted one ((valid+5)%10), so the validator sees both classes.
+_CC15 = "lpad(CAST((doc_id * 982451653) % 1000000000000000 AS STRING), 15, '0')"
+_LUHN15 = (
+    "aggregate(sequence(0, 14), 0, (acc, i) -> acc + ("
+    "  CASE WHEN i % 2 = 0"
+    "       THEN IF(2 * (ascii(substr({c}, 15 - i, 1)) - 48) > 9,"
+    "               2 * (ascii(substr({c}, 15 - i, 1)) - 48) - 9,"
+    "               2 * (ascii(substr({c}, 15 - i, 1)) - 48))"
+    "       ELSE ascii(substr({c}, 15 - i, 1)) - 48 END))"
+)
+
+
+def _pii_text_expr() -> str:
+    """pii_text = text with one email, one phone, one card appended."""
+    check = f"(10 - ({_LUHN15.format(c=_CC15)}) % 10) % 10"
+    digit = f"CASE WHEN doc_id % 2 = 0 THEN {check} ELSE ({check} + 5) % 10 END"
+    return (
+        "concat(text, ' contact user', CAST(doc_id AS STRING),"
+        " '@example.com tel +1-555-',"
+        " lpad(CAST(doc_id % 10000 AS STRING), 4, '0'),"
+        f" ' card ', {_CC15}, CAST({digit} AS STRING))"
+    )
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII detection + redaction over the documents table: count email /
+    phone / 16-digit card-number candidates, validate card candidates
+    with the Luhn checksum (the industry pre-filter that cuts ~90% of
+    16-digit false positives), and redact every candidate class to a
+    typed placeholder. Emitted: per-class counts, the Luhn-valid card
+    count, and md5 + length-delta of the redacted text (the scrubbed
+    text itself never leaves the executor).
+
+    All detection is JVM regex (`regexp_extract_all` /
+    `regexp_replace`) and the Luhn sum is a 16-step `aggregate` over
+    `sequence` — one codegen'd projection per document, no Python, no
+    shuffle; linear at 100 TB. Regex patterns are passed as column
+    literals (NOT through F.expr) so Spark SQL string-escape parsing
+    never touches the backslashes. The corpus is synthetic, so
+    deterministic PII is injected per doc_id first (same fragment in
+    the oracle) — on real data `pii_text` IS the raw text column.
+
+    Beyond the reference (no scrubbing surface); standard training-data
+    hygiene (cf. C4/Gopher/RefinedWeb pipeline stages).
+    """
+
+    def luhn16(c):
+        # Luhn sum of a 16-digit string: i counts 0..15 from the RIGHT,
+        # odd i doubled (9-wrap) — check digit itself (i=0) undoubled
+        def step(acc, i):
+            d = F.ascii(F.substring(c, (F.lit(16) - i).cast("int"), F.lit(1))) - F.lit(48)
+            doubled = F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+            return acc + F.when(i % 2 == 1, doubled).otherwise(d)
+
+        return F.aggregate(F.sequence(F.lit(0), F.lit(15)), F.lit(0), step)
+
+    base = docs.select("doc_id", F.expr(_pii_text_expr()).alias("pii_text"))
+    pii = F.col("pii_text")
+    emails = F.regexp_extract_all(pii, F.lit(EMAIL_RE), F.lit(0))
+    phones = F.regexp_extract_all(pii, F.lit(PHONE_RE), F.lit(0))
+    cards = F.regexp_extract_all(pii, F.lit(CARD_RE), F.lit(0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(pii, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        CARD_RE,
+        "<CARD>",
+    )
+    return base.select(
+        "doc_id",
+        F.size(emails).cast("long").alias("n_emails"),
+        F.size(phones).cast("long").alias("n_phones"),
+        F.size(cards).cast("long").alias("n_cards"),
+        F.size(F.filter(cards, lambda c: luhn16(c) % 10 == 0))
+        .cast("long")
+        .alias("n_cards_valid"),
+        F.md5(redacted).alias("redacted_md5"),
+        (F.length(pii) - F.length(redacted)).cast("long").alias("n_chars_removed"),
+    )

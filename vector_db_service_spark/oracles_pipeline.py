@@ -1211,15 +1211,23 @@ WHERE d.dot > 0
 
 
 def minhash_vs_exact_recall_sql(threshold: float = 0.2) -> str:
-    """Replay of dedup.minhash_vs_exact_recall: composes the naive
-    quadratic forms of BOTH pair pipelines as subqueries and counts
-    the overlap; integer counts, micro-unit ratios."""
-    shard = (
-        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
-        " AS BIGINT) % 10 < 4"
+    """Replay of dedup.minhash_vs_exact_recall: the ground truth is the
+    CORPUS-WIDE AllPairs pair set (production idf) restricted to pairs
+    with both endpoints in the frozen 40% md5 shard; the candidate
+    pipeline runs on the shard (banding/jaccard are per-doc, so the two
+    forms coincide). Integer counts, micro-unit ratios."""
+
+    def shard(col: str) -> str:
+        return (
+            f"CAST(concat('0x', substr(md5(CAST({col} AS VARCHAR)), 1, 8))"
+            " AS BIGINT) % 10 < 4"
+        )
+
+    sharded = f"(SELECT * FROM documents WHERE {shard('doc_id')})"
+    truth = (
+        f"SELECT doc_id_1, doc_id_2 FROM ({allpairs_cosine_sql().strip()}) "
+        f"WHERE ({shard('doc_id_1')}) AND ({shard('doc_id_2')})"
     )
-    sharded = f"(SELECT * FROM documents WHERE {shard})"
-    truth = allpairs_cosine_sql(source=sharded).strip()
     cand = minhash_near_dups_sql(threshold, source=sharded).strip()
     return f"""
 WITH truth AS (SELECT doc_id_1, doc_id_2 FROM ({truth})),
@@ -1275,4 +1283,92 @@ SELECT p.bucket,
          AS cum_vocab,
        CAST(coalesce(m.new_tokens, 0) AS BIGINT) AS new_tokens
 FROM per_bucket p LEFT JOIN marginal m ON m.bucket = p.bucket
+"""
+
+
+def script_profile_sql(source: str = "documents") -> str:
+    """Replay of textops.script_profile with the RE2 side of each
+    (java, re2) class-range pair from textops.SCRIPT_CLASSES; 'g' flag
+    because DuckDB regexp_replace is first-match-only by default
+    (Spark's replaces all)."""
+    from .operators.textops import SCRIPT_CLASSES
+
+    count = {
+        name: f"length(text) - length(regexp_replace(text, '{re2}+', '', 'g'))"
+        for name, _, re2 in SCRIPT_CLASSES
+    }
+    cls_cols = ",\n       ".join(
+        f"CAST({count[name]} AS BIGINT) AS n_{name}"
+        for name, _, _ in SCRIPT_CLASSES
+    )
+    known = " + ".join(f"({count[name]})" for name, _, _ in SCRIPT_CLASSES)
+    scripts = ("latin", "cyrillic", "greek", "cjk", "astral")
+    m = "GREATEST(" + ", ".join(f"({count[s]})" for s in scripts) + ")"
+    main = (
+        "CASE WHEN length(text) = 0 THEN 'none' "
+        f"WHEN {m} = 0 THEN 'other' "
+        + " ".join(
+            f"WHEN ({count[s]}) = {m} THEN '{s}'" for s in scripts
+        )
+        + " END"
+    )
+    return f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       {cls_cols},
+       CAST(length(text) - ({known}) AS BIGINT) AS n_other,
+       {main} AS main_script
+FROM {source}
+"""
+
+
+def pii_scrub_sql(source: str = "documents") -> str:
+    """Replay of textops.pii_scrub: same deterministic injection, RE2
+    regexes (identical pattern text — the classes used are portable
+    between RE2 and java.util.regex), list_transform Luhn, 'g'-flagged
+    global redaction."""
+    from .operators.textops import CARD_RE, EMAIL_RE, PHONE_RE
+
+    cc15 = "lpad(CAST((doc_id * 982451653) % 1000000000000000 AS VARCHAR), 15, '0')"
+    luhn15 = (
+        "list_sum(list_transform(range(0, 15), i -> "
+        "CASE WHEN i % 2 = 0 "
+        f"THEN CASE WHEN 2 * (ascii(substr({cc15}, CAST(15 - i AS INT), 1)) - 48) > 9 "
+        f"          THEN 2 * (ascii(substr({cc15}, CAST(15 - i AS INT), 1)) - 48) - 9 "
+        f"          ELSE 2 * (ascii(substr({cc15}, CAST(15 - i AS INT), 1)) - 48) END "
+        f"ELSE ascii(substr({cc15}, CAST(15 - i AS INT), 1)) - 48 END))"
+    )
+    check = f"(10 - ({luhn15}) % 10) % 10"
+    digit = f"CASE WHEN doc_id % 2 = 0 THEN {check} ELSE ({check} + 5) % 10 END"
+    pii = (
+        "concat(text, ' contact user', CAST(doc_id AS VARCHAR),"
+        " '@example.com tel +1-555-',"
+        " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),"
+        f" ' card ', {cc15}, CAST({digit} AS VARCHAR))"
+    )
+    luhn16 = (
+        "list_sum(list_transform(range(0, 16), i -> "
+        "CASE WHEN i % 2 = 1 "
+        "THEN CASE WHEN 2 * (ascii(substr(c, CAST(16 - i AS INT), 1)) - 48) > 9 "
+        "          THEN 2 * (ascii(substr(c, CAST(16 - i AS INT), 1)) - 48) - 9 "
+        "          ELSE 2 * (ascii(substr(c, CAST(16 - i AS INT), 1)) - 48) END "
+        "ELSE ascii(substr(c, CAST(16 - i AS INT), 1)) - 48 END))"
+    )
+    redacted = (
+        "regexp_replace(regexp_replace(regexp_replace(pii_text,"
+        f" '{EMAIL_RE}', '<EMAIL>', 'g'),"
+        f" '{PHONE_RE}', '<PHONE>', 'g'),"
+        f" '{CARD_RE}', '<CARD>', 'g')"
+    )
+    return f"""
+WITH base AS (SELECT doc_id, {pii} AS pii_text FROM {source})
+SELECT doc_id,
+       CAST(len(regexp_extract_all(pii_text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(pii_text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(pii_text, '{CARD_RE}')) AS BIGINT) AS n_cards,
+       CAST(len(list_filter(regexp_extract_all(pii_text, '{CARD_RE}'),
+                            c -> ({luhn16}) % 10 = 0)) AS BIGINT) AS n_cards_valid,
+       md5({redacted}) AS redacted_md5,
+       CAST(length(pii_text) - length({redacted}) AS BIGINT) AS n_chars_removed
+FROM base
 """
