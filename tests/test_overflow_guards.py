@@ -60,6 +60,30 @@ def test_allpairs_results_unchanged_inside_domain(spark):
 
 def test_spectrum_trace_guard_raises_loudly(spark):
     df = ann.spectrum_audit(spark, SF_SMALL, _m2_safe=10)
-    # collect, not count: count() would prune the guarded projection
     with pytest.raises(Exception, match="exact-trace domain"):
         df.collect()
+
+
+def test_spectrum_trace_guard_survives_column_pruning(spark):
+    """Round-10 advisory: the guard is anchored in a filter, so even a
+    consumer that reads NO guarded column (count() prunes every
+    projection) still trips it."""
+    df = ann.spectrum_audit(spark, SF_SMALL, _m2_safe=10)
+    with pytest.raises(Exception, match="exact-trace domain"):
+        df.count()
+
+
+def test_norm_outliers_guard_raises_loudly(spark):
+    """Round-10 advisory: norm_outliers gets the same loud guard as
+    spectrum_audit — NULL/overflowed decimal sums raise instead of
+    silently NULLing the verdict thresholds; filter-anchored, so
+    count() trips it too."""
+    df = ann.norm_outliers(spark, SF_SMALL, _sum_safe=10)
+    with pytest.raises(Exception, match="exact decimal"):
+        df.count()
+
+
+def test_norm_outliers_results_unchanged_inside_domain(spark):
+    base = ann.norm_outliers(spark, SF_SMALL).collect()
+    guarded = ann.norm_outliers(spark, SF_SMALL, _sum_safe=10**30).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, guarded))

@@ -1372,7 +1372,8 @@ def cluster_silhouette(
     )
 
 
-def norm_outliers(spark: SparkSession, sf_dir: str, sigmas: float = 3.0) -> DataFrame:
+def norm_outliers(spark: SparkSession, sf_dir: str, sigmas: float = 3.0,
+                  _sum_safe: int | None = None) -> DataFrame:
     """3-sigma embedding-norm outlier screen — the embedding-hygiene
     pass a training pipeline runs before ANN indexing or contrastive
     sampling (degenerate near-zero vectors and exploded norms poison
@@ -1407,10 +1408,28 @@ def norm_outliers(spark: SparkSession, sf_dir: str, sigmas: float = 3.0) -> Data
     # the DuckDB oracle's HUGEINT sum. (19,0) casts keep the per-term
     # square representable in (38,0).
     _d19 = "decimal(19,0)"
+    _s_err = (
+        "norm_outliers: norm sums overflowed the exact decimal(38,0) "
+        "domain (NULL s1/s2); shard the corpus or rescale the micro "
+        "quantization"
+    )
+    if _sum_safe is None:
+        _sum_safe = 10**38 - 1
+    # filter-anchored loud guard (same convention as spectrum_audit /
+    # allpairs_cosine): past the decimal(38,0) domain the sums go NULL
+    # and mean/sd/verdicts would silently NULL-propagate; the filter
+    # raises instead, and survives column pruning for every consumer
     stats = normed.agg(
         F.count("*").alias("n"),
         F.sum(F.col("norm_us").cast(_d19)).alias("s1"),
         F.sum(F.col("norm_us").cast(_d19) * F.col("norm_us").cast(_d19)).alias("s2"),
+    ).filter(
+        F.assert_true(
+            F.col("s1").isNotNull()
+            & F.col("s2").isNotNull()
+            & (F.col("s2") <= F.lit(str(_sum_safe)).cast("decimal(38,0)")),
+            F.lit(_s_err),
+        ).isNull()
     ).select(
         (F.col("s1").cast("double") / F.col("n").cast("double")).alias("mean"),
         F.sqrt(
@@ -1515,22 +1534,34 @@ def spectrum_audit(spark: SparkSession, sf_dir: str,
         "spectrum_audit: tr(M^2) overflowed decimal(38,0); shard the "
         "corpus or rescale the micro quantization"
     )
-    traces = m.agg(
-        F.sum(F.when(F.col("a") == F.col("b"), F.col("m"))).alias("tr_m_dec"),
-        F.sum(
-            F.when(
-                F.col("a") == F.col("b"),
-                F.col("m") * F.col("m"),
-            ).otherwise(F.lit(2).cast(dec) * F.col("m") * F.col("m"))
-        ).alias("tr_m2"),
-    ).select(
-        F.when(
-            F.col("tr_m_dec").isNull()
-            | (F.col("tr_m_dec") > F.lit(str(_m2_safe)).cast(dec)),
-            F.raise_error(_tr_err),
-        ).otherwise(F.col("tr_m_dec").cast("long")).alias("tr_m"),
-        F.when(F.col("tr_m2").isNull(), F.raise_error(_tr2_err))
-        .otherwise(F.col("tr_m2")).alias("tr_m2"),
+    # the guard is anchored in a FILTER, not a projected column: a
+    # consumer that never reads tr_m/tr_m2 (e.g. .count()) prunes
+    # projections but filter conditions always evaluate, so an
+    # out-of-domain corpus fails loudly for EVERY consumer
+    # (assert_true raises when its condition is false, returns NULL
+    # otherwise, so `.isNull()` keeps all in-domain rows)
+    traces = (
+        m.agg(
+            F.sum(F.when(F.col("a") == F.col("b"), F.col("m"))).alias("tr_m_dec"),
+            F.sum(
+                F.when(
+                    F.col("a") == F.col("b"),
+                    F.col("m") * F.col("m"),
+                ).otherwise(F.lit(2).cast(dec) * F.col("m") * F.col("m"))
+            ).alias("tr_m2"),
+        )
+        .filter(
+            F.assert_true(
+                F.col("tr_m_dec").isNotNull()
+                & (F.col("tr_m_dec") <= F.lit(str(_m2_safe)).cast(dec)),
+                F.lit(_tr_err),
+            ).isNull()
+            & F.assert_true(F.col("tr_m2").isNotNull(), F.lit(_tr2_err)).isNull()
+        )
+        .select(
+            F.col("tr_m_dec").cast("long").alias("tr_m"),
+            F.col("tr_m2"),
+        )
     )
     top = (
         m.filter(F.col("a") == F.col("b"))

@@ -432,16 +432,17 @@ def near_dup_labels_cached(spark, sf_dir: str, max_hamming: int = 3,
     out = _os.path.join(
         _labels_root(), "labels_" + "_".join(str(k).replace(_os.sep, "-") for k in key)
     )
-    lab = near_dup_labels_fast(docs, max_hamming, rounds).localCheckpoint(
-        eager=False
-    )
-    lab.write.mode("overwrite").parquet(out)
+    near_dup_labels_fast(docs, max_hamming, rounds).write.mode(
+        "overwrite"
+    ).parquet(out)
     _LABELS_CACHE[key] = out
-    # first consumer continues from the checkpoint the write just
-    # materialized (no parquet re-read in its own plan); later
-    # consumers — possibly after an unpersist-all between externally
-    # timed queries — read the durable parquet
-    return lab
+    # EVERY consumer — including the first — reads the durable parquet
+    # the write just materialized: a returned localCheckpoint frame is
+    # non-recomputable once its blocks are evicted (an unpersist-all
+    # between externally timed queries can run before the first
+    # consumer finishes), while the parquet read costs one small scan
+    # and survives any block-manager cleanup
+    return spark.read.parquet(out)
 
 
 _LABELS_ROOT: list[str] = []
