@@ -39,3 +39,43 @@ def test_sweep_shape(spark, sf_dir):
     assert len(rows) == 10
     assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
     assert all(r["nprobe"] in (1, 4) for r in rows)
+
+
+def test_py_score_bit_exact_vs_spark(spark):
+    """The round-10 sweep computes centroid ranks driver-side with
+    _py_score/_py_round6; both must equal the in-plan expressions BIT
+    FOR BIT on real vectors, or the sweep's probed-list sets drift from
+    the oracle's."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    import vector_db_service_spark.functions.similarity as sim
+    from vector_db_service_spark.sources.tables import load
+
+    vecs = [
+        [float(x) for x in r["embedding"]]
+        for r in load(spark, SF_001, "embeddings").limit(8).collect()
+    ]
+    rows = [(a, b) for a, b in itertools.combinations(vecs, 2)]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    for met in ("cosine", "dot_product", "euclidean", "manhattan"):
+        got = [
+            r[0]
+            for r in df.select(sim.score(met, F.col("a"), F.col("b"))).collect()
+        ]
+        want = [ann._py_score(met, a, b) for a, b in rows]
+        assert got == want, met  # == on floats: bit-identical or bust
+
+
+def test_py_round6_matches_spark_round(spark):
+    from pyspark.sql import functions as F
+
+    xs = [
+        0.1234565, 0.12345649999, 0.1234575, -0.9999995, 1.0000005,
+        0.5877852522924731, 1e-7, 5e-7, -5e-7, 0.0, 123.45678949999,
+    ]
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = [r[0] for r in df.select(F.round("x", 6)).collect()]
+    want = [ann._py_round6(x) for x in xs]
+    assert got == want

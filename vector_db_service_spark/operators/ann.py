@@ -314,6 +314,63 @@ def index_recall_report(
     return _recall(lsh_topk, "lsh").unionByName(_recall(ivf_topk_df, "ivf"))
 
 
+def _py_round6(x: float) -> float:
+    """Spark/DuckDB round(x, 6) replicated exactly: BigDecimal.valueOf
+    uses Double.toString (shortest round-trip repr — identical to
+    Python's repr) then HALF_UP at scale 6."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _py_score(metric: str, a, b) -> float:
+    """functions.similarity.score replicated with bit-identical float
+    semantics: every sum is the same SEQUENTIAL IEEE-double fold that
+    F.aggregate(..., acc + x) produces (and that the DuckDB oracles'
+    list_sum matches — proven by the existing cross-engine parity), so
+    a driver-side score of bounded index metadata (centroids) equals
+    the in-plan score bit for bit. tests/test_ivf_recall.py pins this
+    against sim.score on real vectors for every metric."""
+    import math as _m
+
+    a = [float(x) for x in a]
+    b = [float(x) for x in b]
+    if metric == "cosine":
+        na = 0.0
+        for x in a:
+            na += x * x
+        nb = 0.0
+        for y in b:
+            nb += y * y
+        na, nb = _m.sqrt(na), _m.sqrt(nb)
+        if na == 0.0 or nb == 0.0:
+            return 0.0
+        d = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+        return d / (na * nb)
+    if metric == "dot_product":
+        d = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+        return d
+    if metric == "euclidean":
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return 1.0 / (1.0 + _m.sqrt(s))
+    if metric == "manhattan":
+        s = 0.0
+        for x, y in zip(a, b):
+            s += abs(x - y)
+        return 1.0 / (1.0 + s)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
 def ivf_kmeans_recall_sweep(
     spark: SparkSession,
     sf_dir: str,
@@ -366,69 +423,181 @@ def ivf_kmeans_recall_sweep(
     from .knn import query_vector_rows
 
     qvecs = query_vector_rows(spark, sf_dir, query_ids)
-    queries = spark.createDataFrame(
-        [(int(qid), qvecs[qid][0]) for qid in query_ids],
-        "query_id bigint, qv array<double>",
-    )
-    pairs = (
-        assigned.join(F.broadcast(queries))
-        .withColumn("score", F.round(sim.score(metric, F.col("embedding"), F.col("qv")), 6))
-        .select("query_id", "vec_id", "list_id", "score")
-    )
+    if metric == "cosine":
+        # factored cosine: the corpus-side norm is computed ONCE per
+        # vector (not once per (vector, query) pair) and the query-side
+        # norm once per query driver-side (_py_score-grade sequential
+        # fold — bit-identical to the in-plan fold). dot, na and nb are
+        # each the exact same IEEE fold as sim.score's, so score values
+        # are bit-identical (pinned by tests/test_ivf_recall.py); the HOF
+        # work per pair drops from 3 folds to 1.
+        import math as _m
 
-    centers = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)],
-        "list_id int, centroid array<double>",
-    )
-    cw = Window.partitionBy("query_id").orderBy(F.desc("c_score"), F.asc("list_id"))
-    cq = (
-        centers.crossJoin(F.broadcast(queries))
-        .withColumn(
-            "c_score", F.round(sim.score(metric, F.col("centroid"), F.col("qv")), 6)
+        def _seqnorm(v):
+            s = 0.0
+            for x in v:
+                s += float(x) * float(x)
+            return _m.sqrt(s)
+
+        queries = spark.createDataFrame(
+            [
+                (int(qid), qvecs[qid][0], _seqnorm(qvecs[qid][0]))
+                for qid in query_ids
+            ],
+            "query_id bigint, qv array<double>, nb double",
         )
-        .withColumn("c_rnk", F.row_number().over(cw))
-        .select("query_id", "list_id", "c_rnk")
-    )
+        na = F.sqrt(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+        dot_ = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("qv"),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        score_col = F.when(
+            (F.col("na") == F.lit(0.0)) | (F.col("nb") == F.lit(0.0)),
+            F.lit(0.0),
+        ).otherwise(dot_ / (F.col("na") * F.col("nb")))
+        pairs = (
+            assigned.withColumn("na", na)
+            .join(F.broadcast(queries))
+            .withColumn("score", F.round(score_col, 6))
+            .select("query_id", "vec_id", "list_id", "score")
+        )
+    else:
+        queries = spark.createDataFrame(
+            [(int(qid), qvecs[qid][0]) for qid in query_ids],
+            "query_id bigint, qv array<double>",
+        )
+        pairs = (
+            assigned.join(F.broadcast(queries))
+            .withColumn(
+                "score",
+                F.round(sim.score(metric, F.col("embedding"), F.col("qv")), 6),
+            )
+            .select("query_id", "vec_id", "list_id", "score")
+        )
 
-    # ALL nprobe branches — AND the exact-truth branch — in ONE plan:
-    # tag every pair with its list's centroid rank, replicate across the
-    # (tiny, broadcast) nprobe axis EXTENDED with an internal nprobe =
-    # n_lists point, filter to the probed lists, and take per-(nprobe,
-    # query) top-k in a single window. nprobe = n_lists scans every
-    # list, so that branch IS the exact top-k — the former separate
-    # exact branch (its own window pass over a checkpointed pairs
-    # frame) collapses into the same scan + shuffle. One corpus scan,
-    # one exchange, any number of probe points: the shape that holds at
-    # 100 TB, where a second full-scan truth branch is the bottleneck.
-    all_probes = sorted(set(int(p) for p in nprobes) | {int(n_lists)})
-    nprobe_df = spark.createDataFrame([(p,) for p in all_probes], "nprobe int")
-    sw = Window.partitionBy("nprobe", "query_id").orderBy(
+    # centroid ranking is INDEX METADATA — n_lists x n_queries scores,
+    # bounded by index state, never by corpus size — so it is computed
+    # driver-side with bit-identical float semantics (_py_score is a
+    # sequential IEEE fold, exactly the F.aggregate order; _py_round6
+    # is BigDecimal-HALF_UP rounding, exactly Spark/DuckDB round()).
+    # The former in-plan version (centers createDataFrame -> crossJoin
+    # -> HOF score -> row_number window) cost an exchange + window +
+    # broadcast materialization for a 35-row frame — pure fixed
+    # overhead locally and three scheduler round-trips at scale.
+    # tests/test_ivf_recall.py pins _py_score == sim.score bit-for-bit.
+    cq_rows = []
+    for qid in query_ids:
+        scored = sorted(
+            (
+                (-_py_round6(_py_score(metric, c, qvecs[qid][0])), i)
+                for i, c in enumerate(cents)
+            ),
+        )
+        cq_rows += [
+            (int(qid), int(lid), rnk + 1)
+            for rnk, (_, lid) in enumerate(scored)
+        ]
+
+    # ALL nprobe branches — AND the exact-truth branch — from ONE
+    # scoring pass, exploiting the probe axis' monotone prefix
+    # structure (nprobe=8's candidate set contains nprobe=4's):
+    #
+    #   1. per-(query, list) top-k ONCE over the UNREPLICATED pairs
+    #      frame. Lossless: the top-k of any probed-list union can only
+    #      contain members of each list's own top-k (an element outside
+    #      its list's top-k has >= k strictly-better elements — under
+    #      the deterministic (score desc, vec_id asc) total order — in
+    #      the SAME list, which is wholly present in every candidate
+    #      set containing the element). The round-9 shape replicated
+    #      the full pairs frame across the probe axis BEFORE its top-k
+    #      window, so the one big sort processed ~sum(nprobe)/n_lists
+    #      copies of the corpus; this sorts each pair exactly once, in
+    #      finer (query, list) partitions.
+    #   2. every sweep point — including the internal nprobe = n_lists
+    #      point that IS the exact truth — derives from the surviving
+    #      n_queries * n_lists * k rows: broadcast-join the centroid
+    #      ranks, replicate across the (tiny) probe axis, re-rank in a
+    #      window over <= |probes| * n_queries * n_lists * k rows.
+    #
+    # One corpus scan, one pairs-sized exchange, any number of probe
+    # points: at 100 TB the scoring scan dominates and runs once; the
+    # per-point work is a re-rank of k-bounded partials, not a re-scan.
+    lw = Window.partitionBy("query_id", "list_id").orderBy(
         F.desc("score"), F.asc("vec_id")
     )
-    sweep_topk = (
-        pairs.join(F.broadcast(cq), ["query_id", "list_id"])
-        .crossJoin(F.broadcast(nprobe_df))
-        .filter(F.col("c_rnk") <= F.col("nprobe"))
-        .withColumn("rnk", F.row_number().over(sw))
-        .filter(F.col("rnk") <= k)
-        .select("nprobe", "query_id", "vec_id")
-        .localCheckpoint(eager=False)
+    list_topk = (
+        pairs.withColumn("lrnk", F.row_number().over(lw))
+        .filter(F.col("lrnk") <= k)
+        .select("query_id", "vec_id", "list_id", "score")
     )
-    exact = sweep_topk.filter(F.col("nprobe") == n_lists).select(
-        "query_id", "vec_id"
+    # every sweep point AND the exact truth from ONE more window pass
+    # (running conditional counts), no per-probe replication at all:
+    # tag each surviving row with its list's (driver-side) centroid
+    # rank, then over each query's global (score desc, vec_id) order
+    # compute, per probe p, the running count of candidate rows
+    # (c_rnk <= p) INCLUDING the current row. For a candidate row that
+    # count IS its rank within probe p's candidate set: if the count is
+    # <= k it equals the true rank (any pruned better candidate would
+    # imply k surviving better rows from its own list, pushing the
+    # count past k), so `c_rnk <= p AND cnt_p <= k` is exact top-k(p)
+    # membership, and `cnt_all <= k` (every row is a candidate at
+    # nprobe = n_lists) is exact truth membership. All probe columns
+    # share one window spec -> ONE WindowExec; the groupBy that sums
+    # the overlap indicators reuses the window's hash partitioning on
+    # query_id, so the whole sweep after the per-list top-k is a single
+    # exchange. Probe points cost COLUMNS, not data copies — the shape
+    # that holds at 100 TB with a 50-point sweep.
+    cqdf = spark.createDataFrame(
+        cq_rows, "query_id bigint, list_id int, c_rnk int"
     )
-    overlap = (
-        exact.join(
-            sweep_topk.filter(F.col("nprobe").isin([int(p) for p in nprobes])),
-            ["query_id", "vec_id"],
+    wrun = (
+        Window.partitionBy("query_id")
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    probe_pts = sorted(set(int(p) for p in nprobes))
+    cnt_all = F.count(F.lit(1)).over(wrun)
+    ov_cols = []
+    for p in probe_pts:
+        cnt_p = F.sum(
+            F.when(F.col("c_rnk") <= p, F.lit(1)).otherwise(F.lit(0))
+        ).over(wrun)
+        ov_cols.append(
+            (
+                (F.col("c_rnk") <= p) & (cnt_p <= k) & (cnt_all <= k)
+            ).cast("long").alias(f"ov_{p}")
         )
-        .groupBy("nprobe", "query_id")
-        .agg(F.count("*").alias("n_overlap"))
+    per_q = (
+        list_topk.join(F.broadcast(cqdf), ["query_id", "list_id"])
+        .select("query_id", *ov_cols)
+        .groupBy("query_id")
+        .agg(*[F.sum(f"ov_{p}").alias(f"ov_{p}") for p in probe_pts])
     )
-    req_df = spark.createDataFrame(
-        [(int(p),) for p in nprobes], "nprobe int"
+    stack_args = ", ".join(f"{p}, ov_{p}" for p in probe_pts)
+    overlap = per_q.select(
+        "query_id",
+        F.expr(
+            f"stack({len(probe_pts)}, {stack_args}) AS (nprobe, n_overlap)"
+        ),
     )
-    grid_qp = queries.select("query_id").crossJoin(F.broadcast(req_df))
+    # the (query, nprobe) result grid is fully known driver-side; the
+    # left join keeps 0-overlap points present even for a query whose
+    # probed lists are all empty
+    grid_qp = spark.createDataFrame(
+        [(int(p), int(qid)) for p in nprobes for qid in query_ids],
+        "nprobe int, query_id bigint",
+    )
     return (
         grid_qp.join(overlap, ["nprobe", "query_id"], "left")
         .select(
