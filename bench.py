@@ -3,9 +3,12 @@
 JSON line {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed to completion (count + a small collect) so the
-timing includes the full scan->score->topk->join pipeline, not just plan
-construction.
+Each query is executed to completion (noop-sink write) so the timing
+includes the full scan->score->topk->join pipeline, not just plan
+construction. The 10 heaviest queries are executed 3x and report the
+MEDIAN (with a max-min `spread` field in the JSON), so regression claims
+can be separated from host-burst variance; `value` is the sum of medians
+(top-10) plus single-shot timings (rest).
 """
 
 from __future__ import annotations
@@ -163,9 +166,8 @@ def main() -> None:
         except Exception:
             pass
 
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    for name, fn in sorted(entrypoints.QUERIES.items()):
+    def _time_one(name: str, fn) -> float | None:
+        """One fully-materialized timed execution; None on error."""
         _release_checkpoints()
         t0 = time.perf_counter()
         try:
@@ -177,9 +179,60 @@ def main() -> None:
         except Exception as exc:  # one broken query must not zero the round
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            return None
+        return round(time.perf_counter() - t0, 4)
+
+    # Materialized-artifact memo (labels / allpairs parquet): snapshot
+    # its state just before each query's FIRST run so re-runs can
+    # replay under identical cache conditions — without this, a
+    # re-run of e.g. dedup_allpairs_cosine would hit the artifact its
+    # own first run wrote and the "median" would time a parquet read
+    # instead of the query. (Caches that are index state shared across
+    # DIFFERENT queries — query vectors, coarse centers, grid bounds,
+    # stored-index fingerprints — were already warm at first-run time
+    # and are deliberately left warm.)
+    from vector_db_service_spark.operators import dedup as _dedup
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    runs: dict[str, list[float]] = {}
+    cache_before: dict[str, dict] = {}
+    for name, fn in sorted(entrypoints.QUERIES.items()):
+        cache_before[name] = dict(_dedup._LABELS_CACHE)
+        t = _time_one(name, fn)
+        if t is None:
             continue
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        runs[name] = [t]
+        timings[name] = t
+        print(f"# {name}: {t:.3f}s", file=sys.stderr)
+
+    # MEDIAN-OF-3 for the heaviest queries (round-9 review #3): driver
+    # deltas of ±1 s on 2-6 s queries flip sign round-over-round with no
+    # code change — single-shot timings are host-burst-noise-dominated
+    # at this scale, so plan regressions can't be attributed. The 10
+    # most expensive queries get two more timed executions; each reports
+    # the MEDIAN of its 3 runs plus a `spread` (max-min) so a
+    # regression claim can be checked against the run-to-run variance.
+    n_rerun = int(os.environ.get("SPARK_GRAFT_BENCH_RERUNS_TOP", "10"))
+    spread: dict[str, float] = {}
+    for name in sorted(timings, key=lambda n: -timings[n])[:n_rerun]:
+        for _ in range(2):
+            saved = dict(_dedup._LABELS_CACHE)
+            _dedup._LABELS_CACHE.clear()
+            _dedup._LABELS_CACHE.update(cache_before[name])
+            t = _time_one(name, entrypoints.QUERIES[name])
+            _dedup._LABELS_CACHE.clear()
+            _dedup._LABELS_CACHE.update(saved)
+            if t is not None:
+                runs[name].append(t)
+        rs = sorted(runs[name])
+        timings[name] = rs[len(rs) // 2]  # median (middle of 3)
+        spread[name] = round(rs[-1] - rs[0], 4)
+        print(
+            f"# {name}: median {timings[name]:.3f}s of {rs} "
+            f"(spread {spread[name]:.3f}s)",
+            file=sys.stderr,
+        )
 
     # an errored query must not IMPROVE the headline (it would otherwise
     # subtract its wall time): charge each error the max observed query
@@ -191,6 +244,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": runs,
+        "spread": spread,
         "errors": errors,
         "error_penalty_sec_each": penalty if errors else 0.0,
         "sf": sf,
@@ -211,6 +266,7 @@ def main() -> None:
         "n_errors": len(errors),
         "error_penalty_sec_each": penalty if errors else 0.0,
         "queries": top10,
+        "spread": {n: spread[n] for n in top10 if n in spread},
         "sf": sf,
     }))
     spark.stop()

@@ -948,11 +948,16 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
     engines: idf is quantized once to millinats, weights w = tf *
     idf_mln, norms and dots are exact bigint sums (wrap-proof by the
     domain guard below), the prefix boundary is tau_den^2 * tail2 >=
-    tau_num^2 * norm2 (tau squared, cleared of denominators, compared
-    in DECIMAL(38,0) because q2 * tail2 can pass 2^63 inside the
-    domain), and the final verdict tau_den^2 * dot^2 >= tau_num^2 *
-    norm2_1 * norm2_2 runs in DECIMAL(38,0) (dot^2 can exceed int64;
-    the DuckDB side uses HUGEINT). The reported cosine is the only
+    tau_num^2 * norm2 (tau squared, cleared of denominators — q2 *
+    tail2 can pass 2^63 inside the domain, so the exact image is
+    DECIMAL(38,0)), and the final verdict tau_den^2 * dot^2 >=
+    tau_num^2 * norm2_1 * norm2_2 is likewise exact (dot^2 can exceed
+    int64; the DuckDB side uses HUGEINT). Each exact compare is
+    DOUBLE-SCREENED (_ge_screened): the double images decide every row
+    outside a certified 1e-9 relative band around the boundary (the
+    double error on these products is < 1e-14), and the BigDecimal-slow
+    DECIMAL(38,0) path runs only inside the band — bit-identical
+    verdicts, decimal math on ~no rows. The reported cosine is the only
     float and is rounded to integer micros AFTER the verdict. df ==
     n_docs shingles carry idf_mln = 0 and are dropped exactly (they
     cannot contribute).
@@ -1094,11 +1099,33 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
         ).otherwise(norm2_w).alias("norm2"),
         F.sum(F.col("w") * F.col("w")).over(tail_w).alias("tail2"),
     ).localCheckpoint(eager=False)
-    # decimal, not long: q2 * tail2 can reach ~q2 * NORM_SAFE (> 2^63)
-    # inside the guarded domain — a long multiply would wrap silently
+    # DOUBLE-SCREENED exact compare (round-9 review #4): the decimal
+    # comparisons below are exact but BigDecimal-slow per row. Each
+    # product's double image carries < 1e-14 relative error (exact
+    # int64 inputs, <= 3 roundings per side), so a 1e-9 relative
+    # margin certifies every row that is not razor-close to the
+    # boundary and the exact decimal path runs ONLY inside that band —
+    # same verdicts bit for bit (the oracle-parity suite re-proves it),
+    # decimal math on ~0 rows instead of every candidate.
+    def _ge_screened(c1: int, a1, a2, c2: int, b1, b2):
+        lhs_d = F.lit(float(c1)) * a1.cast("double") * a2.cast("double")
+        rhs_d = F.lit(float(c2)) * b1.cast("double") * b2.cast("double")
+        exact = (
+            F.lit(c1).cast(dec) * a1.cast(dec) * a2.cast(dec)
+            >= F.lit(c2).cast(dec) * b1.cast(dec) * b2.cast(dec)
+        )
+        return (
+            F.when(lhs_d > rhs_d * F.lit(1.0 + 1e-9), F.lit(True))
+            .when(lhs_d < rhs_d * F.lit(1.0 - 1e-9), F.lit(False))
+            .otherwise(exact)
+        )
+
+    # q2 * tail2 can reach ~q2 * NORM_SAFE (> 2^63) inside the guarded
+    # domain — a long multiply would wrap silently, hence screen+decimal
     prefix = wn.filter(
-        F.lit(q2).cast(dec) * F.col("tail2").cast(dec)
-        >= F.lit(p2).cast(dec) * F.col("norm2").cast(dec)
+        _ge_screened(
+            q2, F.col("tail2"), F.lit(1), p2, F.col("norm2"), F.lit(1)
+        )
     )
     # candidates: prefix-to-prefix equi-join on the shingle hash; the
     # first-in-global-order shared feature argument makes this complete.
@@ -1139,10 +1166,10 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
             ).alias("fst"),
         )
         .filter(
-            F.lit(q2).cast(dec)
-            * F.col("fst.t1").cast(dec) * F.col("fst.t2").cast(dec)
-            >= F.lit(p2).cast(dec)
-            * F.col("norm2_1").cast(dec) * F.col("norm2_2").cast(dec)
+            _ge_screened(
+                q2, F.col("fst.t1"), F.col("fst.t2"),
+                p2, F.col("norm2_1"), F.col("norm2_2"),
+            )
         )
         .drop("fst")
     )
@@ -1176,10 +1203,9 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
             ).alias("dot"),
         )
     )
-    dec = "decimal(38,0)"
-    verdict = (
-        F.lit(q2).cast(dec) * F.col("dot").cast(dec) * F.col("dot").cast(dec)
-        >= F.lit(p2).cast(dec) * F.col("norm2_1").cast(dec) * F.col("norm2_2").cast(dec)
+    verdict = _ge_screened(
+        q2, F.col("dot"), F.col("dot"),
+        p2, F.col("norm2_1"), F.col("norm2_2"),
     ) & (F.col("dot") > 0)
     return (
         dots.filter(verdict)
@@ -1223,10 +1249,12 @@ def allpairs_cached(spark, sf_dir: str, tau_num: int = 4,
         _labels_root(),
         "allpairs_" + "_".join(str(k).replace(_os.sep, "-") for k in key),
     )
-    pairs = allpairs_cosine(docs, tau_num, tau_den).localCheckpoint(eager=False)
-    pairs.write.mode("overwrite").parquet(out)
+    allpairs_cosine(docs, tau_num, tau_den).write.mode("overwrite").parquet(out)
     _LABELS_CACHE[key] = out
-    return pairs
+    # read the durable parquet on the miss path too (same round-10 fix
+    # as near_dup_labels_cached): a returned checkpoint frame is
+    # non-recomputable once its blocks are evicted
+    return spark.read.parquet(out)
 
 
 def _shard4(col: str) -> "F.Column":
