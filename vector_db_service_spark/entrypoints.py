@@ -2448,47 +2448,43 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 # --- Registration order ---------------------------------------------------
 # External correctness tooling samples the FIRST 50 registered queries.
-# Round-9 ROTATION (per the round-8 review): (a) stream_stateful_user_
-# totals — the ONLY query in eight rounds with zero driver-green
-# evidence (errored r4 on the events ts schema drift, fixed since,
-# never re-sampled) — pinned first; (b) the flagship read-path family
-# (last green r5/r6, the reference's core path); (c) every query whose
-# plan or arithmetic changed THIS round (overflow-guarded allpairs /
-# norm / spectrum, restructured components/keep_canonical edge graph,
-# fused recall sweep, shared-default mllib join); (d) the 15 stalest
-# rows (11 last green in r3, 4 in r4); (e) the next-stalest r5 rows to
-# fill 50. Everything displaced stays green under
-# tests/test_oracle_parity.py, which runs the identical compare over
-# ALL registered oracles.
+# Round-10 ROTATION (per the round-9 review): (a) text_pii_scrub +
+# text_script_profile — the ONLY queries with zero driver evidence
+# (registered in the round-9 end-of-round snapshot, after that round's
+# sample rotation) — pinned first; (b) every query whose plan or
+# arithmetic changed THIS round (filter-anchored overflow guards in
+# norm/spectrum, durable-parquet labels/allpairs cache miss path,
+# double-screened allpairs compares, rebuilt recall sweep); (c) the 19
+# stalest rows (all last driver-green in r5), so nothing ages past 5
+# rounds; (d) the oldest r6 rows to fill 50. Everything displaced
+# stays green under tests/test_oracle_parity.py, which runs the
+# identical compare over ALL registered oracles.
 _PRIORITY_50 = [
-    # -- (a) never driver-green in any round: close the gap --
-    "stream_stateful_user_totals",
-    # -- (b) flagship read-path family (verdict #5) --
-    "knn_search_hydrated",
-    "knn_dispatch_flat", "knn_dispatch_lsh", "knn_dispatch_grid",
-    "stream_embed_pending",
-    # -- (c) changed this round: re-verify under the driver --
-    "dedup_allpairs_cosine", "dedup_components", "dedup_keep_canonical",
-    "dedup_minhash_recall_vs_exact", "ann_ivf_recall_sweep",
-    "emb_norm_outliers", "emb_spectrum_audit", "mllib_minhash_jaccard_join",
-    # -- (d) stalest rows: last driver-green r3 --
-    "knn_dist_euclidean", "knn_dist_manhattan", "knn_flat_dot_product",
-    "knn_flat_euclidean", "knn_flat_manhattan",
-    "rel_docs_top_by_length", "rel_order_priority_rollup",
-    "rel_revenue_by_nation", "rel_sessionize_events", "rel_status_pivot",
-    "rel_top_customers",
-    # -- (d) stalest rows: last driver-green r4 --
-    "a6_memory_stats", "ann_blocked_pair_recall", "p4_exists_probe",
-    "s13_partial_update",
-    # -- (e) next-stalest (last driver-green r5) --
-    "a2_chunk_stats", "a5_vector_stats", "a7_dim_minmax",
-    "ann_band_skew_report", "ann_brute_force_topk", "ann_ivf_topk",
-    "ann_knn_join", "ann_knn_join_salted", "ann_scalar_quantize",
-    "dedup_embedding_pairs", "dedup_exact_summary",
-    "dedup_ngram_jaccard_topk", "dedup_simhash_pairs", "grid_cells",
-    "i11_stored_index_probe", "j2_semi_join", "j3_orphan_anti_join",
-    "knn_flat_cosine", "knn_safe_flat", "lsh_bucket_stats",
-    "lsh_signatures",
+    # -- (a) zero driver evidence: close the gap --
+    "text_pii_scrub", "text_script_profile",
+    # -- (b) changed this round: re-verify under the driver --
+    "emb_norm_outliers", "emb_spectrum_audit",
+    "dedup_components", "dedup_keep_canonical",
+    "dedup_allpairs_cosine", "dedup_minhash_recall_vs_exact",
+    "ann_ivf_recall_sweep",
+    # -- (c) stalest rows: last driver-green r5 --
+    "mm_blob_features", "obs_service_status", "p2_conjunctive_filter",
+    "p3_dynamic_filter", "p5_create_or_get", "rel_events_json_stats",
+    "rel_pricing_summary", "s10_vector_upsert", "s11_delete_by_predicate",
+    "s12_cascade_delete", "s15_embed_resilient", "s1_point_lookup",
+    "s2_batch_lookup", "s3_scan_by_library", "sketch_hll_distinct_users",
+    "stream_click_purchase_join", "text_chunk_documents",
+    "text_language_id", "text_token_stats",
+    # -- (d) oldest r6 rows to fill 50 --
+    "a1_count_by_library", "a9_two_level_agg", "ann_index_recall_report",
+    "dedup_containment_pairs", "dedup_minhash_pairs",
+    "i11_index_lifecycle", "i11_stored_grid_probe",
+    "ingest_chunks_embedded", "kernel_pairwise", "knn_grid_euclidean",
+    "knn_lsh_cosine", "mllib_brp_approx_knn", "mllib_brp_bucket_index",
+    "mm_blob_resize", "mm_frame_stats", "mm_library_centroids_pandas",
+    "o10_pending_anti_join", "p6_validation_report",
+    "rel_asof_purchase_click", "rel_conversion_funnel",
+    "rel_events_daily_rollup", "rel_interarrival_stats",
 ]
 
 
