@@ -30,11 +30,20 @@ from tests.utf8_fixture import build_utf8_fixture  # noqa: E402
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
-# every oracled query whose SQL scans the documents table — the ones a
-# byte/char divergence can reach. Automatic, so future text operators
-# are covered the day they are registered.
+# every oracled query whose SQL scans ANY table the fixture rewrites —
+# the ones a byte/char divergence can reach. Since round 10 the fixture
+# injects multi-byte payloads into every string column of every table
+# (events' JSON props, event_type, order status/priority, dimension
+# names, documents source/lang), not just documents.text, so this is
+# effectively every oracle that touches a string anywhere. Automatic,
+# so future operators are covered the day they are registered.
+_REWRITTEN = (
+    "documents", "events", "orders", "lineitem", "customer",
+    "supplier", "part", "nation", "region",
+)
 TEXT_QUERIES = sorted(
-    n for n, sql in ORACLES.items() if "documents" in sql
+    n for n, sql in ORACLES.items()
+    if any(t in sql for t in _REWRITTEN)
 )
 
 _DIR: list[str] = []

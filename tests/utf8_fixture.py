@@ -77,11 +77,48 @@ def _transform(doc_id: int, text: str) -> str:
     return " ".join(words + extra)
 
 
+# Round-10 (r9 review #7): the fixture previously rewrote only
+# documents.text, so events/orders/lineitem/dimension string columns
+# never saw multi-byte input — the sketch family hashes event_type,
+# rel_events_json_stats parses props, and the pivots/rollups group on
+# status strings, all byte-sensitive surfaces. Every non-documents
+# string column now gets a MINORITY multi-byte rewrite (every 3rd row,
+# deterministic per row id): filters on literal ASCII values
+# ('click', '1-URGENT', ...) keep matching the untouched majority, so
+# no query goes vacuous, while group-bys/hashes/JSON paths all see
+# 2-4-byte code points. `props` is rewritten JSON-aware (a multi-byte
+# key+value inserted before the closing brace) so json-path extraction
+# stays live.
+_TAGS = ["é", "数据", "😀", "привет", "ωμέγα", "日本語"]
+
+
+def _tag(i: int) -> str:
+    return _TAGS[i % len(_TAGS)]
+
+
+def _transform_row_strings(t: str, idx: int, r: dict) -> None:
+    if idx % 3 != 0:
+        return
+    k = idx // 3  # cycle through ALL tags (idx itself is ≡ 0 mod 3)
+    for col, v in r.items():
+        if not isinstance(v, str):
+            continue
+        if t == "events" and col == "props":
+            # keep valid JSON: {"k": 87} -> {"k": 87, "täg😀": "数据"}
+            if v.endswith("}"):
+                r[col] = (
+                    v[:-1].rstrip()
+                    + f', "täg{_tag(k)}": "{_tag(k + 1)}"' + "}"
+                )
+        else:
+            r[col] = v + "·" + _tag(k)
+
+
 def build_utf8_fixture(dst_dir: str,
                        src_dir: str = "/root/testdata/sf0.001") -> str:
     """Materialize the UTF-8 corpus under dst_dir (parquet per table).
-    Deterministic: same src + same code -> byte-identical documents
-    rows (parquet metadata aside). Returns dst_dir."""
+    Deterministic: same src + same code -> byte-identical rows
+    (parquet metadata aside). Returns dst_dir."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -89,14 +126,24 @@ def build_utf8_fixture(dst_dir: str,
     for t in TABLES:
         src = os.path.join(src_dir, f"{t}.parquet")
         dst = os.path.join(dst_dir, f"{t}.parquet")
-        if t != "documents":
+        if t == "embeddings":
             shutil.copyfile(src, dst)
             continue
         tbl = pq.read_table(src)
         rows = tbl.to_pylist()
-        for r in rows:
-            r["text"] = _transform(int(r["doc_id"]), r["text"])
-            r["n_chars"] = len(r["text"])
+        if t == "documents":
+            for r in rows:
+                r["text"] = _transform(int(r["doc_id"]), r["text"])
+                r["n_chars"] = len(r["text"])
+                # minority rewrite of the NON-text string columns too
+                # (source/lang/title feed group-bys and filters)
+                if int(r["doc_id"]) % 3 == 0:
+                    for col, v in r.items():
+                        if col != "text" and isinstance(v, str):
+                            r[col] = v + "·" + _tag(int(r["doc_id"]) // 3)
+        else:
+            for i, r in enumerate(rows):
+                _transform_row_strings(t, i, r)
         out = pa.Table.from_pylist(rows, schema=tbl.schema)
         pq.write_table(out, dst)
     return dst_dir
