@@ -133,17 +133,171 @@ def test_palette_index_out_of_range_raises():
         mm.decode_image(blob)
 
 
-def test_unsupported_png_flavor_raises():
+def test_illegal_ihdr_combinations_raise():
     import struct
 
-    # 16-bit depth and interlaced stay honestly gated
-    for bit_depth, color_type, interlace in ((16, 2, 0), (8, 2, 1)):
+    # spec-ILLEGAL combinations are rejected as invalid, not gated:
+    # 16-bit palette, sub-byte RGB, unknown color type, bogus interlace
+    for w, h, bit_depth, color_type, interlace in (
+        (2, 2, 16, 3, 0), (2, 2, 4, 2, 0), (2, 2, 8, 5, 0), (2, 2, 8, 2, 7),
+    ):
         ihdr = struct.pack(
-            ">IIBBBBB", 2, 2, bit_depth, color_type, 0, 0, interlace
+            ">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace
         )
         blob = mm._PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             mm.decode_image(blob)
+
+
+def test_jpeg_stays_gated():
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+
+
+# ---- round-10 flavors: 16-bit, sub-byte, Adam7 ------------------------
+# All fixture bytes below are built with INDEPENDENT reimplementations
+# of the spec (big-endian sample serialization, MSB-first bit packing,
+# the Adam7 origin/step table), never with the reader's own helpers.
+
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _be16_rows(samples: np.ndarray) -> np.ndarray:
+    """(h, w, ch) uint16 -> (h, w*ch*2) big-endian byte rows."""
+    h = samples.shape[0]
+    flat = samples.reshape(h, -1).astype(np.uint16)
+    hi, lo = (flat >> 8).astype(np.uint8), (flat & 0xFF).astype(np.uint8)
+    return np.stack([hi, lo], axis=2).reshape(h, -1)
+
+
+def _pack_rows(values: np.ndarray, bit_depth: int) -> np.ndarray:
+    """(h, w) small ints -> (h, ceil(w*d/8)) byte rows, MSB-first."""
+    h, w = values.shape
+    stride = (w * bit_depth + 7) // 8
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        acc, nbits, pos = 0, 0, 0
+        for x in range(w):
+            acc = (acc << bit_depth) | int(values[y, x])
+            nbits += bit_depth
+            while nbits >= 8:
+                out[y, pos] = (acc >> (nbits - 8)) & 0xFF
+                nbits -= 8
+                pos += 1
+        if nbits:
+            out[y, pos] = (acc << (8 - nbits)) & 0xFF
+    return out
+
+
+def _png(w, h, bit_depth, color_type, interlace, idat, plte=None) -> bytes:
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
+    blob = mm._PNG_SIG + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        blob += _chunk(b"PLTE", plte)
+    return blob + _chunk(b"IDAT", zlib.compress(idat)) + _chunk(b"IEND", b"")
+
+
+def _interlace(samples: np.ndarray, to_rows, filters, bpp) -> bytes:
+    """Adam7-split (h, w[, ch]) samples, serialize each pass with
+    to_rows, filter each pass independently, concatenate."""
+    hgt, wid = samples.shape[0], samples.shape[1]
+    raw = b""
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (wid - x0 + dx - 1) // dx
+        ph = (hgt - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        raw += _scanlines(to_rows(samples[y0::dy, x0::dx]), filters, bpp=bpp)
+    return raw
+
+
+def test_16bit_rgb_png_maps_high_byte():
+    rng = np.random.RandomState(13)
+    px16 = rng.randint(0, 65536, size=(9, 5, 3)).astype(np.uint16)
+    raw = _scanlines(_be16_rows(px16), [0, 1, 2, 3, 4], bpp=6)
+    w, h, maxv, out = mm._decode_png(_png(5, 9, 16, 2, 0, raw))
+    assert (w, h, maxv) == (5, 9, 255)
+    assert out.tobytes() == (px16 >> 8).astype(np.uint8).tobytes()
+
+
+def test_16bit_gray_png():
+    rng = np.random.RandomState(17)
+    px16 = rng.randint(0, 65536, size=(7, 6, 1)).astype(np.uint16)
+    raw = _scanlines(_be16_rows(px16), [4, 3, 2, 1, 0], bpp=2)
+    _, _, _, out = mm._decode_png(_png(6, 7, 16, 0, 0, raw))
+    expect = np.repeat((px16 >> 8).astype(np.uint8), 3, axis=2)
+    assert out.tobytes() == expect.tobytes()
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_subbyte_gray_png_scales_exactly(depth):
+    rng = np.random.RandomState(19 + depth)
+    # width NOT a multiple of 8/depth: exercises row-end bit padding
+    vals = rng.randint(0, 1 << depth, size=(6, 11)).astype(np.uint8)
+    raw = _scanlines(_pack_rows(vals, depth), [0, 1, 2, 3, 4], bpp=1)
+    _, _, _, out = mm._decode_png(_png(11, 6, depth, 0, 0, raw))
+    scaled = (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    expect = np.repeat(scaled.reshape(6, 11, 1), 3, axis=2)
+    assert out.tobytes() == expect.tobytes()
+
+
+def test_subbyte_palette_png():
+    rng = np.random.RandomState(23)
+    palette = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(5, 9)).astype(np.uint8)
+    raw = _scanlines(_pack_rows(idx, 4), [0, 1, 2, 3, 4], bpp=1)
+    _, _, _, out = mm._decode_png(
+        _png(9, 5, 4, 3, 0, raw, plte=palette.tobytes())
+    )
+    assert out.tobytes() == palette[idx].tobytes()
+
+
+@pytest.mark.parametrize("shape", [(10, 9), (8, 8), (3, 3), (1, 1), (2, 16)])
+def test_adam7_rgb_png(shape):
+    h, w = shape
+    rng = np.random.RandomState(29 + h * 31 + w)
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    raw = _interlace(
+        px, lambda s: s.reshape(s.shape[0], -1), [0, 1, 2, 3, 4], bpp=3
+    )
+    ww, hh, maxv, out = mm._decode_png(_png(w, h, 8, 2, 1, raw))
+    assert (ww, hh, maxv) == (w, h, 255)
+    assert out.tobytes() == px.tobytes()
+
+
+def test_adam7_16bit_gray_png():
+    rng = np.random.RandomState(37)
+    px16 = rng.randint(0, 65536, size=(9, 10, 1)).astype(np.uint16)
+    raw = _interlace(px16, _be16_rows, [2, 4, 0, 1, 3], bpp=2)
+    _, _, _, out = mm._decode_png(_png(10, 9, 16, 0, 1, raw))
+    expect = np.repeat((px16 >> 8).astype(np.uint8), 3, axis=2)
+    assert out.tobytes() == expect.tobytes()
+
+
+def test_adam7_subbyte_palette_png():
+    rng = np.random.RandomState(41)
+    palette = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.randint(0, 4, size=(11, 7)).astype(np.uint8)
+    raw = _interlace(idx, lambda s: _pack_rows(s, 2), [3, 1, 4, 0, 2], bpp=1)
+    _, _, _, out = mm._decode_png(
+        _png(7, 11, 2, 3, 1, raw, plte=palette.tobytes())
+    )
+    assert out.tobytes() == palette[idx].tobytes()
+
+
+def test_adam7_truncated_payload_raises():
+    px = _raster(8, 8)
+    raw = _interlace(
+        px, lambda s: s.reshape(s.shape[0], -1), [0], bpp=3
+    )
+    with pytest.raises(ValueError):
+        mm._decode_png(_png(8, 8, 8, 2, 1, raw[:-5]))
 
 
 def test_rgba_png_drops_alpha():
@@ -199,3 +353,13 @@ def test_mm_decode_png_matches_oracle(spark):
     sdf = mm.mm_decode_png(spark, sf)
     odf = con.execute(mm.mm_decode_sql()).fetchdf()
     assert compare(sdf, odf) == []
+
+
+def test_adam7_table_partitions_the_grid():
+    """Every pixel of an 8x8 tile (and any larger grid) must be covered
+    by EXACTLY one pass — the property that makes the scatter a
+    bijection. This caught a wrong y-origin during round 10."""
+    grid = np.zeros((16, 16), dtype=int)
+    for x0, y0, dx, dy in _ADAM7:
+        grid[y0::dy, x0::dx] += 1
+    assert (grid == 1).all()

@@ -12,10 +12,12 @@ UDF signatures — is real and tested:
   fixed-width float vector out, one vectorized call per batch.
 - `sample_frames`: splits each blob into fixed-size "frames" (the
   video-frame-sampling access pattern: one input row -> N output rows).
-- `decode_image`: REAL decode for P6 PPM (fixed-stride) and 8-bit
-  non-interlaced RGB PNG (stdlib zlib inflate + full five-filter
-  unfilter, _decode_png); JPEG and other PNG flavors stay honestly
-  gated behind NotImplementedError until a codec library is available.
+- `decode_image`: REAL decode for P6 PPM (fixed-stride) and PNG at
+  every spec-legal IHDR flavor — color types 0/2/3/4/6, bit depths
+  1/2/4/8/16, non-interlaced and Adam7 (stdlib zlib inflate +
+  five-filter unfilter per sub-image, _decode_png); only JPEG stays
+  honestly gated behind NotImplementedError until a codec library is
+  available.
 
 Blobs are synthesized from the documents table (utf-8 bytes of text)
 so every SF has a binary corpus without touching the read-only testdata.
@@ -115,54 +117,30 @@ def _paeth(a, b, c):
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def _decode_png(blob: bytes) -> tuple[int, int, int, "object"]:
-    """Pure-Python PNG decode for non-interlaced 8-bit truecolor RGB
-    (color type 2), grayscale (0), palette (3), gray+alpha (4) and RGBA
-    (6): chunk walk -> stdlib zlib inflate -> per-scanline unfilter
-    (all five filter types: None/Sub/Up/Average/Paeth, generic over
-    bytes-per-pixel) -> channel normalization to RGB (gray replicated,
-    palette looked up in PLTE, alpha dropped). No codec library —
-    DEFLATE is the only compression PNG uses and zlib ships with
-    Python. Remaining flavors (16-bit, sub-byte depths, interlaced)
-    raise NotImplementedError so the codec gate stays honest."""
-    import struct
-    import zlib
+# Adam7 pass origins and steps (PNG spec 8.2): (x0, y0, dx, dy) —
+# derived from the canonical 8x8 tile
+#   1 6 4 6 2 6 4 6
+#   7 7 7 7 7 7 7 7
+#   5 6 5 6 5 6 5 6
+#   7 7 7 7 7 7 7 7
+#   3 6 4 6 3 6 4 6
+#   7 7 7 7 7 7 7 7
+#   5 6 5 6 5 6 5 6
+#   7 7 7 7 7 7 7 7
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
+
+def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> "object":
+    """Reconstruct `height` scanlines of `stride` bytes each from the
+    filtered byte stream (1 filter-type byte + stride bytes per line).
+    All five filter types; `bpp` is the spec's filter distance (bytes
+    per complete pixel, min 1 — so sub-byte depths filter byte-wise).
+    Returns an int64 (height, stride) array of reconstructed bytes."""
     import numpy as np
 
-    if blob[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, idat, ihdr, plte = 8, b"", None, None
-    while pos + 8 <= len(blob):
-        (ln,), tag = struct.unpack(">I", blob[pos : pos + 4]), blob[pos + 4 : pos + 8]
-        data = blob[pos + 8 : pos + 8 + ln]
-        pos += 12 + ln  # length + tag + data + crc
-        if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif tag == b"PLTE":
-            plte = data
-        elif tag == b"IDAT":
-            idat += data
-        elif tag == b"IEND":
-            break
-    if ihdr is None:
-        raise ValueError("PNG missing IHDR")
-    width, height, bit_depth, color_type, _comp, _filt, interlace = ihdr
-    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 3, 4, 6):
-        raise NotImplementedError(
-            f"PNG flavor not supported by the pure-Python reader "
-            f"(bit_depth={bit_depth}, color_type={color_type}, "
-            f"interlace={interlace}); only 8-bit non-interlaced "
-            f"gray/RGB/palette/gray+alpha/RGBA"
-        )
-    if color_type == 3:
-        if plte is None or len(plte) % 3:
-            raise ValueError("palette PNG missing a valid PLTE chunk")
-        palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-    # bytes per pixel pre-expansion (gray 1, gray+alpha 2, RGB 3, RGBA 4)
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    raw = zlib.decompress(idat)
-    stride = width * bpp
     if len(raw) != height * (stride + 1):
         raise ValueError(f"bad IDAT payload: {len(raw)} bytes")
     out = np.zeros((height, stride), dtype=np.int64)
@@ -194,20 +172,146 @@ def _decode_png(blob: bytes) -> tuple[int, int, int, "object"]:
                 rec[x : x + bpp] = (cur[x : x + bpp] + pred) % 256
         out[y] = rec
         prev = rec
-    px = out.astype(np.uint8)
-    if color_type == 2:
-        raster = px.reshape(height, width, 3)
-    elif color_type == 6:  # RGBA: color channels, alpha dropped
-        raster = px.reshape(height, width, 4)[:, :, :3]
-    elif color_type == 0:
-        raster = np.repeat(px.reshape(height, width, 1), 3, axis=2)
-    elif color_type == 4:  # gray+alpha: gray replicated, alpha dropped
-        raster = np.repeat(px.reshape(height, width, 2)[:, :, :1], 3, axis=2)
-    else:  # palette lookup
-        idx = px.reshape(height, width)
+    return out
+
+
+def _rows_to_samples(rows: "object", width: int, bit_depth: int,
+                     channels: int) -> "object":
+    """Unfiltered byte rows -> per-pixel samples (h, width, channels)
+    as uint16: 8-bit slices, 16-bit big-endian pairs, sub-byte depths
+    unpacked MSB-first (exactly the spec's bit packing)."""
+    import numpy as np
+
+    h = rows.shape[0]
+    u8 = rows.astype(np.uint8)
+    if bit_depth == 8:
+        return u8[:, : width * channels].reshape(h, width, channels).astype(
+            np.uint16
+        )
+    if bit_depth == 16:
+        pairs = (
+            u8[:, : width * channels * 2]
+            .reshape(h, width * channels, 2)
+            .astype(np.uint16)
+        )
+        return ((pairs[..., 0] << 8) | pairs[..., 1]).reshape(
+            h, width, channels
+        )
+    # 1/2/4-bit (single-channel only): np.unpackbits is MSB-first, which
+    # is the PNG packing order ("pixels are packed into bytes with the
+    # leftmost pixel in the high-order bits")
+    bits = np.unpackbits(u8, axis=1)
+    per = bits[:, : width * bit_depth].reshape(h, width, bit_depth)
+    weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint16)
+    return (per * weights).sum(axis=2, dtype=np.uint16).reshape(h, width, 1)
+
+
+def _decode_png(blob: bytes) -> tuple[int, int, int, "object"]:
+    """Pure-Python PNG decode — every spec-legal IHDR flavor: color
+    types 0/2/3/4/6 at bit depths 1/2/4/8/16 (as the spec permits per
+    type), non-interlaced AND Adam7-interlaced: chunk walk -> stdlib
+    zlib inflate -> per-(sub)image five-filter unfilter (filter state
+    resets per Adam7 pass, distance = bytes per complete pixel, min 1)
+    -> bit/byte sample decode (MSB-first sub-byte unpack, big-endian
+    16-bit pairs) -> Adam7 pixel scatter via the spec 8.2 origin/step
+    table -> channel normalization to 8-bit RGB (gray replicated and
+    exactly scaled 255/(2^d-1) for sub-byte, 16-bit mapped to its high
+    byte, palette looked up in PLTE, alpha dropped). No codec library —
+    DEFLATE is the only compression PNG uses and zlib ships with
+    Python. Only JPEG remains gated (decode_image)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr, plte = 8, b"", None, None
+    while pos + 8 <= len(blob):
+        (ln,), tag = struct.unpack(">I", blob[pos : pos + 4]), blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + tag + data + crc
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = data
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    channels_by_type = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+    legal_depths = {
+        0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+        4: (8, 16), 6: (8, 16),
+    }
+    if color_type not in channels_by_type or interlace not in (0, 1):
+        raise ValueError(
+            f"invalid PNG IHDR (color_type={color_type}, "
+            f"interlace={interlace})"
+        )
+    if bit_depth not in legal_depths[color_type]:
+        raise ValueError(
+            f"invalid PNG IHDR (bit_depth={bit_depth} illegal for "
+            f"color_type={color_type})"
+        )
+    if color_type == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing a valid PLTE chunk")
+        palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    channels = channels_by_type[color_type]
+    bits_pp = bit_depth * channels
+    bpp = max(1, (bits_pp + 7) // 8)  # spec filter distance
+    raw = zlib.decompress(idat)
+
+    def _stride(w: int) -> int:
+        return (w * bits_pp + 7) // 8
+
+    samples = np.zeros((height, width, channels), dtype=np.uint16)
+    if interlace == 0:
+        rows = _unfilter(raw, height, _stride(width), bpp)
+        samples = _rows_to_samples(rows, width, bit_depth, channels)
+    else:
+        # Adam7: seven sub-images, each filtered independently (the
+        # prior-scanline state resets per pass), scattered into the
+        # full pixel grid by the spec origin/step table
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            n = ph * (_stride(pw) + 1)
+            rows = _unfilter(raw[off : off + n], ph, _stride(pw), bpp)
+            off += n
+            samples[y0::dy, x0::dx] = _rows_to_samples(
+                rows, pw, bit_depth, channels
+            )
+        if off != len(raw):
+            raise ValueError(f"bad interlaced IDAT payload: {len(raw)} bytes")
+
+    if color_type == 3:
+        idx = samples[:, :, 0].astype(np.int64)
         if int(idx.max(initial=0)) >= len(palette):
             raise ValueError("palette index out of range")
         raster = palette[idx]
+        return width, height, 255, raster
+    if bit_depth == 16:
+        vals = (samples >> 8).astype(np.uint8)
+    elif bit_depth == 8:
+        vals = samples.astype(np.uint8)
+    else:  # 1/2/4-bit gray: exact scale (255 divisible by 2^d - 1)
+        vals = (samples * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
+    if color_type == 2:
+        raster = vals
+    elif color_type == 6:  # RGBA: color channels, alpha dropped
+        raster = vals[:, :, :3]
+    elif color_type == 0:
+        raster = np.repeat(vals, 3, axis=2)
+    else:  # gray+alpha: gray replicated, alpha dropped
+        raster = np.repeat(vals[:, :, :1], 3, axis=2)
     return width, height, 255, raster
 
 
@@ -261,17 +365,17 @@ def _encode_png(raster: "object") -> bytes:
 
 def decode_image(blob: bytes) -> object:
     """Image decode dispatch. Fixed-stride formats (P6 PPM) decode with
-    the pure-Python reader above; PNG (8-bit non-interlaced RGB) decodes
-    with the stdlib-zlib reader (_decode_png). Formats that genuinely
-    require a codec library not present in this container (JPEG, other
-    PNG flavors) stay explicitly gated — swap the raise for PIL/cv2
-    when available."""
+    the pure-Python reader above; PNG decodes with the stdlib-zlib
+    reader (_decode_png — every spec-legal depth/color-type/interlace
+    combination since round 10). Only formats that genuinely require a
+    codec library not present in this container (JPEG) stay explicitly
+    gated — swap the raise for PIL/cv2 when available."""
     if blob[:2] == b"P6":
         return _decode_ppm(blob)
     if blob[:8] == _PNG_SIG:
         return _decode_png(blob)
     raise NotImplementedError(
-        "compressed image decode requires an image codec library"
+        "compressed image decode (JPEG) requires an image codec library"
     )
 
 
