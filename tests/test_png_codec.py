@@ -363,3 +363,31 @@ def test_adam7_table_partitions_the_grid():
     for x0, y0, dx, dy in _ADAM7:
         grid[y0::dy, x0::dx] += 1
     assert (grid == 1).all()
+
+
+def test_encode_png_deep_roundtrips():
+    """The deep encoder (Adam7 + 16-bit, samples v*257) must decode
+    back to the source raster byte-for-byte via the high-byte map."""
+    for shape in ((10, 16), (3, 3), (1, 1), (7, 9)):
+        raster = _raster(*shape, seed=43 + shape[0])
+        w, h, maxv, out = mm.decode_image(mm._encode_png_deep(raster))
+        assert (w, h, maxv) == (shape[1], shape[0], 255)
+        assert out.tobytes() == raster.tobytes()
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/testdata/sf0.001"), reason="testdata absent"
+)
+def test_mm_decode_png_deep_matches_oracle(spark):
+    import duckdb
+
+    from tests.oracle_harness import compare
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    sdf = mm.mm_decode_png_deep(spark, sf)
+    odf = con.execute(mm.mm_decode_sql()).fetchdf()
+    assert not compare(sdf, odf)

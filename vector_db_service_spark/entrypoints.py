@@ -1126,6 +1126,15 @@ register(
     multimodal.mm_decode_png,
     multimodal.mm_decode_sql(),
 )
+register(
+    # DEEP PNG decode (round 10): Adam7-interlaced 16-bit RGB corpus ->
+    # per-pass unfilter + pixel scatter + high-byte normalization ->
+    # the same raster stats and byte-level oracle as mm_decode, so a
+    # defect anywhere in the interlace/16-bit path breaks the hash
+    "mm_decode_png_deep",
+    multimodal.mm_decode_png_deep,
+    multimodal.mm_decode_sql(),
+)
 
 
 register(
@@ -2484,7 +2493,10 @@ _PRIORITY_50 = [
     "mm_blob_resize", "mm_frame_stats", "mm_library_centroids_pandas",
     "o10_pending_anti_join", "p6_validation_report",
     "rel_asof_purchase_click", "rel_conversion_funnel",
-    "rel_events_daily_rollup", "rel_interarrival_stats",
+    "rel_events_daily_rollup",
+    # -- registered THIS round, so it gets driver evidence immediately
+    # (never repeat the text_pii_scrub gap) --
+    "mm_decode_png_deep",
 ]
 
 

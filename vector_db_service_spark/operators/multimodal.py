@@ -363,6 +363,83 @@ def _encode_png(raster: "object") -> bytes:
     )
 
 
+def _filter_rows(rows: "object", bpp: int) -> bytearray:
+    """Filter (h, stride) byte rows with type cycling y % 5 (every
+    unfilter path exercised), spec filter distance `bpp`. Used by the
+    deep encoder below; the 8-bit RGB encoder keeps its own inline
+    loop."""
+    import numpy as np
+
+    h, stride = rows.shape
+    out = bytearray()
+    zeros = np.zeros(bpp, dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        row = rows[y].astype(np.int64)
+        left = np.concatenate([zeros, row[:-bpp]]) if stride > bpp else (
+            np.zeros(stride, dtype=np.int64)
+        )
+        upleft = np.concatenate([zeros, prev[:-bpp]]) if stride > bpp else (
+            np.zeros(stride, dtype=np.int64)
+        )
+        ft = y % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            filt = (row - left) % 256
+        elif ft == 2:  # Up
+            filt = (row - prev) % 256
+        elif ft == 3:  # Average
+            filt = (row - (left + prev) // 2) % 256
+        else:  # Paeth
+            filt = (row - _paeth(left, prev, upleft)) % 256
+        out.append(ft)
+        out += filt.astype(np.uint8).tobytes()
+        prev = row
+    return out
+
+
+def _encode_png_deep(raster: "object") -> bytes:
+    """Adam7-INTERLACED 16-BIT RGB encoder for the synthetic corpus:
+    each 8-bit source sample v becomes the 16-bit sample v * 257
+    (0xVVVV), whose high byte decodes back to v exactly — so the deep
+    path shares mm_decode's codec-independent byte-level oracle. Each
+    pass is filtered independently with the type cycling y % 5, so
+    every unfilter path runs in every pass."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = raster.shape
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = raster[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        s16 = sub.astype(np.uint16) * 257
+        rows = np.stack(
+            [(s16 >> 8).astype(np.uint8), (s16 & 0xFF).astype(np.uint8)],
+            axis=3,
+        ).reshape(ph, pw * 6)
+        raw += _filter_rows(rows, bpp=6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 1)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(blob: bytes) -> object:
     """Image decode dispatch. Fixed-stride formats (P6 PPM) decode with
     the pure-Python reader above; PNG decodes with the stdlib-zlib
@@ -710,6 +787,28 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cycled_raster_bytes(text, n_px), dtype=np.uint8
         ).reshape(IMG_H, IMG_W, 3)
         return _encode_png(raster)
+
+    return _fused_decode(spark, sf_dir, encode)
+
+
+def mm_decode_png_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() surface: fused synthesize -> decode where the blob is
+    an Adam7-INTERLACED 16-BIT RGB PNG (_encode_png_deep). Registered
+    so the round-10 deep-PNG read path — per-pass unfilter with reset
+    filter state, big-endian sample pairs, spec-8.2 pixel scatter,
+    high-byte normalization — sits under the driver's exact
+    byte-level oracle (same contract as mm_decode/mm_decode_png: the
+    decoded raster must equal the source bytes, so any defect anywhere
+    in the deep path breaks the value hash)."""
+    import numpy as np
+
+    n_px = IMG_W * IMG_H * 3
+
+    def encode(text: str) -> bytes:
+        raster = np.frombuffer(
+            _cycled_raster_bytes(text, n_px), dtype=np.uint8
+        ).reshape(IMG_H, IMG_W, 3)
+        return _encode_png_deep(raster)
 
     return _fused_decode(spark, sf_dir, encode)
 
