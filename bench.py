@@ -166,7 +166,7 @@ def main() -> None:
         except Exception:
             pass
 
-    def _time_one(name: str, fn) -> float | None:
+    def _time_one(name: str, fn, record_error: bool = True) -> float | None:
         """One fully-materialized timed execution; None on error."""
         _release_checkpoints()
         t0 = time.perf_counter()
@@ -177,8 +177,13 @@ def main() -> None:
             # being measured; limit(k) would compute only k rows)
             df.write.mode("overwrite").format("noop").save()
         except Exception as exc:  # one broken query must not zero the round
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            msg = f"{type(exc).__name__}: {exc}"[:300]
+            if record_error:
+                # only first runs charge the error penalty — a failed
+                # RE-run of a query whose first run succeeded must not
+                # flip it to errored (its single timing stands)
+                errors[name] = msg
+            print(f"# {name}: ERROR {msg}", file=sys.stderr)
             return None
         return round(time.perf_counter() - t0, 4)
 
@@ -220,7 +225,7 @@ def main() -> None:
             saved = dict(_dedup._LABELS_CACHE)
             _dedup._LABELS_CACHE.clear()
             _dedup._LABELS_CACHE.update(cache_before[name])
-            t = _time_one(name, entrypoints.QUERIES[name])
+            t = _time_one(name, entrypoints.QUERIES[name], record_error=False)
             _dedup._LABELS_CACHE.clear()
             _dedup._LABELS_CACHE.update(saved)
             if t is not None:

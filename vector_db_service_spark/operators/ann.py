@@ -244,13 +244,41 @@ def index_recall_report(
 
     query_ids = query_ids or [0, 1, 2, 3, 4]
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    # dim inferred from the data (like knn_join) — a hard-coded plane
+    # width would silently null-pad zip_with dot products on any other
+    # corpus and return empty candidates instead of an error
+    dim = emb.select(F.size("embedding")).head()[0]
+    planes = hyperplanes(dim, NUM_HASHES, SEED)
+
+    # per-VECTOR sign signature, computed once in the corpus scan
+    # (round 10): bit i = (v . p_i >= 0). The former shape evaluated
+    # every hyperplane dot per PAIR row (|queries| times per vector)
+    # and checkpointed pairs WITH both embedding arrays; sign agreement
+    # on ANY plane is exactly `sig XOR qsig != all-ones` on the bit
+    # images (same dots, same >= 0 thresholds — identical candidates),
+    # so pairs now checkpoint as six scalars.
+    def _sig(vec: "F.Column") -> "F.Column":
+        s = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            s = s + (sim.dot(vec, sim.vector_lit(p)) >= 0.0).cast("long") * (
+                1 << i
+            )
+        return s
+
+    emb_s = emb.select(
+        "vec_id", "label", "embedding", _sig(F.col("embedding")).alias("sig")
+    )
+    queries = emb_s.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("sig").alias("qsig"),
     ).localCheckpoint(eager=False)
     # scored once, lineage-truncated: exact, LSH, and IVF branches all
     # re-read this frame instead of replaying the scan+scoring join
-    pairs = emb.join(F.broadcast(queries)).withColumn(
+    pairs = emb_s.join(F.broadcast(queries)).withColumn(
         "score", F.round(sim.score("cosine", F.col("embedding"), F.col("qv")), 6)
+    ).select(
+        "query_id", "vec_id", "label", "score", "sig", "qsig"
     ).localCheckpoint(eager=False)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
 
@@ -261,20 +289,11 @@ def index_recall_report(
         .localCheckpoint(eager=False)
     )
 
-    # dim inferred from the data (like knn_join) — a hard-coded plane
-    # width would silently null-pad zip_with dot products on any other
-    # corpus and return empty candidates instead of an error
-    dim = emb.select(F.size("embedding")).head()[0]
-    planes = hyperplanes(dim, NUM_HASHES, SEED)
-    agree = None
-    for p in planes:
-        p_lit = sim.vector_lit(p)
-        same = (sim.dot(F.col("embedding"), p_lit) >= 0.0) == (
-            sim.dot(F.col("qv"), p_lit) >= 0.0
-        )
-        agree = same if agree is None else (agree | same)
+    full_mask = (1 << len(planes)) - 1
     lsh_topk = (
-        pairs.filter(agree)
+        pairs.filter(
+            F.col("sig").bitwiseXOR(F.col("qsig")) != F.lit(full_mask)
+        )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "vec_id")
