@@ -50,6 +50,15 @@ PROBES = [
     # round-8: prefix-filtered allpairs — pair output grows with the
     # injected duplicate structure like the rest of the dedup family
     "dedup_allpairs_cosine",
+    # round-9/10 additions: fused single-scan recall sweep, bounded
+    # label propagation, JVM-only hygiene projections, deep PNG decode,
+    # per-vector sign signatures
+    "ann_ivf_recall_sweep",
+    "dedup_components",
+    "text_pii_scrub",
+    "text_script_profile",
+    "mm_decode_png_deep",
+    "ann_index_recall_report",
 ]
 # lineitem-backed queries only have real data at the source SFs; the
 # synthetic corpus scales documents/embeddings/events 10x and reuses

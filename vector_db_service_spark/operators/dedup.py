@@ -1004,16 +1004,26 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
         "doc_id", F.explode(H.shingle_hashes("text")).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").cast("long").alias("tf"))
-    df_ = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
     n_docs = docs.select(F.count("*").cast("double").alias("n_docs"))
-    idf = df_.crossJoin(F.broadcast(n_docs)).select(
-        "tok",
-        F.round(F.log(F.col("n_docs") / F.col("df").cast("double")) * 1000, 0)
-        .cast("long")
-        .alias("idf_mln"),
-    )
+    # df as a WINDOW over the tf frame (tf has exactly one row per
+    # (doc, tok), so count(*) per tok partition IS the document
+    # frequency): one exchange on tok computes df AND leaves the rows
+    # in hand for the weight projection, where the former
+    # groupBy-then-join shape paid a df aggregation exchange plus a
+    # re-shuffle of the full tf frame for the tok equi-join. Same
+    # idf_mln values, one fewer pass over the largest frame.
+    by_tok = Window.partitionBy("tok")
+    idf_mln = F.round(
+        F.log(F.col("n_docs") / F.count("*").over(by_tok).cast("double"))
+        * 1000,
+        0,
+    ).cast("long")
     w = (
-        tf.join(idf.filter(F.col("idf_mln") > 0), "tok")
+        tf.crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "tok", "tf", idf_mln.alias("idf_mln")
+        )
+        .filter(F.col("idf_mln") > 0)
         .select(
             "doc_id", "tok", "idf_mln",
             (F.col("tf") * F.col("idf_mln")).alias("w"),
