@@ -218,3 +218,41 @@ def test_contrastive_ring_windows_are_sharded(spark):
     assert win_lines, "expected Window nodes in the contrastive plan"
     for ln in win_lines:
         assert "windowspecdefinition(shard" in ln, ln
+
+
+def test_recall_sweep_probe_axis_costs_columns_not_copies(spark):
+    """Round-10 sweep shape: no per-probe replication of the scored
+    pairs (no crossJoin with a probe frame -> no BroadcastNestedLoopJoin
+    beyond the single 1-row centroid-matrix fold), exactly TWO window
+    passes (per-(query,list) top-k + the running-count sweep), and no
+    Python UDF anywhere."""
+    import re
+
+    from vector_db_service_spark.operators import ann
+
+    df = ann.ivf_kmeans_recall_sweep(spark, SF)
+    plan = _plan(df)
+    # exactly two Window EXEC nodes (formatted as "(n) Window");
+    # WindowGroupLimit pre-prunes their inputs and is asserted below
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
+    assert "WindowGroupLimit" in plan  # rank<=k pushed below the sort
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins are the two tiny broadcast folds (the
+    # 1-row centroid matrix and the |queries|-row literal frame)
+    assert plan.count("BroadcastNestedLoopJoin (") <= 2 or (
+        len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 2
+    )
+
+
+def test_allpairs_idf_is_window_not_join(spark):
+    """Round-10: document frequency comes from a window over the tf
+    frame, not a groupBy-then-join — the weight pipeline's only joins
+    are the prefix-to-prefix candidate join and the two map-vector
+    attach joins for verification."""
+    from vector_db_service_spark.operators import dedup
+
+    df = dedup.allpairs_cosine(load(spark, SF, "documents").limit(80))
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
