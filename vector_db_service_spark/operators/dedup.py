@@ -1044,12 +1044,20 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
     # per-doc weight order was only sound for prefix-vs-FULL probing,
     # whose posting lists made a densified corpus quadratic: 400 s on
     # the syn10x probe vs 8 s with this order.)
-    by_doc = Window.partitionBy("doc_id")
-    tail_w = (
-        Window.partitionBy("doc_id")
-        .orderBy(F.col("idf_mln").desc(), F.col("tok").asc())
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # ONE WindowExec for all three per-doc quantities: norm2 and the
+    # guard count are whole-partition facts, but giving them the SAME
+    # (partitionBy, orderBy) spec as tail2 — with an
+    # unbounded-to-unbounded frame — lets Catalyst fuse them into the
+    # single sorted Window pass tail2 already needs, instead of a
+    # second unordered WindowExec (a second buffering pass over the
+    # largest frame; measurably slower at the syn10x probe scale).
+    ord_doc = Window.partitionBy("doc_id").orderBy(
+        F.col("idf_mln").desc(), F.col("tok").asc()
     )
+    by_doc = ord_doc.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tail_w = ord_doc.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     # --- exactness-domain guards (see docstring) -----------------------
     # W_SAFE: a per-term bound so w*w is representable in decimal(38,0);
     # WITHOUT it an overflowed square becomes a NULL term that sum()
