@@ -256,3 +256,39 @@ def test_allpairs_idf_is_window_not_join(spark):
     plan = _plan(df)
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_allpairs_per_doc_windows_fuse_into_one_pass(spark, monkeypatch):
+    """Round-10: norm2, tail2, and the wrap-guard count share one
+    (partitionBy doc, orderBy idf desc/tok) spec, so Catalyst plans
+    exactly TWO Window operators for the whole pipeline — the tok-idf
+    count and ONE fused sorted per-doc pass — not an ordered pass plus
+    a second unordered buffering pass over the weight frame. (The
+    localCheckpoint is bypassed so the window stages stay visible.)"""
+    import re
+
+    # pyspark 4: classic frames are the subclass that OVERRIDES
+    # localCheckpoint — patching the pyspark.sql.DataFrame facade is a
+    # no-op for them
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from vector_db_service_spark.operators import dedup
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    df = dedup.allpairs_cosine(load(spark, SF, "documents").limit(80))
+    plan = _plan(df)
+    # without the checkpoint the weight frame appears once per consumer
+    # (prefix left/right + the two vec attaches), so count PER COPY:
+    # fused means exactly as many doc-partitioned Window nodes as
+    # tok-partitioned ones (1:1); the unfused shape had 2:1
+    doc_w = tok_w = 0
+    for section in re.split(r"\n\n+", plan):
+        if not re.match(r"\(\d+\) Window", section):
+            continue
+        if "windowspecdefinition(doc_id" in section:
+            doc_w += 1
+        elif "windowspecdefinition(tok" in section:
+            tok_w += 1
+    assert doc_w > 0 and doc_w == tok_w, (doc_w, tok_w)
