@@ -231,7 +231,12 @@ def main() -> None:
             if t is not None:
                 runs[name].append(t)
         rs = sorted(runs[name])
-        timings[name] = rs[len(rs) // 2]  # median (middle of 3)
+        # true median: if a re-run errored (len 2) the middle-index pick
+        # would report the MAX — midpoint the two middle values instead
+        mid = len(rs) // 2
+        timings[name] = (
+            rs[mid] if len(rs) % 2 else round((rs[mid - 1] + rs[mid]) / 2, 4)
+        )
         spread[name] = round(rs[-1] - rs[0], 4)
         print(
             f"# {name}: median {timings[name]:.3f}s of {rs} "

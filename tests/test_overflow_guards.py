@@ -87,3 +87,15 @@ def test_norm_outliers_results_unchanged_inside_domain(spark):
     base = ann.norm_outliers(spark, SF_SMALL).collect()
     guarded = ann.norm_outliers(spark, SF_SMALL, _sum_safe=10**30).collect()
     assert sorted(map(tuple, base)) == sorted(map(tuple, guarded))
+
+
+def test_norm_outliers_empty_corpus_is_empty_not_overflow(spark, tmp_path):
+    """An empty embeddings table legitimately NULLs the decimal sums
+    (n == 0): that is an empty result, not an overflow — the guard
+    must not misdiagnose it as 'shard the corpus'."""
+    from vector_db_service_spark.sources.tables import load
+
+    load(spark, SF_SMALL, "embeddings").limit(0).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    assert ann.norm_outliers(spark, str(tmp_path)).collect() == []

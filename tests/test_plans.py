@@ -245,11 +245,11 @@ def test_recall_sweep_probe_axis_costs_columns_not_copies(spark):
     )
 
 
-def test_allpairs_idf_is_window_not_join(spark):
-    """Round-10: document frequency comes from a window over the tf
-    frame, not a groupBy-then-join — the weight pipeline's only joins
-    are the prefix-to-prefix candidate join and the two map-vector
-    attach joins for verification."""
+def test_allpairs_stays_jvm_side_with_no_cartesian(spark):
+    """The allpairs pipeline contains no Python evaluation and no
+    cartesian product (the window-vs-join df property is pinned by
+    test_allpairs_per_doc_windows_fuse_into_one_pass below, which can
+    see past the checkpoint)."""
     from vector_db_service_spark.operators import dedup
 
     df = dedup.allpairs_cosine(load(spark, SF, "documents").limit(80))
@@ -291,4 +291,7 @@ def test_allpairs_per_doc_windows_fuse_into_one_pass(spark, monkeypatch):
             doc_w += 1
         elif "windowspecdefinition(tok" in section:
             tok_w += 1
+    # tok_w > 0 doubles as the round-10 df-as-window pin: document
+    # frequency comes from a tok-partitioned window over the tf frame
+    # — the former groupBy-then-join shape shows ZERO tok windows
     assert doc_w > 0 and doc_w == tok_w, (doc_w, tok_w)

@@ -2493,7 +2493,12 @@ _PRIORITY_50 = [
     "mm_blob_resize", "mm_frame_stats", "mm_library_centroids_pandas",
     "o10_pending_anti_join", "p6_validation_report",
     "rel_asof_purchase_click", "rel_conversion_funnel",
-    "rel_events_daily_rollup",
+    # -- (b) continued: the round-10 PNG reader rewrite routes the
+    # plain 8-bit path through the new _unfilter/_rows_to_samples
+    # helpers too, so the EXISTING decode query needs fresh driver
+    # evidence alongside the new deep one (rel_events_daily_rollup,
+    # r6-green and untouched for 4 rounds, yields its slot) --
+    "mm_decode_png",
     # -- registered THIS round, so it gets driver evidence immediately
     # (never repeat the text_pii_scrub gap) --
     "mm_decode_png_deep",

@@ -1613,9 +1613,15 @@ def norm_outliers(spark: SparkSession, sf_dir: str, sigmas: float = 3.0,
         F.sum(F.col("norm_us").cast(_d19) * F.col("norm_us").cast(_d19)).alias("s2"),
     ).filter(
         F.assert_true(
-            F.col("s1").isNotNull()
-            & F.col("s2").isNotNull()
-            & (F.col("s2") <= F.lit(str(_sum_safe)).cast("decimal(38,0)")),
+            # n == 0 legitimately NULLs the sums (empty corpus is an
+            # empty result, not an overflow) — only raise when rows
+            # actually contributed
+            (F.col("n") == 0)
+            | (
+                F.col("s1").isNotNull()
+                & F.col("s2").isNotNull()
+                & (F.col("s2") <= F.lit(str(_sum_safe)).cast("decimal(38,0)"))
+            ),
             F.lit(_s_err),
         ).isNull()
     ).select(

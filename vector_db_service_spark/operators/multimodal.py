@@ -269,7 +269,6 @@ def _decode_png(blob: bytes) -> tuple[int, int, int, "object"]:
     def _stride(w: int) -> int:
         return (w * bits_pp + 7) // 8
 
-    samples = np.zeros((height, width, channels), dtype=np.uint16)
     if interlace == 0:
         rows = _unfilter(raw, height, _stride(width), bpp)
         samples = _rows_to_samples(rows, width, bit_depth, channels)
@@ -277,6 +276,7 @@ def _decode_png(blob: bytes) -> tuple[int, int, int, "object"]:
         # Adam7: seven sub-images, each filtered independently (the
         # prior-scanline state resets per pass), scattered into the
         # full pixel grid by the spec origin/step table
+        samples = np.zeros((height, width, channels), dtype=np.uint16)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (width - x0 + dx - 1) // dx
@@ -333,27 +333,10 @@ def _encode_png(raster: "object") -> bytes:
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
         )
 
-    raw = bytearray()
-    zero = np.zeros((1, 3), dtype=np.int64)
-    prev = np.zeros((w, 3), dtype=np.int64)
-    for y in range(h):
-        row = raster[y].astype(np.int64)
-        left = np.vstack([zero, row[:-1]])
-        ft = y % 5
-        if ft == 0:
-            filt = row
-        elif ft == 1:  # Sub
-            filt = (row - left) % 256
-        elif ft == 2:  # Up
-            filt = (row - prev) % 256
-        elif ft == 3:  # Average
-            filt = (row - (left + prev) // 2) % 256
-        else:  # Paeth
-            upleft = np.vstack([zero, prev[:-1]])
-            filt = (row - _paeth(left, prev, upleft)) % 256
-        raw.append(ft)
-        raw += filt.astype(np.uint8).tobytes()
-        prev = row
+    # flattened (h, w*3) byte rows make the per-pixel left/up-left
+    # shifts identical to _filter_rows' byte shifts at distance bpp=3
+    # — ONE filter implementation for both encoders
+    raw = _filter_rows(raster.reshape(h, w * 3).astype(np.int64), 3)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return (
         _PNG_SIG
@@ -365,9 +348,10 @@ def _encode_png(raster: "object") -> bytes:
 
 def _filter_rows(rows: "object", bpp: int) -> bytearray:
     """Filter (h, stride) byte rows with type cycling y % 5 (every
-    unfilter path exercised), spec filter distance `bpp`. Used by the
-    deep encoder below; the 8-bit RGB encoder keeps its own inline
-    loop."""
+    unfilter path exercised), spec filter distance `bpp`. The single
+    filter implementation behind BOTH encoders (_encode_png passes
+    flattened 8-bit RGB rows at bpp=3; _encode_png_deep per-pass
+    16-bit rows)."""
     import numpy as np
 
     h, stride = rows.shape
