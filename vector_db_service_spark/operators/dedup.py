@@ -1196,7 +1196,7 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
     # against both posting tables and re-aggregated) shuffles
     # |candidates| x |features-per-doc| rows — ~500M on the syn10x
     # probe; attaching the two bounded maps keeps the shuffle at
-    # |candidates| rows and the O(features) merge inside codegen.
+    # |candidates| rows and the O(features) merge row-local.
     vecs = wn.groupBy("doc_id").agg(
         F.map_from_entries(F.collect_list(F.struct("tok", "w"))).alias("vec")
     )
@@ -1214,10 +1214,20 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
             "doc_id_2",
             "norm2_1",
             "norm2_2",
+            # hash-merge dot: map_zip_with builds ONE hash index over the
+            # union of keys (O(f1 + f2) per pair), where the former
+            # try_element_at probe scanned v2 LINEARLY per v1 entry
+            # (ArrayBasedMapData has no index -> O(f1 * f2) per pair; at
+            # book-length feature counts that quadratic is the verify
+            # bottleneck). Non-shared keys multiply against coalesce(0)
+            # and vanish; every product and partial sum is the same
+            # wrap-free bigint arithmetic as before (w1*w2 <=
+            # sqrt(norm2_1 * norm2_2) <= NORM_SAFE by Cauchy-Schwarz).
             F.expr(
-                "aggregate(map_entries(v1), CAST(0 AS BIGINT), "
-                "(acc, e) -> acc + e.value * coalesce(try_element_at(v2, e.key), "
-                "CAST(0 AS BIGINT)))"
+                "aggregate(map_values(map_zip_with(v1, v2, "
+                "(k, x, y) -> coalesce(x, CAST(0 AS BIGINT)) * "
+                "coalesce(y, CAST(0 AS BIGINT)))), CAST(0 AS BIGINT), "
+                "(acc, v) -> acc + v)"
             ).alias("dot"),
         )
     )
