@@ -71,10 +71,22 @@ def test_py_score_bit_exact_vs_spark(spark):
 def test_py_round6_matches_spark_round(spark):
     from pyspark.sql import functions as F
 
+    import math
+
     xs = [
         0.1234565, 0.12345649999, 0.1234575, -0.9999995, 1.0000005,
         0.5877852522924731, 1e-7, 5e-7, -5e-7, 0.0, 123.45678949999,
     ]
+    # regression corpus of generated near-ties: exact scale-7 midpoints
+    # n + k/2e6 (ties under HALF_UP at scale 6) and their one-ulp
+    # neighbors on both sides — the values where a JVM whose
+    # Double.toString is not shortest-round-trip (pre-JDK-19) could in
+    # principle diverge from Python's repr
+    for n in (0, 1, 7, 123, 99999):
+        for k in (1, 3, 7, 500001, 999999):
+            mid = n + k / 2e6
+            xs += [mid, math.nextafter(mid, -math.inf),
+                   math.nextafter(mid, math.inf), -mid]
     df = spark.createDataFrame([(x,) for x in xs], "x double")
     got = [r[0] for r in df.select(F.round("x", 6)).collect()]
     want = [ann._py_round6(x) for x in xs]

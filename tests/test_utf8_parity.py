@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import atexit
 import os
+import re
 import shutil
 import sys
 import tempfile
@@ -41,9 +42,12 @@ _REWRITTEN = (
     "documents", "events", "orders", "lineitem", "customer",
     "supplier", "part", "nation", "region",
 )
+# word-boundary match, not raw substring: 'part' would otherwise also
+# match 'partition by' (and similar incidentals), silently sweeping
+# every windowed oracle into the set regardless of what it scans
 TEXT_QUERIES = sorted(
     n for n, sql in ORACLES.items()
-    if any(t in sql for t in _REWRITTEN)
+    if any(re.search(rf"\b{t}\b", sql) for t in _REWRITTEN)
 )
 
 _DIR: list[str] = []

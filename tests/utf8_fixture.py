@@ -104,12 +104,13 @@ def _transform_row_strings(t: str, idx: int, r: dict) -> None:
         if not isinstance(v, str):
             continue
         if t == "events" and col == "props":
-            # keep valid JSON: {"k": 87} -> {"k": 87, "täg😀": "数据"}
+            # keep valid JSON: {"k": 87} -> {"k": 87, "täg😀": "数据"};
+            # an EMPTY object gets the pair without the leading comma
+            # (v[:-1].rstrip() would otherwise leave '{,' — invalid)
             if v.endswith("}"):
-                r[col] = (
-                    v[:-1].rstrip()
-                    + f', "täg{_tag(k)}": "{_tag(k + 1)}"' + "}"
-                )
+                body = v[:-1].rstrip()
+                sep = "" if body.rstrip().endswith("{") else ", "
+                r[col] = body + sep + f'"täg{_tag(k)}": "{_tag(k + 1)}"' + "}"
         else:
             r[col] = v + "·" + _tag(k)
 

@@ -2457,51 +2457,45 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 # --- Registration order ---------------------------------------------------
 # External correctness tooling samples the FIRST 50 registered queries.
-# Round-10 ROTATION (per the round-9 review): (a) text_pii_scrub +
-# text_script_profile — the ONLY queries with zero driver evidence
-# (registered in the round-9 end-of-round snapshot, after that round's
-# sample rotation) — pinned first; (b) every query whose plan or
-# arithmetic changed THIS round (filter-anchored overflow guards in
-# norm/spectrum, durable-parquet labels/allpairs cache miss path,
-# double-screened allpairs compares, rebuilt recall sweep); (c) the 19
-# stalest rows (all last driver-green in r5), so nothing ages past 5
-# rounds; (d) the oldest r6 rows to fill 50. Everything displaced
-# stays green under tests/test_oracle_parity.py, which runs the
-# identical compare over ALL registered oracles.
+# Round-11 ROTATION (per the round-10 review #4/#7): (a) queries whose
+# plan or arithmetic changed THIS round (the allpairs verification dot
+# is now a map_zip_with hash-merge; the recall sweep is under a 5-run
+# watch); (b) the full r6 cohort — 27 queries last driver-green in
+# round 6, at the 5-round staleness ceiling the rotation policy
+# promised; (c) obs_health + knn_dist_cosine, the oldest §2-mapped r8
+# rows named by the review; (d) the 19 alphabetically-first r7 rows to
+# fill 50. Everything displaced stays green under
+# tests/test_oracle_parity.py, which runs the identical compare over
+# ALL registered oracles.
 _PRIORITY_50 = [
-    # -- (a) zero driver evidence: close the gap --
-    "text_pii_scrub", "text_script_profile",
-    # -- (b) changed this round: re-verify under the driver --
-    "emb_norm_outliers", "emb_spectrum_audit",
-    "dedup_components", "dedup_keep_canonical",
-    "dedup_allpairs_cosine", "dedup_minhash_recall_vs_exact",
-    "ann_ivf_recall_sweep",
-    # -- (c) stalest rows: last driver-green r5 --
-    "mm_blob_features", "obs_service_status", "p2_conjunctive_filter",
-    "p3_dynamic_filter", "p5_create_or_get", "rel_events_json_stats",
-    "rel_pricing_summary", "s10_vector_upsert", "s11_delete_by_predicate",
-    "s12_cascade_delete", "s15_embed_resilient", "s1_point_lookup",
-    "s2_batch_lookup", "s3_scan_by_library", "sketch_hll_distinct_users",
-    "stream_click_purchase_join", "text_chunk_documents",
-    "text_language_id", "text_token_stats",
-    # -- (d) oldest r6 rows to fill 50 --
-    "a1_count_by_library", "a9_two_level_agg", "ann_index_recall_report",
-    "dedup_containment_pairs", "dedup_minhash_pairs",
-    "i11_index_lifecycle", "i11_stored_grid_probe",
-    "ingest_chunks_embedded", "kernel_pairwise", "knn_grid_euclidean",
-    "knn_lsh_cosine", "mllib_brp_approx_knn", "mllib_brp_bucket_index",
-    "mm_blob_resize", "mm_frame_stats", "mm_library_centroids_pandas",
-    "o10_pending_anti_join", "p6_validation_report",
-    "rel_asof_purchase_click", "rel_conversion_funnel",
-    # -- (b) continued: the round-10 PNG reader rewrite routes the
-    # plain 8-bit path through the new _unfilter/_rows_to_samples
-    # helpers too, so the EXISTING decode query needs fresh driver
-    # evidence alongside the new deep one (rel_events_daily_rollup,
-    # r6-green and untouched for 4 rounds, yields its slot) --
-    "mm_decode_png",
-    # -- registered THIS round, so it gets driver evidence immediately
-    # (never repeat the text_pii_scrub gap) --
-    "mm_decode_png_deep",
+    # -- (a) changed this round: re-verify under the driver --
+    "dedup_allpairs_cosine", "ann_ivf_recall_sweep",
+    # -- (b) the r6 cohort: every query last driver-green in round 6 --
+    "rel_events_daily_rollup", "rel_interarrival_stats",
+    "rel_orders_grouping_sets", "rel_range_join_context",
+    "rel_salted_user_counts", "rel_shipping_priority",
+    "rel_token_heavy_hitters", "rel_top_suppliers_per_nation",
+    "rel_user_running_totals", "rel_value_deciles",
+    "rel_value_outliers", "rel_value_percentiles",
+    "s15_embed_asymmetry", "s15_embed_documents",
+    "s15_embed_pandas_batched", "s16_json_roundtrip",
+    "sketch_countmin_event_types", "startup_rebuild_report",
+    "stream_dedup_events", "stream_sliding_event_counts",
+    "stream_windowed_event_counts", "text_bpe_token_estimate",
+    "text_curation_funnel", "text_fingerprints",
+    "text_language_summary", "text_quality_scores",
+    "text_stratified_sample",
+    # -- (c) oldest §2-mapped rows after the r6 cohort (r8-stale) --
+    "obs_health", "knn_dist_cosine",
+    # -- (d) oldest r7 rows to fill 50 --
+    "a3_library_stats", "a4_document_stats", "ann_product_quantize",
+    "i11_stored_ivf_probe", "i12_index_info", "kernel_zero_guard",
+    "knn_prefiltered_lang", "obs_clear_library_stats", "obs_search_meta",
+    "p1_projection", "p5_title_match", "pipeline_curation_end_to_end",
+    "pipeline_sequence_packing", "rel_above_nation_avg",
+    "rel_customer_segments", "rel_moving_avg_value",
+    "rel_order_size_distribution", "rel_orders_cube",
+    "rel_parts_by_type_size",
 ]
 
 

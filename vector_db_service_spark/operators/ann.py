@@ -334,9 +334,14 @@ def index_recall_report(
 
 
 def _py_round6(x: float) -> float:
-    """Spark/DuckDB round(x, 6) replicated exactly: BigDecimal.valueOf
-    uses Double.toString (shortest round-trip repr — identical to
-    Python's repr) then HALF_UP at scale 6."""
+    """Spark/DuckDB round(x, 6) replicated: BigDecimal.valueOf uses
+    Double.toString then HALF_UP at scale 6. On JDK 19+ Double.toString
+    is the shortest round-trip repr (identical to Python's repr); older
+    JVMs can emit non-shortest digit strings, so the equivalence here is
+    TEST-PINNED rather than spec-guaranteed — test_py_round6_matches_
+    spark_round replays a corpus of near-tie doubles (including exact
+    .xxxxxx5 values) against the live JVM and must stay green on any
+    JVM this repo runs under."""
     from decimal import ROUND_HALF_UP, Decimal
 
     return float(
