@@ -5,10 +5,25 @@ JSON line {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is executed to completion (noop-sink write) so the timing
 includes the full scan->score->topk->join pipeline, not just plan
-construction. The 10 heaviest queries are executed 3x and report the
-MEDIAN (with a max-min `spread` field in the JSON), so regression claims
-can be separated from host-burst variance; `value` is the sum of medians
-(top-10) plus single-shot timings (rest).
+construction. The 10 heaviest queries are executed 3x (watch-listed
+queries 5x) and report the MEDIAN (with a max-min `spread` field in the
+JSON), so regression claims can be separated from host-burst variance;
+`value` is the sum of medians (top-10) plus single-shot timings (rest).
+
+HOST CALIBRATION (round-10 review #2): the same code has measured
+15-35% slower on the grading host than on the build host two rounds
+running, and ±1 s single-shot drift hits untouched queries — wall time
+alone cannot distinguish a plan regression from a throttled VM. Two
+throttle-independent signals now land in the JSON:
+  - `calibration`: wall seconds of one PINNED probe (a fixed lineitem
+    aggregate) run at sweep start / middle / end — a hot host shows a
+    drifting or elevated triple on a query whose plan never changes.
+  - per-query `cpu_busy_sec` / `cpu_steal_sec` (BENCH_DETAIL.json) and
+    sweep totals (stdout): /proc/stat busy-jiffy deltas count actual
+    on-CPU work, and the STEAL field directly exposes hypervisor
+    throttling — on this VM steal is live and reaches minutes per hour.
+    A wall regression with flat cpu_busy and elevated steal is the
+    host, not the plan.
 """
 
 from __future__ import annotations
@@ -166,9 +181,25 @@ def main() -> None:
         except Exception:
             pass
 
+    def _cpu_snap() -> tuple[float, float]:
+        """(busy_sec, steal_sec) from the host-wide /proc/stat line.
+        Busy = user+nice+system: actual on-CPU work, which a throttled
+        hypervisor does NOT inflate (the VM simply isn't running).
+        Steal: jiffies the hypervisor withheld — the throttle itself."""
+        try:
+            v = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+            hz = float(os.sysconf("SC_CLK_TCK"))
+            return (v[0] + v[1] + v[2]) / hz, (v[7] if len(v) > 7 else 0) / hz
+        except Exception:
+            return 0.0, 0.0
+
+    cpu_busy: dict[str, float] = {}
+    cpu_steal: dict[str, float] = {}
+
     def _time_one(name: str, fn, record_error: bool = True) -> float | None:
         """One fully-materialized timed execution; None on error."""
         _release_checkpoints()
+        b0, s0 = _cpu_snap()
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
@@ -185,7 +216,32 @@ def main() -> None:
                 errors[name] = msg
             print(f"# {name}: ERROR {msg}", file=sys.stderr)
             return None
+        wall = round(time.perf_counter() - t0, 4)
+        b1, s1 = _cpu_snap()
+        # last run wins: for re-run queries the stored pair describes one
+        # representative execution, which is all attribution needs
+        cpu_busy[name] = round(b1 - b0, 2)
+        cpu_steal[name] = round(s1 - s0, 2)
+        return wall
+
+    # pinned calibration probe: a fixed 1-row aggregate whose plan never
+    # changes round-over-round. Timed THREE times across the sweep
+    # (start/middle/end); drift between the three numbers — or between
+    # rounds — measures the HOST, not this repo's plans.
+    _cal_df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+    def _calibrate() -> float:
+        from pyspark.sql import functions as F
+
+        t0 = time.perf_counter()
+        _cal_df.groupBy("l_returnflag").agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            F.avg("l_quantity"), F.count("*"),
+        ).write.mode("overwrite").format("noop").save()
         return round(time.perf_counter() - t0, 4)
+
+    _calibrate()  # untimed first touch (JIT + page cache)
+    calibration = [_calibrate()]
 
     # Materialized-artifact memo (labels / allpairs parquet): snapshot
     # its state just before each query's FIRST run so re-runs can
@@ -211,6 +267,8 @@ def main() -> None:
         timings[name] = t
         print(f"# {name}: {t:.3f}s", file=sys.stderr)
 
+    calibration.append(_calibrate())  # mid-sweep: after the single shots
+
     # MEDIAN-OF-3 for the heaviest queries (round-9 review #3): driver
     # deltas of ±1 s on 2-6 s queries flip sign round-over-round with no
     # code change — single-shot timings are host-burst-noise-dominated
@@ -218,10 +276,17 @@ def main() -> None:
     # most expensive queries get two more timed executions; each reports
     # the MEDIAN of its 3 runs plus a `spread` (max-min) so a
     # regression claim can be checked against the run-to-run variance.
+    # WATCH-LIST OVERRIDE (round-10 review #1/#3): queries under an
+    # explicit perf target whose 3-run spread still straddles the
+    # target get FIVE runs — a 5-run median is what certifies the
+    # <4 s / <2.5 s claims either way.
     n_rerun = int(os.environ.get("SPARK_GRAFT_BENCH_RERUNS_TOP", "10"))
+    extra_reruns = {"dedup_allpairs_cosine": 4, "ann_ivf_recall_sweep": 4}
+    rerun_set = sorted(timings, key=lambda n: -timings[n])[:n_rerun]
+    rerun_set += [n for n in extra_reruns if n in timings and n not in rerun_set]
     spread: dict[str, float] = {}
-    for name in sorted(timings, key=lambda n: -timings[n])[:n_rerun]:
-        for _ in range(2):
+    for name in rerun_set:
+        for _ in range(extra_reruns.get(name, 2)):
             saved = dict(_dedup._LABELS_CACHE)
             _dedup._LABELS_CACHE.clear()
             _dedup._LABELS_CACHE.update(cache_before[name])
@@ -244,6 +309,8 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    calibration.append(_calibrate())  # end of sweep
+
     # an errored query must not IMPROVE the headline (it would otherwise
     # subtract its wall time): charge each error the max observed query
     # time ×2 (floor 60 s) so failures strictly cost more than success
@@ -258,6 +325,9 @@ def main() -> None:
         "spread": spread,
         "errors": errors,
         "error_penalty_sec_each": penalty if errors else 0.0,
+        "calibration": calibration,
+        "cpu_busy_sec": cpu_busy,
+        "cpu_steal_sec": cpu_steal,
         "sf": sf,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -277,6 +347,9 @@ def main() -> None:
         "error_penalty_sec_each": penalty if errors else 0.0,
         "queries": top10,
         "spread": {n: spread[n] for n in top10 if n in spread},
+        "calibration": calibration,
+        "cpu_busy_total_sec": round(sum(cpu_busy.values()), 1),
+        "cpu_steal_total_sec": round(sum(cpu_steal.values()), 1),
         "sf": sf,
     }))
     spark.stop()
