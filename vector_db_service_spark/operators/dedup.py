@@ -1147,22 +1147,30 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
     )
     # candidates: prefix-to-prefix equi-join on the shingle hash; the
     # first-in-global-order shared feature argument makes this complete.
-    # The pair aggregation also applies the POSITIONAL suffix filter
-    # (PPJoin's second filter, exact): for the FIRST shared feature t*
-    # (max idf, min hash — the global order), every shared feature of
-    # the pair lies in both suffixes at t*, so by Cauchy-Schwarz
-    # dot^2 <= tail2_1(t*) * tail2_2(t*); a pair whose suffix-mass
-    # product cannot reach tau^2 * norm2_1 * norm2_2 is pruned BEFORE
-    # the dot-verification join ever sees it. On a densified corpus
-    # this is the step that matters: a small closed vocabulary makes
-    # near-every doc pair share SOME prefix feature (20.3M candidate
-    # pairs on the syn10x probe), but false pairs share only common
-    # features — late in the rarest-first order, tiny suffix mass —
-    # so the bound kills them by arithmetic (20.3M -> ~truth-sized)
-    # while the verify join stays reserved for plausible pairs.
+    # The POSITIONAL suffix filter (PPJoin's second filter, exact) is
+    # applied PER ROW, BELOW the pair aggregation: for the FIRST shared
+    # feature t* (max idf, min hash — the global order), every shared
+    # feature of the pair lies in both suffixes at t*, so by
+    # Cauchy-Schwarz dot^2 <= tail2_1(t*) * tail2_2(t*); a pair whose
+    # suffix-mass product cannot reach tau^2 * norm2_1 * norm2_2 is
+    # pruned BEFORE the dot-verification join ever sees it. The bound
+    # q2 * tail2_1(t) * tail2_2(t) is monotone NON-INCREASING along the
+    # global feature order (tails only shrink), so "the first shared
+    # token passes" is EXACTLY "some colliding row passes" — the filter
+    # commutes below the groupBy row-for-row losslessly. That ordering
+    # argument is what pays on a densified corpus: a small closed
+    # vocabulary makes near-every doc pair share SOME prefix feature
+    # (20.3M colliding rows on the syn10x probe), but false pairs share
+    # only common features — late in the rarest-first order, tiny
+    # suffix mass — so the row filter kills ~99% of collisions
+    # map-side, INSIDE the join stage, before they are ever shuffled
+    # into the pair aggregation (the former shape aggregated all 20.3M
+    # rows through a max_by(struct, struct) just to test the same bound
+    # once per pair; the round-11 row-level form deletes the max_by and
+    # shrinks the aggregation input to ~the true pair set).
     dec = "decimal(38,0)"
     left = prefix.select(
-        F.col("doc_id").alias("doc_id_1"), "tok", "idf_mln",
+        F.col("doc_id").alias("doc_id_1"), "tok",
         F.col("norm2").alias("norm2_1"), F.col("tail2").alias("tail2_1"),
     )
     right = prefix.select(
@@ -1172,24 +1180,17 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
     cand = (
         left.join(right, "tok")
         .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .filter(
+            _ge_screened(
+                q2, F.col("tail2_1"), F.col("tail2_2"),
+                p2, F.col("norm2_1"), F.col("norm2_2"),
+            )
+        )
         .groupBy("doc_id_1", "doc_id_2")
         .agg(
             F.first("norm2_1").alias("norm2_1"),
             F.first("norm2_2").alias("norm2_2"),
-            F.max_by(
-                F.struct(
-                    F.col("tail2_1").alias("t1"), F.col("tail2_2").alias("t2")
-                ),
-                F.struct(F.col("idf_mln"), (-F.col("tok")).alias("nt")),
-            ).alias("fst"),
         )
-        .filter(
-            _ge_screened(
-                q2, F.col("fst.t1"), F.col("fst.t2"),
-                p2, F.col("norm2_1"), F.col("norm2_2"),
-            )
-        )
-        .drop("fst")
     )
     # exact verification: per-doc feature MAPS, one map-side zip-merge
     # dot per surviving pair. The naive verify (candidates exploded
