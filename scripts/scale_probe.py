@@ -117,6 +117,34 @@ def build_synthetic(spark) -> None:
         )
 
 
+def _release_checkpoints(spark) -> None:
+    """Unpersist localCheckpoint blocks previous queries pinned (same
+    discipline as bench.py): iteration frames and fingerprint tables
+    otherwise accumulate in the block manager across the probe matrix
+    and the storage-memory pressure taxes every later shuffle — the
+    allpairs warm run measured 73 s with the leftover blocks resident
+    vs 28 s in a clean process."""
+    try:
+        jsc = spark.sparkContext._jsc.sc()
+        it = jsc.getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+    except Exception:
+        pass
+
+
+def _cpu_snap() -> tuple[float, float]:
+    """(busy_sec, steal_sec) from /proc/stat — same attribution signal
+    as bench.py: busy counts actual work, steal exposes hypervisor
+    throttling during the run."""
+    try:
+        v = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+        hz = float(os.sysconf("SC_CLK_TCK"))
+        return (v[0] + v[1] + v[2]) / hz, (v[7] if len(v) > 7 else 0) / hz
+    except Exception:
+        return 0.0, 0.0
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -125,18 +153,64 @@ def main() -> None:
     for w in ("dedup_simhash_fingerprints", "dedup_minhash_signatures"):
         entrypoints.QUERIES[w](spark, "/root/testdata/sf0.1").count()
     out: dict[str, dict[str, float]] = {}
+    cpu: dict[str, dict[str, float]] = {}
+    steal: dict[str, dict[str, float]] = {}
     for sf_name, sf_dir in (
         ("sf0.01", "/root/testdata/sf0.01"),
         ("sf0.1", "/root/testdata/sf0.1"),
         ("syn10x", SYN),
     ):
         for name in PROBES:
+            # cache-honest warm runs (same discipline as bench.py):
+            # snapshot the materialized-artifact memo so the re-run
+            # below replays a real recompute, not a parquet read of the
+            # artifact its own first run just wrote
+            from vector_db_service_spark.operators import dedup as _dedup
+
+            cache_before = dict(_dedup._LABELS_CACHE)
+            _release_checkpoints(spark)
+            b0, s0 = _cpu_snap()
             t0 = time.perf_counter()
             df = entrypoints.QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             out.setdefault(name, {})[sf_name] = round(time.perf_counter() - t0, 3)
-            print(f"# {sf_name} {name}: {out[name][sf_name]}s", file=sys.stderr)
-    print(json.dumps({"copies": COPIES, "timings": out}))
+            b1, s1 = _cpu_snap()
+            cpu.setdefault(name, {})[sf_name] = round(b1 - b0, 1)
+            steal.setdefault(name, {})[sf_name] = round(s1 - s0, 1)
+            print(f"# {sf_name} {name}: {out[name][sf_name]}s "
+                  f"(busy {b1-b0:.0f}s steal {s1-s0:.0f}s)", file=sys.stderr)
+            if sf_name == "syn10x":
+                # syn10x first runs carry a one-time cost no other probe
+                # point pays: the Catalyst-interpreted HOF/decimal
+                # kernels cross the JVM JIT threshold only at this row
+                # volume, and the 10x frames stress GC (GCLocker
+                # warnings observed). Record a SECOND, steady-state run
+                # so scaling ratios can be read off plan cost instead of
+                # JIT cost — measured 97s -> 28s on the allpairs shape.
+                saved = dict(_dedup._LABELS_CACHE)
+                _dedup._LABELS_CACHE.clear()
+                _dedup._LABELS_CACHE.update(cache_before)
+                _release_checkpoints(spark)
+                b0, s0 = _cpu_snap()
+                t0 = time.perf_counter()
+                entrypoints.QUERIES[name](spark, sf_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                out[name]["syn10x_warm"] = round(time.perf_counter() - t0, 3)
+                b1, s1 = _cpu_snap()
+                cpu[name]["syn10x_warm"] = round(b1 - b0, 1)
+                steal[name]["syn10x_warm"] = round(s1 - s0, 1)
+                _dedup._LABELS_CACHE.clear()
+                _dedup._LABELS_CACHE.update(saved)
+                print(
+                    f"# syn10x_warm {name}: {out[name]['syn10x_warm']}s "
+                    f"(busy {b1-b0:.0f}s steal {s1-s0:.0f}s)",
+                    file=sys.stderr,
+                )
+    print(json.dumps({
+        "copies": COPIES, "timings": out,
+        "cpu_busy_sec": cpu, "cpu_steal_sec": steal,
+    }))
 
 
 if __name__ == "__main__":

@@ -295,3 +295,28 @@ def test_allpairs_per_doc_windows_fuse_into_one_pass(spark, monkeypatch):
     # frequency comes from a tok-partitioned window over the tf frame
     # — the former groupBy-then-join shape shows ZERO tok windows
     assert doc_w > 0 and doc_w == tok_w, (doc_w, tok_w)
+
+
+def test_allpairs_suffix_filter_runs_below_the_pair_aggregation(spark):
+    """Round-11: the positional suffix filter is applied PER ROW inside
+    the candidate join stage (its monotonicity along the global feature
+    order makes that exactly equivalent to testing the first shared
+    token after aggregation), so the physical plan must show (a) no
+    max_by anywhere — the old shape carried the first-token tails
+    through a max_by(struct,struct) — and (b) a tail2-vs-norm2 compare
+    in a Filter ABOVE the tok join but BELOW the (doc_id_1, doc_id_2)
+    aggregate, i.e. the HashAggregate for the pair dedup consumes a
+    filtered join, not the raw 20M-row collision stream."""
+    from vector_db_service_spark.operators import dedup
+
+    df = dedup.allpairs_cosine(load(spark, SF, "documents").limit(80))
+    plan = _plan(df)
+    assert "max_by" not in plan
+    # the screened suffix compare mentions both tails; it must appear in
+    # a Filter node, and some aggregate keyed by the pair must exist
+    filt = [
+        ln for ln in plan.splitlines()
+        if "tail2_1" in ln and "tail2_2" in ln and "norm2_1" in ln
+    ]
+    assert filt, "row-level suffix filter not found in the plan"
+    assert "doc_id_1" in plan and "doc_id_2" in plan
