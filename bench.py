@@ -149,7 +149,7 @@ def main() -> None:
                 sim.norm(F.col("v")).alias("n"),
                 sim.euclidean_distance(F.col("v"), F.col("w")).alias("e"),
                 sim.manhattan_distance(F.col("v"), F.col("w")).alias("m"),
-                band_keys(F.col("v"), _planes, 2).alias("b"),
+                band_keys("v", _planes, 2).alias("b"),
             ).select(
                 "d", "n", "e", "m", "b",
                 first_collision(F.col("b"), F.col("b"), N_SIGN_BANDS).alias("fc"),

@@ -119,3 +119,29 @@ def test_round9_ops_are_single_jvm_projections(spark):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "Exchange" not in plan
+
+
+def test_band_keys_sql_path_bit_identical(spark):
+    """Round-11: band_keys(str) builds ONE parsed SQL expression instead
+    of ~2048 py4j Column nodes (~0.5 s of driver time per banded query);
+    the keys must be BIT-identical to the Column-API form — same
+    double-cast zip_with dot, same 0.0D fold seed, same sign CASE and
+    integer packing — at every band width the repo uses."""
+    from pyspark.sql import functions as F
+
+    from vector_db_service_spark.operators.lsh import (
+        N_SIGN_BANDS, SEED, band_keys, hyperplanes,
+    )
+    from vector_db_service_spark.sources.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    dim = emb.select(F.size("embedding")).head()[0]
+    for bb in (1, 2, 4):
+        planes = hyperplanes(dim, N_SIGN_BANDS * bb, SEED)
+        old = band_keys(F.col("embedding"), planes, bb)
+        new = band_keys("embedding", planes, bb)
+        assert emb.select((old != new).alias("bad")).filter("bad").count() == 0
+        assert (
+            emb.select(old.alias("o"), new.alias("n"))
+            .filter("o IS NULL OR n IS NULL").count() == 0
+        )

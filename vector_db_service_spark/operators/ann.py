@@ -1176,7 +1176,7 @@ def blocked_pair_recall(
     planes = hyperplanes(dim, NUM_HASHES, SEED)
     banded = s.select(
         "label", "vec_id", "embedding", "nrm",
-        band_keys(F.col("embedding"), planes, band_bits).alias("bands"),
+        band_keys("embedding", planes, band_bits).alias("bands"),
     ).select(
         "label", "vec_id", "embedding", "nrm", "bands",
         F.posexplode("bands").alias("band_idx", "band_key"),
@@ -1253,7 +1253,7 @@ def band_skew_report(
     planes = hyperplanes(dim, NUM_HASHES, SEED)
     keyed = emb.select(
         "label",
-        F.posexplode(band_keys(F.col("embedding"), planes, band_bits))
+        F.posexplode(band_keys("embedding", planes, band_bits))
         .alias("band_idx", "band_key"),
     )
     per_bucket = keyed.groupBy("band_idx", "label", "band_key").agg(
@@ -1326,7 +1326,7 @@ def knn_join(
     planes = hyperplanes(dim, N_SIGN_BANDS * band_bits, SEED)
     banded = emb.select(
         "label", "vec_id", "embedding", sim.norm(F.col("embedding")).alias("nrm"),
-        band_keys(F.col("embedding"), planes, band_bits).alias("bands"),
+        band_keys("embedding", planes, band_bits).alias("bands"),
     ).select(
         "label", "vec_id", "embedding", "nrm", "bands",
         F.posexplode("bands").alias("band_idx", "band_key"),

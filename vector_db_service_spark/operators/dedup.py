@@ -226,7 +226,7 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.8,
     # (n vs n^2 norm evaluations), pairs then need only the dot product
     banded = emb.select(
         "label", "vec_id", "embedding", sim.norm(F.col("embedding")).alias("nrm"),
-        band_keys(F.col("embedding"), planes, band_bits).alias("bands"),
+        band_keys("embedding", planes, band_bits).alias("bands"),
     ).select(
         "label", "vec_id", "embedding", "nrm", "bands",
         F.posexplode("bands").alias("band_idx", "band_key"),

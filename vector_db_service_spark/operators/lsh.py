@@ -120,7 +120,8 @@ def build_index(emb: DataFrame, planes: list[list[float]]) -> DataFrame:
     )
 
 
-def band_keys(vec_col: Column, planes: list[list[float]], band_bits: int = 2) -> Column:
+def band_keys(vec_col: Column | str, planes: list[list[float]],
+              band_bits: int = 2) -> Column:
     """Banded multi-bit bucket keys — the PAIR-blocking form of the index.
 
     The reference's single-bit tables (algorithms.py:345-355) are fine for
@@ -132,8 +133,34 @@ def band_keys(vec_col: Column, planes: list[list[float]], band_bits: int = 2) ->
     while similar pairs (per-bit agreement p = 1 - theta/pi) still collide
     on >=1 band with prob 1-(1-p^b)^L — the recall/selectivity knob for
     banded candidate joins. Returns an array of L = len(planes)//band_bits
-    packed band keys."""
+    packed band keys.
+
+    Pass the vector as a COLUMN NAME (str) to get the single-parse form:
+    the Column-API form costs one py4j round trip per lambda/literal
+    node — ~0.5 s of pure driver time per banded query at 32 planes x 64
+    dims — where one F.expr string parses JVM-side in milliseconds. The
+    SQL replicates the Column algebra node for node (same zip_with
+    multiply in double, same 0.0D seed, same fold, same CASE/packing
+    integer arithmetic), so keys are bit-identical; pinned by
+    tests/test_round9_ops.py::test_band_keys_sql_path_bit_identical."""
     n_bands = len(planes) // band_bits
+    if isinstance(vec_col, str):
+        keys_sql = []
+        for j in range(n_bands):
+            terms = []
+            for i in range(j * band_bits, (j + 1) * band_bits):
+                arr = ", ".join(f"{float(v)!r}D" for v in planes[i])
+                dot = (
+                    f"aggregate(zip_with({vec_col}, array({arr}), "
+                    f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                    f"0.0D, (acc, v) -> acc + v)"
+                )
+                terms.append(
+                    f"(CASE WHEN {dot} >= 0.0D THEN 1 ELSE 0 END) "
+                    f"* {1 << (i - j * band_bits)}"
+                )
+            keys_sql.append(" + ".join(terms))
+        return F.expr("array(" + ", ".join(keys_sql) + ")")
     keys = []
     for j in range(n_bands):
         key: Column | None = None
