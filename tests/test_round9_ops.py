@@ -145,3 +145,25 @@ def test_band_keys_sql_path_bit_identical(spark):
             emb.select(old.alias("o"), new.alias("n"))
             .filter("o IS NULL OR n IS NULL").count() == 0
         )
+
+
+def test_signature_bits_sql_path_bit_identical(spark):
+    """Same single-parse-vs-Column-API bit-identity pin as band_keys,
+    for the single-bit signature form the LSH index builds on."""
+    from pyspark.sql import functions as F
+
+    from vector_db_service_spark.operators.lsh import (
+        NUM_HASHES, SEED, hyperplanes, signature_bits,
+    )
+    from vector_db_service_spark.sources.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    dim = emb.select(F.size("embedding")).head()[0]
+    planes = hyperplanes(dim, NUM_HASHES, SEED)
+    old = signature_bits(F.col("embedding"), planes)
+    new = signature_bits("embedding", planes)
+    assert emb.select((old != new).alias("bad")).filter("bad").count() == 0
+    assert (
+        emb.select(old.alias("o"), new.alias("n"))
+        .filter("o IS NULL OR n IS NULL").count() == 0
+    )

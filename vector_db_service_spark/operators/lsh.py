@@ -88,8 +88,23 @@ def _plane_dot(vec_col: Column, plane: list[float]) -> Column:
     return sim.dot(vec_col, sim.vector_lit(plane))
 
 
-def signature_bits(vec_col: Column, planes: list[list[float]]) -> Column:
-    """I4: array of per-plane sign bits (algorithms.py:285-302)."""
+def signature_bits(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """I4: array of per-plane sign bits (algorithms.py:285-302).
+
+    Column-name (str) input takes the single-parse SQL form — same
+    rationale and same bit-for-bit algebra as band_keys(str); pinned by
+    tests/test_round9_ops.py::test_signature_bits_sql_path_bit_identical."""
+    if isinstance(vec_col, str):
+        bits = []
+        for p in planes:
+            arr = ", ".join(f"{float(v)!r}D" for v in p)
+            dot = (
+                f"aggregate(zip_with({vec_col}, array({arr}), "
+                f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                f"0.0D, (acc, v) -> acc + v)"
+            )
+            bits.append(f"CASE WHEN {dot} >= 0.0D THEN 1 ELSE 0 END")
+        return F.expr("array(" + ", ".join(bits) + ")")
     return F.array(
         *[
             F.when(_plane_dot(vec_col, p) >= F.lit(0.0), F.lit(1)).otherwise(F.lit(0))
@@ -116,7 +131,7 @@ def build_index(emb: DataFrame, planes: list[list[float]]) -> DataFrame:
     return emb.select(
         "vec_id",
         "label",
-        F.posexplode(signature_bits(F.col("embedding"), planes)).alias("table_idx", "bit"),
+        F.posexplode(signature_bits("embedding", planes)).alias("table_idx", "bit"),
     )
 
 
@@ -310,5 +325,5 @@ def signatures(emb: DataFrame, planes: list[list[float]]) -> DataFrame:
     return emb.select(
         "vec_id",
         "label",
-        bucket_key(signature_bits(F.col("embedding"), planes)).alias("bucket"),
+        bucket_key(signature_bits("embedding", planes)).alias("bucket"),
     )
