@@ -166,32 +166,13 @@ def main() -> None:
         except Exception:
             pass
 
-    def _release_checkpoints() -> None:
-        """Unpersist localCheckpoint blocks the previous query pinned.
-        Queries must time INDEPENDENTLY: checkpointed iteration frames
-        (dedup/CC) and fingerprint tables otherwise accumulate in the
-        block manager across 150 queries and the resulting storage-
-        memory pressure taxes every later shuffle."""
-        try:
-            jsc = spark.sparkContext._jsc.sc()
-            rdds = jsc.getPersistentRDDs()
-            it = rdds.iterator()
-            while it.hasNext():
-                it.next()._2().unpersist(False)
-        except Exception:
-            pass
+    # shared with scripts/scale_probe.py — both harnesses must apply the
+    # same isolation/attribution discipline or their numbers diverge
+    from vector_db_service_spark.benchutil import cpu_snap as _cpu_snap
+    from vector_db_service_spark.benchutil import release_checkpoints
 
-    def _cpu_snap() -> tuple[float, float]:
-        """(busy_sec, steal_sec) from the host-wide /proc/stat line.
-        Busy = user+nice+system: actual on-CPU work, which a throttled
-        hypervisor does NOT inflate (the VM simply isn't running).
-        Steal: jiffies the hypervisor withheld — the throttle itself."""
-        try:
-            v = [int(x) for x in open("/proc/stat").readline().split()[1:]]
-            hz = float(os.sysconf("SC_CLK_TCK"))
-            return (v[0] + v[1] + v[2]) / hz, (v[7] if len(v) > 7 else 0) / hz
-        except Exception:
-            return 0.0, 0.0
+    def _release_checkpoints() -> None:
+        release_checkpoints(spark)
 
     cpu_busy: dict[str, float] = {}
     cpu_steal: dict[str, float] = {}
@@ -233,6 +214,11 @@ def main() -> None:
     def _calibrate() -> float:
         from pyspark.sql import functions as F
 
+        # isolate the probe from THIS repo's plans: the previous query's
+        # still-pinned checkpoint blocks tax shuffles (73s-vs-28s effect
+        # documented in scale_probe.py), and a calibration that inherits
+        # them would show "host drift" manufactured by the sweep itself
+        _release_checkpoints()
         t0 = time.perf_counter()
         _cal_df.groupBy("l_returnflag").agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
@@ -281,7 +267,12 @@ def main() -> None:
     # target get FIVE runs — a 5-run median is what certifies the
     # <4 s / <2.5 s claims either way.
     n_rerun = int(os.environ.get("SPARK_GRAFT_BENCH_RERUNS_TOP", "10"))
-    extra_reruns = {"dedup_allpairs_cosine": 4, "ann_ivf_recall_sweep": 4}
+    # reruns disabled entirely (RERUNS_TOP=0) disables the watch list
+    # too — a single-shot sweep must stay single-shot
+    extra_reruns = (
+        {"dedup_allpairs_cosine": 4, "ann_ivf_recall_sweep": 4}
+        if n_rerun > 0 else {}
+    )
     rerun_set = sorted(timings, key=lambda n: -timings[n])[:n_rerun]
     rerun_set += [n for n in extra_reruns if n in timings and n not in rerun_set]
     spread: dict[str, float] = {}

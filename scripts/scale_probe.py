@@ -117,32 +117,12 @@ def build_synthetic(spark) -> None:
         )
 
 
-def _release_checkpoints(spark) -> None:
-    """Unpersist localCheckpoint blocks previous queries pinned (same
-    discipline as bench.py): iteration frames and fingerprint tables
-    otherwise accumulate in the block manager across the probe matrix
-    and the storage-memory pressure taxes every later shuffle — the
-    allpairs warm run measured 73 s with the leftover blocks resident
-    vs 28 s in a clean process."""
-    try:
-        jsc = spark.sparkContext._jsc.sc()
-        it = jsc.getPersistentRDDs().iterator()
-        while it.hasNext():
-            it.next()._2().unpersist(False)
-    except Exception:
-        pass
-
-
-def _cpu_snap() -> tuple[float, float]:
-    """(busy_sec, steal_sec) from /proc/stat — same attribution signal
-    as bench.py: busy counts actual work, steal exposes hypervisor
-    throttling during the run."""
-    try:
-        v = [int(x) for x in open("/proc/stat").readline().split()[1:]]
-        hz = float(os.sysconf("SC_CLK_TCK"))
-        return (v[0] + v[1] + v[2]) / hz, (v[7] if len(v) > 7 else 0) / hz
-    except Exception:
-        return 0.0, 0.0
+# shared with bench.py — both harnesses must apply the same
+# isolation/attribution discipline or their numbers diverge
+from vector_db_service_spark.benchutil import (  # noqa: E402
+    cpu_snap as _cpu_snap,
+    release_checkpoints as _release_checkpoints,
+)
 
 
 def main() -> None:

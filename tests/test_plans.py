@@ -303,20 +303,36 @@ def test_allpairs_suffix_filter_runs_below_the_pair_aggregation(spark):
     order makes that exactly equivalent to testing the first shared
     token after aggregation), so the physical plan must show (a) no
     max_by anywhere — the old shape carried the first-token tails
-    through a max_by(struct,struct) — and (b) a tail2-vs-norm2 compare
-    in a Filter ABOVE the tok join but BELOW the (doc_id_1, doc_id_2)
-    aggregate, i.e. the HashAggregate for the pair dedup consumes a
-    filtered join, not the raw 20M-row collision stream."""
+    through a max_by(struct,struct) — and (b) the tail2-vs-norm2
+    compare evaluated STRICTLY UPSTREAM of the (doc_id_1, doc_id_2)
+    pair aggregate. In practice Catalyst merges the compare into the
+    tok join's own condition (failing collisions never materialize at
+    all); formatted-explain operator ids grow downstream (leaf = 1), so
+    upstream-ness is id(compare node) < id(pair aggregate)."""
+    import re
+
     from vector_db_service_spark.operators import dedup
 
     df = dedup.allpairs_cosine(load(spark, SF, "documents").limit(80))
     plan = _plan(df)
     assert "max_by" not in plan
-    # the screened suffix compare mentions both tails; it must appear in
-    # a Filter node, and some aggregate keyed by the pair must exist
-    filt = [
-        ln for ln in plan.splitlines()
-        if "tail2_1" in ln and "tail2_2" in ln and "norm2_1" in ln
-    ]
-    assert filt, "row-level suffix filter not found in the plan"
-    assert "doc_id_1" in plan and "doc_id_2" in plan
+    cmp_ids, agg_ids = [], []
+    for sec in plan.split("\n\n"):
+        m = re.match(r"\((\d+)\) (\w+)", sec)
+        if not m:
+            continue
+        op_id, op = int(m.group(1)), m.group(2)
+        if (
+            op in ("Filter", "BroadcastHashJoin", "SortMergeJoin",
+                   "ShuffledHashJoin")
+            and "tail2_1" in sec and "tail2_2" in sec and "norm2_1" in sec
+        ):
+            cmp_ids.append(op_id)
+        if (
+            "Aggregate" in op
+            and re.search(r"Keys \[2\]: \[doc_id_1#\d+L, doc_id_2#\d+L\]", sec)
+        ):
+            agg_ids.append(op_id)
+    assert cmp_ids, "row-level suffix compare not found in any join/filter"
+    assert agg_ids, "pair aggregate not found"
+    assert min(cmp_ids) < min(agg_ids), (cmp_ids, agg_ids)

@@ -1106,10 +1106,15 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
     # of the guard's CASE WHEN, and each saved Dataset creation saves a
     # driver-side incremental-analysis pass over this (wide) plan.
     norm2_w = F.sum(F.col("w") * F.col("w")).over(by_doc)
+    # idf_mln is NOT selected into wn: its last downstream consumer (the
+    # candidate max_by) died with the round-11 suffix-filter pushdown,
+    # and column pruning cannot reach through the localCheckpoint — an
+    # unselected column would otherwise be materialized and cached for
+    # every (doc, tok) row of the pipeline's largest frame. The window
+    # orderBy reads idf_mln from the INPUT frame, not from wn's output.
     wn = w.select(
         "doc_id",
         "tok",
-        "idf_mln",
         w_guarded.alias("w"),
         F.when(
             norm2_w.isNull() | (norm2_w > F.lit(NORM_SAFE).cast("long")),
@@ -1168,7 +1173,6 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
     # rows through a max_by(struct, struct) just to test the same bound
     # once per pair; the round-11 row-level form deletes the max_by and
     # shrinks the aggregation input to ~the true pair set).
-    dec = "decimal(38,0)"
     left = prefix.select(
         F.col("doc_id").alias("doc_id_1"), "tok",
         F.col("norm2").alias("norm2_1"), F.col("tail2").alias("tail2_1"),

@@ -88,6 +88,20 @@ def _plane_dot(vec_col: Column, plane: list[float]) -> Column:
     return sim.dot(vec_col, sim.vector_lit(plane))
 
 
+def _plane_dot_sql(vec_sql: str, plane: list[float]) -> str:
+    """The SQL-string image of _plane_dot, node for node: same
+    double-cast zip_with multiply, same 0.0D fold seed, same fold —
+    bit-identical to the Column form (pinned by the band_keys /
+    signature_bits identity tests). ONE place owns this string so a
+    future precision/format change cannot split the two consumers."""
+    arr = ", ".join(f"{float(v)!r}D" for v in plane)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({arr}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+
+
 def signature_bits(vec_col: Column | str, planes: list[list[float]]) -> Column:
     """I4: array of per-plane sign bits (algorithms.py:285-302).
 
@@ -95,15 +109,10 @@ def signature_bits(vec_col: Column | str, planes: list[list[float]]) -> Column:
     rationale and same bit-for-bit algebra as band_keys(str); pinned by
     tests/test_round9_ops.py::test_signature_bits_sql_path_bit_identical."""
     if isinstance(vec_col, str):
-        bits = []
-        for p in planes:
-            arr = ", ".join(f"{float(v)!r}D" for v in p)
-            dot = (
-                f"aggregate(zip_with({vec_col}, array({arr}), "
-                f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-                f"0.0D, (acc, v) -> acc + v)"
-            )
-            bits.append(f"CASE WHEN {dot} >= 0.0D THEN 1 ELSE 0 END")
+        bits = [
+            f"CASE WHEN {_plane_dot_sql(vec_col, p)} >= 0.0D THEN 1 ELSE 0 END"
+            for p in planes
+        ]
         return F.expr("array(" + ", ".join(bits) + ")")
     return F.array(
         *[
@@ -164,12 +173,7 @@ def band_keys(vec_col: Column | str, planes: list[list[float]],
         for j in range(n_bands):
             terms = []
             for i in range(j * band_bits, (j + 1) * band_bits):
-                arr = ", ".join(f"{float(v)!r}D" for v in planes[i])
-                dot = (
-                    f"aggregate(zip_with({vec_col}, array({arr}), "
-                    f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-                    f"0.0D, (acc, v) -> acc + v)"
-                )
+                dot = _plane_dot_sql(vec_col, planes[i])
                 terms.append(
                     f"(CASE WHEN {dot} >= 0.0D THEN 1 ELSE 0 END) "
                     f"* {1 << (i - j * band_bits)}"
