@@ -341,10 +341,11 @@ def near_dup_components(docs: DataFrame, max_hamming: int = 3,
         .localCheckpoint(eager=False)
     )
     labels = nodes.select("node", F.col("node").alias("comp"))
-    for _ in range(rounds):
+    for rnd in range(rounds):
         nbr = edges.join(labels, edges.dst == labels.node).select(
             F.col("src").alias("node"), F.col("comp")
         )
+        prev = labels
         labels = (
             labels.unionByName(nbr)
             .groupBy("node")
@@ -354,6 +355,25 @@ def near_dup_components(docs: DataFrame, max_hamming: int = 3,
             .coalesce(iter_parts)
             .localCheckpoint(eager=False)
         )
+        # EXACT early exit: per-node labels are monotone non-increasing
+        # under min-propagation, so a round that changes nothing proves
+        # every remaining round is the identity — the result is
+        # bit-identical to the full `rounds` unroll (the oracle's), at
+        # a fraction of the blocking jobs (real dup graphs converge in
+        # ~component-diameter rounds, typically 2-3, not 10). The check
+        # itself is one count over the tiny (node, comp) frame and
+        # doubles as the materialization action the lazy checkpoint
+        # needs anyway. Skipped on the last round (nothing left to
+        # save).
+        if rnd < rounds - 1:
+            changed = (
+                labels.join(prev.withColumnRenamed("comp", "prev_comp"), "node")
+                .filter(F.col("comp") != F.col("prev_comp"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                break
     return _with_isolated(docs, nodes, labels)
 
 
