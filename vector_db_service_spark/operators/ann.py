@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import similarity as sim
-from ..sources.tables import load, row_count
+from ..sources.tables import embedding_dim, load, row_count
 
 # fitted MLlib coarse-quantizer centers per (file identity, n_lists):
 # index state, never recomputed per probe (see ivf_kmeans_topk)
@@ -273,8 +273,9 @@ def index_recall_report(
     emb = load(spark, sf_dir, "embeddings")
     # dim inferred from the data (like knn_join) — a hard-coded plane
     # width would silently null-pad zip_with dot products on any other
-    # corpus and return empty candidates instead of an error
-    dim = emb.select(F.size("embedding")).head()[0]
+    # corpus and return empty candidates instead of an error; read from
+    # the parquet file driver-side (memoized, zero Spark jobs)
+    dim = embedding_dim(sf_dir)
     planes = hyperplanes(dim, NUM_HASHES, SEED)
 
     # per-VECTOR sign signature, computed once in the corpus scan
@@ -1172,7 +1173,7 @@ def blocked_pair_recall(
         .select("label", "vec_id_1", "vec_id_2")
     )
 
-    dim = emb.select(F.size("embedding")).head()[0]
+    dim = embedding_dim(sf_dir)
     planes = hyperplanes(dim, NUM_HASHES, SEED)
     banded = s.select(
         "label", "vec_id", "embedding", "nrm",
@@ -1249,7 +1250,7 @@ def band_skew_report(
     from .lsh import NUM_HASHES, SEED, band_keys, hyperplanes
 
     emb = load(spark, sf_dir, "embeddings")
-    dim = emb.select(F.size("embedding")).head()[0]
+    dim = embedding_dim(sf_dir)
     planes = hyperplanes(dim, NUM_HASHES, SEED)
     keyed = emb.select(
         "label",
@@ -1322,7 +1323,7 @@ def knn_join(
 
     band_bits = auto_band_bits(row_count(sf_dir, "embeddings"), band_bits)
     emb = load(spark, sf_dir, "embeddings")
-    dim = emb.select(F.size("embedding")).head()[0]
+    dim = embedding_dim(sf_dir)
     planes = hyperplanes(dim, N_SIGN_BANDS * band_bits, SEED)
     banded = emb.select(
         "label", "vec_id", "embedding", sim.norm(F.col("embedding")).alias("nrm"),

@@ -187,6 +187,42 @@ def row_count(sf_dir: str, name: str) -> int:
     return n
 
 
+_DIM_CACHE: dict[tuple, int] = {}
+
+
+def embedding_dim(sf_dir: str, name: str = "embeddings",
+                  column: str = "embedding") -> int:
+    """Vector dimensionality from ONE driver-side pyarrow batch read —
+    zero Spark jobs. Every banded/grid/flat builder needs the dim before
+    it can synthesize hyperplanes or cell bounds, and each paid a
+    one-row Spark job (~0.15 s of pure scheduling at local[32]) per
+    query for a number that is a property of the FILE. Memoized per
+    file identity like row_count; the parquet schema types the column
+    as list<float> without a length, so one real row is read (first
+    batch of the first part file)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    key = (*path_signature(path), column, "dim")
+    cached = _DIM_CACHE.get(key)
+    if cached is not None:
+        return cached
+    f = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                                 recursive=True))
+        if not parts:
+            raise FileNotFoundError(f"no parquet parts under {path}")
+        f = parts[0]
+    batch = next(pq.ParquetFile(f).iter_batches(batch_size=1, columns=[column]))
+    dim = len(batch.column(0)[0].as_py())
+    _DIM_CACHE[key] = dim
+    return dim
+
+
 def spread_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Ensure a CPU-heavy projection (per-token hashing, shingling,
     fingerprinting) runs with at least core-count partitions. Small-SF
