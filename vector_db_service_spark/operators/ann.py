@@ -83,11 +83,11 @@ def ivf_topk(
     best `nprobe` lists, exact-search only those lists. The centroid
     ranking is a tiny aggregate; the corpus scan is pruned to the probed
     partitions."""
+    from .knn import query_vector_row
+
     emb = load(spark, sf_dir, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == query_id).select("embedding").head()
-    if qrow is None:
-        raise KeyError(f"query vector {query_id} not found")
-    q = sim.vector_lit(list(qrow[0]))
+    qv, _ = query_vector_row(spark, sf_dir, query_id)
+    q = sim.vector_lit(qv)
 
     cent = centroids(emb)
     probe_w = Window.orderBy(F.desc("c_score"), F.asc("label"))
@@ -140,6 +140,7 @@ def ivf_kmeans_topk(
     from pyspark.sql import Window
 
     from ..sources.tables import path_signature
+    from .knn import query_vector_row
 
     emb = load(spark, sf_dir, "embeddings")
     _ckey = (
@@ -165,10 +166,8 @@ def ivf_kmeans_topk(
         cents = [[float(x) for x in c] for c in model.clusterCenters()]
         _KM_CENTERS_CACHE[_ckey] = cents
 
-    qrow = emb.filter(F.col("vec_id") == query_id).select("embedding").head()
-    if qrow is None:
-        raise KeyError(f"query vector {query_id} not found")
-    q = sim.vector_lit([float(x) for x in qrow[0]])
+    qv, _ = query_vector_row(spark, sf_dir, query_id)
+    q = sim.vector_lit([float(x) for x in qv])
 
     assigned = emb.select(
         "vec_id", "label", "embedding", _list_id_expr(cents).alias("list_id")
@@ -920,14 +919,12 @@ def pq_topk(
     result deterministic AND exactly SQL-replayable (oracles_quant
     .pq_topk_sql); recall vs exact top-k is pinned in
     tests/test_pq_adc.py."""
-    from .knn import validate_k
+    from .knn import query_vector_row, validate_k
 
     validate_k(k)
     emb = load(spark, sf_dir, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == query_id).select("embedding").head()
-    if qrow is None:
-        raise KeyError(f"query vector {query_id} not found")
-    q = [float(x) for x in qrow[0]]
+    qv, _ = query_vector_row(spark, sf_dir, query_id)
+    q = [float(x) for x in qv]
 
     codebooks, sub_dim = _pq_train(
         emb, n_subvectors=n_subvectors, codebook_k=codebook_k, train_pct=train_pct
@@ -1009,14 +1006,12 @@ def ivfpq_topk(
     .ivfpq_topk_sql); recall vs exact is pinned in tests/test_pq_adc.py."""
     import numpy as np
 
-    from .knn import validate_k
+    from .knn import query_vector_row, validate_k
 
     validate_k(k)
     emb = load(spark, sf_dir, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == query_id).select("embedding").head()
-    if qrow is None:
-        raise KeyError(f"query vector {query_id} not found")
-    q = [float(x) for x in qrow[0]]
+    qv, _ = query_vector_row(spark, sf_dir, query_id)
+    q = [float(x) for x in qv]
 
     cents = _coarse_centers(spark, sf_dir, n_lists)
     assigned = emb.select(
