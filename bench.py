@@ -68,6 +68,17 @@ def main() -> None:
 
     for _lib in (1, 2):
         _store.ensure_library(spark, sf_dir, _lib)
+    # pre-build the IN-PROCESS index state the same way (round-11 review
+    # #1): quantizer centers (driver Lloyd + MLlib kmeans||), grid
+    # bounds, query-vector literals. Train-once/probe-many is the index
+    # lifecycle — fit cost is excluded from query timings as amortized
+    # index build, IDENTICALLY for first runs and re-runs. Before this,
+    # the first timed run of e.g. ann_ivf_recall_sweep paid the fit
+    # (10.4 s) while its re-runs hit the memo (~2 s): the median was
+    # structurally warm and the spread was cache asymmetry, not noise.
+    from vector_db_service_spark.benchutil import prewarm_index_state
+
+    prewarm_index_state(spark, sf_dir)
     # warm the Structured Streaming machinery (state store provider,
     # streaming listener threads, micro-batch planner) on the SMALLEST
     # dataset so the first timed stream_* query measures steady-state
@@ -286,23 +297,26 @@ def main() -> None:
     _calibrate()  # untimed first touch (JIT + page cache)
     calibration = [_calibrate()]
 
-    # Materialized-artifact memo (labels / allpairs parquet): snapshot
-    # its state just before each query's FIRST run so re-runs can
-    # replay under identical cache conditions — without this, a
-    # re-run of e.g. dedup_allpairs_cosine would hit the artifact its
-    # own first run wrote and the "median" would time a parquet read
-    # instead of the query. (Caches that are index state shared across
-    # DIFFERENT queries — query vectors, coarse centers, grid bounds,
-    # stored-index fingerprints — were already warm at first-run time
-    # and are deliberately left warm.)
-    from vector_db_service_spark.operators import dedup as _dedup
+    # Cache-homogeneity discipline (round-11 review #1): snapshot EVERY
+    # module-level memo — materialized-artifact paths (dedup labels)
+    # AND index state (quantizer centers, query vectors, grid bounds,
+    # fingerprints) — just before each query's FIRST run, and restore
+    # that exact state around each re-run. All N runs of a query then
+    # execute under identical cache conditions: state prewarm_index_
+    # state() built is warm in every run; a key only a query's own
+    # first run built is re-paid by every re-run. The median stops
+    # mixing one cold run with warm re-runs, and `spread` measures the
+    # host again instead of cache asymmetry.
+    from vector_db_service_spark.benchutil import index_state_caches
+
+    _memo_caches = index_state_caches()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     runs: dict[str, list[float]] = {}
-    cache_before: dict[str, dict] = {}
+    cache_before: dict[str, list[dict]] = {}
     for name, fn in sorted(entrypoints.QUERIES.items()):
-        cache_before[name] = dict(_dedup._LABELS_CACHE)
+        cache_before[name] = [dict(c) for c in _memo_caches]
         t = _time_one(name, fn)
         if t is None:
             continue
@@ -335,12 +349,14 @@ def main() -> None:
     spread: dict[str, float] = {}
     for name in rerun_set:
         for _ in range(extra_reruns.get(name, 2)):
-            saved = dict(_dedup._LABELS_CACHE)
-            _dedup._LABELS_CACHE.clear()
-            _dedup._LABELS_CACHE.update(cache_before[name])
+            saved = [dict(c) for c in _memo_caches]
+            for c, before in zip(_memo_caches, cache_before[name]):
+                c.clear()
+                c.update(before)
             t = _time_one(name, entrypoints.QUERIES[name], record_error=False)
-            _dedup._LABELS_CACHE.clear()
-            _dedup._LABELS_CACHE.update(saved)
+            for c, s in zip(_memo_caches, saved):
+                c.clear()
+                c.update(s)
             if t is not None:
                 runs[name].append(t)
         rs = sorted(runs[name])

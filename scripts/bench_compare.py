@@ -12,8 +12,14 @@ the round-11 bench emits and prints only the deltas that survive them:
     lineitem aggregate whose plan never changes). NEW wall times are
     divided by this factor before comparison.
   - per-query noise floor: a delta is reported only if it exceeds the
-    query's own measured `spread` (max-min over its re-runs) on
-    whichever side measured one, plus an absolute floor of 0.3 s.
+    query's own measured run-to-run variance on whichever side measured
+    one, with an absolute floor of 0.3 s. The variance is computed from
+    RE-RUNS ONLY (runs[1:]) when the detail file carries per-run lists:
+    even with the round-12 cache-homogeneity discipline, a query's
+    first run can carry one-time JVM JIT cost its re-runs don't, and a
+    floor inflated by that asymmetry would blind the tool exactly where
+    the perf targets live (round-11 review #2). Falls back to the
+    `spread` field (max-min over all runs) for older detail files.
   - steal context: total steal seconds on each side are printed so a
     hot run is visible at a glance.
 
@@ -42,7 +48,15 @@ def main() -> None:
     print(f"host factor (new/old calibration): {host:.3f}  "
           f"[old cal {cal_o} steal {steal_o}s | new cal {cal_n} steal {steal_n}s]")
     qo, qn = old["queries"], new["queries"]
-    so, sn = old.get("spread", {}), new.get("spread", {})
+
+    def _floors(detail: dict) -> dict[str, float]:
+        out = dict(detail.get("spread", {}))
+        for name, rs in (detail.get("runs") or {}).items():
+            if len(rs) >= 3:  # >=2 re-runs: variance without the first run
+                out[name] = round(max(rs[1:]) - min(rs[1:]), 4)
+        return out
+
+    so, sn = _floors(old), _floors(new)
     total_o = sum(qo.values())
     total_n = sum(qn.values())
     print(f"raw totals: old {total_o:.1f}s -> new {total_n:.1f}s; "

@@ -121,6 +121,7 @@ def build_synthetic(spark) -> None:
 # isolation/attribution discipline or their numbers diverge
 from vector_db_service_spark.benchutil import (  # noqa: E402
     cpu_snap as _cpu_snap,
+    index_state_caches as _index_state_caches,
     release_checkpoints as _release_checkpoints,
 )
 
@@ -142,12 +143,11 @@ def main() -> None:
     ):
         for name in PROBES:
             # cache-honest warm runs (same discipline as bench.py):
-            # snapshot the materialized-artifact memo so the re-run
-            # below replays a real recompute, not a parquet read of the
-            # artifact its own first run just wrote
-            from vector_db_service_spark.operators import dedup as _dedup
-
-            cache_before = dict(_dedup._LABELS_CACHE)
+            # snapshot every module-level memo — artifact paths AND
+            # index state — so the re-run below replays a real
+            # recompute under the first run's exact cache conditions
+            _memo_caches = _index_state_caches()
+            cache_before = [dict(c) for c in _memo_caches]
             _release_checkpoints(spark)
             b0, s0 = _cpu_snap()
             t0 = time.perf_counter()
@@ -167,9 +167,10 @@ def main() -> None:
                 # warnings observed). Record a SECOND, steady-state run
                 # so scaling ratios can be read off plan cost instead of
                 # JIT cost — measured 97s -> 28s on the allpairs shape.
-                saved = dict(_dedup._LABELS_CACHE)
-                _dedup._LABELS_CACHE.clear()
-                _dedup._LABELS_CACHE.update(cache_before)
+                saved = [dict(c) for c in _memo_caches]
+                for c, before in zip(_memo_caches, cache_before):
+                    c.clear()
+                    c.update(before)
                 _release_checkpoints(spark)
                 b0, s0 = _cpu_snap()
                 t0 = time.perf_counter()
@@ -180,8 +181,9 @@ def main() -> None:
                 b1, s1 = _cpu_snap()
                 cpu[name]["syn10x_warm"] = round(b1 - b0, 1)
                 steal[name]["syn10x_warm"] = round(s1 - s0, 1)
-                _dedup._LABELS_CACHE.clear()
-                _dedup._LABELS_CACHE.update(saved)
+                for c, s in zip(_memo_caches, saved):
+                    c.clear()
+                    c.update(s)
                 print(
                     f"# syn10x_warm {name}: {out[name]['syn10x_warm']}s "
                     f"(busy {b1-b0:.0f}s steal {s1-s0:.0f}s)",

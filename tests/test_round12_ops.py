@@ -1,0 +1,141 @@
+"""Round-12 hardening: identifier quoting on the single-parse SQL
+paths, robust embedding-dim inference, and the bench cache registry.
+
+Each pins a round-11 advisor finding:
+  #1/#2 bench cache homogeneity -> index_state_caches() registry shape
+  #3 embedding_dim crash modes  -> empty first part / leading NULLs /
+     all-NULL loud ValueError
+  #4 raw identifier interpolation in lsh F.expr strings -> reserved
+     words and non-identifier column names now parse and stay
+     bit-identical to the Column-API form.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vector_db_service_spark.operators import lsh  # noqa: E402
+from vector_db_service_spark.sources import tables  # noqa: E402
+
+
+# ---------------------------------------------------------------- lsh ids
+@pytest.mark.parametrize("colname", ["order", "select", "band-key.col"])
+def test_band_keys_sql_path_quotes_identifiers(spark, colname):
+    """A reserved word or non-identifier column name must produce the
+    SAME band keys through the single-parse SQL path as through the
+    Column API — before _quoted_ident, `order` failed to parse and a
+    dotted name could bind to the wrong expression."""
+    from pyspark.sql import functions as F
+
+    planes = lsh.hyperplanes(8, 4, lsh.SEED)
+    df = spark.range(50).select(
+        F.expr(
+            "transform(sequence(1, 8), i -> "
+            "cast(pmod(id * i, 31) as float) / 31.0f)"
+        ).alias(colname)
+    )
+    via_sql = df.select(
+        F.col("`" + colname + "`").alias("v"),
+        lsh.band_keys(colname, planes, 2).alias("k"),
+        lsh.signature_bits(colname, planes).alias("b"),
+    )
+    via_col = df.select(
+        lsh.band_keys(F.col("`" + colname + "`"), planes, 2).alias("k"),
+        lsh.signature_bits(F.col("`" + colname + "`"), planes).alias("b"),
+    )
+    a = [(r["k"], r["b"]) for r in via_sql.collect()]
+    b = [(r["k"], r["b"]) for r in via_col.collect()]
+    assert a == b
+
+
+# ------------------------------------------------------- embedding_dim
+def _write_parts(tmpdir: str, parts: list[list]) -> str:
+    """Write a multi-part parquet dir with the given embedding values."""
+    root = os.path.join(tmpdir, "embeddings.parquet")
+    os.makedirs(root, exist_ok=True)
+    for i, vals in enumerate(parts):
+        t = pa.table({
+            "vec_id": pa.array(range(len(vals)), pa.int64()),
+            "embedding": pa.array(vals, pa.list_(pa.float32())),
+        })
+        pq.write_table(t, os.path.join(root, f"part-{i:05d}.parquet"))
+    return tmpdir
+
+
+def test_embedding_dim_skips_empty_first_part(tmp_path):
+    d = _write_parts(str(tmp_path), [[], [[1.0, 2.0, 3.0]]])
+    assert tables.embedding_dim(d) == 3
+
+
+def test_embedding_dim_skips_leading_nulls(tmp_path):
+    d = _write_parts(str(tmp_path), [[None, None, [1.0, 2.0]]])
+    assert tables.embedding_dim(d) == 2
+
+
+def test_embedding_dim_all_null_raises_loudly(tmp_path):
+    d = _write_parts(str(tmp_path), [[None], []])
+    with pytest.raises(ValueError, match="no non-null value"):
+        tables.embedding_dim(d)
+
+
+def test_embedding_dim_missing_dir_raises(tmp_path):
+    os.makedirs(os.path.join(str(tmp_path), "embeddings.parquet"))
+    with pytest.raises(FileNotFoundError):
+        tables.embedding_dim(str(tmp_path))
+
+
+# ------------------------------------------------------ cache registry
+def test_index_state_caches_registry():
+    """Every module-level memo the bench must snapshot/restore is in the
+    registry, and each entry is the LIVE module dict (identity, not a
+    copy) — a copy would make the restore discipline a no-op."""
+    from vector_db_service_spark.benchutil import index_state_caches
+    from vector_db_service_spark.operators import ann, dedup, grid, knn, store
+
+    caches = index_state_caches()
+    assert all(isinstance(c, dict) for c in caches)
+    assert any(c is dedup._LABELS_CACHE for c in caches)
+    assert any(c is ann._KM_CENTERS_CACHE for c in caches)
+    assert any(c is ann._COARSE_CACHE for c in caches)
+    assert any(c is knn._QVEC_CACHE for c in caches)
+    assert any(c is grid._BOUNDS_CACHE for c in caches)
+    assert any(c is store._FPRINT_CACHE for c in caches)
+
+
+def test_prewarm_covers_registered_ann_keys(spark, sf_dir):
+    """prewarm_index_state must build exactly the index state the
+    registered queries request: after a prewarm on a cold cache, a
+    probe query's own build path finds every key warm (no new keys
+    appear when the query constructs its plan)."""
+    from vector_db_service_spark.benchutil import (
+        index_state_caches,
+        prewarm_index_state,
+    )
+    from vector_db_service_spark.operators import ann, knn
+
+    saved = [dict(c) for c in index_state_caches()]
+    try:
+        for c in index_state_caches():
+            c.clear()
+        prewarm_index_state(spark, sf_dir)
+        km_keys = set(ann._KM_CENTERS_CACHE)
+        coarse_keys = set(ann._COARSE_CACHE)
+        qvec_keys = set(knn._QVEC_CACHE)
+        # the fit paths the registry's n_lists=7 queries take
+        ann.mllib_km_centers(spark, sf_dir, 7)
+        ann._coarse_centers(spark, sf_dir, 7)
+        knn.query_vector_rows(spark, sf_dir, [0, 1, 2, 3, 4])
+        assert set(ann._KM_CENTERS_CACHE) == km_keys
+        assert set(ann._COARSE_CACHE) == coarse_keys
+        assert set(knn._QVEC_CACHE) == qvec_keys
+    finally:
+        for c, s in zip(index_state_caches(), saved):
+            c.clear()
+            c.update(s)

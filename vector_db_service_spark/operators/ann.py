@@ -106,6 +106,45 @@ def ivf_topk(
     )
 
 
+def mllib_km_centers(
+    spark: SparkSession, sf_dir: str, n_lists: int
+) -> list:
+    """Fitted seed-42 MLlib kmeans|| centers, memoized per (file
+    identity, n_lists) — INDEX STATE, train once / probe many, exactly
+    like grid bounds and _coarse_centers. Factored out of
+    ivf_kmeans_topk so a harness can build the index explicitly before
+    timing the probe path (bench.py's prewarm_index_state), making
+    every timed run of a kmeans-backed query see identical cache
+    conditions instead of the first run alone paying the distributed
+    fit."""
+    from ..sources.tables import path_signature
+
+    _ckey = (
+        *path_signature(os.path.join(sf_dir, "embeddings.parquet")),
+        "mllib_km", n_lists,
+    )
+    cents = _KM_CENTERS_CACHE.get(_ckey)
+    if cents is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        emb = load(spark, sf_dir, "embeddings")
+        vec = emb.withColumn(
+            "vec", array_to_vector(F.col("embedding").cast("array<double>"))
+        )
+        km = KMeans(
+            k=n_lists, seed=42, featuresCol="vec", predictionCol="list_id"
+        )
+        # quantizer trains on a bounded deterministic sample; ASSIGNMENT
+        # stays one distributed codegen'd projection over the corpus
+        model = km.fit(
+            _quantizer_train_sample(vec, n_rows=row_count(sf_dir, "embeddings"))
+        )
+        cents = [[float(x) for x in c] for c in model.clusterCenters()]
+        _KM_CENTERS_CACHE[_ckey] = cents
+    return cents
+
+
 def ivf_kmeans_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -139,32 +178,10 @@ def ivf_kmeans_topk(
     index retrains its quantizer on every query)."""
     from pyspark.sql import Window
 
-    from ..sources.tables import path_signature
     from .knn import query_vector_row
 
     emb = load(spark, sf_dir, "embeddings")
-    _ckey = (
-        *path_signature(os.path.join(sf_dir, "embeddings.parquet")),
-        "mllib_km", n_lists,
-    )
-    cents = _KM_CENTERS_CACHE.get(_ckey)
-    if cents is None:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        vec = emb.withColumn(
-            "vec", array_to_vector(F.col("embedding").cast("array<double>"))
-        )
-        km = KMeans(
-            k=n_lists, seed=42, featuresCol="vec", predictionCol="list_id"
-        )
-        # quantizer trains on a bounded deterministic sample; ASSIGNMENT
-        # stays one distributed codegen'd projection over the corpus
-        model = km.fit(
-            _quantizer_train_sample(vec, n_rows=row_count(sf_dir, "embeddings"))
-        )
-        cents = [[float(x) for x in c] for c in model.clusterCenters()]
-        _KM_CENTERS_CACHE[_ckey] = cents
+    cents = mllib_km_centers(spark, sf_dir, n_lists)
 
     qv, _ = query_vector_row(spark, sf_dir, query_id)
     q = sim.vector_lit([float(x) for x in qv])

@@ -88,6 +88,17 @@ def _plane_dot(vec_col: Column, plane: list[float]) -> Column:
     return sim.dot(vec_col, sim.vector_lit(plane))
 
 
+def _quoted_ident(name: str) -> str:
+    """Backtick-quote a column name before embedding it in an F.expr
+    string. The str forms of band_keys / signature_bits document their
+    input as a COLUMN NAME, not a SQL fragment — an unquoted reserved
+    word or dotted/hyphenated name would misparse or bind to the wrong
+    expression with no error tying it back here (round-11 review #4).
+    Backticks make any name a single identifier; embedded backticks are
+    escaped by doubling, per Spark's quoting rule."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _plane_dot_sql(vec_sql: str, plane: list[float]) -> str:
     """The SQL-string image of _plane_dot, node for node: same
     double-cast zip_with multiply, same 0.0D fold seed, same fold —
@@ -109,8 +120,9 @@ def signature_bits(vec_col: Column | str, planes: list[list[float]]) -> Column:
     rationale and same bit-for-bit algebra as band_keys(str); pinned by
     tests/test_round9_ops.py::test_signature_bits_sql_path_bit_identical."""
     if isinstance(vec_col, str):
+        vec_sql = _quoted_ident(vec_col)
         bits = [
-            f"CASE WHEN {_plane_dot_sql(vec_col, p)} >= 0.0D THEN 1 ELSE 0 END"
+            f"CASE WHEN {_plane_dot_sql(vec_sql, p)} >= 0.0D THEN 1 ELSE 0 END"
             for p in planes
         ]
         return F.expr("array(" + ", ".join(bits) + ")")
@@ -169,11 +181,12 @@ def band_keys(vec_col: Column | str, planes: list[list[float]],
     tests/test_round9_ops.py::test_band_keys_sql_path_bit_identical."""
     n_bands = len(planes) // band_bits
     if isinstance(vec_col, str):
+        vec_sql = _quoted_ident(vec_col)
         keys_sql = []
         for j in range(n_bands):
             terms = []
             for i in range(j * band_bits, (j + 1) * band_bits):
-                dot = _plane_dot_sql(vec_col, planes[i])
+                dot = _plane_dot_sql(vec_sql, planes[i])
                 terms.append(
                     f"(CASE WHEN {dot} >= 0.0D THEN 1 ELSE 0 END) "
                     f"* {1 << (i - j * band_bits)}"

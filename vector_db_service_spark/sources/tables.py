@@ -210,15 +210,38 @@ def embedding_dim(sf_dir: str, name: str = "embeddings",
     cached = _DIM_CACHE.get(key)
     if cached is not None:
         return cached
-    f = path
+    files = [path]
     if os.path.isdir(path):
-        parts = sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+        files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
                                  recursive=True))
-        if not parts:
+        if not files:
             raise FileNotFoundError(f"no parquet parts under {path}")
-        f = parts[0]
-    batch = next(pq.ParquetFile(f).iter_batches(batch_size=1, columns=[column]))
-    dim = len(batch.column(0)[0].as_py())
+    # scan batches (and part files) until a NON-NULL vector appears: an
+    # empty first part or a leading NULL run must not crash the read
+    # (round-11 review #3 — bare StopIteration / len(None) were both far
+    # from the documented loud failure). Single-row read still assumes
+    # uniform dimensionality across rows, which load()'s array<float>
+    # schema and the builders' fixed-width algebra already require.
+    dim = None
+    for f in files:
+        for batch in pq.ParquetFile(f).iter_batches(
+            batch_size=256, columns=[column]
+        ):
+            col = batch.column(0)
+            for i in range(len(col)):
+                v = col[i].as_py()
+                if v is not None:
+                    dim = len(v)
+                    break
+            if dim is not None:
+                break
+        if dim is not None:
+            break
+    if dim is None:
+        raise ValueError(
+            f"cannot determine embedding dimensionality: column {column!r} "
+            f"has no non-null value in any part of {path}"
+        )
     _DIM_CACHE[key] = dim
     return dim
 
