@@ -2457,45 +2457,40 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 # --- Registration order ---------------------------------------------------
 # External correctness tooling samples the FIRST 50 registered queries.
-# Round-11 ROTATION (per the round-10 review #4/#7): (a) queries whose
-# plan or arithmetic changed THIS round (the allpairs verification dot
-# is now a map_zip_with hash-merge; the recall sweep is under a 5-run
-# watch); (b) the full r6 cohort — 27 queries last driver-green in
-# round 6, at the 5-round staleness ceiling the rotation policy
-# promised; (c) obs_health + knn_dist_cosine, the oldest §2-mapped r8
-# rows named by the review; (d) the 19 alphabetically-first r7 rows to
-# fill 50. Everything displaced stays green under
-# tests/test_oracle_parity.py, which runs the identical compare over
-# ALL registered oracles.
+# Round-12 ROTATION (same policy as rounds 10-11): (a) queries whose
+# generated SQL or build path changed THIS round — every consumer of
+# the band_keys/signature_bits single-parse string path (the column
+# name is now backtick-quoted inside the F.expr string) plus
+# mllib_ivf_kmeans_topk (its fit was factored into mllib_km_centers
+# for the bench prewarm); (b) the full r7 cohort — 23 queries last
+# driver-green in round 7, now the oldest and at the 5-round staleness
+# ceiling; (c) the alphabetically-first r8 rows to fill 50. Everything
+# displaced stays green under tests/test_oracle_parity.py, which runs
+# the identical compare over ALL registered oracles.
 _PRIORITY_50 = [
     # -- (a) changed this round: re-verify under the driver --
-    "dedup_allpairs_cosine", "ann_ivf_recall_sweep",
-    # -- (b) the r6 cohort: every query last driver-green in round 6 --
-    "rel_events_daily_rollup", "rel_interarrival_stats",
-    "rel_orders_grouping_sets", "rel_range_join_context",
-    "rel_salted_user_counts", "rel_shipping_priority",
-    "rel_token_heavy_hitters", "rel_top_suppliers_per_nation",
-    "rel_user_running_totals", "rel_value_deciles",
-    "rel_value_outliers", "rel_value_percentiles",
-    "s15_embed_asymmetry", "s15_embed_documents",
-    "s15_embed_pandas_batched", "s16_json_roundtrip",
-    "sketch_countmin_event_types", "startup_rebuild_report",
-    "stream_dedup_events", "stream_sliding_event_counts",
-    "stream_windowed_event_counts", "text_bpe_token_estimate",
-    "text_curation_funnel", "text_fingerprints",
-    "text_language_summary", "text_quality_scores",
-    "text_stratified_sample",
-    # -- (c) oldest §2-mapped rows after the r6 cohort (r8-stale) --
-    "obs_health", "knn_dist_cosine",
-    # -- (d) oldest r7 rows to fill 50 --
-    "a3_library_stats", "a4_document_stats", "ann_product_quantize",
-    "i11_stored_ivf_probe", "i12_index_info", "kernel_zero_guard",
-    "knn_prefiltered_lang", "obs_clear_library_stats", "obs_search_meta",
-    "p1_projection", "p5_title_match", "pipeline_curation_end_to_end",
-    "pipeline_sequence_packing", "rel_above_nation_avg",
-    "rel_customer_segments", "rel_moving_avg_value",
-    "rel_order_size_distribution", "rel_orders_cube",
-    "rel_parts_by_type_size",
+    "mllib_ivf_kmeans_topk", "knn_lsh_cosine", "lsh_signatures",
+    "lsh_bucket_stats", "knn_dispatch_lsh", "ann_knn_join",
+    "ann_knn_join_salted", "ann_index_recall_report",
+    "ann_blocked_pair_recall", "dedup_embedding_pairs",
+    # -- (b) the r7 cohort: every query last driver-green in round 7 --
+    "obs_timed_search", "rel_percent_rank_orders", "rel_sliding_1h_sum",
+    "rel_user_day_retention", "retrieval_bm25_scores",
+    "retrieval_hybrid_rrf", "retrieval_mmr_rerank", "s10_cdc_merge",
+    "s14_flag_update", "s17_csv_file_roundtrip", "s18_orc_file_roundtrip",
+    "s4_scan_by_parent", "s5_full_scan", "s6_vector_store_scan",
+    "s8_insert", "s9_batch_insert", "sketch_bloom_membership",
+    "sketch_hll_by_event_type", "sketch_kmv_overlap",
+    "stream_session_windows", "t5_k_exceeds_n", "text_char_entropy",
+    "text_decontamination",
+    # -- (c) alphabetically-first r8 rows to fill 50 --
+    "ann_cluster_silhouette", "ann_ivfpq_topk", "ann_matryoshka_recall",
+    "ann_pq_topk", "dedup_exact_keep_first", "dedup_lsh_tuning_curve",
+    "dedup_minhash_signatures", "dedup_paragraphs", "dedup_semantic_keep",
+    "dedup_simhash_fingerprints", "dedup_substring_spans",
+    "dedup_winnowing_fingerprints", "grid_cell_stats",
+    "grid_stats_by_library", "knn_flat_cosine_library", "mm_decode",
+    "obs_index_advisor",
 ]
 
 

@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import similarity as sim
-from ..sources.tables import embedding_dim, load, row_count
+from ..sources.tables import embedding_dim, load, row_count, spread_for_compute
 
 # fitted MLlib coarse-quantizer centers per (file identity, n_lists):
 # index state, never recomputed per probe (see ivf_kmeans_topk)
@@ -1159,7 +1159,13 @@ def blocked_pair_recall(
     eff_pct = min(sample_pct, max(1, (100 * sample_cap + n - 1) // n))
     bucket = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10) \
         .cast("long") % 100
-    s = emb.filter(bucket < eff_pct).select(
+    # spread the sample: BOTH self-joins below (exact all-pairs and
+    # banded) have quadratic output over tiny input, so the planner
+    # broadcasts one side and the pair expansion runs at the probe
+    # side's partition count — a one-row-group sample would serialize
+    # every pairwise cosine in a single task. No-op at production
+    # partition counts.
+    s = spread_for_compute(emb.filter(bucket < eff_pct)).select(
         "label", "vec_id", "embedding", sim.norm(F.col("embedding")).alias("nrm")
     )
     cos = F.when(
@@ -1334,7 +1340,13 @@ def knn_join(
     from .lsh import SEED, N_SIGN_BANDS, auto_band_bits, band_keys, first_collision, hyperplanes
 
     band_bits = auto_band_bits(row_count(sf_dir, "embeddings"), band_bits)
-    emb = load(spark, sf_dir, "embeddings")
+    # spread BEFORE banding: the band equi-join's OUTPUT is quadratic in
+    # bucket size while its INPUT is tiny, so the planner broadcasts one
+    # side and runs the pair expansion at the PROBE side's parallelism —
+    # a single-row-group scan serialized ~2M candidate dot products in
+    # ONE task (wall == cpu-busy, measured). No-op at production
+    # partition counts.
+    emb = spread_for_compute(load(spark, sf_dir, "embeddings"))
     dim = embedding_dim(sf_dir)
     planes = hyperplanes(dim, N_SIGN_BANDS * band_bits, SEED)
     banded = emb.select(

@@ -222,6 +222,14 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.8,
     band_bits = auto_band_bits(n_rows if n_rows is not None else 0, band_bits)
     dim = emb.select(F.size("embedding")).head()[0]
     planes = hyperplanes(dim, N_SIGN_BANDS * band_bits, SEED)
+    # spread BEFORE banding: the band equi-join's OUTPUT is quadratic in
+    # bucket size while its INPUT is tiny, so the planner broadcasts one
+    # side and runs the pair expansion at the PROBE side's parallelism —
+    # a single-row-group scan would serialize every candidate dot
+    # product in one task (wall == cpu at local[32], measured on
+    # ann_knn_join). No-op at production partition counts, like every
+    # other spread site.
+    emb = spread_for_compute(emb)
     # norms are per-VECTOR, not per-pair: compute once on each join side
     # (n vs n^2 norm evaluations), pairs then need only the dot product
     banded = emb.select(
