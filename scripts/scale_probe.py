@@ -50,6 +50,11 @@ PROBES = [
     # round-8: prefix-filtered allpairs — pair output grows with the
     # injected duplicate structure like the rest of the dedup family
     "dedup_allpairs_cosine",
+    # round-12: the spread-parallelized banded pair joins — scaling
+    # evidence that the quadratic expansion distributes (the sf0.1
+    # broadcast-probe plan ran it in one task)
+    "ann_knn_join",
+    "dedup_embedding_pairs",
     # round-9/10 additions: fused single-scan recall sweep, bounded
     # label propagation, JVM-only hygiene projections, deep PNG decode,
     # per-vector sign signatures

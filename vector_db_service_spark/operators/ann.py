@@ -309,6 +309,12 @@ def index_recall_report(
             )
         return s
 
+    # NOT spread: the scored frame is linear (|corpus| x |queries| =
+    # 10k rows at sf0.1), and an A/B measured the extra repartition
+    # exchange + wider checkpoints costing 2-3x more than the
+    # single-task scan it parallelized (2.2 s -> 4.3-6.5 s). spread is
+    # for QUADRATIC-output joins only (knn_join, embedding_near_dups,
+    # blocked_pair_recall).
     emb_s = emb.select(
         "vec_id", "label", "embedding", _sig(F.col("embedding")).alias("sig")
     )
