@@ -139,3 +139,49 @@ def test_prewarm_covers_registered_ann_keys(spark, sf_dir):
         for c, s in zip(index_state_caches(), saved):
             c.clear()
             c.update(s)
+
+
+# ------------------------------------------------------------- skyline
+def test_skyline_crafted_dominance(spark):
+    """Crafted rows: dominated points die, Pareto points survive, and
+    exact ties on BOTH dimensions survive together (neither dominates)."""
+    from vector_db_service_spark.operators.relational import _skyline_survivors
+
+    rows = [
+        # (group, id, price, d_day)
+        ("g", 1, 10.0, 100),   # skyline (cheapest)
+        ("g", 2, 20.0, 200),   # skyline (most recent at its price range)
+        ("g", 3, 20.0, 150),   # dominated by 2 (equal price, older)
+        ("g", 4, 30.0, 150),   # dominated by 2 (pricier, older)
+        ("g", 5, 15.0, 100),   # dominated by 1 (pricier, same recency)
+        ("g", 6, 25.0, 250),   # skyline
+        ("g", 7, 25.0, 250),   # exact tie of 6 -> BOTH survive
+        ("h", 8, 99.0, 1),     # separate group: alone -> skyline
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, o_orderkey int, price double, d_day int"
+    )
+    got = sorted(
+        r["o_orderkey"]
+        for r in _skyline_survivors(df, ["grp"]).collect()
+    )
+    assert got == [1, 2, 6, 7, 8]
+
+
+def test_skyline_bucket_pruning_is_lossless(spark, sf_dir):
+    """The local-prune stage must not change the result for ANY bucket
+    count: a point dominated inside any subset is dominated globally,
+    so survivors of stage 1 always contain the true skyline."""
+    from vector_db_service_spark.operators.relational import skyline_orders
+
+    base = None
+    for buckets in (1, 3, 16):
+        rows = sorted(
+            (r["o_orderpriority"], r["o_orderkey"], r["price"], r["d_day"])
+            for r in skyline_orders(spark, sf_dir, prune_buckets=buckets).collect()
+        )
+        if base is None:
+            base = rows
+            assert rows, "skyline must be non-empty"
+        else:
+            assert rows == base

@@ -1463,6 +1463,31 @@ GROUP BY a.day_id
 """,
 )
 register(
+    # skyline / Pareto front (minimize price, maximize recency) per
+    # priority class. The oracle is the textbook NOT EXISTS dominance
+    # predicate — fully independent of the operator's two-stage
+    # window algebra (local bucket skyline -> global merge), so the
+    # parity check proves the lossless-pruning argument, not just
+    # replays it. Naive oracle is quadratic but fine at sf0.01.
+    "rel_skyline_orders",
+    relational.skyline_orders,
+    """
+WITH pts AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice AS price,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d_day
+  FROM orders
+)
+SELECT o_orderpriority, o_orderkey, price, d_day
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.o_orderpriority = p.o_orderpriority
+    AND q.price <= p.price AND q.d_day >= p.d_day
+    AND (q.price < p.price OR q.d_day > p.d_day)
+)
+""",
+)
+register(
     "rel_top_suppliers_per_nation",
     relational.top_suppliers_per_nation,
     """

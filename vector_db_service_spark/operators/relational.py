@@ -554,3 +554,79 @@ def user_day_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention_rate"),
         )
     )
+
+
+def _skyline_survivors(pts: DataFrame, part_cols: list[str]) -> DataFrame:
+    """Rows of `pts` not dominated WITHIN their `part_cols` group, where
+    q dominates p iff q.price <= p.price AND q.d_day >= p.d_day with at
+    least one strict inequality (minimize price, maximize d_day).
+
+    Window algebra, no self-join: per distinct price, dmax = max(d_day);
+    run_lt = max(dmax) over strictly-smaller prices (rowsBetween -1 on
+    the one-row-per-distinct-price frame, so "previous row" IS "strictly
+    smaller price" — exact for double prices, no range-frame integer
+    cast needed). p is dominated iff run_lt >= p.d_day (a strictly
+    cheaper point at least as recent) OR dmax > p.d_day (an equal-price
+    strictly more recent point). Ties on BOTH dimensions dominate
+    neither way and all survive — same verdict as the NOT EXISTS
+    oracle."""
+    pp = pts.groupBy(*part_cols, "price").agg(F.max("d_day").alias("dmax"))
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(F.col("price").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pp = pp.withColumn("run_lt", F.max("dmax").over(w))
+    dominated = (
+        (F.col("run_lt").isNotNull() & (F.col("run_lt") >= F.col("d_day")))
+        | (F.col("dmax") > F.col("d_day"))
+    )
+    return (
+        pts.join(pp, [*part_cols, "price"])
+        .filter(~dominated)
+        .drop("dmax", "run_lt")
+    )
+
+
+def skyline_orders(spark: SparkSession, sf_dir: str,
+                   prune_buckets: int = 16) -> DataFrame:
+    """SKYLINE (Pareto front) of orders per priority class: the orders
+    no other same-priority order beats on BOTH price (lower is better)
+    and recency (later o_orderdate is better) — the classic
+    multi-criteria shortlist (Borzsony/Kossmann/Stocker ICDE 2001,
+    "The Skyline Operator") the reference's fixed query set has no
+    analog for.
+
+    Distributed shape is the canonical partition -> local skyline ->
+    merge: stage 1 computes the skyline within (priority, hash-bucket)
+    — lossless pruning, since a point dominated inside any subset is
+    dominated globally, so ANY bucketing works and the bucket hash
+    never has to match the oracle's engine — and stage 2 runs the same
+    window algebra per priority over the few survivors. At 100 TB the
+    local stage does the work at full scan parallelism and shuffles
+    only |skyline|-sized survivor sets; the global stage's per-priority
+    sort is over bucket-skyline unions, not the corpus (skyline size is
+    O(log n) expected for independent dims). Both stages are the same
+    _skyline_survivors window algebra — no self-join anywhere, where
+    the textbook NOT EXISTS form (the DuckDB oracle, independent logic)
+    is quadratic.
+
+    Hash surface: price stays the parquet double (bit-identical on both
+    engines, never recomputed); recency is integer days since
+    1992-01-01."""
+    o = load(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("d_day"),
+    )
+    bucketed = pts.withColumn(
+        "_b", F.pmod(F.xxhash64("o_orderkey"), F.lit(prune_buckets))
+    )
+    local = _skyline_survivors(bucketed, ["o_orderpriority", "_b"]).drop("_b")
+    return (
+        _skyline_survivors(local, ["o_orderpriority"])
+        .select("o_orderpriority", "o_orderkey", "price", "d_day")
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
