@@ -185,3 +185,35 @@ def test_skyline_bucket_pruning_is_lossless(spark, sf_dir):
             assert rows, "skyline must be non-empty"
         else:
             assert rows == base
+
+
+def test_skyline_randomized_vs_bruteforce(spark):
+    """200 seeded random points across 3 groups, duplicates included:
+    the window algebra must agree with a quadratic python dominance
+    check on every point."""
+    import random
+
+    from vector_db_service_spark.operators.relational import _skyline_survivors
+
+    rng = random.Random(42)
+    rows = [
+        (f"g{rng.randrange(3)}", i, float(rng.randrange(20)), rng.randrange(20))
+        for i in range(200)
+    ]
+
+    def dominated(p, pts):
+        return any(
+            q[0] == p[0]
+            and q[2] <= p[2] and q[3] >= p[3]
+            and (q[2] < p[2] or q[3] > p[3])
+            for q in pts
+        )
+
+    expect = sorted(r[1] for r in rows if not dominated(r, rows))
+    df = spark.createDataFrame(
+        rows, "grp string, o_orderkey int, price double, d_day int"
+    )
+    got = sorted(
+        r["o_orderkey"] for r in _skyline_survivors(df, ["grp"]).collect()
+    )
+    assert got == expect

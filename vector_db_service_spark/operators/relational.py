@@ -624,7 +624,25 @@ def skyline_orders(spark: SparkSession, sf_dir: str,
     bucketed = pts.withColumn(
         "_b", F.pmod(F.xxhash64("o_orderkey"), F.lit(prune_buckets))
     )
-    local = _skyline_survivors(bucketed, ["o_orderpriority", "_b"]).drop("_b")
+    # stage 1 is a CONSERVATIVE one-window prune, not the exact algebra:
+    # sorted by (price asc, d_day desc), the running max M of d_day over
+    # preceding rows only ever reflects points with price <= current —
+    # M > d_day proves strict dominance, so dropping exactly those rows
+    # never removes a skyline point, while ambiguous M == d_day ties
+    # (equal recency, possibly cheaper) are KEPT for stage 2 to settle.
+    # One exchange + sort over the corpus, where the exact per-price
+    # aggregate + join-back shape paid three 150k-row shuffles just to
+    # resolve ties stage 2 resolves anyway on the tiny survivor set.
+    w_local = (
+        Window.partitionBy("o_orderpriority", "_b")
+        .orderBy(F.col("price").asc(), F.col("d_day").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = (
+        bucketed.withColumn("_m", F.max("d_day").over(w_local))
+        .filter(F.col("_m").isNull() | (F.col("_m") <= F.col("d_day")))
+        .drop("_b", "_m")
+    )
     return (
         _skyline_survivors(local, ["o_orderpriority"])
         .select("o_orderpriority", "o_orderkey", "price", "d_day")
