@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from . import oracles
 from .operators import catalog, relational
 from .operators import knn as knn_ops
+from .sources.tables import embedding_dim as tables_embedding_dim
 from .sources.tables import load
 from .sources.tables import row_count as tables_row_count
 
@@ -798,6 +799,7 @@ register(
     lambda s, d: dedup.embedding_near_dups(
         load(s, d, "embeddings"), threshold=0.3,
         n_rows=tables_row_count(d, "embeddings"),
+        dim=tables_embedding_dim(d),
     ),
     opl.embedding_near_dups_sql(threshold=0.3, dim=_DIM),
 )

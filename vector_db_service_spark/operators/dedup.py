@@ -197,7 +197,8 @@ def ngram_jaccard_topk(docs: DataFrame, k: int = 20) -> DataFrame:
 
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.8,
                         band_bits: int | None = None,
-                        n_rows: int | None = None) -> DataFrame:
+                        n_rows: int | None = None,
+                        dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by (label, sign-band).
 
     Candidate generation is an equi-join on (label, band_idx, band_key)
@@ -220,7 +221,11 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.8,
     from .lsh import SEED, N_SIGN_BANDS, auto_band_bits, band_keys, first_collision, hyperplanes
 
     band_bits = auto_band_bits(n_rows if n_rows is not None else 0, band_bits)
-    dim = emb.select(F.size("embedding")).head()[0]
+    if dim is None:
+        # generic-DataFrame fallback: one 1-row Spark job (~0.15 s of
+        # scheduling). Callers with a parquet table on disk pass the
+        # footer-read dim (tables.embedding_dim) instead.
+        dim = emb.select(F.size("embedding")).head()[0]
     planes = hyperplanes(dim, N_SIGN_BANDS * band_bits, SEED)
     # spread BEFORE banding: the band equi-join's OUTPUT is quadratic in
     # bucket size while its INPUT is tiny, so the planner broadcasts one

@@ -66,10 +66,15 @@ def rebuild_library(spark: SparkSession, sf_dir: str, library: int,
     if algorithm == "flat":
         return emb.select("vec_id", "label").limit(0)
     if algorithm == "lsh":
-        first = emb.select(F.size("embedding")).head()
-        if first is None:  # empty library: nothing to index
+        # footer-read dim (zero Spark jobs; a per-rebuild 1-row job was
+        # pure scheduling). An empty LIBRARY needs no special case:
+        # build_index over the empty filtered frame is already the
+        # empty index the early return produced.
+        from ..sources.tables import embedding_dim, row_count
+
+        if row_count(sf_dir, "embeddings") == 0:
             return emb.select("vec_id", "label").limit(0)
-        planes = lsh_ops.hyperplanes(first[0])
+        planes = lsh_ops.hyperplanes(embedding_dim(sf_dir))
         return lsh_ops.build_index(emb, planes).select("vec_id", "label")
     if algorithm == "grid":
         mins, maxs = grid_ops.bounds_cached(spark, sf_dir)
@@ -84,10 +89,15 @@ def index_state_after_switch(spark: SparkSession, sf_dir: str, *,
     new) algorithm, and report per-library (algorithm, n_index_rows).
     Index cardinalities are structural (flat: 0, lsh: n*num_hashes,
     grid: n), so the oracle verifies the rebuild fan-out exactly."""
+    from ..sources.tables import embedding_dim, row_count
+
     emb = load(spark, sf_dir, "embeddings")
     registry = switch_algorithm(algorithm_registry(emb), library, new_algorithm)
-    first = emb.select(F.size("embedding")).head()
-    planes = lsh_ops.hyperplanes(first[0] if first is not None else 1)
+    # footer-read dim, zero Spark jobs (dim 1 placeholder for an empty
+    # table keeps hyperplanes well-formed; the builds emit 0 rows)
+    planes = lsh_ops.hyperplanes(
+        embedding_dim(sf_dir) if row_count(sf_dir, "embeddings") else 1
+    )
     mins, maxs = grid_ops.bounds(emb)
 
     lsh_rows = lsh_ops.build_index(emb, planes).groupBy("label").agg(
