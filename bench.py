@@ -335,8 +335,11 @@ def main() -> None:
     # regression claim can be checked against the run-to-run variance.
     # WATCH-LIST OVERRIDE (round-10 review #1/#3): queries under an
     # explicit perf target whose 3-run spread still straddles the
-    # target get FIVE runs — a 5-run median is what certifies the
-    # <4 s / <2.5 s claims either way.
+    # target get FIVE runs. Current targets (round 12): the recall
+    # sweep's <2.5 s wall median, and the allpairs target RE-SPECIFIED
+    # in host-certifiable units — <=20 cpu-busy-seconds at sf0.1 (its
+    # cpu_busy_sec row), with <4 s wall as the quiet-host expectation
+    # (the calibration triple tells you which regime a sample ran in).
     n_rerun = int(os.environ.get("SPARK_GRAFT_BENCH_RERUNS_TOP", "10"))
     # reruns disabled entirely (RERUNS_TOP=0) disables the watch list
     # too — a single-shot sweep must stay single-shot
@@ -346,6 +349,57 @@ def main() -> None:
     )
     rerun_set = sorted(timings, key=lambda n: -timings[n])[:n_rerun]
     rerun_set += [n for n in extra_reruns if n in timings and n not in rerun_set]
+    # AUTO-ESCALATION (round-11 verdict #2): a query whose single-shot
+    # timing moved beyond its noise floor vs the PREVIOUS committed
+    # sweep gets the median-of-3 treatment IN THIS SWEEP, so a
+    # bench_compare flag carries runs[] + spread the moment it appears
+    # instead of waiting a round with no variance data to adjudicate
+    # (r11's four quantizer-family flags were exactly this blind spot).
+    # Floor and host normalization mirror scripts/bench_compare.py:
+    # re-run-only variance when the old detail has per-run lists, 0.3 s
+    # absolute floor, and the pinned-probe calibration ratio dividing
+    # the new wall before comparison. Escalations are capped (largest
+    # deltas first) so a globally-hot host can't double the sweep.
+    if n_rerun > 0:
+        _prev_path = os.path.join(_REPO, "BENCH_DETAIL.json")
+        try:
+            with open(_prev_path) as f:
+                _prev = json.load(f)
+            _cal_prev = _prev.get("calibration") or []
+            _host = 1.0
+            if _cal_prev and calibration:
+                _host = (sum(calibration) / len(calibration)) / (
+                    sum(_cal_prev) / len(_cal_prev)
+                )
+            _prev_floor = dict(_prev.get("spread", {}))
+            for _n, _rs in (_prev.get("runs") or {}).items():
+                if len(_rs) >= 3:
+                    _prev_floor[_n] = round(max(_rs[1:]) - min(_rs[1:]), 4)
+            _flagged = []
+            for _n, _t in timings.items():
+                if _n in rerun_set or _n not in _prev.get("queries", {}):
+                    continue
+                _delta = abs(_t / _host - _prev["queries"][_n])
+                _floor = max(_prev_floor.get(_n, 0.0), 0.3)
+                if _delta > _floor:
+                    _flagged.append((_delta - _floor, _n))
+            _cap = int(os.environ.get("SPARK_GRAFT_BENCH_ESCALATE_CAP", "12"))
+            _flagged.sort(reverse=True)
+            if len(_flagged) > _cap:
+                print(
+                    f"# escalation cap: {len(_flagged)} flagged, "
+                    f"re-running the {_cap} largest-delta",
+                    file=sys.stderr,
+                )
+            for _excess, _n in _flagged[:_cap]:
+                rerun_set.append(_n)
+                print(
+                    f"# escalated to median-of-3 (moved {_excess:.2f}s beyond "
+                    f"its floor vs previous sweep): {_n}",
+                    file=sys.stderr,
+                )
+        except (FileNotFoundError, json.JSONDecodeError, KeyError):
+            pass  # no previous detail to compare against — fresh checkout
     spread: dict[str, float] = {}
     for name in rerun_set:
         for _ in range(extra_reruns.get(name, 2)):

@@ -24,6 +24,11 @@ def release_checkpoints(spark) -> None:
         while it.hasNext():
             it.next()._2().unpersist(False)
     except Exception:
+        # best-effort cleanup over py4j internals: swallows a missing/
+        # stopped JVM context or a py4j API drift so a bench sweep never
+        # aborts on cache RELEASE — worst case some blocks stay resident
+        # and the next query's timing is taxed, which the per-query
+        # busy/steal attribution fields make visible anyway
         pass
 
 

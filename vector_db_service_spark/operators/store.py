@@ -461,6 +461,72 @@ def ensure_ivf_centroids(
     return base
 
 
+def km_centers_path(sf_dir: str, n_lists: int, root: str | None = None) -> str:
+    return os.path.join(index_root(sf_dir, root), f"mllib_km_centers_{n_lists}")
+
+
+def load_km_centers(
+    spark: SparkSession, sf_dir: str, n_lists: int, root: str | None = None
+) -> list | None:
+    """Durable read side of the MLlib quantizer state (r11 verdict #5):
+    the fitted kmeans|| centers are INDEX STATE — train once, probe
+    many — and before this round the memo died with the process, so a
+    new session re-paid the distributed fit once per corpus. Returns
+    the persisted centers iff the stored source signature (the same
+    tables.path_signature identity every driver-side memo keys on)
+    matches the embeddings table's CURRENT signature; None on any
+    mismatch or absence, and the caller refits + persists. The read is
+    a bounded n_lists-row collect of a single-file parquet — index
+    registry semantics (reference services/vector_service.py:54-464)
+    done durably, same contract as ensure_ivf_centroids above."""
+    import json as _json
+
+    from ..sources.tables import path_signature
+
+    p = km_centers_path(sf_dir, n_lists, root)
+    if not _fs_exists(spark, p):
+        return None
+    sig = _json.dumps(
+        path_signature(os.path.join(sf_dir, "embeddings.parquet"))
+    )
+    rows = spark.read.parquet(p).collect()
+    if len(rows) != n_lists or any(r["source_sig"] != sig for r in rows):
+        return None
+    # list_id IS the center's position in the fitted order — downstream
+    # argmin/list routing depends on it, so restore order explicitly
+    return [
+        [float(x) for x in r["centroid"]]
+        for r in sorted(rows, key=lambda r: r["list_id"])
+    ]
+
+
+def save_km_centers(
+    spark: SparkSession,
+    sf_dir: str,
+    n_lists: int,
+    centers: list,
+    root: str | None = None,
+) -> None:
+    """Write side of load_km_centers: persists the fitted centers next
+    to the stored IVF index, stamped with the source table's
+    path_signature so a dataset rewrite invalidates them exactly like
+    every other stored-index fingerprint."""
+    import json as _json
+
+    from ..sources.tables import path_signature
+
+    sig = _json.dumps(
+        path_signature(os.path.join(sf_dir, "embeddings.parquet"))
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in c], sig) for i, c in enumerate(centers)],
+        "list_id int, centroid array<double>, source_sig string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        km_centers_path(sf_dir, n_lists, root)
+    )
+
+
 def ivf_probe(
     spark: SparkSession,
     sf_dir: str,
