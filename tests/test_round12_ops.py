@@ -285,3 +285,74 @@ def test_km_centers_staleness_contract(spark, tmp_path):
         emb,
     )
     assert store.load_km_centers(spark, sfd, 3, root) is None  # rewritten
+
+
+# --------------------------------------------- zorder + funnel semantics
+def test_zorder_buckets_are_tight_rectangles(spark, sf_dir):
+    """The locality CLAIM of rel_zorder_locality: every 10-bit Morton
+    prefix bucket covers a rectangle of at most 32x32 grid cells (the
+    low 5 bits of each dimension), which is exactly the min/max
+    file-pruning property a Z-ordered layout buys at scale. The shared
+    interleave text (parity-checked) is the definition; this pins the
+    consequence."""
+    from vector_db_service_spark.operators import relational
+
+    rows = relational.zorder_locality(spark, sf_dir).collect()
+    assert rows, "no buckets"
+    assert len(rows) <= 1024
+    for r in rows:
+        assert 0 <= r["z_bucket"] < 1024
+        assert 0 <= r["x_span"] <= 31, r
+        assert 0 <= r["y_span"] <= 31, r
+        assert r["x_max"] - r["x_min"] == r["x_span"]
+        # the bucket's rectangle corner must agree with its prefix:
+        # the prefix's x-bits are x_min >> 5's high bits
+        assert (r["x_min"] >> 5) == (r["x_max"] >> 5)
+        assert (r["y_min"] >> 5) == (r["y_max"] >> 5)
+
+
+def test_event_funnel_strict_sequence_semantics(spark, tmp_path):
+    """sf0.01 converts every user (dense per-user histories), so the
+    oracle parity alone cannot distinguish strict-sequence from the
+    naive per-type-min funnel. Crafted corpus:
+      u1: signup < click < purchase          -> full conversion
+      u2: click BEFORE signup, none after    -> signup only
+      u3: signup, click, purchase BEFORE click -> signup + click
+      u4: click at ts == signup (not strict) -> signup only
+      u5: no signup at all                   -> counted in n_users only
+    Naive per-type-min would count u2 and u4 as clicks and u3 as a
+    purchase; strict-sequence must not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vector_db_service_spark.operators import relational
+
+    us = 1_000_000
+    rows = [
+        (1, "signup", 1), (1, "click", 2), (1, "purchase", 3),
+        (2, "click", 1), (2, "signup", 2),
+        (3, "signup", 1), (3, "purchase", 2), (3, "click", 3),
+        (4, "signup", 5), (4, "click", 5),
+        (5, "click", 1), (5, "purchase", 2),
+    ]
+    corpus = tmp_path / "funnel"
+    corpus.mkdir()
+    pq.write_table(
+        pa.table({
+            "event_id": list(range(len(rows))),
+            "ts": pa.array([r[2] * us for r in rows],
+                           type=pa.timestamp("us")),
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[1] for r in rows],
+            "value": [0.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }),
+        corpus / "events.parquet",
+    )
+    out = relational.event_funnel(spark, str(corpus)).collect()[0]
+    assert out["n_users"] == 5
+    assert out["n_signup"] == 4          # u1..u4
+    assert out["n_seq_click"] == 2       # u1, u3 only
+    assert out["n_seq_purchase"] == 1    # u1 only
+    assert out["click_rate"] == 0.5
+    assert out["purchase_rate"] == 0.5

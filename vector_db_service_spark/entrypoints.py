@@ -1490,6 +1490,66 @@ WHERE NOT EXISTS (
 """,
 )
 register(
+    # Z-order layout audit. The Morton interleave text is SHARED with
+    # the operator (relational._morton_sql — a definition, like a hash
+    # function); the grouping, bounding boxes, and the locality claim
+    # (x_span/y_span <= 31 for every 10-bit prefix) are what parity +
+    # the unit test check. floor-before-cast everywhere: DuckDB CAST
+    # rounds where Spark truncates.
+    "rel_zorder_locality",
+    relational.zorder_locality,
+    f"""
+WITH pts AS (
+  SELECT o_custkey % 1024 AS x,
+         least(CAST(floor(o_totalprice / 512.0) AS BIGINT), 1023) AS y
+  FROM orders
+), keyed AS (
+  SELECT x, y, ({relational._morton_sql('x', 'y', 10)}) >> 10 AS z_bucket
+  FROM pts
+)
+SELECT z_bucket, count(*) AS n_orders,
+       min(x) AS x_min, max(x) AS x_max,
+       min(y) AS y_min, max(y) AS y_max,
+       max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
+FROM keyed GROUP BY z_bucket
+""",
+)
+register(
+    # strictly-sequential funnel: the oracle derives each stage time
+    # with grouped-CTE joins where the operator uses chained windows
+    # over one exchange — different logic shape, same semantics.
+    "rel_event_funnel",
+    relational.event_funnel,
+    """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), u1 AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts_us END) AS t_signup
+  FROM ev GROUP BY user_id
+), u2 AS (
+  SELECT e.user_id, u1.t_signup,
+         min(CASE WHEN e.event_type = 'click' AND e.ts_us > u1.t_signup
+                  THEN e.ts_us END) AS t_click
+  FROM ev e JOIN u1 USING (user_id) GROUP BY e.user_id, u1.t_signup
+), u3 AS (
+  SELECT e.user_id, u2.t_signup, u2.t_click,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts_us > u2.t_click
+                  THEN e.ts_us END) AS t_purchase
+  FROM ev e JOIN u2 USING (user_id) GROUP BY e.user_id, u2.t_signup, u2.t_click
+)
+SELECT count(*) AS n_users,
+       count(t_signup) AS n_signup,
+       count(t_click) AS n_seq_click,
+       count(t_purchase) AS n_seq_purchase,
+       round(CAST(count(t_click) AS DOUBLE)
+             / nullif(CAST(count(t_signup) AS DOUBLE), 0), 6) AS click_rate,
+       round(CAST(count(t_purchase) AS DOUBLE)
+             / nullif(CAST(count(t_click) AS DOUBLE), 0), 6) AS purchase_rate
+FROM u3
+""",
+)
+register(
     "rel_top_suppliers_per_nation",
     relational.top_suppliers_per_nation,
     """

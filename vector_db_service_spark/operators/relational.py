@@ -648,3 +648,131 @@ def skyline_orders(spark: SparkSession, sf_dir: str,
         .select("o_orderpriority", "o_orderkey", "price", "d_day")
         .orderBy("o_orderpriority", "o_orderkey")
     )
+
+
+def _morton_sql(xcol: str, ycol: str, bits: int = 10) -> str:
+    """SQL text for the {2*bits}-bit Morton (Z-order) interleave of two
+    {bits}-bit non-negative ints: x's bit i lands at position 2i, y's at
+    2i+1. Plain shift/mask arithmetic, so the SAME text runs on Spark
+    (inside whole-stage codegen) and DuckDB — the interleave is a
+    DEFINITION shared by operator and oracle, like a hash function; the
+    locality CLAIM the operator makes is what the test pins."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton-curve) clustering audit over orders: map each
+    order onto a 1024x1024 grid (x = customer bucket, y = price
+    bucket), interleave the bits into a 20-bit Morton key, and report
+    per key-prefix bucket (top 10 bits) the row count and the exact
+    (x, y) bounding box the bucket covers.
+
+    This is THE data-layout primitive for multi-dimensional pruning at
+    100 TB: writing files ordered by the Morton key makes every file's
+    parquet min/max span a tight rectangle in BOTH dimensions at once
+    (each 10-bit prefix here is a 32x32 cell — the x_span/y_span <= 31
+    columns prove it), so a scan filtered on customer AND price range
+    prunes files on either predicate — where a single-column sort order
+    gives min/max locality on one dimension only. The whole operator is
+    one narrow projection (codegen'd shift/mask arithmetic, no UDF) and
+    a partial-aggregated groupBy over <=1024 buckets; at scale the
+    shuffle carries only bucket-level partials."""
+    o = load(spark, sf_dir, "orders")
+    # floor-then-cast on BOTH engines: DuckDB's CAST(double AS BIGINT)
+    # rounds half-away where Spark truncates, so the bucketing must
+    # never cast an unfloored double; the prefix uses an integer shift,
+    # not division, for the same reason
+    pts = o.select(
+        (F.col("o_custkey") % 1024).alias("x"),
+        F.least(
+            F.floor(F.col("o_totalprice") / F.lit(512.0)).cast("bigint"),
+            F.lit(1023),
+        ).alias("y"),
+    )
+    z = F.expr(f"({_morton_sql('x', 'y', 10)}) >> 10")
+    return (
+        pts.withColumn("z_bucket", z)
+        .groupBy("z_bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+            (F.max("x") - F.min("x")).alias("x_span"),
+            (F.max("y") - F.min("y")).alias("y_span"),
+        )
+    )
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-SEQUENTIAL conversion funnel signup -> click ->
+    purchase: a user converts at a stage only with an event of that
+    type STRICTLY AFTER their previous stage's timestamp (first signup,
+    then first click after it, then first purchase after that) — the
+    product-analytics shape a bare per-type min() funnel gets wrong
+    (it counts a click that happened before the signup). Distinct from
+    rel_conversion_funnel, which stages users by comparing each type's
+    GLOBAL first timestamp: here the qualifying click need not be the
+    user's first click overall, only the first after their signup —
+    a user whose history is click(t1), signup(t2), click(t5) converts
+    here but not there.
+
+    Spark-first: three chained window minimums over ONE user_id
+    exchange (consecutive Window nodes on the same partitioning reuse
+    the shuffle), then a global single-row rollup — at 100 TB the only
+    wide op is the one user_id shuffle, and the rollup ships one
+    partial row per task. The DuckDB oracle builds the same stage
+    times via grouped-CTE self-joins — different logic shape, same
+    semantics. Rates are NULL-guarded (nullif) under ANSI mode."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts_us")
+    w = Window.partitionBy("user_id")
+    df = ev.withColumn(
+        "t_signup",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).over(w),
+    )
+    df = df.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts_us") > F.col("t_signup")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    df = df.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts_us") > F.col("t_click")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    per_user = df.groupBy("user_id").agg(
+        F.max("t_signup").alias("t_signup"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        F.count("t_click").alias("n_seq_click"),
+        F.count("t_purchase").alias("n_seq_purchase"),
+        F.round(
+            F.count("t_click")
+            / F.nullif(F.count("t_signup").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("click_rate"),
+        F.round(
+            F.count("t_purchase")
+            / F.nullif(F.count("t_click").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("purchase_rate"),
+    )
