@@ -2551,9 +2551,11 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # mllib_ivf_kmeans_topk (its fit was factored into mllib_km_centers
 # for the bench prewarm); (b) the full r7 cohort — 23 queries last
 # driver-green in round 7, now the oldest and at the 5-round staleness
-# ceiling; (c) the alphabetically-first r8 rows to fill 50. Everything
-# displaced stays green under tests/test_oracle_parity.py, which runs
-# the identical compare over ALL registered oracles.
+# ceiling; (c) the three operators ADDED this round (skyline, z-order
+# locality, sequential funnel — never driver-sampled); (d) the
+# alphabetically-first r8 rows to fill 50. Everything displaced stays
+# green under tests/test_oracle_parity.py, which runs the identical
+# compare over ALL registered oracles.
 _PRIORITY_50 = [
     # -- (a) changed this round: re-verify under the driver --
     "mllib_ivf_kmeans_topk", "knn_lsh_cosine", "lsh_signatures",
@@ -2570,14 +2572,15 @@ _PRIORITY_50 = [
     "sketch_hll_by_event_type", "sketch_kmv_overlap",
     "stream_session_windows", "t5_k_exceeds_n", "text_char_entropy",
     "text_decontamination",
-    # -- (c) alphabetically-first r8 rows to fill 50 --
+    # -- (c) NEW this round (never driver-sampled) --
+    "rel_zorder_locality", "rel_event_funnel", "rel_skyline_orders",
+    # -- (d) alphabetically-first r8 rows to fill 50 --
     "ann_cluster_silhouette", "ann_ivfpq_topk", "ann_matryoshka_recall",
     "ann_pq_topk", "dedup_exact_keep_first", "dedup_lsh_tuning_curve",
     "dedup_minhash_signatures", "dedup_paragraphs", "dedup_semantic_keep",
     "dedup_simhash_fingerprints", "dedup_substring_spans",
     "dedup_winnowing_fingerprints", "grid_cell_stats",
-    "grid_stats_by_library", "knn_flat_cosine_library", "mm_decode",
-    "obs_index_advisor",
+    "grid_stats_by_library",
 ]
 
 
