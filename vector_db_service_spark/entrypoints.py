@@ -1040,6 +1040,24 @@ register(
     opl.quality_resample_sql(),
 )
 register(
+    # priority sampling (Duffield/Lund/Thorup): exactly-k weighted
+    # sample, inclusion odds ~ token count, deterministic md5 draw.
+    # priority = (w * 2^32) / (h+1) is IEEE mul+div only — exact on
+    # both engines, so the double column ships UNROUNDED.
+    "pipeline_weighted_sample",
+    lambda s, d: textops.weighted_sample(load(s, d, "documents")),
+    """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS weight_tokens,
+       CAST(len(string_split(text, ' ')) AS DOUBLE) * 4294967296.0
+         / CAST(CAST(concat('0x', substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1 AS DOUBLE)
+         AS priority
+FROM documents
+ORDER BY priority DESC, doc_id ASC
+LIMIT 25
+""",
+)
+register(
     # GPT-style concat-and-chunk sequence packing, per source shard:
     # deterministic md5 order, straddling docs counted, fill rates
     "pipeline_sequence_packing",

@@ -1242,3 +1242,52 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
         F.md5(redacted).alias("redacted_md5"),
         (F.length(pii) - F.length(redacted)).cast("long").alias("n_chars_removed"),
     )
+
+
+def weighted_sample(docs: DataFrame, k: int = 25) -> DataFrame:
+    """PRIORITY SAMPLING (Duffield/Lund/Thorup, JACM 2007): a weighted
+    sample of exactly k documents WITHOUT replacement, inclusion odds
+    proportional to token count — the "sample big documents more"
+    subset step rate-based stratified_sample and bucket-based
+    quality_resample can't express (both draw per-doc coin flips, so
+    their sample SIZE is random and weight enters only through buckets).
+
+    Each doc gets priority w / u with u uniform in (0, 1]; the sample
+    is the top k priorities. The draw is the house deterministic md5
+    hash, NOT RNG, so the sample is frozen across runs, engines,
+    retries, and partitionings. Everything is IEEE-exact cross-engine
+    BY CONSTRUCTION: u's numerator h+1 is an integer hash, the weight
+    is an integer, and priority = (w * 2^32) / (h+1) is one exact
+    double multiply (w*2^32 <= 2^52, below the mantissa) and one
+    correctly-rounded divide — no ln/pow/exp whose libm rounding could
+    differ between JVM and DuckDB, which is why the priority column
+    ships UNROUNDED and still hash-matches.
+
+    100 TB shape: one codegen'd projection and a TakeOrderedAndProject
+    — every partition ships exactly k candidate rows to the driver, no
+    shuffle, no sort of the corpus. The total order (priority DESC,
+    doc_id ASC) makes ties deterministic."""
+    w = F.size(F.split(F.col("text"), " ")).cast("long")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    prio = (w.cast("double") * F.lit(4294967296.0)) / (h + F.lit(1)).cast(
+        "double"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            w.alias("weight_tokens"),
+            prio.alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(k)
+    )
