@@ -279,7 +279,15 @@ def main() -> None:
     # rounds — measures the HOST, not this repo's plans.
     _cal_df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
 
-    def _calibrate() -> float:
+    # the triple also records the probe's cpu-BUSY (r12 verdict #3): raw
+    # cpu-seconds swing ~2x with host weather on this VM (allpairs syn10x
+    # read 767 vs 1545 busy-s for identical code, steal ≈ 0), so busy
+    # targets are certified as RATIOS to the calibration probe's busy,
+    # the same normalization wall times already get
+    calibration_busy: list[float] = []
+    calibration_steal: list[float] = []
+
+    def _calibrate(record_busy: bool = False) -> float:
         from pyspark.sql import functions as F
 
         # isolate the probe from THIS repo's plans: the previous query's
@@ -287,15 +295,33 @@ def main() -> None:
         # documented in scale_probe.py), and a calibration that inherits
         # them would show "host drift" manufactured by the sweep itself
         _release_checkpoints()
+        b0, s0 = _cpu_snap()
         t0 = time.perf_counter()
         _cal_df.groupBy("l_returnflag").agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
             F.avg("l_quantity"), F.count("*"),
         ).write.mode("overwrite").format("noop").save()
-        return round(time.perf_counter() - t0, 4)
+        wall = round(time.perf_counter() - t0, 4)
+        if record_busy:
+            b1, s1 = _cpu_snap()
+            calibration_busy.append(round(b1 - b0, 2))
+            calibration_steal.append(round(s1 - s0, 2))
+        return wall
 
-    _calibrate()  # untimed first touch (JIT + page cache)
-    calibration = [_calibrate()]
+    # Sweep-start HOT WINDOW (r12 verdict #5): calibration t0 ran 1.5-2.2x
+    # t1/t2 in both r11 and r12 — the first ~dozen timed queries pay
+    # JVM/page-cache warmup that per-query attribution misreads as query
+    # cost (the three r12 text-family flags were alphabetically-early
+    # single-shots in exactly that window). Run the UNTIMED probe until
+    # two consecutive runs agree within 10% (bounded at 8 extra runs, each
+    # well under a second) before anything is timed.
+    _w_prev = _calibrate()  # untimed first touch (JIT + page cache)
+    for _ in range(8):
+        _w_cur = _calibrate()
+        if abs(_w_cur - _w_prev) <= 0.10 * max(_w_cur, _w_prev):
+            break
+        _w_prev = _w_cur
+    calibration = [_calibrate(record_busy=True)]
 
     # Cache-homogeneity discipline (round-11 review #1): snapshot EVERY
     # module-level memo — materialized-artifact paths (dedup labels)
@@ -307,7 +333,15 @@ def main() -> None:
     # first run built is re-paid by every re-run. The median stops
     # mixing one cold run with warm re-runs, and `spread` measures the
     # host again instead of cache asymmetry.
-    from vector_db_service_spark.benchutil import index_state_caches
+    # ... and the DURABLE layer too (r12 advisor): save_km_centers
+    # persists the kmeans fit on disk, which memo-restore can't undo —
+    # snapshot the set of persisted center dirs before each first run and
+    # delete any NEW ones before each re-run, so a non-prewarmed n_lists
+    # key refits on every run instead of only the first.
+    from vector_db_service_spark.benchutil import (
+        durable_km_center_dirs,
+        index_state_caches,
+    )
 
     _memo_caches = index_state_caches()
 
@@ -315,8 +349,10 @@ def main() -> None:
     errors: dict[str, str] = {}
     runs: dict[str, list[float]] = {}
     cache_before: dict[str, list[dict]] = {}
+    durable_before: dict[str, set] = {}
     for name, fn in sorted(entrypoints.QUERIES.items()):
         cache_before[name] = [dict(c) for c in _memo_caches]
+        durable_before[name] = durable_km_center_dirs(sf_dir)
         t = _time_one(name, fn)
         if t is None:
             continue
@@ -324,7 +360,7 @@ def main() -> None:
         timings[name] = t
         print(f"# {name}: {t:.3f}s", file=sys.stderr)
 
-    calibration.append(_calibrate())  # mid-sweep: after the single shots
+    calibration.append(_calibrate(record_busy=True))  # mid-sweep: after the single shots
 
     # MEDIAN-OF-3 for the heaviest queries (round-9 review #3): driver
     # deltas of ±1 s on 2-6 s queries flip sign round-over-round with no
@@ -344,7 +380,17 @@ def main() -> None:
     # reruns disabled entirely (RERUNS_TOP=0) disables the watch list
     # too — a single-shot sweep must stay single-shot
     extra_reruns = (
-        {"dedup_allpairs_cosine": 4, "ann_ivf_recall_sweep": 4}
+        {
+            "dedup_allpairs_cosine": 4,
+            "ann_ivf_recall_sweep": 4,
+            # r12 verdict #2: the three text-family single-shot flags
+            # (plans untouched, presumed sweep-start hot window) must come
+            # back with runs[] + spread so the next verdict can close them
+            # either way — pinned to median-of-3 for this adjudication
+            "text_decontamination": 2,
+            "text_char_entropy": 2,
+            "text_dsir_importance": 2,
+        }
         if n_rerun > 0 else {}
     )
     rerun_set = sorted(timings, key=lambda n: -timings[n])[:n_rerun]
@@ -401,12 +447,19 @@ def main() -> None:
         except (FileNotFoundError, json.JSONDecodeError, KeyError):
             pass  # no previous detail to compare against — fresh checkout
     spread: dict[str, float] = {}
+    import shutil as _shutil
+
     for name in rerun_set:
         for _ in range(extra_reruns.get(name, 2)):
             saved = [dict(c) for c in _memo_caches]
             for c, before in zip(_memo_caches, cache_before[name]):
                 c.clear()
                 c.update(before)
+            # durable-state symmetry: drop center dirs this query's own
+            # runs created so the re-run refits exactly like the first
+            # (it re-persists them itself)
+            for _p in durable_km_center_dirs(sf_dir) - durable_before[name]:
+                _shutil.rmtree(_p, ignore_errors=True)
             t = _time_one(name, entrypoints.QUERIES[name], record_error=False)
             for c, s in zip(_memo_caches, saved):
                 c.clear()
@@ -427,7 +480,7 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    calibration.append(_calibrate())  # end of sweep
+    calibration.append(_calibrate(record_busy=True))  # end of sweep
 
     # an errored query must not IMPROVE the headline (it would otherwise
     # subtract its wall time): charge each error the max observed query
@@ -444,6 +497,8 @@ def main() -> None:
         "errors": errors,
         "error_penalty_sec_each": penalty if errors else 0.0,
         "calibration": calibration,
+        "calibration_busy": calibration_busy,
+        "calibration_steal": calibration_steal,
         "cpu_busy_sec": cpu_busy,
         "cpu_steal_sec": cpu_steal,
         "sf": sf,
@@ -466,6 +521,7 @@ def main() -> None:
         "queries": top10,
         "spread": {n: spread[n] for n in top10 if n in spread},
         "calibration": calibration,
+        "calibration_busy": calibration_busy,
         "cpu_busy_total_sec": round(sum(cpu_busy.values()), 1),
         "cpu_steal_total_sec": round(sum(cpu_steal.values()), 1),
         "sf": sf,

@@ -336,3 +336,17 @@ def test_allpairs_suffix_filter_runs_below_the_pair_aggregation(spark):
     assert cmp_ids, "row-level suffix compare not found in any join/filter"
     assert agg_ids, "pair aggregate not found"
     assert min(cmp_ids) < min(agg_ids), (cmp_ids, agg_ids)
+
+
+def test_index_recall_report_has_no_roundrobin_spread(spark):
+    """Round-12 kept spread_for_compute OFF the recall report
+    deliberately: the A/B measured the extra round-robin exchange + wider
+    checkpoints REGRESSING this linear per-vector scan 2.2 -> 4.3 s
+    (spread only pays where join output is superlinear in input). Pin
+    that decision structurally so a future blanket-spread refactor can't
+    silently re-add the exchange: no RoundRobinPartitioning anywhere in
+    the plan (verdict r12 #7)."""
+    from vector_db_service_spark.operators import ann
+
+    df = ann.index_recall_report(spark, SF, k=10)
+    assert "RoundRobinPartitioning" not in _plan(df)

@@ -1,0 +1,186 @@
+"""Round-13 additions, each pinning an r12 verdict/advisor item:
+
+  verdict #6 — streaming incremental index maintenance: foreachBatch
+     rebuilds ONLY mutated libraries' LSH partitions; an untouched
+     library's partition directory stays byte-identical (never
+     rewritten), a mutated one is rewritten with the post-state bits.
+  advisor #1 — load_km_centers must treat corrupt/partial persisted
+     center state as a cache miss (refit overwrites it), and must
+     accept a legitimately-smaller-than-k fit (degenerate data) instead
+     of perpetually refitting on every cold start.
+  verdict #4 — grid.bounds with a caller-supplied footer dim: no probe
+     job, same values, and the empty-input guard still works.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vector_db_service_spark.operators import grid, store  # noqa: E402
+from vector_db_service_spark.sources.tables import load  # noqa: E402
+from vector_db_service_spark.streaming import pipeline as sp  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+
+
+def _partition_fingerprint(idx_path: str, label: int) -> list[tuple]:
+    """(relpath, size, mtime_ns) of every file in one label partition —
+    byte-level identity proxy: a rewrite produces new part files with
+    new names/mtimes even if the rows are equal."""
+    part = os.path.join(idx_path, f"label={label}")
+    out = []
+    for root, _dirs, files in os.walk(part):
+        for f in sorted(files):
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            out.append((os.path.relpath(p, part), st.st_size, st.st_mtime_ns))
+    return sorted(out)
+
+
+# ------------------------------------------------ stream index maintenance
+def test_index_maintenance_untouched_partition_byte_identical(spark, tmp_path):
+    """The stream's per-batch rebuild is partition-scoped: a library with
+    no mutations in the log (label 0) must keep its exact initial-build
+    part files — not be rewritten with equal rows (the reference rebuilds
+    one library per mutation, vector_service.py:350-390)."""
+    paths = sp.index_maintenance_init(spark, SF, out_dir=str(tmp_path))
+    before_untouched = _partition_fingerprint(paths["idx"], 0)
+    before_mutated = _partition_fingerprint(paths["idx"], 1)
+    assert before_untouched and before_mutated  # both built at init
+
+    sp.index_maintenance_run(spark, SF, paths)
+
+    assert _partition_fingerprint(paths["idx"], 0) == before_untouched
+    # the mutated library's partition WAS rewritten (new files/mtimes)
+    assert _partition_fingerprint(paths["idx"], 1) != before_mutated
+
+
+def test_index_maintenance_post_state_bits(spark, tmp_path):
+    """Post-state equals a from-scratch batch build over base-with-
+    mutations-applied: the incremental path must not diverge from the
+    full rebuild it is an optimization of."""
+    from pyspark.sql import functions as F
+
+    from vector_db_service_spark.operators import lsh as lsh_ops
+    from vector_db_service_spark.sources.tables import embedding_dim
+
+    paths = sp.index_maintenance_init(spark, SF, out_dir=str(tmp_path))
+    sp.index_maintenance_run(spark, SF, paths)
+    got = (
+        spark.read.parquet(paths["idx"])
+        .select("vec_id", F.col("label").cast("int"), "table_idx", "bit")
+    )
+
+    base = load(spark, SF, "embeddings")
+    post = base.select(
+        "vec_id",
+        "label",
+        F.when(
+            F.col("label").isin(1, 2) & (F.col("vec_id") % 7 == 3),
+            F.transform("embedding", lambda x: -x),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    want = lsh_ops.build_index(post, lsh_ops.hyperplanes(embedding_dim(SF)))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+# --------------------------------------------------- durable kmeans centers
+def test_load_km_centers_corrupt_state_falls_back(spark, tmp_path):
+    """A torn/garbled persisted centers dir must read as a cache MISS
+    (None -> caller refits and overwrites), not raise and poison every
+    kmeans-backed query until the dir is hand-deleted."""
+    root = str(tmp_path)
+    p = store.km_centers_path(SF, 7, root)
+    os.makedirs(p, exist_ok=True)
+    with open(os.path.join(p, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+    assert store.load_km_centers(spark, SF, 7, root) is None
+
+
+def test_load_km_centers_accepts_degenerate_smaller_fit(spark, tmp_path):
+    """MLlib kmeans can return fewer than k centers on degenerate data;
+    that persisted state is VALID and must round-trip (the old
+    len==n_lists check made every cold start refit + rewrite forever)."""
+    root = str(tmp_path)
+    centers = [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]  # 3 centers, n_lists=7
+    store.save_km_centers(spark, SF, 7, centers, root)
+    assert store.load_km_centers(spark, SF, 7, root) == centers
+
+
+def test_load_km_centers_rejects_gapped_list_ids(spark, tmp_path):
+    """Non-contiguous list_ids mean missing interior rows — positional
+    routing would silently shift, so the file must be rejected."""
+    import json
+
+    from vector_db_service_spark.sources.tables import path_signature
+
+    root = str(tmp_path)
+    sig = json.dumps(path_signature(os.path.join(SF, "embeddings.parquet")))
+    df = spark.createDataFrame(
+        [(0, [1.0], sig), (2, [2.0], sig)],  # list_id 1 missing
+        "list_id int, centroid array<double>, source_sig string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        store.km_centers_path(SF, 7, root)
+    )
+    assert store.load_km_centers(spark, SF, 7, root) is None
+
+
+# ------------------------------------------------------- footer-dim bounds
+def test_bounds_with_footer_dim_matches_probe_path(spark):
+    from vector_db_service_spark.sources.tables import embedding_dim
+
+    emb = load(spark, SF, "embeddings")
+    assert grid.bounds(emb, dim=embedding_dim(SF)) == grid.bounds(emb)
+
+
+def test_bounds_with_dim_on_empty_input_returns_empty(spark):
+    """With dim supplied the probe job is gone, so emptiness must be
+    detected from the aggregate itself (min over zero rows is NULL)."""
+    from pyspark.sql import functions as F
+
+    emb = load(spark, SF, "embeddings").filter(F.col("label") == -999)
+    assert grid.bounds(emb, dim=4) == ([], [])
+
+
+# ------------------------------------------------- new search surfaces
+def test_range_search_is_recall_complete_and_thresholded(spark):
+    """Every returned score clears the threshold, the query vector
+    itself is returned (self-similarity 1.0 >= 0.2), and the result
+    equals the brute-force filter — no candidate pruning anywhere."""
+    from pyspark.sql import functions as F
+
+    from vector_db_service_spark.operators import knn as knn_ops
+
+    out = knn_ops.range_search(spark, SF, query_id=0, min_score=0.2)
+    rows = out.collect()
+    assert all(r["score"] >= 0.2 for r in rows)
+    assert any(r["vec_id"] == 0 for r in rows)
+    # recall-complete: nothing above threshold is missing
+    qvec = knn_ops.query_vector(spark, SF, 0)
+    full = knn_ops.score_all(load(spark, SF, "embeddings"), qvec, "cosine")
+    n_above = full.filter(F.col("score") >= 0.2).count()
+    assert len(rows) == n_above
+
+
+def test_mutual_knn_pairs_symmetric_and_subset(spark):
+    """Each mutual pair appears once (a < b), and both directions exist
+    in the underlying knn_join edge list."""
+    from vector_db_service_spark.operators import ann
+
+    kj = ann.knn_join(spark, SF, m=3).select("src", "dst").collect()
+    edges = {(r["src"], r["dst"]) for r in kj}
+    pairs = ann.mutual_knn_pairs(spark, SF, m=3).collect()
+    assert pairs, "no mutual pairs at test scale"
+    for r in pairs:
+        a, b = r["vec_id_a"], r["vec_id_b"]
+        assert a < b
+        assert (a, b) in edges and (b, a) in edges

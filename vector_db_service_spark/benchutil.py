@@ -56,6 +56,25 @@ def index_state_caches() -> list[dict]:
     ]
 
 
+def durable_km_center_dirs(sf_dir: str, root: str | None = None) -> set[str]:
+    """Existing DURABLE kmeans-center dirs for this dataset. The in-memory
+    memo snapshot/restore (index_state_caches) cannot undo a PERSISTED
+    save_km_centers write: for any n_lists key prewarm didn't build, the
+    first run would pay the distributed fit while re-runs paid only a
+    bounded parquet read — the exact cold/warm asymmetry r11 flagged,
+    masked only because every registered query uses n_lists=7 (r12
+    advisor). bench.py snapshots this set before a query's first run and
+    deletes any NEWLY-created dir before each re-run, so every run refits
+    exactly like the first."""
+    import glob
+
+    from vector_db_service_spark.operators.store import index_root
+
+    return set(
+        glob.glob(os.path.join(index_root(sf_dir, root), "mllib_km_centers_*"))
+    )
+
+
 def prewarm_index_state(spark, sf_dir: str) -> None:
     """Build the shared index state (quantizer centers, grid bounds,
     query-vector literals) BEFORE any timed run, so fit cost is

@@ -846,6 +846,37 @@ register(
     lambda s, d: ann.knn_join(s, d, m=3),
     _knn_join_sql(m=3),
 )
+
+
+def _mutual_knn_sql(m: int = 3) -> str:
+    """Reciprocal-pair wrapper around the banded knn_join oracle: keep
+    (a, b) iff each is in the other's top-m; emit once (src < dst) with
+    the exactly-commutative cosine score."""
+    return f"""
+WITH kj AS MATERIALIZED ({_knn_join_sql(m=m)})
+SELECT f.label, f.src AS vec_id_a, f.dst AS vec_id_b, f.score
+FROM kj f JOIN kj r
+  ON f.label = r.label AND f.src = r.dst AND f.dst = r.src
+WHERE f.src < f.dst
+"""
+
+
+register(
+    # reciprocal k-NN: the dataset-pruning symmetric-neighbor filter
+    # (mutuality screens hub vectors); linear edge-list self-join on the
+    # banded knn_join, never a pair blow-up
+    "ann_mutual_knn_pairs",
+    lambda s, d: ann.mutual_knn_pairs(s, d, m=3),
+    _mutual_knn_sql(m=3),
+)
+register(
+    # radius search: data-dependent result SIZE (the recall-complete
+    # dual of the k-bounded reference search) — one codegen'd scan +
+    # filter, zero shuffles
+    "knn_range_search",
+    lambda s, d: knn_ops.range_search(s, d, query_id=0, min_score=0.2),
+    oracles.range_search_sql(query_id=0, min_score=0.2),
+)
 # Skew-salted variant: hot buckets split over 4 sub-keys
 # (SKEW_SALT_THRESHOLD remediation as code). hot_bucket_min is set low
 # enough that salting actually engages at test scale; the pair set is
@@ -2029,6 +2060,19 @@ FROM events GROUP BY event_type
 """,
 )
 register(
+    # streaming incremental INDEX maintenance (r12 verdict #6): startup
+    # full LSH build, then foreachBatch over a two-file mutation log
+    # recomputes ONLY the mutated libraries' partitions via the stored
+    # index's dynamic-partition overwrite — the reference's
+    # rebuild-on-mutation BackgroundTasks (background_tasks.py:14-91,
+    # vector_service.py:350-390). Exact oracle: signature bits over the
+    # post-state embeddings (untouched-partition byte-identity is pinned
+    # in tests/test_round13_ops.py).
+    "stream_index_maintenance",
+    stream_ops.index_maintenance_stream,
+    oracles.index_maintenance_sql(_PLANES),
+)
+register(
     # perplexity-proxy quality signal: per-document character entropy
     "text_char_entropy",
     lambda s, d: textops.char_entropy(load(s, d, "documents")),
@@ -2575,30 +2619,37 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # green under tests/test_oracle_parity.py, which runs the identical
 # compare over ALL registered oracles.
 _PRIORITY_50 = [
-    # -- (a) changed this round: re-verify under the driver --
-    "mllib_ivf_kmeans_topk", "knn_lsh_cosine", "lsh_signatures",
-    "lsh_bucket_stats", "knn_dispatch_lsh", "ann_knn_join",
-    "ann_knn_join_salted", "ann_index_recall_report",
-    "ann_blocked_pair_recall", "dedup_embedding_pairs",
-    # -- (b) the r7 cohort: every query last driver-green in round 7 --
-    "obs_timed_search", "rel_percent_rank_orders", "rel_sliding_1h_sum",
-    "rel_user_day_retention", "retrieval_bm25_scores",
-    "retrieval_hybrid_rrf", "retrieval_mmr_rerank", "s10_cdc_merge",
-    "s14_flag_update", "s17_csv_file_roundtrip", "s18_orc_file_roundtrip",
-    "s4_scan_by_parent", "s5_full_scan", "s6_vector_store_scan",
-    "s8_insert", "s9_batch_insert", "sketch_bloom_membership",
-    "sketch_hll_by_event_type", "sketch_kmv_overlap",
-    "stream_session_windows", "t5_k_exceeds_n", "text_char_entropy",
-    "text_decontamination",
-    # -- (c) NEW this round (never driver-sampled) --
-    "rel_zorder_locality", "rel_event_funnel", "rel_skyline_orders",
-    # -- (d) alphabetically-first r8 rows to fill 50 --
-    "ann_cluster_silhouette", "ann_ivfpq_topk", "ann_matryoshka_recall",
-    "ann_pq_topk", "dedup_exact_keep_first", "dedup_lsh_tuning_curve",
-    "dedup_minhash_signatures", "dedup_paragraphs", "dedup_semantic_keep",
-    "dedup_simhash_fingerprints", "dedup_substring_spans",
-    "dedup_winnowing_fingerprints", "grid_cell_stats",
-    "grid_stats_by_library",
+    # -- (a) never driver-sampled: the ONLY query with zero driver-green
+    # rows (added in the final r12 snapshot commit; r12 verdict #1) plus
+    # the operators NEW this round --
+    "pipeline_weighted_sample", "stream_index_maintenance",
+    "ann_mutual_knn_pairs", "knn_range_search",
+    # -- (b) changed this round: footer-dim migration touched grid
+    # bounds (grid.py) and the store's lsh/grid rebuild paths
+    # (store.py/lifecycle.py); the durable-center load validation
+    # changed for the mllib quantizer --
+    "mllib_ivf_kmeans_topk", "knn_grid_euclidean", "grid_cells",
+    "grid_cell_stats", "grid_stats_by_library", "knn_dispatch_grid",
+    "i11_stored_grid_probe", "i11_index_lifecycle",
+    "i11_stored_index_probe",
+    # -- (c) the r8 cohort: every query last driver-green in round 8
+    # (at the 5-round staleness ceiling this round) --
+    "knn_flat_cosine_library", "mm_decode", "obs_index_advisor",
+    "p3_json_filter", "pipeline_contrastive_pairs",
+    "pipeline_dataset_manifest", "pipeline_quality_resample",
+    "pipeline_train_val_split", "rel_events_hourly", "sketch_hll_merge",
+    "sketch_quantile_histogram", "stream_dataset_manifest",
+    "stream_decontamination", "stream_quality_resample",
+    "stream_quantile_histogram", "text_blocklist_filter",
+    "text_bpe_merge_pairs", "text_dsir_importance", "text_gopher_filter",
+    "text_heaps_curve", "text_mixture_weights", "text_repetition_scores",
+    "text_unigram_logprob", "text_zipf_audit",
+    # -- (d) alphabetically-first r9 rows to fill 50 --
+    "a2_chunk_stats", "a5_vector_stats", "a6_memory_stats",
+    "a7_dim_minmax", "ann_band_skew_report", "ann_brute_force_topk",
+    "ann_ivf_topk", "ann_scalar_quantize", "dedup_exact_summary",
+    "dedup_ngram_jaccard_topk", "dedup_simhash_pairs", "j2_semi_join",
+    "j3_orphan_anti_join",
 ]
 
 

@@ -1854,3 +1854,36 @@ def spectrum_audit(spark: SparkSession, sf_dir: str,
             ).cast("bigint").alias("top_dim_share_ppm"),
         )
     )
+
+
+def mutual_knn_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = 3,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Reciprocal (mutual) k-NN pairs: (a, b) kept iff b is in a's top-m
+    AND a is in b's top-m, within a library — the symmetric-neighbor
+    criterion dataset-pruning pipelines use to find genuinely-redundant
+    embedding pairs (a one-directional neighbor is often just a hub
+    vector; mutuality filters hubness). Built ON the banded knn_join
+    (same seed-42 candidate generation the oracle mirrors), then a
+    self-equi-join of the (label, src, dst) edge list against its own
+    reversal — n*m skinny rows per side, a linear shuffle, never a pair
+    blow-up. Emits each mutual pair once (src < dst) with its symmetric
+    score (the cosine kernel is exactly commutative: per-element
+    multiplies and the fold order are identical both ways)."""
+    kj = knn_join(spark, sf_dir, m=m, metric=metric).select(
+        "label", "src", "dst", "score"
+    )
+    rev = kj.select("label", F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
+        kj.join(rev, ["label", "src", "dst"], "left_semi")
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            "label",
+            F.col("src").alias("vec_id_a"),
+            F.col("dst").alias("vec_id_b"),
+            "score",
+        )
+    )

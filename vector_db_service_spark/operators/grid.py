@@ -40,7 +40,7 @@ CELL_SIZE = 0.1  # reference default, services/vector_service.py:34-37
 MAX_RADIUS = 3  # algorithms.py:651
 
 
-def bounds(emb: DataFrame) -> tuple[list[float], list[float]]:
+def bounds(emb: DataFrame, dim: int | None = None) -> tuple[list[float], list[float]]:
     """Per-dimension min/max (A7) — exact (no FP accumulation), so the
     DuckDB oracle recomputes identical values. Collected to the driver:
     2*dim scalars, the broadcast normalization constant.
@@ -49,11 +49,17 @@ def bounds(emb: DataFrame) -> tuple[list[float], list[float]]:
     posexplode+groupBy: no n*d-row shuffle, map-side partials reduce to
     ONE row — the shape that holds at any corpus size. Dimension is
     inferred from the first vector, like the reference
-    (algorithms.py:155-156)."""
-    first = emb.select(F.size("embedding").alias("d")).head()
-    if first is None:
-        return [], []
-    dim = first["d"]
+    (algorithms.py:155-156) — unless the caller already knows it (every
+    sf_dir-holding caller passes the footer-read `tables.embedding_dim`,
+    r12 verdict wrong #3: the 1-row probe was a ~0.15 s pure-scheduling
+    Spark job per cold call for a property of the FILE). With `dim`
+    supplied, emptiness is detected from the aggregate itself (min over
+    zero rows is NULL), so the probe job disappears entirely."""
+    if dim is None:
+        first = emb.select(F.size("embedding").alias("d")).head()
+        if first is None:
+            return [], []
+        dim = first["d"]
     e = F.col("embedding")
     row = emb.agg(
         F.array(
@@ -63,6 +69,8 @@ def bounds(emb: DataFrame) -> tuple[list[float], list[float]]:
             *[F.max(F.element_at(e, i + 1).cast("double")) for i in range(dim)]
         ).alias("maxs"),
     ).head()
+    if row is None or row["mins"] is None or row["mins"][0] is None:
+        return [], []
     return list(row["mins"]), list(row["maxs"])
 
 
@@ -95,10 +103,16 @@ def bounds_cached(
     (store.py) persists the same numbers durably."""
     key = _data_key(sf_dir, library)
     if key not in _BOUNDS_CACHE:
+        from ..sources.tables import embedding_dim, row_count
+
+        if not row_count(sf_dir, "embeddings"):
+            _BOUNDS_CACHE[key] = ([], [])
+            return _BOUNDS_CACHE[key]
         emb = load(spark, sf_dir, "embeddings")
         if library is not None:
             emb = emb.filter(F.col("label") == F.lit(library))
-        _BOUNDS_CACHE[key] = bounds(emb)
+        # footer-read dim: the 1-row size() probe job is gone (r12 #3)
+        _BOUNDS_CACHE[key] = bounds(emb, dim=embedding_dim(sf_dir))
     return _BOUNDS_CACHE[key]
 
 

@@ -274,3 +274,30 @@ def knn_prefiltered(
         .limit(k)
         .select("vec_id", "label", "score")
     )
+
+
+def range_search(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    query_id: int = 0,
+    min_score: float = 0.2,
+    metric: str = "cosine",
+    library: int | None = None,
+) -> DataFrame:
+    """Radius (range) search: every vector whose similarity to the query
+    clears `min_score` — the standard vector-store surface the top-k
+    family can't express, because the RESULT SIZE is data-dependent (the
+    reference's search is k-bounded, services/vector_service.py:214-241;
+    range search is its recall-complete dual). Same scoring kernel and
+    6-decimal rounding as knn/score_all, so the DuckDB oracle is exact.
+
+    At scale this is the cheapest search shape in the file: one
+    codegen'd scan + filter, NO shuffle at all (not even the top-k
+    sort), embarrassingly parallel at any corpus size, and the library
+    filter partition-prunes like every other per-library scan."""
+    qvec = query_vector(spark, sf_dir, query_id)
+    scored = score_all(load(spark, sf_dir, "embeddings"), qvec, metric, library)
+    return scored.filter(F.col("score") >= F.lit(float(min_score))).select(
+        "vec_id", "label", "score"
+    )

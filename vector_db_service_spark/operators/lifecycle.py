@@ -95,10 +95,11 @@ def index_state_after_switch(spark: SparkSession, sf_dir: str, *,
     registry = switch_algorithm(algorithm_registry(emb), library, new_algorithm)
     # footer-read dim, zero Spark jobs (dim 1 placeholder for an empty
     # table keeps hyperplanes well-formed; the builds emit 0 rows)
-    planes = lsh_ops.hyperplanes(
-        embedding_dim(sf_dir) if row_count(sf_dir, "embeddings") else 1
+    nonempty = bool(row_count(sf_dir, "embeddings"))
+    planes = lsh_ops.hyperplanes(embedding_dim(sf_dir) if nonempty else 1)
+    mins, maxs = (
+        grid_ops.bounds(emb, dim=embedding_dim(sf_dir)) if nonempty else ([], [])
     )
-    mins, maxs = grid_ops.bounds(emb)
 
     lsh_rows = lsh_ops.build_index(emb, planes).groupBy("label").agg(
         F.count("*").alias("n_lsh")

@@ -50,6 +50,7 @@ multi-table commits — the operator surface is unchanged.
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -152,16 +153,27 @@ def rebuild_library(
     base = index_root(sf_dir, root)
     emb = load(spark, sf_dir, "embeddings").filter(F.col("label") == library)
 
+    # footer-read dim (tables.embedding_dim, zero Spark jobs) replaces the
+    # r12-flagged 1-row size() probe (verdict wrong #3). An empty LIBRARY
+    # partition is safe without a pre-check: build_index over 0 rows emits
+    # 0 rows and _dynamic_overwrite in dynamic mode touches no partitions
+    # — identical post-state to skipping, one fewer job when non-empty.
+    from ..sources.tables import embedding_dim, row_count
+
+    table_nonempty = bool(row_count(sf_dir, "embeddings"))
     if algorithm == "lsh":
-        first = emb.select(F.size("embedding")).head()
-        if first is not None:
-            planes = lsh_ops.hyperplanes(first[0])
+        if table_nonempty:
+            planes = lsh_ops.hyperplanes(embedding_dim(sf_dir))
             _dynamic_overwrite(
                 lsh_ops.build_index(emb, planes),
                 os.path.join(base, "lsh_index"),
             )
     elif algorithm == "grid":
-        mins, maxs = grid_ops.bounds(emb)
+        mins, maxs = (
+            grid_ops.bounds(emb, dim=embedding_dim(sf_dir))
+            if table_nonempty
+            else ([], [])
+        )
         if mins:
             cells = grid_ops.cell_coords_expr(F.col("embedding"), mins, maxs)
             rows = emb.select(
@@ -489,15 +501,41 @@ def load_km_centers(
     sig = _json.dumps(
         path_signature(os.path.join(sf_dir, "embeddings.parquet"))
     )
-    rows = spark.read.parquet(p).collect()
-    if len(rows) != n_lists or any(r["source_sig"] != sig for r in rows):
+    # r12 advisor: a partial/corrupt persisted dir (crash between mkdir
+    # and part-file write, schema drift, truncated footer) must degrade
+    # to a REFIT — which overwrites the bad state — not poison every
+    # kmeans-backed query until someone hand-deletes the path. So the
+    # read+validate is best-effort: any failure is logged and treated as
+    # a cache miss.
+    try:
+        rows = spark.read.parquet(p).collect()
+        # Accept 1..n_lists centers with CONTIGUOUS list_ids: MLlib kmeans
+        # can legitimately fit fewer than k centers on degenerate data
+        # (n distinct points < k), and requiring exactly n_lists made that
+        # valid state perpetually refit+rewrite on every cold start (r12
+        # advisor). Contiguity still rejects a file missing interior rows;
+        # a torn part file fails the parquet footer read and lands in the
+        # except arm below.
+        if (
+            not rows
+            or len(rows) > n_lists
+            or sorted(int(r["list_id"]) for r in rows) != list(range(len(rows)))
+            or any(r["source_sig"] != sig for r in rows)
+        ):
+            return None
+        # list_id IS the center's position in the fitted order — downstream
+        # argmin/list routing depends on it, so restore order explicitly
+        return [
+            [float(x) for x in r["centroid"]]
+            for r in sorted(rows, key=lambda r: r["list_id"])
+        ]
+    except Exception as exc:  # unreadable/garbled state -> refit path
+        print(
+            f"[vdbs] rejecting persisted kmeans centers at {p}: {exc!r}; "
+            "refitting (the refit overwrites this state)",
+            file=sys.stderr,
+        )
         return None
-    # list_id IS the center's position in the fitted order — downstream
-    # argmin/list routing depends on it, so restore order explicitly
-    return [
-        [float(x) for x in r["centroid"]]
-        for r in sorted(rows, key=lambda r: r["list_id"])
-    ]
 
 
 def save_km_centers(

@@ -332,3 +332,42 @@ SELECT e.vec_id, e.label, round({dist}, 6) + 0.0 AS dist
 FROM embeddings e, q
 QUALIFY row_number() OVER (ORDER BY dist ASC, vec_id) <= {k}
 """
+
+
+def index_maintenance_sql(planes: list[list[float]]) -> str:
+    """Post-state of the streamed-maintenance LSH index
+    (streaming/pipeline.py::index_maintenance_stream): signature bits
+    over the embeddings table WITH the deterministic mutation log
+    applied (labels 1/2, vec_id % 7 = 3, IEEE-exact negation). One
+    UNION ALL branch per hyperplane mirrors the posexplode."""
+    post = (
+        "SELECT vec_id, label, "
+        "CASE WHEN label IN (1, 2) AND vec_id % 7 = 3 "
+        "THEN list_transform(embedding, x -> -x) ELSE embedding END "
+        "AS embedding FROM embeddings"
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT vec_id, label, {i} AS table_idx, "
+        f"{_bit_sql('embedding', p)} AS bit FROM post"
+        for i, p in enumerate(planes)
+    )
+    return f"WITH post AS ({post})\n{unions}"
+
+
+def range_search_sql(
+    query_id: int = 0,
+    min_score: float = 0.2,
+    metric: str = "cosine",
+    library: int | None = None,
+) -> str:
+    """Mirror of operators/knn.py::range_search — same kernel, same
+    6-decimal rounding, same >= threshold; no ordering needed because
+    the result is a SET (the driver compare is order-insensitive)."""
+    score = METRIC_SQL[metric]("e.embedding", "q.qv")
+    lib = f"AND e.label = {library}" if library is not None else ""
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_id})
+SELECT e.vec_id, e.label, round({score}, 6) AS score
+FROM embeddings e, q
+WHERE round({score}, 6) >= {min_score!r} {lib}
+"""

@@ -595,3 +595,132 @@ def dataset_manifest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+# --- streaming incremental index maintenance (r12 verdict #6) --------------
+
+# Deterministic mutation log: these embeddings rows are "re-embedded"
+# (the reference's chunk-update path, routers/chunk_router.py:96 ->
+# services/background_tasks.py:40-91, which schedules a rebuild of THAT
+# chunk's library index). Negation is IEEE-exact, so the DuckDB oracle
+# reproduces every post-state signature bit-for-bit.
+_MUT_LABELS = (1, 2)
+_MUT_MOD, _MUT_REM = 7, 3
+
+
+def _index_maintenance_mutations(base: DataFrame) -> DataFrame:
+    return base.filter(
+        F.col("label").isin(*_MUT_LABELS)
+        & (F.col("vec_id") % _MUT_MOD == _MUT_REM)
+    ).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+
+
+def index_maintenance_init(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> dict:
+    """Set up the maintained-index store: full LSH build for EVERY
+    library (the reference's startup catch-up pass,
+    background_tasks.py:314-404) plus the mutation log the stream will
+    consume, written as TWO files so availableNow + maxFilesPerTrigger=1
+    yields two genuine micro-batches. Returns the path handles; factored
+    out of index_maintenance_stream so the byte-identity test can
+    snapshot untouched partitions between init and the stream run."""
+    from ..operators import lsh as lsh_ops
+    from ..operators.store import _dynamic_overwrite
+    from ..sources.tables import embedding_dim
+
+    out_dir = out_dir or tempfile.mkdtemp(prefix="vdbs_idx_maint_")
+    paths = {
+        "idx": os.path.join(out_dir, "lsh_index"),
+        "mut_src": os.path.join(out_dir, "mutation_log"),
+        "seen": os.path.join(out_dir, "mutations_seen"),
+        "ckpt": os.path.join(out_dir, "ckpt"),
+    }
+    planes = lsh_ops.hyperplanes(embedding_dim(sf_dir))
+    base = load(spark, sf_dir, "embeddings")
+    _dynamic_overwrite(lsh_ops.build_index(base, planes), paths["idx"])
+    # two-file mutation log -> two micro-batches; the final post-state is
+    # split-invariant because each batch applies only mutations SEEN SO
+    # FAR and every mutated vec_id appears exactly once in the log
+    _index_maintenance_mutations(base).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(paths["mut_src"])
+    paths["planes"] = planes
+    return paths
+
+
+def index_maintenance_run(spark: SparkSession, sf_dir: str, paths: dict) -> None:
+    """The stream itself: per micro-batch, recompute ONLY the mutated
+    libraries' index partitions. This is the streaming analog of the
+    reference's rebuild-on-mutation BackgroundTasks
+    (services/background_tasks.py:14-91; rebuild scope =
+    _rebuild_library_index, services/vector_service.py:350-390 — one
+    LIBRARY, never the corpus), expressed as foreachBatch + the stored
+    index's dynamic-partition overwrite: an untouched library's partition
+    directory is never rewritten (byte-identity pinned in
+    tests/test_round13_ops.py).
+
+    At scale: the mutation log is the append-only CDC feed (swap the file
+    source for Kafka, nothing downstream changes); per-batch work is
+    partition-scoped — an O(|affected libraries| / |libraries|) fraction
+    of the corpus — and the seen-set anti-join is the same
+    pending-set-as-id-set shape as embed_pending_stream (O10)."""
+    from ..operators import lsh as lsh_ops
+    from ..operators.store import _dynamic_overwrite
+
+    base = load(spark, sf_dir, "embeddings")
+    planes = paths["planes"]
+    mut_schema = spark.read.parquet(paths["mut_src"]).schema
+    stream = (
+        spark.readStream.schema(mut_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(paths["mut_src"])
+    )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        # durable mutation journal first: post-state below must reflect
+        # mutations seen so far, across batches and (at scale) restarts
+        batch.write.mode("append").parquet(paths["seen"])
+        affected = [
+            r["label"] for r in batch.select("label").distinct().collect()
+        ]  # bounded by the library count, never by batch volume
+        if not affected:
+            return
+        seen = spark.read.parquet(paths["seen"])
+        post = (
+            base.filter(F.col("label").isin(*affected))
+            .join(seen.select("vec_id"), "vec_id", "left_anti")
+            .select("vec_id", "label", "embedding")
+            .unionByName(seen.filter(F.col("label").isin(*affected)))
+        )
+        # post carries ONLY affected labels -> dynamic overwrite rewrites
+        # exactly those partitions
+        _dynamic_overwrite(lsh_ops.build_index(post, planes), paths["idx"])
+
+    with _bounded_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", paths["ckpt"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+def index_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full lifecycle for the registry: startup build -> streamed
+    mutation batches -> post-state index frame (vec_id, label, table_idx,
+    bit). Exact oracle: the same signature bits over the batch post-state
+    embeddings (oracles.index_maintenance_sql)."""
+    paths = index_maintenance_init(spark, sf_dir)
+    index_maintenance_run(spark, sf_dir, paths)
+    return spark.read.parquet(paths["idx"]).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("int").alias("label"),
+        F.col("table_idx").cast("int").alias("table_idx"),
+        F.col("bit").cast("int").alias("bit"),
+    )
