@@ -414,9 +414,11 @@ def main() -> None:
             _cal_prev = _prev.get("calibration") or []
             _host = 1.0
             if _cal_prev and calibration:
-                _host = (sum(calibration) / len(calibration)) / (
-                    sum(_cal_prev) / len(_cal_prev)
-                )
+                # median, not mean: pre-r13 triples carry a hot t0 the
+                # warm-until-stable loop has since removed — a mean ratio
+                # would misread that as a faster host (see bench_compare)
+                _med = lambda v: sorted(v)[len(v) // 2]  # noqa: E731
+                _host = _med(calibration) / _med(_cal_prev)
             _prev_floor = dict(_prev.get("spread", {}))
             for _n, _rs in (_prev.get("runs") or {}).items():
                 if len(_rs) >= 3:

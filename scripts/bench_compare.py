@@ -42,7 +42,15 @@ def main() -> None:
     cal_n = new.get("calibration") or []
     host = 1.0
     if cal_o and cal_n:
-        host = (sum(cal_n) / len(cal_n)) / (sum(cal_o) / len(cal_o))
+        # MEDIAN of each triple, not mean: round 13 added an untimed
+        # warm-until-stable loop before the first timed calibration, so
+        # pre-r13 triples carry a hot t0 (e.g. r12's [0.66, 0.31, 0.30])
+        # that post-r13 triples don't — a mean-vs-mean ratio would read
+        # that removed warmup artifact as a ~2x "faster host" and inflate
+        # every normalized new wall by the same factor. The median is
+        # robust to the single hot reading on either side.
+        med = lambda v: sorted(v)[len(v) // 2]  # noqa: E731
+        host = med(cal_n) / med(cal_o)
     steal_o = round(sum(old.get("cpu_steal_sec", {}).values()), 1)
     steal_n = round(sum(new.get("cpu_steal_sec", {}).values()), 1)
     print(f"host factor (new/old calibration): {host:.3f}  "
