@@ -184,3 +184,48 @@ def test_mutual_knn_pairs_symmetric_and_subset(spark):
         a, b = r["vec_id_a"], r["vec_id_b"]
         assert a < b
         assert (a, b) in edges and (b, a) in edges
+
+
+# ------------------------------------------------------ image phash dedup
+def test_phash_blocked_join_equals_quadratic(spark):
+    """The 4x16-bit block join must return EXACTLY the all-pairs
+    hamming<=3 set (pigeonhole losslessness), each pair once."""
+    from vector_db_service_spark.operators import multimodal as mm
+
+    sigs = {
+        r["doc_id"]: r["phash"]
+        for r in mm.phash_signatures(spark, SF).collect()
+    }
+    want = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                want.add((a, b, h))
+    got = [
+        (r["doc_id_1"], r["doc_id_2"], r["hamming"])
+        for r in mm.phash_near_dups(spark, SF, max_hamming=3).collect()
+    ]
+    assert len(got) == len(set(got)), "pair emitted more than once"
+    assert set(got) == want
+
+
+def test_phash_identical_rasters_collide_at_zero(spark):
+    """Two docs with identical text produce identical rasters, so their
+    dHash hamming is 0 and the pair must surface."""
+    from vector_db_service_spark.operators import multimodal as mm
+
+    sigs = mm.phash_signatures(spark, SF).collect()
+    by_hash = {}
+    for r in sigs:
+        by_hash.setdefault(r["phash"], []).append(r["doc_id"])
+    dup_groups = [v for v in by_hash.values() if len(v) > 1]
+    if not dup_groups:
+        pytest.skip("no identical-hash docs at this sf")
+    pairs = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in mm.phash_near_dups(spark, SF).collect()
+    }
+    g = sorted(dup_groups[0])
+    assert (g[0], g[1]) in pairs

@@ -1157,6 +1157,14 @@ SELECT label, count(*) AS n_vectors,
 FROM embeddings GROUP BY label
 """,
 )
+register(
+    # image near-dup via 64-bit dHash over the REAL decoded raster:
+    # block-joined hamming<=3 pairs (pigeonhole-lossless); the oracle is
+    # the independent quadratic scan, so parity proves the losslessness
+    "mm_phash_near_dups",
+    lambda s, d: multimodal.phash_near_dups(s, d, max_hamming=3),
+    multimodal.phash_near_dups_sql(max_hamming=3),
+)
 register("mm_blob_features", multimodal.blob_features, opl.blob_features_sql())
 register("mm_blob_resize", multimodal.blob_resize, multimodal.blob_resize_sql())
 register("mm_frame_stats", multimodal.frame_stats, opl.frame_stats_sql())
@@ -2623,7 +2631,7 @@ _PRIORITY_50 = [
     # rows (added in the final r12 snapshot commit; r12 verdict #1) plus
     # the operators NEW this round --
     "pipeline_weighted_sample", "stream_index_maintenance",
-    "ann_mutual_knn_pairs", "knn_range_search",
+    "ann_mutual_knn_pairs", "knn_range_search", "mm_phash_near_dups",
     # -- (b) changed this round: footer-dim migration touched grid
     # bounds (grid.py) and the store's lsh/grid rebuild paths
     # (store.py/lifecycle.py); the durable-center load validation
@@ -2649,7 +2657,6 @@ _PRIORITY_50 = [
     "a7_dim_minmax", "ann_band_skew_report", "ann_brute_force_topk",
     "ann_ivf_topk", "ann_scalar_quantize", "dedup_exact_summary",
     "dedup_ngram_jaccard_topk", "dedup_simhash_pairs", "j2_semi_join",
-    "j3_orphan_anti_join",
 ]
 
 

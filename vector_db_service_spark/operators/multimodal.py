@@ -984,3 +984,178 @@ def library_centroids_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     over unnested components, so the grouped-map path is exact-checked."""
     emb = load(spark, sf_dir, "embeddings")
     return emb.groupBy("label").applyInPandas(_centroid_group, CENTROID_SCHEMA)
+
+
+# --- image near-dup via perceptual hash (round 13) --------------------------
+
+PHASH_COLS = 9  # 8 horizontal mean comparisons per raster row -> 64 bits
+PHASH_BLOCKS = 4  # 16-bit blocks: pigeonhole-lossless for hamming <= 3
+
+
+def _phash_col_bounds() -> list[int]:
+    """Column c of the dHash grid covers raster columns
+    [floor(c*W/COLS), floor((c+1)*W/COLS)) — the standard dHash
+    downscale mapping, integer-exact so the DuckDB oracle reproduces
+    it without any float resampling."""
+    return [(c * IMG_W) // PHASH_COLS for c in range(PHASH_COLS + 1)]
+
+
+def phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, phash): 64-bit dHash over the REAL decoded raster —
+    synthesize the P6 blob, decode it through the same pure-Python PPM
+    decoder every mm_* query uses, grayscale (exact integer R+G+B),
+    pool to an 8x9 grid of integer column sums, and set bit (r*8+c)
+    iff cell (r,c)'s MEAN is below cell (r,c+1)'s (compared as the
+    integer cross-product sum*width, so unequal column widths never
+    introduce a float). The perceptual-hash image dedup primitive —
+    unlike the byte-level exact dedup, a re-encoded or slightly-edited
+    image keeps a nearby hash. One fused mapInPandas pass, like
+    mm_decode (the blob never crosses the Arrow boundary)."""
+    import numpy as np
+
+    from ..sources.tables import spread_for_compute
+
+    n_px = IMG_W * IMG_H * 3
+    header = f"P6\n{IMG_W} {IMG_H}\n255\n".encode()
+    bounds = _phash_col_bounds()
+    widths = [bounds[c + 1] - bounds[c] for c in range(PHASH_COLS)]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                blob = header + _cycled_raster_bytes(text, n_px)
+                _w, h, _mx, px = _decode_ppm(blob)
+                gray = px.astype(np.int64).sum(axis=2)
+                val = 0
+                for r in range(h):
+                    row = gray[r]
+                    sums = [
+                        int(row[bounds[c]:bounds[c + 1]].sum())
+                        for c in range(PHASH_COLS)
+                    ]
+                    for c in range(PHASH_COLS - 1):
+                        if sums[c] * widths[c + 1] < sums[c + 1] * widths[c]:
+                            val |= 1 << (r * 8 + c)
+                if val >= 1 << 63:  # two's-complement into a signed long
+                    val -= 1 << 64
+                ids.append(int(doc_id))
+                hashes.append(val)
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    docs = spread_for_compute(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return docs.mapInPandas(gen, schema)
+
+
+def phash_near_dups(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """Image near-dup pairs within hamming <= 3 of the 64-bit dHash.
+    Same lossless block-join shape as dedup.simhash_near_dups (4
+    blocks of 16 bits: a pair within radius 3 shares at least one
+    block by pigeonhole, so the blocked join equals the all-pairs scan
+    the oracle performs — parity proves the losslessness). Block
+    extraction and the first-collision dedup predicate use UNSIGNED
+    shifts because bit 63 is live. Both dedup stages are map-side; the
+    candidate stream is never shuffled."""
+    sig = phash_signatures(spark, sf_dir).localCheckpoint(eager=False)
+    width = 64 // PHASH_BLOCKS
+    mask = (1 << width) - 1
+    block_arr = F.expr(
+        "array("
+        + ", ".join(
+            f"shiftrightunsigned(phash, {i * width}) & {mask}"
+            for i in range(PHASH_BLOCKS)
+        )
+        + ")"
+    )
+    keyed = sig.select(
+        "doc_id",
+        "phash",
+        F.posexplode(block_arr).alias("block_idx", "block_key"),
+    )
+    left = keyed.select(
+        "block_idx", "block_key",
+        F.col("doc_id").alias("doc_id_1"), F.col("phash").alias("ph_1"),
+    )
+    right = keyed.select(
+        "block_idx", "block_key",
+        F.col("doc_id").alias("doc_id_2"), F.col("phash").alias("ph_2"),
+    )
+    first_coll = "CASE " + " ".join(
+        f"WHEN (shiftrightunsigned(ph_1 ^ ph_2, {i * width}) & {mask}) = 0 "
+        f"THEN {i}"
+        for i in range(PHASH_BLOCKS - 1)
+    ) + f" ELSE {PHASH_BLOCKS - 1} END"
+    return (
+        left.join(right, ["block_idx", "block_key"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ph_1").bitwiseXOR(F.col("ph_2"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .filter(F.col("block_idx") == F.expr(first_coll))
+        .select("doc_id_1", "doc_id_2", "hamming")
+    )
+
+
+def phash_near_dups_sql(max_hamming: int = 3) -> str:
+    """INDEPENDENT quadratic oracle: recompute the dHash byte-level
+    from the synthetic-raster definition (pixel byte j = utf-8 byte
+    j mod n, zero raster when empty — the mm_decode contract), then an
+    all-pairs bit_count(xor) scan. The Spark side never does all-pairs,
+    so equality also proves the 4-block pigeonhole join is lossless."""
+    bounds = _phash_col_bounds()
+    widths = [bounds[c + 1] - bounds[c] for c in range(PHASH_COLS)]
+    n_px = IMG_W * IMG_H * 3
+    colof = "CASE " + " ".join(
+        f"WHEN x = {x} THEN "
+        f"{next(c for c in range(PHASH_COLS) if bounds[c] <= x < bounds[c + 1])}"
+        for x in range(IMG_W)
+    ) + " END"
+    wof = lambda e: "CASE " + " ".join(  # noqa: E731
+        f"WHEN {e} = {c} THEN {widths[c]}" for c in range(PHASH_COLS)
+    ) + " END"
+    min_long = "-9223372036854775808"
+    return f"""
+WITH raw AS (SELECT doc_id, {utf8_bytes_sql()} AS bl FROM documents),
+base AS (SELECT doc_id, bl, len(bl) AS n FROM raw),
+px AS (
+  SELECT doc_id, CAST(j // 3 AS BIGINT) AS p,
+         CASE WHEN n = 0 THEN 0 ELSE bl[CAST(j % n + 1 AS BIGINT)] END AS v
+  FROM base, unnest(range(0, {n_px})) AS t(j)
+),
+gray AS (
+  SELECT doc_id, p // {IMG_W} AS r, p % {IMG_W} AS x, sum(v) AS g
+  FROM px GROUP BY doc_id, p
+),
+cells AS (
+  SELECT doc_id, r, {colof} AS c, sum(g) AS s FROM gray GROUP BY doc_id, r, 3
+),
+bits AS (
+  SELECT a.doc_id, CAST(a.r * 8 + a.c AS BIGINT) AS k,
+         CASE WHEN a.s * {wof('b.c')} < b.s * {wof('a.c')} THEN 1 ELSE 0 END AS bit
+  FROM cells a JOIN cells b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+  WHERE a.c < {PHASH_COLS - 1}
+),
+hashes AS (
+  SELECT doc_id, CAST(sum(CASE WHEN bit = 0 THEN 0
+                               WHEN k = 63 THEN {min_long}
+                               ELSE 1::BIGINT << CAST(k AS INTEGER) END)
+                 AS BIGINT) AS ph
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ph, b.ph)) <= {max_hamming}
+"""
