@@ -229,3 +229,24 @@ def test_phash_identical_rasters_collide_at_zero(spark):
     }
     g = sorted(dup_groups[0])
     assert (g[0], g[1]) in pairs
+
+
+# --------------------------------------------------- streamed query workload
+def test_knn_query_stream_complete_and_ranked(spark):
+    """Every requested query_id answers with exactly k ranked rows
+    (rnk 1..k, scores non-increasing) — the stateless micro-batch
+    union must behave exactly like one batch multi-query search."""
+    from vector_db_service_spark.streaming import pipeline as sp2
+
+    k = 5
+    rows = sp2.knn_query_stream(spark, SF, query_ids=[0, 1, 2, 3], k=k).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert sorted(by_q) == [0, 1, 2, 3]
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, k + 1))
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert rs[0]["vec_id"] == q  # self-similarity tops cosine

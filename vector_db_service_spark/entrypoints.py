@@ -2068,6 +2068,15 @@ FROM events GROUP BY event_type
 """,
 )
 register(
+    # streaming QUERY WORKLOAD: micro-batched search requests
+    # broadcast-joined against the static corpus, exact per-query top-k
+    # per batch; stateless, so the appended union equals the batch
+    # multi-query oracle exactly
+    "stream_knn_queries",
+    lambda s, d: stream_ops.knn_query_stream(s, d, k=5),
+    opl.brute_force_topk_sql(query_ids=list(range(10)), k=5),
+)
+register(
     # streaming incremental INDEX maintenance (r12 verdict #6): startup
     # full LSH build, then foreachBatch over a two-file mutation log
     # recomputes ONLY the mutated libraries' partitions via the stored
@@ -2632,6 +2641,7 @@ _PRIORITY_50 = [
     # the operators NEW this round --
     "pipeline_weighted_sample", "stream_index_maintenance",
     "ann_mutual_knn_pairs", "knn_range_search", "mm_phash_near_dups",
+    "stream_knn_queries",
     # -- (b) changed this round: footer-dim migration touched grid
     # bounds (grid.py) and the store's lsh/grid rebuild paths
     # (store.py/lifecycle.py); the durable-center load validation
@@ -2656,7 +2666,7 @@ _PRIORITY_50 = [
     "a2_chunk_stats", "a5_vector_stats", "a6_memory_stats",
     "a7_dim_minmax", "ann_band_skew_report", "ann_brute_force_topk",
     "ann_ivf_topk", "ann_scalar_quantize", "dedup_exact_summary",
-    "dedup_ngram_jaccard_topk", "dedup_simhash_pairs", "j2_semi_join",
+    "dedup_ngram_jaccard_topk", "dedup_simhash_pairs",
 ]
 
 

@@ -1873,8 +1873,17 @@ def mutual_knn_pairs(
     blow-up. Emits each mutual pair once (src < dst) with its symmetric
     score (the cosine kernel is exactly commutative: per-element
     multiplies and the fold order are identical both ways)."""
-    kj = knn_join(spark, sf_dir, m=m, metric=metric).select(
-        "label", "src", "dst", "score"
+    # localCheckpoint: both the forward side and its reversal read the
+    # SAME materialized n*m edge list — without it the banded join +
+    # top-m window lineage appears twice in the plan (4 corpus scans, 6
+    # window nodes measured) and nothing guarantees runtime exchange
+    # reuse across the semi-join. Same discipline as
+    # dedup.simhash_near_dups' fingerprint frame; at scale this is
+    # "persist the k-NN graph once, then query it".
+    kj = (
+        knn_join(spark, sf_dir, m=m, metric=metric)
+        .select("label", "src", "dst", "score")
+        .localCheckpoint(eager=False)
     )
     rev = kj.select("label", F.col("dst").alias("src"), F.col("src").alias("dst"))
     return (

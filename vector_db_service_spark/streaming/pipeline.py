@@ -724,3 +724,74 @@ def index_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("table_idx").cast("int").alias("table_idx"),
         F.col("bit").cast("int").alias("bit"),
     )
+
+
+def knn_query_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Streaming QUERY WORKLOAD: a stream of search requests answered
+    per micro-batch against the static corpus — the reference's search
+    endpoint under sustained load (routers/search_router.py ->
+    services/vector_service.py:214-241 serves one request per HTTP
+    call; here the request log is the stream). Stream-static join with
+    the tiny request batch BROADCAST against the corpus scan, exact
+    per-query top-k inside the batch (same kernel + 6-decimal rounding
+    + (score desc, vec_id) total order as ann.brute_force_topk), append
+    sink. Stateless, so the union of micro-batches equals the batch
+    multi-query oracle EXACTLY — the two-file request log
+    (maxFilesPerTrigger=1 -> two genuine micro-batches) changes nothing.
+
+    At scale: requests arrive on Kafka; each micro-batch is one
+    broadcast of a few thousand query vectors against the partitioned
+    corpus — no shuffle of the corpus, results append partitioned by
+    arrival time."""
+    from ..functions import similarity as sim
+
+    query_ids = query_ids or list(range(10))
+    out_dir = tempfile.mkdtemp(prefix="vdbs_knn_stream_")
+    req_dir = os.path.join(out_dir, "requests")
+    sink = os.path.join(out_dir, "results")
+    ckpt = os.path.join(out_dir, "ckpt")
+
+    emb = load(spark, sf_dir, "embeddings")
+    requests = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    requests.repartition(2).write.mode("overwrite").parquet(req_dir)
+    stream = (
+        spark.readStream.schema(requests.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(req_dir)
+    )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        scored = emb.join(F.broadcast(batch)).withColumn(
+            "score",
+            F.round(sim.score(metric, F.col("embedding"), F.col("qv")), 6),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("vec_id")
+        )
+        (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "vec_id", "label", "score", "rnk")
+            .write.mode("append").parquet(sink)
+        )
+
+    with _bounded_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(sink)
