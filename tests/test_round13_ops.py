@@ -250,3 +250,37 @@ def test_knn_query_stream_complete_and_ranked(spark):
         scores = [r["score"] for r in rs]
         assert scores == sorted(scores, reverse=True)
         assert rs[0]["vec_id"] == q  # self-similarity tops cosine
+
+
+# ----------------------------------------------------------- bigram LM
+def test_bigram_logprob_orders_shuffled_text_below_natural(spark):
+    """The bigram model must penalize word-order scrambling that the
+    unigram model is blind to: a corpus of repeated natural sentences
+    plus one scrambled doc (same multiset of words) scores the
+    scrambled doc strictly lower."""
+    from vector_db_service_spark.operators import textops
+
+    natural = "the quick brown fox jumps over the lazy dog"
+    scrambled = "dog the over quick lazy fox the brown jumps"
+    docs = spark.createDataFrame(
+        [(i, natural) for i in range(20)] + [(99, scrambled)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["avg_logprob"]
+            for r in textops.bigram_logprob(docs).collect()}
+    assert rows[99] < rows[0]
+    # unigram is blind to the scramble: same tokens, same score
+    uni = {r["doc_id"]: r["avg_logprob"]
+           for r in textops.unigram_logprob(docs).collect()}
+    assert uni[99] == uni[0]
+
+
+def test_bigram_logprob_drops_sub_two_token_docs(spark):
+    from vector_db_service_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "two tokens")],
+        "doc_id long, text string",
+    )
+    rows = textops.bigram_logprob(docs).collect()
+    assert sorted(r["doc_id"] for r in rows) == [3]

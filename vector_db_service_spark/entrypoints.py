@@ -2090,6 +2090,14 @@ register(
     oracles.index_maintenance_sql(_PLANES),
 )
 register(
+    # bigram LM fluency: common words in an UNUSUAL ORDER score well
+    # under the unigram gate but poorly here; same millinat-integer
+    # determinism as text_unigram_logprob
+    "text_bigram_logprob",
+    lambda s, d: textops.bigram_logprob(load(s, d, "documents")),
+    opl.bigram_logprob_sql(),
+)
+register(
     # perplexity-proxy quality signal: per-document character entropy
     "text_char_entropy",
     lambda s, d: textops.char_entropy(load(s, d, "documents")),
@@ -2641,7 +2649,7 @@ _PRIORITY_50 = [
     # the operators NEW this round --
     "pipeline_weighted_sample", "stream_index_maintenance",
     "ann_mutual_knn_pairs", "knn_range_search", "mm_phash_near_dups",
-    "stream_knn_queries",
+    "stream_knn_queries", "text_bigram_logprob",
     # -- (b) changed this round: footer-dim migration touched grid
     # bounds (grid.py) and the store's lsh/grid rebuild paths
     # (store.py/lifecycle.py); the durable-center load validation
@@ -2666,7 +2674,7 @@ _PRIORITY_50 = [
     "a2_chunk_stats", "a5_vector_stats", "a6_memory_stats",
     "a7_dim_minmax", "ann_band_skew_report", "ann_brute_force_topk",
     "ann_ivf_topk", "ann_scalar_quantize", "dedup_exact_summary",
-    "dedup_ngram_jaccard_topk", "dedup_simhash_pairs",
+    "dedup_ngram_jaccard_topk",
 ]
 
 

@@ -1291,3 +1291,73 @@ def weighted_sample(docs: DataFrame, k: int = 25) -> DataFrame:
         .orderBy(F.desc("priority"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Bigram LM fluency score — the next step up from the CCNet-style
+    unigram bucketing (unigram_logprob): fit conditional bigram
+    probabilities p(w2|w1) = c(w1,w2) / c(w1·) on the corpus itself,
+    score each document by its mean bigram log-probability. A document
+    of common words in an UNUSUAL ORDER scores well under the unigram
+    model but poorly here — exactly the gibberish the unigram gate
+    can't see. Scored in-corpus, every document bigram exists in the
+    model (c12 >= 1), so no smoothing branch is needed and p ∈ (0, 1].
+
+    Same determinism mechanism as unigram_logprob: each bigram's
+    log-prob is quantized ONCE to integer millinats, per-doc sums are
+    integer (order-independent at any partitioning), and the final
+    average is exact integer half-away-from-zero micro-division.
+
+    Plan: one explode pass aggregated to the (doc_id, w1, w2, c_d)
+    pair table (map-side partials; this is also the oracle's exact
+    CTE), the model folded FROM that table (two tiny grouped sums —
+    the corpus text is read once), then a pair-key join + per-doc sum.
+    Shuffles carry |doc-bigram pairs| + |bigrams| + |docs| rows, never
+    the raw token stream twice. Documents with fewer than two tokens
+    have no bigram and are absent from the output (mirrored by the
+    oracle)."""
+    toks = T.tokens(F.col("text"))
+    # let-bind the token array: element_at inside the transform lambda
+    # must not re-split the string per element (shingles_sql discipline)
+    bg = F.expr(
+        "transform(sequence(1, size(t) - 1), "
+        "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+    )
+    dc = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(bg).alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_d"))
+    )
+    pair = dc.groupBy("w1", "w2").agg(F.sum("c_d").cast("long").alias("c12"))
+    hist = pair.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    model = pair.join(hist, "w1").select(
+        "w1",
+        "w2",
+        F.round(
+            F.log(F.col("c12").cast("double") / F.col("c1").cast("double")) * 1000,
+            0,
+        )
+        .cast("long")
+        .alias("mln"),
+    )
+    per = (
+        dc.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_d").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c_d") * F.col("mln")).cast("long").alias("s_mln"),
+        )
+    )
+    us = F.expr(
+        "CASE WHEN s_mln >= 0"
+        " THEN (2 * s_mln * 1000 + n_bigrams) DIV (2 * n_bigrams)"
+        " ELSE -((2 * (-s_mln) * 1000 + n_bigrams) DIV (2 * n_bigrams)) END"
+    )
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        (us.cast("double") / F.lit(1e6)).alias("avg_logprob"),
+    )

@@ -1372,3 +1372,38 @@ SELECT doc_id,
        CAST(length(pii_text) - length({redacted}) AS BIGINT) AS n_chars_removed
 FROM base
 """
+
+
+def bigram_logprob_sql() -> str:
+    """Mirror of textops.bigram_logprob: same pair-table CTE, same
+    millinat quantization, same exact integer micro-division."""
+    return f"""
+WITH g AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, {TOKS} AS t FROM documents),
+       unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+dc AS (SELECT doc_id, w1, w2, count(*) AS c_d FROM g GROUP BY doc_id, w1, w2),
+pair AS (SELECT w1, w2, CAST(sum(c_d) AS BIGINT) AS c12 FROM dc GROUP BY w1, w2),
+hist AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM pair GROUP BY w1),
+model AS (
+  SELECT w1, w2,
+         CAST(round(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1000)
+              AS BIGINT) AS mln
+  FROM pair JOIN hist USING (w1)
+),
+per AS (
+  SELECT dc.doc_id,
+         CAST(sum(c_d) AS BIGINT) AS n_bigrams,
+         CAST(sum(c_d * mln) AS BIGINT) AS s_mln
+  FROM dc JOIN model USING (w1, w2) GROUP BY dc.doc_id
+)
+SELECT doc_id, n_bigrams,
+       CAST(CASE WHEN s_mln >= 0
+                 THEN (2 * s_mln * 1000 + n_bigrams) // (2 * n_bigrams)
+                 ELSE -((2 * (-s_mln) * 1000 + n_bigrams) // (2 * n_bigrams))
+            END AS DOUBLE) / 1000000.0
+         AS avg_logprob
+FROM per
+"""
