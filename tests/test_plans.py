@@ -350,3 +350,25 @@ def test_index_recall_report_has_no_roundrobin_spread(spark):
 
     df = ann.index_recall_report(spark, SF, k=10)
     assert "RoundRobinPartitioning" not in _plan(df)
+
+
+def test_range_search_is_scan_plus_filter_only(spark):
+    """Radius search must stay the cheapest shape in the file: one
+    codegen'd scan + filter, NO Exchange of any kind (no shuffle, no
+    broadcast) — a top-k sort or repartition sneaking in would break
+    the zero-shuffle claim the operator is registered under."""
+    from vector_db_service_spark.operators import knn as knn_ops
+
+    plan = _plan(knn_ops.range_search(spark, SF, query_id=0, min_score=0.2))
+    assert "Exchange" not in plan
+    assert "Sort" not in plan
+
+
+def test_phash_near_dups_no_cartesian(spark):
+    """The perceptual-hash pair join must stay a block equi-join —
+    never a cartesian/nested-loop pair expansion."""
+    from vector_db_service_spark.operators import multimodal as mm
+
+    plan = _plan(mm.phash_near_dups(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
