@@ -284,3 +284,35 @@ def test_bigram_logprob_drops_sub_two_token_docs(spark):
     )
     rows = textops.bigram_logprob(docs).collect()
     assert sorted(r["doc_id"] for r in rows) == [3]
+
+
+# ------------------------------------------------ mutual-kNN components
+def test_mutual_knn_components_equal_union_find(spark):
+    """The iterated-contraction labeling must equal an independent
+    union-find over the (already parity-verified) mutual pair list,
+    with singletons included and comp = component-min vec_id."""
+    import collections
+
+    from vector_db_service_spark.operators import ann
+    from vector_db_service_spark.sources.tables import load
+
+    pairs = ann.mutual_knn_pairs(spark, SF, m=3).collect()
+    ids = [r["vec_id"] for r in
+           load(spark, SF, "embeddings").select("vec_id").collect()]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(r["vec_id_a"]), find(r["vec_id_b"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    want = collections.Counter(find(i) for i in ids)
+    got = {r["comp"]: r["n_vectors"]
+           for r in ann.mutual_knn_components(spark, SF, m=3).collect()}
+    assert got == dict(want)
+    assert sum(got.values()) == len(ids)  # singletons included

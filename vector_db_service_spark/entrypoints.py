@@ -869,6 +869,52 @@ register(
     lambda s, d: ann.mutual_knn_pairs(s, d, m=3),
     _mutual_knn_sql(m=3),
 )
+
+
+def _mutual_components_sql(m: int = 3, rounds: int = 40) -> str:
+    """Component histogram over the mutual-kNN graph: plain min-label
+    propagation unrolled `rounds` CTE stages (reach = rounds; measured
+    mutual-graph diameters 18-35 at the test tiers — the Spark side is
+    exact-fixed-point, so a deeper future corpus fails loudly as a
+    parity mismatch). Every CTE MATERIALIZED: DuckDB inlines per
+    reference and each stage reads the previous one twice."""
+    stages = []
+    for r in range(rounds):
+        prev, cur = f"l{r}", f"l{r + 1}"
+        stages.append(f"""
+{cur} AS MATERIALIZED (
+  SELECT node, min(comp) AS comp FROM (
+    SELECT node, comp FROM {prev}
+    UNION ALL
+    SELECT e.src AS node, l.comp FROM edges e JOIN {prev} l ON l.node = e.dst
+  ) GROUP BY node
+)""")
+    chain = ",".join(stages)
+    return f"""
+WITH kj AS MATERIALIZED ({_knn_join_sql(m=m)}),
+mut AS MATERIALIZED (
+  SELECT f.src AS a, f.dst AS b
+  FROM kj f JOIN kj r ON f.label = r.label AND f.src = r.dst AND f.dst = r.src
+  WHERE f.src < f.dst
+),
+edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM mut UNION ALL SELECT b, a FROM mut
+),
+l0 AS MATERIALIZED (SELECT vec_id AS node, vec_id AS comp FROM embeddings),
+{chain}
+SELECT comp, CAST(count(*) AS BIGINT) AS n_vectors
+FROM l{rounds} GROUP BY comp
+"""
+
+
+register(
+    # cluster view of reciprocal-neighbor dedup: connected components
+    # over the mutual-kNN graph (exact pointer-doubling with fixed-point
+    # early exit; singletons included)
+    "ann_mutual_knn_components",
+    lambda s, d: ann.mutual_knn_components(s, d, m=3),
+    _mutual_components_sql(m=3),
+)
 register(
     # radius search: data-dependent result SIZE (the recall-complete
     # dual of the k-bounded reference search) — one codegen'd scan +
@@ -2650,6 +2696,7 @@ _PRIORITY_50 = [
     "pipeline_weighted_sample", "stream_index_maintenance",
     "ann_mutual_knn_pairs", "knn_range_search", "mm_phash_near_dups",
     "stream_knn_queries", "text_bigram_logprob",
+    "ann_mutual_knn_components",
     # -- (b) changed this round: footer-dim migration touched grid
     # bounds (grid.py) and the store's lsh/grid rebuild paths
     # (store.py/lifecycle.py); the durable-center load validation
@@ -2674,7 +2721,6 @@ _PRIORITY_50 = [
     "a2_chunk_stats", "a5_vector_stats", "a6_memory_stats",
     "a7_dim_minmax", "ann_band_skew_report", "ann_brute_force_topk",
     "ann_ivf_topk", "ann_scalar_quantize", "dedup_exact_summary",
-    "dedup_ngram_jaccard_topk",
 ]
 
 
