@@ -64,6 +64,12 @@ PROBES = [
     "text_script_profile",
     "mm_decode_png_deep",
     "ann_index_recall_report",
+    # round-13: the iterative mutual-kNN graph labeling (rounds grow
+    # log-with-diameter; 10x vectors deepen the chains) and the image
+    # dHash pair join (pair output grows with the injected near-twin
+    # structure like the text dedup family)
+    "ann_mutual_knn_components",
+    "mm_phash_near_dups",
 ]
 # lineitem-backed queries only have real data at the source SFs; the
 # synthetic corpus scales documents/embeddings/events 10x and reuses
