@@ -350,10 +350,18 @@ def main() -> None:
     runs: dict[str, list[float]] = {}
     cache_before: dict[str, list[dict]] = {}
     durable_before: dict[str, set] = {}
+    durable_created: dict[str, set] = {}
     for name, fn in sorted(entrypoints.QUERIES.items()):
         cache_before[name] = [dict(c) for c in _memo_caches]
         durable_before[name] = durable_km_center_dirs(sf_dir)
         t = _time_one(name, fn)
+        # dirs THIS query's own first run persisted (scoping the
+        # re-run deletion to the creator — a global
+        # now-minus-snapshot delta would delete state later queries'
+        # first runs created in between)
+        durable_created[name] = (
+            durable_km_center_dirs(sf_dir) - durable_before[name]
+        )
         if t is None:
             continue
         runs[name] = [t]
@@ -458,9 +466,10 @@ def main() -> None:
                 c.clear()
                 c.update(before)
             # durable-state symmetry: drop center dirs this query's own
-            # runs created so the re-run refits exactly like the first
-            # (it re-persists them itself)
-            for _p in durable_km_center_dirs(sf_dir) - durable_before[name]:
+            # FIRST run created so the re-run refits exactly like it
+            # (it re-persists them itself); scoped to the creator so
+            # other queries' persisted state is never touched
+            for _p in durable_created.get(name, set()):
                 _shutil.rmtree(_p, ignore_errors=True)
             t = _time_one(name, entrypoints.QUERIES[name], record_error=False)
             for c, s in zip(_memo_caches, saved):
