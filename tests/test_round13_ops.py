@@ -316,3 +316,46 @@ def test_mutual_knn_components_equal_union_find(spark):
            for r in ann.mutual_knn_components(spark, SF, m=3).collect()}
     assert got == dict(want)
     assert sum(got.values()) == len(ids)  # singletons included
+
+
+# -------------------------------------------------------- CDC merge stream
+def test_cdc_upserts_merge_semantics(spark):
+    """Deleted ids absent; updated ids carry the reversed embedding;
+    untouched ids byte-equal the base; deletes win when an id matches
+    both predicates (vec_id ≡ 60 mod 143)."""
+    from vector_db_service_spark.streaming import pipeline as sp3
+
+    base = {r["vec_id"]: list(r["embedding"])
+            for r in load(spark, SF, "embeddings").collect()}
+    out = sp3.cdc_upserts_stream(spark, SF).collect()
+    got = {r["vec_id"]: r for r in out}
+
+    deleted = {i for i in base if i % 13 == 7}
+    updated = {i for i in base if i % 11 == 5 and i % 13 != 7}
+    assert deleted and updated  # the log is non-trivial at this sf
+    assert not (deleted & set(got))  # deletes (incl. overlap ids) gone
+    overlap = [i for i in base if i % 11 == 5 and i % 13 == 7]
+    assert overlap, "no delete-precedence id at this sf"
+    for i, r in got.items():
+        src = base[i][::-1] if i in updated else base[i]
+        want = [round(float(src[j]), 6) for j in range(4)]
+        assert [r[f"e{j}"] for j in range(4)] == pytest.approx(want)
+    assert set(got) == set(base) - deleted
+
+
+# ------------------------------------------------------------- keywords
+def test_tfidf_keywords_ranks_rare_terms_first(spark):
+    """A term unique to one doc must outrank corpus-wide terms within
+    that doc, and the per-doc top-k is total-ordered."""
+    from vector_db_service_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(i, "common words everywhere") for i in range(9)]
+        + [(9, "common words everywhere zyzzyva")],
+        "doc_id long, text string",
+    )
+    rows = textops.tfidf_keywords(docs, k=2).collect()
+    top = {(r["doc_id"], r["rnk"]): r["token"] for r in rows}
+    assert top[(9, 1)] == "zyzzyva"  # idf ln(10/1) beats ln(10/10)=0
+    for r in rows:
+        assert 1 <= r["rnk"] <= 2

@@ -2114,6 +2114,28 @@ FROM events GROUP BY event_type
 """,
 )
 register(
+    # streaming CDC merge ON THE STORE: per-micro-batch update/delete
+    # merge into the label-partitioned vector store (partition-scoped
+    # rewrites; deletes win on overlap) — the streaming form of
+    # s10_cdc_merge; exact oracle = the batch CASE/WHERE merge
+    "stream_cdc_upserts",
+    stream_ops.cdc_upserts_stream,
+    """
+WITH post AS (
+  SELECT vec_id, label,
+         CASE WHEN vec_id % 11 = 5 THEN list_reverse(embedding)
+              ELSE embedding END AS embedding
+  FROM embeddings WHERE vec_id % 13 != 7
+)
+SELECT vec_id, label,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS e0,
+       round(CAST(embedding[2] AS DOUBLE), 6) AS e1,
+       round(CAST(embedding[3] AS DOUBLE), 6) AS e2,
+       round(CAST(embedding[4] AS DOUBLE), 6) AS e3
+FROM post
+""",
+)
+register(
     # streaming QUERY WORKLOAD: micro-batched search requests
     # broadcast-joined against the static corpus, exact per-query top-k
     # per batch; stateless, so the appended union equals the batch
@@ -2134,6 +2156,13 @@ register(
     "stream_index_maintenance",
     stream_ops.index_maintenance_stream,
     oracles.index_maintenance_sql(_PLANES),
+)
+register(
+    # per-document TF-IDF keyword extraction (metadata enrichment):
+    # integer millinat idf, exact integer scores, total-ordered top-k
+    "text_tfidf_keywords",
+    lambda s, d: textops.tfidf_keywords(load(s, d, "documents"), k=5),
+    opl.tfidf_keywords_sql(k=5),
 )
 register(
     # bigram LM fluency: common words in an UNUSUAL ORDER score well
@@ -2696,7 +2725,8 @@ _PRIORITY_50 = [
     "pipeline_weighted_sample", "stream_index_maintenance",
     "ann_mutual_knn_pairs", "knn_range_search", "mm_phash_near_dups",
     "stream_knn_queries", "text_bigram_logprob",
-    "ann_mutual_knn_components",
+    "ann_mutual_knn_components", "text_tfidf_keywords",
+    "stream_cdc_upserts",
     # -- (b) changed this round: footer-dim migration touched grid
     # bounds (grid.py) and the store's lsh/grid rebuild paths
     # (store.py/lifecycle.py); the durable-center load validation
@@ -2720,7 +2750,7 @@ _PRIORITY_50 = [
     # -- (d) alphabetically-first r9 rows to fill 50 --
     "a2_chunk_stats", "a5_vector_stats", "a6_memory_stats",
     "a7_dim_minmax", "ann_band_skew_report", "ann_brute_force_topk",
-    "ann_ivf_topk", "ann_scalar_quantize", "dedup_exact_summary",
+    "ann_ivf_topk",
 ]
 
 

@@ -1361,3 +1361,49 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
         "n_bigrams",
         (us.cast("double") / F.lit(1e6)).alias("avg_logprob"),
     )
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document TF-IDF keyword extraction — the metadata-enrichment
+    pass a curation pipeline runs to tag every document with its top-k
+    characteristic terms (retrieval.bm25_scores ranks DOCUMENTS for a
+    fixed query; this ranks TERMS within each document). Exact integer
+    scoring: idf is quantized once to millinats (the unigram_logprob
+    discipline), the score is the integer tf * idf_mln, and the per-doc
+    top-k uses the total order (score desc, token asc) — no float
+    boundary anywhere, so the DuckDB oracle is value-hash exact.
+
+    Plan: one explode pass aggregated to (doc_id, tok, tf) map-side,
+    the document-frequency model folded FROM that table (one grouped
+    sum — the corpus text is read once), N as a broadcast scalar, then
+    a broadcast model join + per-doc window. Shuffles carry
+    |doc-term pairs| + |vocab| + |docs * k| rows."""
+    from pyspark.sql import Window
+
+    dc = (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    n_docs = docs.agg(F.count("*").cast("double").alias("n"))
+    idf = (
+        dc.groupBy("tok")
+        .agg(F.countDistinct("doc_id").cast("double").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            F.round(F.log(F.col("n") / F.col("df")) * 1000, 0)
+            .cast("long")
+            .alias("idf_mln"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_mln"), F.asc("tok")
+    )
+    return (
+        dc.join(idf, "tok")
+        .withColumn("score_mln", F.col("tf") * F.col("idf_mln"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "rnk", F.col("tok").alias("token"), "tf", "score_mln")
+    )

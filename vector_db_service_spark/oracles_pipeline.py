@@ -1407,3 +1407,26 @@ SELECT doc_id, n_bigrams,
          AS avg_logprob
 FROM per
 """
+
+
+def tfidf_keywords_sql(k: int = 5) -> str:
+    """Mirror of textops.tfidf_keywords: same millinat idf quantization,
+    integer tf * idf score, (score desc, token asc) total order."""
+    return f"""
+WITH g AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+dc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       FROM g GROUP BY doc_id, tok),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+idf AS (
+  SELECT tok,
+         CAST(round(ln(n_docs / CAST(count(DISTINCT doc_id) AS DOUBLE)) * 1000)
+              AS BIGINT) AS idf_mln
+  FROM dc, n GROUP BY tok, n_docs
+)
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id
+                          ORDER BY tf * idf_mln DESC, tok) AS rnk,
+       tok AS token, tf, tf * idf_mln AS score_mln
+FROM dc JOIN idf USING (tok)
+QUALIFY rnk <= {k}
+"""

@@ -795,3 +795,102 @@ def knn_query_stream(
         )
         q.awaitTermination()
     return spark.read.parquet(sink)
+
+
+# Deterministic CDC log for the streamed vector-store merge: DELETEs
+# take precedence over UPDATEs when a vec_id matches both predicates,
+# so the journal carries exactly one row per mutated id.
+_CDC_UPD_MOD, _CDC_UPD_REM = 11, 5
+_CDC_DEL_MOD, _CDC_DEL_REM = 13, 7
+
+
+def cdc_upserts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC merge ON THE STORE: a change log of vector updates
+    and deletes is applied per micro-batch to a label-partitioned copy
+    of the embeddings table — the streaming form of s10_cdc_merge, and
+    the reference's chunk update/delete endpoints
+    (routers/chunk_router.py:96,118 -> vector_service.py:318-348) as a
+    sustained feed instead of per-call mutations. Each batch journals
+    its mutations durably, then rewrites ONLY the labels it touched via
+    dynamic-partition overwrite with the merge post-state (base rows
+    minus journaled ids, plus journaled updates — last-writer semantics
+    are trivial here because the deterministic log carries one row per
+    id, deletes winning on overlap). Delta-style merge-on-storage
+    without a table format: at scale the log is the CDC feed and
+    per-batch I/O is partition-scoped.
+
+    Returns the final store content with the first four embedding
+    components rounded (the stream_embed_pending value-hash contract);
+    exact oracle = the batch CASE/WHERE merge over the same log
+    predicates."""
+    base = load(spark, sf_dir, "embeddings")
+    out_dir = tempfile.mkdtemp(prefix="vdbs_cdc_")
+    store = os.path.join(out_dir, "vector_store")
+    log_dir = os.path.join(out_dir, "cdc_log")
+    journal = os.path.join(out_dir, "journal")
+    ckpt = os.path.join(out_dir, "ckpt")
+
+    from ..operators.store import _dynamic_overwrite
+
+    # startup state: full label-partitioned copy (the store being fed)
+    base.select("vec_id", "label", "embedding").write.mode(
+        "overwrite"
+    ).partitionBy("label").parquet(store)
+
+    is_del = F.col("vec_id") % _CDC_DEL_MOD == _CDC_DEL_REM
+    is_upd = F.col("vec_id") % _CDC_UPD_MOD == _CDC_UPD_REM
+    log = base.filter(is_del | is_upd).select(
+        "vec_id",
+        "label",
+        F.when(is_del, F.lit("delete")).otherwise(F.lit("update")).alias("op"),
+        # reversed vector as the deterministic "re-embedding" (IEEE-exact
+        # permutation, so the oracle replays it with list_reverse)
+        F.when(is_del, F.lit(None)).otherwise(
+            F.reverse(F.col("embedding"))
+        ).alias("embedding"),
+    )
+    log.repartition(2).write.mode("overwrite").parquet(log_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(log_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log_dir)
+    )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(journal)
+        affected = [
+            r["label"] for r in batch.select("label").distinct().collect()
+        ]  # bounded by the library count
+        if not affected:
+            return
+        j = spark.read.parquet(journal)
+        keep = (
+            base.filter(F.col("label").isin(*affected))
+            .join(j.select("vec_id"), "vec_id", "left_anti")
+            .select("vec_id", "label", "embedding")
+        )
+        ups = j.filter(
+            (F.col("op") == "update") & F.col("label").isin(*affected)
+        ).select("vec_id", "label", "embedding")
+        _dynamic_overwrite(keep.unionByName(ups), store)
+
+    with _bounded_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.read.parquet(store)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("int").alias("label"),
+        *[
+            F.round(F.element_at("embedding", i + 1).cast("double"), 6).alias(
+                f"e{i}"
+            )
+            for i in range(4)
+        ],
+    )
