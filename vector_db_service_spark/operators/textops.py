@@ -1388,7 +1388,9 @@ def tfidf_keywords(docs: DataFrame, k: int = 5) -> DataFrame:
     n_docs = docs.agg(F.count("*").cast("double").alias("n"))
     idf = (
         dc.groupBy("tok")
-        .agg(F.countDistinct("doc_id").cast("double").alias("df"))
+        # dc is already unique per (doc_id, tok), so a plain count IS the
+        # document frequency — no distinct aggregation needed
+        .agg(F.count("*").cast("double").alias("df"))
         .crossJoin(F.broadcast(n_docs))
         .select(
             "tok",
