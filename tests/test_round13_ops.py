@@ -359,3 +359,47 @@ def test_tfidf_keywords_ranks_rare_terms_first(spark):
     assert top[(9, 1)] == "zyzzyva"  # idf ln(10/1) beats ln(10/10)=0
     for r in rows:
         assert 1 <= r["rnk"] <= 2
+
+
+# ------------------------------------------------------------ waveform
+def test_waveform_stats_known_signal(spark):
+    """A crafted text whose utf-8 bytes form a known PCM pattern must
+    produce hand-computable features; empty text is a silent buffer."""
+    import math
+
+    import numpy as np
+
+    from vector_db_service_spark.operators import multimodal as mm
+    from vector_db_service_spark.operators.multimodal import (
+        WAV_SAMPLES, _cycled_raster_bytes,
+    )
+
+    texts = [(0, "A"), (1, ""), (2, "stereo-ish pattern éé")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+
+    # reuse the operator's own synthesize+decode contract as the spec
+    def expect(text):
+        x = np.frombuffer(
+            _cycled_raster_bytes(text, WAV_SAMPLES * 2), dtype="<i2"
+        ).astype(np.int64)
+        neg = x < 0
+        return (
+            len(x),
+            round(math.sqrt(int((x * x).sum()) / len(x)), 6),
+            int((neg[1:] != neg[:-1]).sum()),
+            int(np.abs(x).max()),
+        )
+
+    sf_dir = None
+    # drive through a temp parquet so the sf_dir-shaped API applies
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="wavetest_")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    rows = {r["doc_id"]: r for r in mm.waveform_stats(spark, d).collect()}
+    for doc_id, text in texts:
+        n, rms, zc, peak = expect(text)
+        r = rows[doc_id]
+        assert (r["n_samples"], r["zero_crossings"], r["peak"]) == (n, zc, peak)
+        assert r["rms"] == pytest.approx(rms, abs=1e-6)
+    # silence: all-zero buffer
+    assert rows[1]["rms"] == 0.0 and rows[1]["peak"] == 0

@@ -1211,6 +1211,14 @@ register(
     lambda s, d: multimodal.phash_near_dups(s, d, max_hamming=3),
     multimodal.phash_near_dups_sql(max_hamming=3),
 )
+register(
+    # audio modality: synthesized 16-bit signed little-endian PCM,
+    # REAL numpy frombuffer decode, RMS / zero-crossings / peak —
+    # byte-level oracle like mm_decode
+    "mm_waveform_stats",
+    multimodal.waveform_stats,
+    multimodal.waveform_stats_sql(),
+)
 register("mm_blob_features", multimodal.blob_features, opl.blob_features_sql())
 register("mm_blob_resize", multimodal.blob_resize, multimodal.blob_resize_sql())
 register("mm_frame_stats", multimodal.frame_stats, opl.frame_stats_sql())
@@ -2726,7 +2734,7 @@ _PRIORITY_50 = [
     "ann_mutual_knn_pairs", "knn_range_search", "mm_phash_near_dups",
     "stream_knn_queries", "text_bigram_logprob",
     "ann_mutual_knn_components", "text_tfidf_keywords",
-    "stream_cdc_upserts",
+    "stream_cdc_upserts", "mm_waveform_stats",
     # -- (b) changed this round: footer-dim migration touched grid
     # bounds (grid.py) and the store's lsh/grid rebuild paths
     # (store.py/lifecycle.py); the durable-center load validation
@@ -2750,7 +2758,6 @@ _PRIORITY_50 = [
     # -- (d) alphabetically-first r9 rows to fill 50 --
     "a2_chunk_stats", "a5_vector_stats", "a6_memory_stats",
     "a7_dim_minmax", "ann_band_skew_report", "ann_brute_force_topk",
-    "ann_ivf_topk",
 ]
 
 

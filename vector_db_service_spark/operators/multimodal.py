@@ -1159,3 +1159,109 @@ SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
 FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.ph, b.ph)) <= {max_hamming}
 """
+
+
+# --- audio-modality plumbing (round 13) -------------------------------------
+
+WAV_SAMPLES = 256  # samples per synthesized PCM blob (512 payload bytes)
+
+
+def waveform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality counterpart of mm_decode: synthesize a 16-bit
+    little-endian signed-PCM payload (the cycled-utf8-bytes corpus
+    convention, so the DuckDB oracle can recompute every sample
+    byte-level), REALLY decode it (numpy '<i2' frombuffer — the actual
+    PCM wire format), and emit the standard waveform features a
+    training-data pipeline screens audio with: RMS energy,
+    zero-crossing count, and peak amplitude. Fused synthesize+decode in
+    ONE mapInPandas pass (the blob never crosses the Arrow boundary,
+    the mm_decode discipline). Integer features are exact; RMS is
+    sqrt(exact-integer sum / n) — IEEE division and correctly-rounded
+    sqrt are bit-identical across engines, and the 6-decimal rounding
+    happens JVM-side in F.round so both engines round HALF_UP."""
+    import numpy as np
+
+    from ..sources.tables import spread_for_compute
+
+    n_bytes = WAV_SAMPLES * 2
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("rms_raw", T.DoubleType()),
+            T.StructField("zero_crossings", T.LongType()),
+            T.StructField("peak", T.LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "n_samples", "rms_raw", "zero_crossings", "peak")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                blob = _cycled_raster_bytes(text, n_bytes)
+                x = np.frombuffer(blob, dtype="<i2").astype(np.int64)
+                s = int((x * x).sum())
+                neg = x < 0
+                rows["doc_id"].append(int(doc_id))
+                rows["n_samples"].append(len(x))
+                rows["rms_raw"].append(math.sqrt(s / len(x)))
+                rows["zero_crossings"].append(int((neg[1:] != neg[:-1]).sum()))
+                rows["peak"].append(int(np.abs(x).max()))
+            yield pd.DataFrame(rows)
+
+    docs = spread_for_compute(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return docs.mapInPandas(gen, schema).select(
+        "doc_id",
+        "n_samples",
+        F.round("rms_raw", 6).alias("rms"),
+        "zero_crossings",
+        "peak",
+    )
+
+
+def waveform_stats_sql() -> str:
+    """Byte-level mirror: sample i = signed little-endian int16 from
+    payload bytes (2i, 2i+1), payload byte j = utf-8 byte j mod n (zero
+    payload for empty text). Zero crossing at i iff sign(x_i) !=
+    sign(x_{i+1}) with sign = (x < 0)."""
+    n_bytes = WAV_SAMPLES * 2
+    return f"""
+WITH raw AS (SELECT doc_id, {utf8_bytes_sql()} AS bl FROM documents),
+base AS (SELECT doc_id, bl, len(bl) AS n FROM raw),
+smp AS (
+  SELECT doc_id, i,
+         CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS x
+  FROM (
+    SELECT doc_id, i,
+           (CASE WHEN n = 0 THEN 0 ELSE bl[CAST((2 * i) % n + 1 AS BIGINT)] END)
+           + 256 * (CASE WHEN n = 0 THEN 0
+                         ELSE bl[CAST((2 * i + 1) % n + 1 AS BIGINT)] END) AS v
+    FROM base, unnest(range(0, {WAV_SAMPLES})) AS t(i)
+  )
+),
+flagged AS (
+  SELECT doc_id, x,
+         CASE WHEN nx IS NOT NULL AND (x < 0) != (nx < 0)
+              THEN 1 ELSE 0 END AS zc
+  FROM (
+    SELECT doc_id, i, x,
+           lead(x) OVER (PARTITION BY doc_id ORDER BY i) AS nx
+    FROM smp
+  )
+),
+feat AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         sqrt(CAST(sum(x * x) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS rms_raw,
+         CAST(sum(zc) AS BIGINT) AS zero_crossings,
+         CAST(max(abs(x)) AS BIGINT) AS peak
+  FROM flagged GROUP BY doc_id
+)
+SELECT doc_id, n_samples, round(rms_raw, 6) AS rms, zero_crossings, peak
+FROM feat
+"""
