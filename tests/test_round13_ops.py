@@ -390,9 +390,9 @@ def test_waveform_stats_known_signal(spark):
             int(np.abs(x).max()),
         )
 
-    sf_dir = None
     # drive through a temp parquet so the sf_dir-shaped API applies
-    import tempfile, os
+    import tempfile
+
     d = tempfile.mkdtemp(prefix="wavetest_")
     docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
     rows = {r["doc_id"]: r for r in mm.waveform_stats(spark, d).collect()}
