@@ -1898,57 +1898,38 @@ def mutual_knn_pairs(
     )
 
 
-def mutual_knn_components(
-    spark: SparkSession,
-    sf_dir: str,
-    m: int = 3,
+def _min_contract_components(
+    edges: DataFrame,
+    iter_parts: int,
     max_rounds: int = 16,
-) -> DataFrame:
-    """Connected components over the MUTUAL k-NN graph — the cluster
-    view of reciprocal-neighbor dedup: a chain a↔b↔c of mutual
-    neighbors is one redundancy cluster even though (a, c) is not
-    itself a mutual pair, so pair-level pruning under-counts what
-    cluster-level pruning removes. Returns the (comp, n_vectors)
-    histogram over ALL vectors (a vector with no mutual neighbor is
-    its own singleton component), comp = the component's minimum
-    vec_id — the same canonical-label convention as
-    dedup.near_dup_components.
+    op_name: str = "min_contract_components",
+):
+    """Exact connected components over a SYMMETRIC (src, dst) edge
+    DataFrame by iterated closed-neighborhood-min contraction with a
+    per-round pointer-jumping flatten. Returns a (cnode, rep)
+    DataFrame mapping every node that has at least one edge to its
+    component's minimum node id, or None when the edge list is empty.
 
-    Algorithm: ITERATED closed-neighborhood-min contraction (the
-    pre-pass of dedup.near_dup_labels_fast, applied to fixed point).
-    m(n) = min over {n} ∪ neighbors(n) is component-preserving, and one
-    application merges every contracted node with at least one
-    neighbor, so the per-component node count at least HALVES each
-    round: exact components in <= log2(max component size) rounds
-    (mutual graphs here: diameters 18-35, 5-6 rounds measured — the
-    propagate+jump loop this replaces needed 20+ rounds on these
-    chain-shaped graphs). max_rounds=16 covers components of 65k
-    vectors; exhausting it raises loudly rather than under-merging.
-    Iteration state is one (node, comp) row per vector and the
-    contracted edge list only SHRINKS — nothing scales with pair
-    blow-up. The oracle replays plain min propagation unrolled 40
-    rounds (>= the measured diameters; this side is exact, so a deeper
-    future corpus fails loudly as a parity mismatch)."""
-    pairs = mutual_knn_pairs(spark, sf_dir, m=m).select(
-        F.col("vec_id_a").alias("src"), F.col("vec_id_b").alias("dst")
-    )
-    iter_parts = max(4, spark.sparkContext.defaultParallelism // 8)
-    edges = (
-        pairs.unionByName(
-            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .coalesce(iter_parts)
-        .localCheckpoint(eager=False)
-    )
-    # rep: node-with-edges -> current representative. Iteration state
-    # touches ONLY graph nodes (and the contracted edge list, which
-    # shrinks every round); the full vector set is joined exactly once,
-    # at the end — singletons never enter the loop.
+    Each round: (1) HOOK — every node points at the min of its closed
+    neighborhood (component-preserving); (2) FLATTEN — pointer-jump
+    that hooking forest to its roots (nrep := nrep[nrep], depth halves
+    per jump, so <= log2(depth) inner joins, change-detected); (3)
+    CONTRACT — rewrite the edge list onto the roots and drop
+    intra-root edges. Because the forest is flattened before
+    contraction, every surviving supernode absorbed at least one
+    neighbor, so the number of supernodes per component at least
+    HALVES per round — <= log2(max component size) outer rounds even
+    on a monotone-id chain, where un-flattened min-contraction
+    degenerates to one node per round (hook round r maps node k to
+    k-1, leaving the same chain one shorter; the r13 advisor's
+    counterexample, pinned by tests/test_round14_ops.py's 200-node
+    chain). Exhausting max_rounds raises loudly rather than
+    under-merging."""
     rep = None
     for _rnd in range(max_rounds):
         if edges.isEmpty():
             break
-        # component-preserving contraction over the CURRENT graph
+        # HOOK: component-preserving min over the closed neighborhood
         mmap = (
             edges.groupBy("src")
             .agg(F.min("dst").alias("min_nbr"))
@@ -1959,6 +1940,35 @@ def mutual_knn_components(
             .coalesce(iter_parts)
             .localCheckpoint(eager=False)
         )
+        # FLATTEN: pointer-jump the hooking forest to its roots. Every
+        # nrep value is itself a cnode (min_nbr is a dst, symmetric
+        # edges make every dst a src; roots map to themselves), so the
+        # lookup join is domain-closed — `moved` goes all-false exactly
+        # when the map is idempotent.
+        for _jump in range(max_rounds):
+            nxt = (
+                mmap.join(
+                    mmap.select(
+                        F.col("cnode").alias("j_node"),
+                        F.col("nrep").alias("j_rep"),
+                    ),
+                    mmap.nrep == F.col("j_node"),
+                    "left",
+                )
+                .select(
+                    "cnode",
+                    F.coalesce("j_rep", "nrep").alias("jumped"),
+                    (F.coalesce("j_rep", "nrep") != F.col("nrep")).alias(
+                        "moved"
+                    ),
+                )
+                .coalesce(iter_parts)
+                .localCheckpoint(eager=False)
+            )
+            done = nxt.filter(F.col("moved")).isEmpty()
+            mmap = nxt.select("cnode", F.col("jumped").alias("nrep"))
+            if done:
+                break
         if rep is None:
             rep = mmap.select("cnode", F.col("nrep").alias("rep"))
         else:
@@ -1987,10 +1997,58 @@ def mutual_knn_components(
     else:
         if not edges.isEmpty():
             raise ValueError(
-                "mutual_knn_components: contraction did not converge in "
+                f"{op_name}: contraction did not converge in "
                 f"{max_rounds} rounds — component larger than 2^{max_rounds} "
                 "vectors; raise max_rounds"
             )
+    return rep
+
+
+def mutual_knn_components(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = 3,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Connected components over the MUTUAL k-NN graph — the cluster
+    view of reciprocal-neighbor dedup: a chain a↔b↔c of mutual
+    neighbors is one redundancy cluster even though (a, c) is not
+    itself a mutual pair, so pair-level pruning under-counts what
+    cluster-level pruning removes. Returns the (comp, n_vectors)
+    histogram over ALL vectors (a vector with no mutual neighbor is
+    its own singleton component), comp = the component's minimum
+    vec_id — the same canonical-label convention as
+    dedup.near_dup_components.
+
+    Algorithm: iterated closed-neighborhood-min contraction with a
+    per-round pointer-jumping flatten (_min_contract_components) —
+    hook + flatten + contract gives <= log2(max component size) outer
+    rounds on EVERY graph shape, including the monotone-id chain where
+    plain min-contraction is linear (r13 advisor finding).
+    max_rounds=16 therefore genuinely covers components of 65k
+    vectors; exhausting it raises loudly rather than under-merging.
+    Iteration state is one (node, comp) row per graph node and the
+    contracted edge list only SHRINKS — nothing scales with pair
+    blow-up. The oracle replays plain min propagation unrolled 40
+    rounds (>= the measured diameters; this side is exact, so a deeper
+    future corpus fails loudly as a parity mismatch)."""
+    pairs = mutual_knn_pairs(spark, sf_dir, m=m).select(
+        F.col("vec_id_a").alias("src"), F.col("vec_id_b").alias("dst")
+    )
+    iter_parts = max(4, spark.sparkContext.defaultParallelism // 8)
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .coalesce(iter_parts)
+        .localCheckpoint(eager=False)
+    )
+    # rep: node-with-edges -> component min. Iteration state touches
+    # ONLY graph nodes; the full vector set is joined exactly once, at
+    # the end — singletons never enter the loop.
+    rep = _min_contract_components(
+        edges, iter_parts, max_rounds, op_name="mutual_knn_components"
+    )
     nodes = load(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("node")
     )
