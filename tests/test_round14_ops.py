@@ -95,3 +95,64 @@ def test_mutual_knn_components_unchanged_by_flatten(spark):
         for r in ann.mutual_knn_components(spark, SF, m=3).collect()
     }
     assert got == expect
+
+
+def test_index_maintenance_delta_compacted(spark, tmp_path):
+    # r13 verdict #4: mutation state must be a COMPACTED delta (one row
+    # per mutated id), not an append-only journal replayed per batch.
+    # Both micro-batches touch the same labels, so an append-journal
+    # design would leave duplicate state; the delta must hold exactly
+    # one row per distinct mutated vec_id.
+    from vector_db_service_spark.streaming import pipeline as sp
+
+    paths = sp.index_maintenance_init(spark, SF, out_dir=str(tmp_path))
+    sp.index_maintenance_run(spark, SF, paths)
+    muts = spark.read.parquet(paths["mut_src"])
+    delta = spark.read.parquet(paths["delta"])
+    n_ids = muts.select("vec_id").distinct().count()
+    assert delta.count() == n_ids
+    assert delta.select("vec_id").distinct().count() == n_ids
+    assert "seen" not in paths  # the journal is gone by design
+
+
+def test_stream_ops_leave_no_tmp_state(spark):
+    # r13 advisor: every invocation of the three streaming lifecycle
+    # ops leaked a mkdtemp tree (full corpus copies under bench
+    # median-of-3 reruns). Each op must clean its working dir after
+    # eagerly materializing its result.
+    import glob
+
+    from vector_db_service_spark.streaming import pipeline as sp
+
+    import tempfile
+
+    troot = tempfile.gettempdir()
+    patterns = ["vdbs_idx_maint_*", "vdbs_knn_stream_*", "vdbs_cdc_*"]
+    before = {p: set(glob.glob(os.path.join(troot, p))) for p in patterns}
+    assert sp.index_maintenance_stream(spark, SF).count() > 0
+    assert sp.knn_query_stream(spark, SF, query_ids=[0, 1], k=3).count() == 6
+    assert sp.cdc_upserts_stream(spark, SF).count() > 0
+    after = {p: set(glob.glob(os.path.join(troot, p))) for p in patterns}
+    leaked = {p: after[p] - before[p] for p in patterns if after[p] - before[p]}
+    assert not leaked, f"leaked temp dirs: {leaked}"
+
+
+def test_multi_query_topk_no_window_exchange(spark):
+    # r13 verdict #3: the multi-query search surfaces must not rank via
+    # a full-width window (which exchanges all n*q scored rows). The
+    # plan contract: no Window node anywhere; ranking happens as
+    # map-side partial top-k (Arrow pass) + a k-merge aggregation.
+    df = ann.brute_force_topk(spark, SF, query_ids=[0, 1, 2], k=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "MapInPandas" in plan
+    rows = df.collect()
+    # rnk is the contiguous 1-based position per query, k rows each
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        scores = [(-r.score, r.vec_id) for r in rs]
+        assert scores == sorted(scores)

@@ -27,6 +27,77 @@ from ..sources.tables import embedding_dim, load, row_count, spread_for_compute
 _KM_CENTERS_CACHE: dict[tuple, list] = {}
 
 
+def multi_query_topk(
+    scored: DataFrame, k: int, payload: tuple = ("label",)
+) -> DataFrame:
+    """Exact per-query top-k over a (query_id, vec_id, *payload, score)
+    frame with MAP-SIDE truncation — the scale-safe replacement for
+    `row_number().over(Window.partitionBy("query_id"))`, which
+    exchanges ALL n*q scored rows just to rank them (r13 verdict #3:
+    at 100 TB x thousands of in-flight queries that full-width window
+    shuffle is the bottleneck).
+
+    Shape: each input partition truncates to its LOCAL top-k per query
+    first — one vectorized Arrow pass (whole-partition sort +
+    group-head; no per-row Python; only the skinny scored columns
+    cross, never the embeddings) — so the single exchange carries
+    partitions*q*k rows into a tiny JVM k-merge
+    (sort_array(collect_list) over <= partitions*k entries per query).
+    A groupBy-collect_list "partial top-k" would NOT achieve this:
+    collect_list's partial aggregation buffers ship every row through
+    the exchange untruncated; truncation must happen before the
+    shuffle, which is exactly what the Arrow pass does.
+
+    Byte-identical to the window form: per-partition top-k always
+    contains the global top-k, and both sides rank by the same
+    (score desc, vec_id asc) total order — `ns = -score + 0.0`
+    normalizes -0.0 to +0.0 so struct-sort ties match Spark's
+    NormalizeFloatingNumbers treatment of signed zeros in window sort
+    keys. `rnk` is the 1-based dense position, identical to
+    row_number."""
+    cols = ["query_id", "vec_id", *payload, "score"]
+    skinny = scored.select(*cols)
+    schema = skinny.schema
+
+    def _partial(it):
+        import pandas as pd
+
+        parts = list(it)
+        if not parts:
+            return
+        pdf = (
+            pd.concat(parts, ignore_index=True)
+            if len(parts) > 1
+            else parts[0]
+        )
+        ns = -pdf["score"].to_numpy()
+        ns[ns == 0.0] = 0.0  # -0.0 -> +0.0, matching the JVM merge key
+        pdf = pdf.assign(_ns=ns).sort_values(
+            ["query_id", "_ns", "vec_id"], kind="stable", ignore_index=True
+        )
+        yield pdf.groupby("query_id", sort=False).head(k).drop(columns="_ns")
+
+    partial = skinny.mapInPandas(_partial, schema=schema)
+    entry = F.struct(
+        ((-F.col("score")) + F.lit(0.0)).alias("ns"),  # IEEE: -0.0+0.0=+0.0
+        F.col("vec_id").alias("vid"),
+        *[F.col(c).alias(c) for c in payload],
+        F.col("score").alias("s"),
+    )
+    merged = partial.groupBy("query_id").agg(
+        F.slice(F.sort_array(F.collect_list(entry)), 1, k).alias("top")
+    )
+    return merged.select(
+        "query_id", F.posexplode("top").alias("pos", "e")
+    ).select(
+        "query_id",
+        F.col("e.vid").alias("vec_id"),
+        *[F.col(f"e.{c}").alias(c) for c in payload],
+        F.col("e.s").alias("score"),
+        (F.col("pos") + 1).cast("int").alias("rnk"),
+    )
+
+
 def brute_force_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -34,7 +105,9 @@ def brute_force_topk(
     k: int = 5,
     metric: str = "cosine",
 ) -> DataFrame:
-    """Exact multi-query top-k: queries x corpus scored in one pass."""
+    """Exact multi-query top-k: queries x corpus scored in one pass;
+    per-query ranking via multi_query_topk's map-side partial top-k
+    (the former full-width window exchange was r13 verdict #3)."""
     query_ids = query_ids or [0, 1, 2, 3, 4]
     emb = load(spark, sf_dir, "embeddings")
     queries = (
@@ -45,12 +118,7 @@ def brute_force_topk(
         emb.join(F.broadcast(queries))
         .withColumn("score", F.round(sim.score(metric, F.col("embedding"), F.col("qv")), 6))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "vec_id", "label", "score", "rnk")
-    )
+    return multi_query_topk(scored, k)
 
 
 def centroids(emb: DataFrame) -> DataFrame:

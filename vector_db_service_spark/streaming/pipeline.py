@@ -635,9 +635,10 @@ def index_maintenance_init(
 
     out_dir = out_dir or tempfile.mkdtemp(prefix="vdbs_idx_maint_")
     paths = {
+        "root": out_dir,
         "idx": os.path.join(out_dir, "lsh_index"),
         "mut_src": os.path.join(out_dir, "mutation_log"),
-        "seen": os.path.join(out_dir, "mutations_seen"),
+        "delta": os.path.join(out_dir, "mutations_delta"),
         "ckpt": os.path.join(out_dir, "ckpt"),
     }
     planes = lsh_ops.hyperplanes(embedding_dim(sf_dir))
@@ -667,10 +668,12 @@ def index_maintenance_run(spark: SparkSession, sf_dir: str, paths: dict) -> None
     At scale: the mutation log is the append-only CDC feed (swap the file
     source for Kafka, nothing downstream changes); per-batch work is
     partition-scoped — an O(|affected libraries| / |libraries|) fraction
-    of the corpus — and the seen-set anti-join is the same
-    pending-set-as-id-set shape as embed_pending_stream (O10)."""
+    of the corpus — and the mutation state is a COMPACTED delta store,
+    not a growing journal (r13 verdict #4: the former design re-read
+    the full append-only journal every batch, O(all mutations ever)
+    per batch over a long-lived stream)."""
     from ..operators import lsh as lsh_ops
-    from ..operators.store import _dynamic_overwrite
+    from ..operators.store import _dynamic_overwrite, _fs_exists
 
     base = load(spark, sf_dir, "embeddings")
     planes = paths["planes"]
@@ -682,20 +685,38 @@ def index_maintenance_run(spark: SparkSession, sf_dir: str, paths: dict) -> None
     )
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        # durable mutation journal first: post-state below must reflect
-        # mutations seen so far, across batches and (at scale) restarts
-        batch.write.mode("append").parquet(paths["seen"])
         affected = [
             r["label"] for r in batch.select("label").distinct().collect()
         ]  # bounded by the library count, never by batch volume
         if not affected:
             return
-        seen = spark.read.parquet(paths["seen"])
+        # COMPACT the mutation state per batch: merge this batch into a
+        # label-partitioned post-state DELTA (one row per mutated id,
+        # the batch winning over prior state on id overlap). Per-batch
+        # reads are then O(batch + affected labels' DISTINCT mutated
+        # ids) — re-mutating a hot vector never grows the state, and a
+        # label's delta partition is only ever read when that label is
+        # affected again. Idempotent under foreachBatch replay after a
+        # restart: re-merging the same batch reproduces the same delta.
+        if _fs_exists(spark, paths["delta"]):
+            prev = spark.read.parquet(paths["delta"]).filter(
+                F.col("label").isin(*affected)
+            )
+            merged = prev.join(
+                batch.select("vec_id"), "vec_id", "left_anti"
+            ).unionByName(batch, allowMissingColumns=False)
+        else:
+            merged = batch
+        merged = merged.select("vec_id", "label", "embedding")
+        # materialize BEFORE the overwrite: the delta partitions being
+        # rewritten are also the read source of `prev`
+        merged = merged.localCheckpoint(eager=True)
+        _dynamic_overwrite(merged, paths["delta"])
         post = (
             base.filter(F.col("label").isin(*affected))
-            .join(seen.select("vec_id"), "vec_id", "left_anti")
+            .join(merged.select("vec_id"), "vec_id", "left_anti")
             .select("vec_id", "label", "embedding")
-            .unionByName(seen.filter(F.col("label").isin(*affected)))
+            .unionByName(merged)
         )
         # post carries ONLY affected labels -> dynamic overwrite rewrites
         # exactly those partitions
@@ -715,15 +736,26 @@ def index_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full lifecycle for the registry: startup build -> streamed
     mutation batches -> post-state index frame (vec_id, label, table_idx,
     bit). Exact oracle: the same signature bits over the batch post-state
-    embeddings (oracles.index_maintenance_sql)."""
+    embeddings (oracles.index_maintenance_sql).
+
+    The working directory (store, log, checkpoint) is removed before
+    returning (r13 advisor: every invocation leaked a mkdtemp tree, and
+    median-of-3 bench reruns accumulated gigabytes of /tmp state) — the
+    result is eagerly checkpointed first so the returned frame does not
+    depend on the deleted files."""
+    import shutil
+
     paths = index_maintenance_init(spark, sf_dir)
-    index_maintenance_run(spark, sf_dir, paths)
-    return spark.read.parquet(paths["idx"]).select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        F.col("label").cast("int").alias("label"),
-        F.col("table_idx").cast("int").alias("table_idx"),
-        F.col("bit").cast("int").alias("bit"),
-    )
+    try:
+        index_maintenance_run(spark, sf_dir, paths)
+        return spark.read.parquet(paths["idx"]).select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("label").cast("int").alias("label"),
+            F.col("table_idx").cast("int").alias("table_idx"),
+            F.col("bit").cast("int").alias("bit"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(paths["root"], ignore_errors=True)
 
 
 def knn_query_stream(
@@ -770,18 +802,18 @@ def knn_query_stream(
     )
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window
+        from ..operators.ann import multi_query_topk
 
         scored = emb.join(F.broadcast(batch)).withColumn(
             "score",
             F.round(sim.score(metric, F.col("embedding"), F.col("qv")), 6),
         )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("score"), F.asc("vec_id")
-        )
+        # map-side partial top-k (r13 verdict #3): the former
+        # row_number window exchanged ALL n*q scored rows per batch;
+        # multi_query_topk truncates per partition first, so the
+        # exchange carries partitions*q*k rows — byte-identical order
         (
-            scored.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= k)
+            multi_query_topk(scored, k)
             .select("query_id", "vec_id", "label", "score", "rnk")
             .write.mode("append").parquet(sink)
         )
@@ -794,7 +826,15 @@ def knn_query_stream(
             .start()
         )
         q.awaitTermination()
-    return spark.read.parquet(sink)
+    # eager checkpoint, then remove the request/sink/checkpoint tree
+    # (r13 advisor: leaked mkdtemp state across bench reruns)
+    import shutil
+
+    out = spark.read.parquet(sink).select(
+        "query_id", "vec_id", "label", "score", "rnk"
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
 
 
 # Deterministic CDC log for the streamed vector-store merge: DELETEs
@@ -810,14 +850,19 @@ def cdc_upserts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the embeddings table — the streaming form of s10_cdc_merge, and
     the reference's chunk update/delete endpoints
     (routers/chunk_router.py:96,118 -> vector_service.py:318-348) as a
-    sustained feed instead of per-call mutations. Each batch journals
-    its mutations durably, then rewrites ONLY the labels it touched via
-    dynamic-partition overwrite with the merge post-state (base rows
-    minus journaled ids, plus journaled updates — last-writer semantics
-    are trivial here because the deterministic log carries one row per
-    id, deletes winning on overlap). Delta-style merge-on-storage
-    without a table format: at scale the log is the CDC feed and
-    per-batch I/O is partition-scoped.
+    sustained feed instead of per-call mutations. Each batch rewrites
+    ONLY the labels it touched via dynamic-partition overwrite: current
+    store partitions minus the batch's ids, plus the batch's updates —
+    the store itself carries every earlier batch's merge, so there is
+    no journal to replay (r13 verdict #4: the former design re-read a
+    full append-only journal per batch, O(all mutations ever); merging
+    into the store makes per-batch cost O(batch + affected
+    partitions)). Last-writer semantics are trivial here because the
+    deterministic log carries one row per id, deletes winning on
+    overlap; the merge is idempotent under foreachBatch replay after a
+    restart (re-applying a batch to its own post-state is a no-op).
+    Delta-style merge-on-storage without a table format: at scale the
+    log is the CDC feed and per-batch I/O is partition-scoped.
 
     Returns the final store content with the first four embedding
     components rounded (the stream_embed_pending value-hash contract);
@@ -827,7 +872,6 @@ def cdc_upserts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="vdbs_cdc_")
     store = os.path.join(out_dir, "vector_store")
     log_dir = os.path.join(out_dir, "cdc_log")
-    journal = os.path.join(out_dir, "journal")
     ckpt = os.path.join(out_dir, "ckpt")
 
     from ..operators.store import _dynamic_overwrite
@@ -858,22 +902,26 @@ def cdc_upserts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        batch.write.mode("append").parquet(journal)
         affected = [
             r["label"] for r in batch.select("label").distinct().collect()
         ]  # bounded by the library count
         if not affected:
             return
-        j = spark.read.parquet(journal)
+        # merge INTO the store: the current partition content already
+        # reflects every earlier batch, so only THIS batch's mutations
+        # are applied — no journal, no replay
+        cur = spark.read.parquet(store).filter(F.col("label").isin(*affected))
         keep = (
-            base.filter(F.col("label").isin(*affected))
-            .join(j.select("vec_id"), "vec_id", "left_anti")
+            cur.join(batch.select("vec_id"), "vec_id", "left_anti")
             .select("vec_id", "label", "embedding")
         )
-        ups = j.filter(
-            (F.col("op") == "update") & F.col("label").isin(*affected)
-        ).select("vec_id", "label", "embedding")
-        _dynamic_overwrite(keep.unionByName(ups), store)
+        ups = batch.filter(F.col("op") == "update").select(
+            "vec_id", "label", "embedding"
+        )
+        # materialize before the overwrite: the partitions being
+        # rewritten are also the read source of `cur`
+        post = keep.unionByName(ups).localCheckpoint(eager=True)
+        _dynamic_overwrite(post, store)
 
     with _bounded_shuffle(spark):
         q = (
@@ -883,8 +931,7 @@ def cdc_upserts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    out = spark.read.parquet(store)
-    return out.select(
+    out = spark.read.parquet(store).select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("label").cast("int").alias("label"),
         *[
@@ -893,4 +940,11 @@ def cdc_upserts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for i in range(4)
         ],
-    )
+    ).localCheckpoint(eager=True)
+    # eager checkpoint above, then drop the store/log/checkpoint tree
+    # (r13 advisor: every invocation leaked a full label-partitioned
+    # corpus copy into /tmp)
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
