@@ -20,7 +20,11 @@ SF = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.001")
 # scale regardless of SPARK_GRAFT_SF_ORACLE (see mllib_index
 # .IVF_KMEANS_CENTERS_SF001; the pin itself is tested in
 # tests/test_mllib_oracles.py).
-_PINNED_SF = {"mllib_ivf_kmeans_topk": "/root/testdata/sf0.01"}
+_PINNED_SF = {
+    "mllib_ivf_kmeans_topk": "/root/testdata/sf0.01",
+    # same pinned-centers precondition (r14)
+    "stream_ivf_maintenance": "/root/testdata/sf0.01",
+}
 
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()

@@ -156,3 +156,94 @@ def test_multi_query_topk_no_window_exchange(spark):
         assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
         scores = [(-r.score, r.vec_id) for r in rs]
         assert scores == sorted(scores)
+
+
+def _dir_bytes(path):
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.startswith(("_", ".")):
+                continue  # _SUCCESS / CRC sidecars
+            p = os.path.join(root, f)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, path)] = fh.read()
+    return out
+
+
+def test_ivf_maintenance_untouched_lists_byte_identical(spark, tmp_path):
+    # r13 verdict #3: per-batch IVF maintenance must rewrite ONLY the
+    # list partitions the batch touches. Inject a two-row mutation feed;
+    # every list outside (old list union new list) of those ids must be
+    # byte-identical after the stream.
+    from pyspark.sql import functions as F
+
+    from vector_db_service_spark.sources.tables import load
+    from vector_db_service_spark.streaming import pipeline as sp
+
+    base = load(spark, SF, "embeddings")
+    muts = base.filter(F.col("vec_id").isin([3, 10])).select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    paths = sp.ivf_maintenance_init(spark, SF, out_dir=str(tmp_path),
+                                    mutations=muts)
+    idx0 = spark.read.parquet(paths["idx"])
+    old_lists = {r.list_id for r in idx0.filter(
+        F.col("vec_id").isin([3, 10])).select("list_id").collect()}
+    new_lists = {r.list_id for r in sp._ivf_assign(muts, paths["centers"])
+                 .select("list_id").collect()}
+    affected = old_lists | new_lists
+    untouched = [d for d in os.listdir(paths["idx"])
+                 if d.startswith("list_id=")
+                 and int(d.split("=")[1]) not in affected]
+    assert untouched, "test needs at least one untouched list"
+    before = {d: _dir_bytes(os.path.join(paths["idx"], d)) for d in untouched}
+    sp.ivf_maintenance_run(spark, SF, paths)
+    after = {d: _dir_bytes(os.path.join(paths["idx"], d)) for d in untouched}
+    assert before == after
+    # and the mutated ids actually moved/updated in the final index
+    fin = {r.vec_id: r.list_id for r in spark.read.parquet(paths["idx"])
+           .filter(F.col("vec_id").isin([3, 10])).collect()}
+    exp = {r.vec_id: r.list_id for r in sp._ivf_assign(muts, paths["centers"])
+           .collect()}
+    assert fin == exp
+
+
+def test_ivf_maintenance_refit_trigger(spark, tmp_path):
+    # drift monitor: a batch that floods one list past 3/2 of its
+    # baseline count must raise refit_due for that list (and the drift
+    # log must carry the row). The flood re-embeds many vectors to an
+    # existing vector's embedding, so they all land in its list.
+    from pyspark.sql import functions as F
+
+    from vector_db_service_spark.sources.tables import load
+    from vector_db_service_spark.streaming import pipeline as sp
+
+    base = load(spark, SF, "embeddings")
+    anchor = base.limit(1).collect()[0]
+    target_vec = list(anchor.embedding)
+    # every vector NOT already the anchor gets re-embedded onto it
+    muts = (
+        base.filter(F.col("vec_id") != anchor.vec_id)
+        .limit(200)
+        .select(
+            "vec_id", "label",
+            F.array(*[F.lit(float(x)).cast("float") for x in target_vec])
+            .alias("embedding"),
+        )
+    )
+    paths = sp.ivf_maintenance_init(spark, SF, out_dir=str(tmp_path),
+                                    mutations=muts)
+    target_list = sp._ivf_assign(
+        base.filter(F.col("vec_id") == anchor.vec_id), paths["centers"]
+    ).collect()[0].list_id
+    sp.ivf_maintenance_run(spark, SF, paths)
+    drift = spark.read.parquet(paths["drift"])
+    flagged = {r.list_id for r in drift.filter("refit_due").collect()}
+    assert target_list in flagged
+    base_n = {r.list_id: r.n for r in
+              spark.read.parquet(paths["base_stats"]).collect()}
+    final_n = {
+        r.list_id: r.n for r in sp._ivf_list_stats(
+            spark.read.parquet(paths["idx"])).collect()}
+    assert final_n[target_list] * 2 > base_n[target_list] * 3

@@ -348,3 +348,77 @@ SELECT a.vec_id, a.label, a.list_id,
 FROM asg a JOIN probed USING (list_id), qv q
 ORDER BY score_us DESC, a.vec_id LIMIT {k}
 """
+
+
+def ivf_maintenance_sql() -> str:
+    """DuckDB mirror of streaming.pipeline.ivf_maintenance_stream: the
+    per-list drift summary after the deterministic mutation feed has
+    been merged into the maintained IVF store.
+
+    PRECONDITION — sf0.01 corpus ONLY, same as ivf_kmeans_topk_sql: the
+    kmeans|| fit is not SQL-reproducible, so the pinned
+    IVF_KMEANS_CENTERS_SF001 stand in for the durable centers the
+    Spark side loads (store.load_km_centers). Both assignments replay
+    the exact argmin fold (_l2sq, lowest-cid tiebreak =
+    ann._list_id_expr); the quantization-error stat is the assigned
+    (minimum) squared L2 in integer micro-units, summed as BIGINT so
+    the aggregate is order-independent; refit_due reproduces the same
+    integer cross-multiplications as the Spark side
+    (count beyond 3/2 of baseline, or mean qerr beyond 5/4)."""
+    from .. import oracles_quant
+
+    vals = ",\n    ".join(
+        f"({i}, {_plane_lit_local(c)})"
+        for i, c in enumerate(IVF_KMEANS_CENTERS_SF001)
+    )
+    d2 = oracles_quant._l2sq("e.embedding", "b.c")
+
+    def asg(src: str, name: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT vec_id, CAST(cid AS INTEGER) AS list_id,
+         CAST(round(d2 * 1e6) AS BIGINT) AS qerr_us FROM (
+    SELECT e.vec_id, b.cid, {d2} AS d2,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2}, b.cid) AS rn
+    FROM {src} e CROSS JOIN ccb b
+  ) WHERE rn = 1
+)"""
+
+    # the deterministic mutation family of _index_maintenance_mutations:
+    # labels (1, 2), vec_id % 7 == 3, IEEE-exact negation
+    return f"""
+WITH ccb AS (
+  SELECT * FROM (VALUES
+    {vals}) AS t(cid, c)
+),
+post AS MATERIALIZED (
+  SELECT vec_id, label,
+         CASE WHEN label IN (1, 2) AND vec_id % 7 = 3
+              THEN list_transform(embedding, x -> -x)
+              ELSE embedding END AS embedding
+  FROM embeddings
+),
+{asg("embeddings", "basg")},
+{asg("post", "pasg")},
+bstat AS (
+  SELECT list_id, COUNT(*) AS n_base,
+         CAST(SUM(qerr_us) AS BIGINT) AS sum_qerr_base_us
+  FROM basg GROUP BY list_id
+),
+pstat AS (
+  SELECT list_id, COUNT(*) AS n_now,
+         CAST(SUM(qerr_us) AS BIGINT) AS sum_qerr_now_us
+  FROM pasg GROUP BY list_id
+)
+SELECT b.list_id, b.n_base, p.n_now, b.sum_qerr_base_us, p.sum_qerr_now_us,
+       ((p.n_now * 2 > b.n_base * 3) OR
+        (p.sum_qerr_now_us * b.n_base * 4 > b.sum_qerr_base_us * p.n_now * 5))
+       AS refit_due
+FROM bstat b JOIN pstat p USING (list_id)
+"""
+
+
+def _plane_lit_local(vec: list[float]) -> str:
+    from .. import oracles
+
+    return oracles._plane_lit(vec)

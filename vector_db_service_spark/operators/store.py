@@ -75,16 +75,17 @@ def index_root(sf_dir: str, root: str | None = None) -> str:
     return os.path.join(root or DEFAULT_ROOT, tag)
 
 
-def _dynamic_overwrite(df: DataFrame, path: str) -> None:
-    """Overwrite ONLY the label partitions present in `df`, keeping every
-    other library's directory untouched — the reference's one-library
-    rebuild with partition-scoped I/O."""
+def _dynamic_overwrite(df: DataFrame, path: str, col: str = "label") -> None:
+    """Overwrite ONLY the `col` partitions present in `df`, keeping every
+    other partition's directory untouched — the reference's one-library
+    rebuild with partition-scoped I/O (col="list_id" gives the same
+    contract for IVF list partitions)."""
     spark = df.sparkSession
     key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(key, "static")
     spark.conf.set(key, "dynamic")
     try:
-        df.write.mode("overwrite").partitionBy("label").parquet(path)
+        df.write.mode("overwrite").partitionBy(col).parquet(path)
     finally:
         spark.conf.set(key, prev)
 

@@ -948,3 +948,248 @@ def cdc_upserts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(out_dir, ignore_errors=True)
     return out
+
+
+# --- streaming IVF index maintenance (r13 verdict #3) -----------------------
+#
+# The LSH maintenance above rebuilds affected LIBRARY partitions; the
+# trained IVF index has a different lifecycle: the expensive artifact is
+# the FITTED coarse quantizer (store.py's durable kmeans centers), and a
+# CDC feed must NOT refit it per batch — new/changed vectors are assigned
+# to the EXISTING centers with one broadcast nearest-centroid projection,
+# only the touched list partitions are rewritten, and a DRIFT MONITOR
+# (per-list count + quantization-error deltas vs the fit-time baseline)
+# decides when the quantizer has aged enough to schedule a refit — the
+# reference's rebuild-on-mutation background task
+# (services/background_tasks.py:14-91) applied to a trained index.
+
+# refit triggers, as exact integer cross-multiplications (no float
+# thresholds to drift cross-engine): a list is refit-due when its count
+# grew beyond 3/2 of baseline, or its MEAN quantization error beyond 5/4
+_IVF_COUNT_NUM, _IVF_COUNT_DEN = 3, 2
+_IVF_QERR_NUM, _IVF_QERR_DEN = 5, 4
+
+
+def _ivf_assign(df: DataFrame, centers: list) -> DataFrame:
+    """Assignment projection against the EXISTING centers: list_id via
+    the shared argmin fold (ann._list_id_expr) plus the assigned
+    distance as integer micro-units (the repo's score_us convention —
+    BIGINT sums are order-independent, so drift stats hash exactly
+    cross-engine)."""
+    from ..operators.ann import _center_d2_sql, _list_id_expr
+
+    return df.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(
+            f"CAST(round(array_min({_center_d2_sql(centers)}) * 1e6) AS BIGINT)"
+        ).alias("qerr_us"),
+        _list_id_expr(centers).alias("list_id"),
+    )
+
+
+def _ivf_list_stats(idx: DataFrame) -> DataFrame:
+    return idx.groupBy(F.col("list_id").cast("int").alias("list_id")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("qerr_us").cast("long").alias("sum_qerr_us"),
+    )
+
+
+def ivf_maintenance_init(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+    n_lists: int = 7,
+    mutations: DataFrame | None = None,
+) -> dict:
+    """Bootstrap the maintained IVF store: assign the corpus to the
+    durable kmeans centers (ann.mllib_km_centers -> store.save/load_km_
+    centers — loaded, never refit here), write it list-partitioned,
+    snapshot the per-list baseline stats the drift monitor compares
+    against, and lay down the mutation log (two files -> two genuine
+    micro-batches). `mutations` lets tests inject crafted feeds (e.g. a
+    count blow-up on one list for the refit-trigger pin); the default
+    is the same deterministic re-embedding family the LSH maintenance
+    streams."""
+    from ..operators import ann
+    from ..operators.store import _dynamic_overwrite
+
+    cents = ann.mllib_km_centers(spark, sf_dir, n_lists)
+    out_dir = out_dir or tempfile.mkdtemp(prefix="vdbs_ivf_maint_")
+    paths = {
+        "root": out_dir,
+        "idx": os.path.join(out_dir, "ivf_index"),
+        "mut_src": os.path.join(out_dir, "mutation_log"),
+        "base_stats": os.path.join(out_dir, "baseline_stats"),
+        "drift": os.path.join(out_dir, "drift_log"),
+        "ckpt": os.path.join(out_dir, "ckpt"),
+        "centers": cents,
+    }
+    base = load(spark, sf_dir, "embeddings")
+    _dynamic_overwrite(_ivf_assign(base, cents), paths["idx"], col="list_id")
+    _ivf_list_stats(spark.read.parquet(paths["idx"])).write.mode(
+        "overwrite"
+    ).parquet(paths["base_stats"])
+    muts = (
+        mutations
+        if mutations is not None
+        else _index_maintenance_mutations(base)
+    )
+    muts.repartition(2).write.mode("overwrite").parquet(paths["mut_src"])
+    return paths
+
+
+def ivf_maintenance_run(spark: SparkSession, sf_dir: str, paths: dict) -> None:
+    """The maintenance stream: per micro-batch, (1) assign the batch to
+    the EXISTING centers — one broadcast projection, the quantizer is
+    never refit; (2) rewrite exactly the list partitions the batch
+    touches (old list of every mutated id, found by one skinny semi-join
+    against the index — at 100 TB that lookup is backed by a
+    vec_id->list sidecar or bloom filter, the scan here is its
+    single-file stand-in — plus the new assignments' lists); (3) append
+    per-affected-list drift rows (count + quantization error vs the
+    fit-time baseline, integer micro-unit arithmetic) whose refit_due
+    flag is the reference's schedule-a-rebuild signal
+    (background_tasks.py:14-91). Untouched list partitions are never
+    rewritten (byte-identity pinned in tests/test_round14_ops.py)."""
+    from ..operators.store import _dynamic_overwrite
+
+    cents = paths["centers"]
+    mut_schema = spark.read.parquet(paths["mut_src"]).schema
+    stream = (
+        spark.readStream.schema(mut_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(paths["mut_src"])
+    )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        new = _ivf_assign(batch, cents).localCheckpoint(eager=True)
+        ids = new.select("vec_id")
+        idx = spark.read.parquet(paths["idx"])
+        affected = sorted(
+            {
+                int(r["list_id"])
+                for r in idx.join(ids, "vec_id", "left_semi")
+                .select("list_id")
+                .distinct()
+                .collect()
+            }
+            | {
+                int(r["list_id"])
+                for r in new.select("list_id").distinct().collect()
+            }
+        )  # bounded by n_lists, never by batch volume
+        if not affected:
+            return
+        cols = ["vec_id", "label", "embedding", "qerr_us", "list_id"]
+        post = (
+            idx.filter(F.col("list_id").isin(affected))
+            .join(ids, "vec_id", "left_anti")
+            .select(*cols)
+            .unionByName(new.select(*cols))
+            # materialize before the overwrite: the partitions being
+            # rewritten are also the read source
+            .localCheckpoint(eager=True)
+        )
+        _dynamic_overwrite(post, paths["idx"], col="list_id")
+        # drift monitor over the lists this batch touched
+        now = _ivf_list_stats(
+            spark.read.parquet(paths["idx"]).filter(
+                F.col("list_id").isin(affected)
+            )
+        )
+        base_stats = spark.read.parquet(paths["base_stats"]).select(
+            "list_id",
+            F.col("n").alias("n_base"),
+            F.col("sum_qerr_us").alias("sum_qerr_base_us"),
+        )
+        drift = (
+            now.join(base_stats, "list_id")
+            .select(
+                F.lit(int(batch_id)).cast("long").alias("batch_id"),
+                "list_id",
+                "n_base",
+                F.col("n").alias("n_now"),
+                "sum_qerr_base_us",
+                F.col("sum_qerr_us").alias("sum_qerr_now_us"),
+                (
+                    (
+                        F.col("n") * _IVF_COUNT_DEN
+                        > F.col("n_base") * _IVF_COUNT_NUM
+                    )
+                    | (
+                        F.col("sum_qerr_us")
+                        * F.col("n_base")
+                        * _IVF_QERR_DEN
+                        > F.col("sum_qerr_base_us")
+                        * F.col("n")
+                        * _IVF_QERR_NUM
+                    )
+                ).alias("refit_due"),
+            )
+        )
+        drift.write.mode("append").parquet(paths["drift"])
+
+    with _bounded_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", paths["ckpt"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+def ivf_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full lifecycle for the registry: load durable centers -> bootstrap
+    the list-partitioned store -> stream the mutation batches (assign to
+    existing centers, partition-scoped rewrites, drift rows) -> final
+    per-list drift summary (baseline vs post-state counts +
+    quantization-error micro-unit sums + the integer-exact refit_due
+    flag). Exact oracle: mllib_index.ivf_maintenance_sql replays the
+    pinned sf0.01 centers, both assignments, and the same integer
+    cross-multiplications (sf0.01-only precondition, same as
+    mllib_ivf_kmeans_topk). Working tree removed before returning."""
+    import shutil
+
+    paths = ivf_maintenance_init(spark, sf_dir)
+    try:
+        ivf_maintenance_run(spark, sf_dir, paths)
+        final = _ivf_list_stats(spark.read.parquet(paths["idx"])).select(
+            "list_id",
+            F.col("n").alias("n_now"),
+            F.col("sum_qerr_us").alias("sum_qerr_now_us"),
+        )
+        base_stats = spark.read.parquet(paths["base_stats"]).select(
+            "list_id",
+            F.col("n").alias("n_base"),
+            F.col("sum_qerr_us").alias("sum_qerr_base_us"),
+        )
+        return (
+            base_stats.join(final, "list_id")
+            .select(
+                F.col("list_id").cast("int").alias("list_id"),
+                "n_base",
+                "n_now",
+                "sum_qerr_base_us",
+                "sum_qerr_now_us",
+                (
+                    (
+                        F.col("n_now") * _IVF_COUNT_DEN
+                        > F.col("n_base") * _IVF_COUNT_NUM
+                    )
+                    | (
+                        F.col("sum_qerr_now_us")
+                        * F.col("n_base")
+                        * _IVF_QERR_DEN
+                        > F.col("sum_qerr_base_us")
+                        * F.col("n_now")
+                        * _IVF_QERR_NUM
+                    )
+                ).alias("refit_due"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(paths["root"], ignore_errors=True)
