@@ -2742,37 +2742,37 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # green under tests/test_oracle_parity.py, which runs the identical
 # compare over ALL registered oracles.
 _PRIORITY_50 = [
-    # -- (a) never driver-sampled: the ONLY query with zero driver-green
-    # rows (added in the final r12 snapshot commit; r12 verdict #1) plus
-    # the operators NEW this round --
-    "pipeline_weighted_sample", "stream_index_maintenance",
-    "ann_mutual_knn_pairs", "knn_range_search", "mm_phash_near_dups",
-    "stream_knn_queries", "text_bigram_logprob",
-    "ann_mutual_knn_components", "text_tfidf_keywords",
-    "stream_cdc_upserts", "mm_waveform_stats",
-    # -- (b) changed this round: footer-dim migration touched grid
-    # bounds (grid.py) and the store's lsh/grid rebuild paths
-    # (store.py/lifecycle.py); the durable-center load validation
-    # changed for the mllib quantizer --
-    "mllib_ivf_kmeans_topk", "knn_grid_euclidean", "grid_cells",
-    "grid_cell_stats", "grid_stats_by_library", "knn_dispatch_grid",
-    "i11_stored_grid_probe", "i11_index_lifecycle",
-    "i11_stored_index_probe",
-    # -- (c) the r8 cohort: every query last driver-green in round 8
+    # -- (a) never driver-sampled: the operator NEW this round --
+    "stream_ivf_maintenance",
+    # -- (b) changed this round (r14): the map-side partial top-k
+    # rewrite (multi_query_topk), the streaming journal compaction +
+    # temp-dir hygiene, and the mutual-knn pointer-jump contraction —
+    # all r13-green but their code paths changed materially --
+    "ann_brute_force_topk", "stream_knn_queries", "stream_cdc_upserts",
+    "stream_index_maintenance", "ann_mutual_knn_pairs",
+    "ann_mutual_knn_components",
+    # -- (c) the r9 cohort: every query last driver-green in round 9
     # (at the 5-round staleness ceiling this round) --
-    "knn_flat_cosine_library", "mm_decode", "obs_index_advisor",
-    "p3_json_filter", "pipeline_contrastive_pairs",
-    "pipeline_dataset_manifest", "pipeline_quality_resample",
-    "pipeline_train_val_split", "rel_events_hourly", "sketch_hll_merge",
-    "sketch_quantile_histogram", "stream_dataset_manifest",
-    "stream_decontamination", "stream_quality_resample",
-    "stream_quantile_histogram", "text_blocklist_filter",
-    "text_bpe_merge_pairs", "text_dsir_importance", "text_gopher_filter",
-    "text_heaps_curve", "text_mixture_weights", "text_repetition_scores",
-    "text_unigram_logprob", "text_zipf_audit",
-    # -- (d) alphabetically-first r9 rows to fill 50 --
-    "a2_chunk_stats", "a5_vector_stats", "a6_memory_stats",
-    "a7_dim_minmax", "ann_band_skew_report", "ann_brute_force_topk",
+    "ann_ivf_topk", "ann_scalar_quantize", "dedup_exact_summary",
+    "dedup_ngram_jaccard_topk", "dedup_simhash_pairs", "j2_semi_join",
+    "j3_orphan_anti_join", "knn_dispatch_flat", "knn_dist_euclidean",
+    "knn_dist_manhattan", "knn_flat_cosine", "knn_flat_dot_product",
+    "knn_flat_euclidean", "knn_flat_manhattan", "knn_safe_flat",
+    "knn_search_hydrated", "mllib_minhash_jaccard_join",
+    "p4_exists_probe", "rel_docs_top_by_length",
+    "rel_order_priority_rollup", "rel_revenue_by_nation",
+    "rel_sessionize_events", "rel_status_pivot", "rel_top_customers",
+    "s13_partial_update", "stream_embed_pending",
+    "stream_stateful_user_totals",
+    # -- (d) r10 rows to fill 50: the two r13 bench_compare flags first
+    # (fresh driver rows for the adjudication), then alphabetical --
+    "dedup_components", "stream_click_purchase_join",
+    "a1_count_by_library", "a9_two_level_agg", "dedup_containment_pairs",
+    "dedup_keep_canonical", "dedup_minhash_pairs",
+    "dedup_minhash_recall_vs_exact", "emb_norm_outliers",
+    "emb_spectrum_audit", "ingest_chunks_embedded", "kernel_pairwise",
+    "mllib_brp_approx_knn", "mllib_brp_bucket_index", "mm_blob_features",
+    "mm_blob_resize",
 ]
 
 
