@@ -237,6 +237,7 @@ def main() -> None:
     # shared with scripts/scale_probe.py — both harnesses must apply the
     # same isolation/attribution discipline or their numbers diverge
     from vector_db_service_spark.benchutil import cpu_snap as _cpu_snap
+    from vector_db_service_spark.benchutil import proc_tree_cpu as _proc_cpu
     from vector_db_service_spark.benchutil import release_checkpoints
 
     def _release_checkpoints() -> None:
@@ -244,11 +245,18 @@ def main() -> None:
 
     cpu_busy: dict[str, float] = {}
     cpu_steal: dict[str, float] = {}
+    # per-PROCESS-TREE cpu (python + JVM + workers): the host-wide
+    # busy counter above is contaminable by co-tenant work (r13:
+    # driver read dedup_components at 39 host-busy cpu-s with 8.7 s
+    # steal where the builder read 16.9 at the same HEAD) — this
+    # counter only moves when OUR processes burn cpu
+    cpu_proc: dict[str, float] = {}
 
     def _time_one(name: str, fn, record_error: bool = True) -> float | None:
         """One fully-materialized timed execution; None on error."""
         _release_checkpoints()
         b0, s0 = _cpu_snap()
+        p0 = _proc_cpu()
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
@@ -267,10 +275,12 @@ def main() -> None:
             return None
         wall = round(time.perf_counter() - t0, 4)
         b1, s1 = _cpu_snap()
+        p1 = _proc_cpu()
         # last run wins: for re-run queries the stored pair describes one
         # representative execution, which is all attribution needs
         cpu_busy[name] = round(b1 - b0, 2)
         cpu_steal[name] = round(s1 - s0, 2)
+        cpu_proc[name] = round(p1 - p0, 2)
         return wall
 
     # pinned calibration probe: a fixed 1-row aggregate whose plan never
@@ -286,6 +296,7 @@ def main() -> None:
     # the same normalization wall times already get
     calibration_busy: list[float] = []
     calibration_steal: list[float] = []
+    calibration_proc: list[float] = []  # process-tree cpu, uncontaminable
 
     def _calibrate(record_busy: bool = False) -> float:
         from pyspark.sql import functions as F
@@ -296,6 +307,7 @@ def main() -> None:
         # them would show "host drift" manufactured by the sweep itself
         _release_checkpoints()
         b0, s0 = _cpu_snap()
+        p0 = _proc_cpu()
         t0 = time.perf_counter()
         _cal_df.groupBy("l_returnflag").agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
@@ -306,6 +318,7 @@ def main() -> None:
             b1, s1 = _cpu_snap()
             calibration_busy.append(round(b1 - b0, 2))
             calibration_steal.append(round(s1 - s0, 2))
+            calibration_proc.append(round(_proc_cpu() - p0, 2))
         return wall
 
     # Sweep-start HOT WINDOW (r12 verdict #5): calibration t0 ran 1.5-2.2x
@@ -351,7 +364,23 @@ def main() -> None:
     cache_before: dict[str, list[dict]] = {}
     durable_before: dict[str, set] = {}
     durable_created: dict[str, set] = {}
-    for name, fn in sorted(entrypoints.QUERIES.items()):
+    # sweep position in calibration-SEGMENT units (0 = start probe,
+    # 1 = mid probe, 2 = end probe) so compares can normalize each
+    # query by the host speed AT ITS POSITION instead of one global
+    # factor — the r13 triple rose 0.17->0.33 across the sweep with
+    # late-concentrated steal, and a single factor over-corrected
+    # early queries / under-corrected late ones (r13 verdict #7)
+    # FIVE calibration points from r14 on (start / mid-single /
+    # post-single / mid-rerun / end): interpolating a 3-point series
+    # lets one start reading anchor half the sweep; with five, each
+    # point anchors a quarter and interior points are bracketed by
+    # queries on both sides. Positions are in segment units [0, 4].
+    sweep_pos: dict[str, float] = {}
+    _n_single = max(1, len(entrypoints.QUERIES))
+    for _qi, (name, fn) in enumerate(sorted(entrypoints.QUERIES.items())):
+        if _qi == _n_single // 2:
+            calibration.append(_calibrate(record_busy=True))  # mid-single
+        sweep_pos[name] = round(2.0 * (_qi + 0.5) / _n_single, 4)
         cache_before[name] = [dict(c) for c in _memo_caches]
         durable_before[name] = durable_km_center_dirs(sf_dir)
         t = _time_one(name, fn)
@@ -379,11 +408,13 @@ def main() -> None:
     # regression claim can be checked against the run-to-run variance.
     # WATCH-LIST OVERRIDE (round-10 review #1/#3): queries under an
     # explicit perf target whose 3-run spread still straddles the
-    # target get FIVE runs. Current targets (round 12): the recall
-    # sweep's <2.5 s wall median, and the allpairs target RE-SPECIFIED
-    # in host-certifiable units — <=20 cpu-busy-seconds at sf0.1 (its
-    # cpu_busy_sec row), with <4 s wall as the quiet-host expectation
-    # (the calibration triple tells you which regime a sample ran in).
+    # target get FIVE runs. Current targets (round 14, both on the
+    # host-certifiable footing of COVERAGE.md RE-BASELINE 1/3):
+    # allpairs <=20 cpu-busy-seconds at sf0.1 with <4 s wall as the
+    # quiet-host expectation; recall sweep <=40 cpu-busy-seconds with
+    # <2.5 s wall as the quiet-host expectation (the calibration
+    # triple tells you which regime a sample ran in; cpu_proc_sec
+    # proves the busy window uncontaminated).
     n_rerun = int(os.environ.get("SPARK_GRAFT_BENCH_RERUNS_TOP", "10"))
     # reruns disabled entirely (RERUNS_TOP=0) disables the watch list
     # too — a single-shot sweep must stay single-shot
@@ -425,8 +456,34 @@ def main() -> None:
                 # median, not mean: pre-r13 triples carry a hot t0 the
                 # warm-until-stable loop has since removed — a mean ratio
                 # would misread that as a faster host (see bench_compare)
-                _med = lambda v: sorted(v)[len(v) // 2]  # noqa: E731
-                _host = _med(calibration) / _med(_cal_prev)
+                import statistics as _stats
+
+                _host = _stats.median(calibration) / _stats.median(_cal_prev)
+            # POSITIONAL factor (r13 verdict #7): normalize each query
+            # by the calibration interpolated at its own sweep position
+            # on BOTH sides; falls back to the global median ratio when
+            # either side lacks a position
+            from vector_db_service_spark.benchutil import (
+                cal_at as _cal_at,
+                interp_series as _interp_series,
+                sweep_positions as _sweep_positions,
+            )
+
+            _pos_prev = _sweep_positions(_prev)
+            _cal_prev_i = _interp_series(_prev)  # t0 cleaned pre-r14
+
+            def _host_for(_n: str) -> float:
+                if (
+                    _n in sweep_pos
+                    and _n in _pos_prev
+                    and len(calibration) >= 2
+                    and len(_cal_prev_i) >= 2
+                ):
+                    return _cal_at(calibration, sweep_pos[_n]) / _cal_at(
+                        _cal_prev_i, _pos_prev[_n]
+                    )
+                return _host
+
             _prev_floor = dict(_prev.get("spread", {}))
             for _n, _rs in (_prev.get("runs") or {}).items():
                 if len(_rs) >= 3:
@@ -435,7 +492,7 @@ def main() -> None:
             for _n, _t in timings.items():
                 if _n in rerun_set or _n not in _prev.get("queries", {}):
                     continue
-                _delta = abs(_t / _host - _prev["queries"][_n])
+                _delta = abs(_t / _host_for(_n) - _prev["queries"][_n])
                 _floor = max(_prev_floor.get(_n, 0.0), 0.3)
                 if _delta > _floor:
                     _flagged.append((_delta - _floor, _n))
@@ -459,7 +516,13 @@ def main() -> None:
     spread: dict[str, float] = {}
     import shutil as _shutil
 
-    for name in rerun_set:
+    _n_rerun_total = max(1, len(rerun_set))
+    for _rj, name in enumerate(rerun_set):
+        if _rj == _n_rerun_total // 2 and _rj > 0:
+            calibration.append(_calibrate(record_busy=True))  # mid-rerun
+        # the reported median comes from the re-run phase, so the
+        # query's effective position moves to the re-run segments
+        sweep_pos[name] = round(2.0 + 2.0 * (_rj + 0.5) / _n_rerun_total, 4)
         for _ in range(extra_reruns.get(name, 2)):
             saved = [dict(c) for c in _memo_caches]
             for c, before in zip(_memo_caches, cache_before[name]):
@@ -510,8 +573,11 @@ def main() -> None:
         "calibration": calibration,
         "calibration_busy": calibration_busy,
         "calibration_steal": calibration_steal,
+        "calibration_proc": calibration_proc,
         "cpu_busy_sec": cpu_busy,
         "cpu_steal_sec": cpu_steal,
+        "cpu_proc_sec": cpu_proc,
+        "sweep_pos": sweep_pos,
         "sf": sf,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -534,6 +600,7 @@ def main() -> None:
         "calibration": calibration,
         "calibration_busy": calibration_busy,
         "cpu_busy_total_sec": round(sum(cpu_busy.values()), 1),
+        "cpu_proc_total_sec": round(sum(cpu_proc.values()), 1),
         "cpu_steal_total_sec": round(sum(cpu_steal.values()), 1),
         "sf": sf,
     }))

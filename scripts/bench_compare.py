@@ -29,7 +29,19 @@ Exit code 0 always — this is a reading aid, not a gate.
 from __future__ import annotations
 
 import json
+import os
+import statistics
 import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from vector_db_service_spark.benchutil import (  # noqa: E402
+    cal_at,
+    interp_series,
+    sweep_positions,
+)
 
 
 def main() -> None:
@@ -48,9 +60,32 @@ def main() -> None:
         # that post-r13 triples don't — a mean-vs-mean ratio would read
         # that removed warmup artifact as a ~2x "faster host" and inflate
         # every normalized new wall by the same factor. The median is
-        # robust to the single hot reading on either side.
-        med = lambda v: sorted(v)[len(v) // 2]  # noqa: E731
-        host = med(cal_n) / med(cal_o)
+        # robust to the single hot reading on either side (and is a TRUE
+        # median — the upper-middle pick biased even-length lists from
+        # crashed sweeps toward the slower reading, r13 advisor #3).
+        host = statistics.median(cal_n) / statistics.median(cal_o)
+    # POSITIONAL factors (r13 verdict #7): the calibration triple is a
+    # time series over the sweep (start / after-single-shots / end), and
+    # r13's triple rose 0.17->0.33 with its 22.8 s of steal concentrated
+    # late — one whole-sweep factor over-corrects early queries and
+    # under-corrects late ones, exactly where two of the three r13 flags
+    # sat. Interpolate each side's triple at the query's own sweep
+    # position (recorded since r14; reconstructed deterministically for
+    # older files) and normalize per query.
+    # t0 of pre-r14 triples is a single unbracketed start reading with
+    # shifting semantics — interp_series replaces it with t1 before
+    # interpolation (raw triples turned the r12->r13 compare into 104
+    # flags, nearly all t0-extrapolation artifacts).
+    pos_o = sweep_positions(old)
+    pos_n = sweep_positions(new)
+    ical_o = interp_series(old)
+    ical_n = interp_series(new)
+
+    def host_for(name: str) -> float:
+        if (name in pos_o and name in pos_n
+                and len(ical_o) >= 2 and len(ical_n) >= 2):
+            return cal_at(ical_n, pos_n[name]) / cal_at(ical_o, pos_o[name])
+        return host
     steal_o = round(sum(old.get("cpu_steal_sec", {}).values()), 1)
     steal_n = round(sum(new.get("cpu_steal_sec", {}).values()), 1)
     print(f"host factor (new/old calibration): {host:.3f}  "
@@ -71,7 +106,7 @@ def main() -> None:
           f"host-normalized new: {total_n / host:.1f}s")
     rows = []
     for name in sorted(set(qo) & set(qn)):
-        adj = qn[name] / host
+        adj = qn[name] / host_for(name)
         delta = adj - qo[name]
         floor = max(so.get(name, 0.0), sn.get(name, 0.0), 0.3)
         if abs(delta) > floor:

@@ -70,6 +70,13 @@ PROBES = [
     # structure like the text dedup family)
     "ann_mutual_knn_components",
     "mm_phash_near_dups",
+    # round-14 (r13 verdict #8): the pairs op itself — the banded knn
+    # join + reciprocal semi-join WITHOUT the contraction loop, so the
+    # two costs are separable in the probe
+    "ann_mutual_knn_pairs",
+    # round-14: the maintained-IVF lifecycle (startup assign + two
+    # partition-scoped merge batches) at 10x corpus volume
+    "stream_ivf_maintenance",
 ]
 # lineitem-backed queries only have real data at the source SFs; the
 # synthetic corpus scales documents/embeddings/events 10x and reuses

@@ -114,3 +114,127 @@ def cpu_snap() -> tuple[float, float]:
         return (v[0] + v[1] + v[2]) / hz, (v[7] if len(v) > 7 else 0) / hz
     except Exception:
         return 0.0, 0.0
+
+
+def cal_at(cal: list, pos: float) -> float:
+    """Piecewise-linear interpolation of the calibration probe series.
+
+    `pos` is in calibration-SEGMENT units: 0.0 = the sweep-start probe,
+    1.0 = the mid-sweep probe (after the single shots), 2.0 = the
+    end-of-sweep probe (after the re-runs). Round-13 evidence showed a
+    single whole-sweep factor mis-normalizes position-dependent drift
+    (the r13 triple rose 0.17->0.33 across the sweep and the 22.8 s of
+    steal was late-concentrated), so per-query normalization
+    interpolates the triple at the query's own position instead
+    (r13 verdict #7)."""
+    if not cal:
+        return 1.0
+    pts = [float(c) for c in cal]
+    if len(pts) == 1:
+        return pts[0]
+    p = min(max(float(pos), 0.0), float(len(pts) - 1))
+    i = min(int(p), len(pts) - 2)
+    frac = p - i
+    return pts[i] + frac * (pts[i + 1] - pts[i])
+
+
+def sweep_positions(detail: dict) -> dict:
+    """Per-query sweep position (calibration-segment units) for a
+    BENCH_DETAIL dict. Round-14+ files record it directly under
+    `sweep_pos`; for older files it is reconstructed from what the
+    sweep deterministically did: single shots ran in sorted(name)
+    order between cal[0] and cal[1] (pos = (rank+0.5)/N), and any
+    query with >1 entry in `runs` took its reported median from the
+    re-run phase between cal[1] and cal[2], re-run in descending
+    single-shot-time order (the top-k selection), so
+    pos = 1 + (rank+0.5)/M. The reconstruction approximates the
+    escalation/watch-list additions' exact ordering but stays within
+    the correct calibration segment, which is what bounds the error."""
+    if isinstance(detail.get("sweep_pos"), dict) and detail["sweep_pos"]:
+        return {k: float(v) for k, v in detail["sweep_pos"].items()}
+    queries = detail.get("queries") or {}
+    names = sorted(queries)
+    n = max(1, len(names))
+    pos = {name: (i + 0.5) / n for i, name in enumerate(names)}
+    runs = detail.get("runs") or {}
+    rerun = [name for name in names if len(runs.get(name) or []) > 1]
+    # re-run order: descending first-run wall, the top-k rerun rule
+    rerun.sort(key=lambda name: -(runs[name][0]))
+    m = max(1, len(rerun))
+    for j, name in enumerate(rerun):
+        pos[name] = 1.0 + (j + 0.5) / m
+    return pos
+
+
+def interp_series(detail: dict) -> list:
+    """Calibration series safe for POSITIONAL interpolation.
+
+    Files that predate recorded `sweep_pos` (pre-round-14) carry a
+    3-point triple whose t0 is a single start reading with shifting
+    semantics (JIT-hot before r13's warm-until-stable loop; one
+    unbracketed quiet-host sample after) — linearly extrapolating that
+    one point over the entire first half of the sweep amplifies its
+    noise into every early query (a dry-run of the r12->r13 compare
+    with raw triples flagged 104 queries; the cleaned series flags
+    single digits). Replace t0 with t1 for such files; interior points
+    are bracketed by queries on both sides and stay. Round-14+ sweeps
+    record five points (start / mid-single / post-single / mid-rerun /
+    end) plus exact positions, so each point only anchors a
+    quarter-sweep and the raw series is used as-is."""
+    cal = [float(c) for c in (detail.get("calibration") or [])]
+    has_pos = isinstance(detail.get("sweep_pos"), dict) and detail["sweep_pos"]
+    if cal and len(cal) >= 2 and not has_pos:
+        cal = [cal[1]] + cal[1:]
+    return cal
+
+
+def proc_tree_cpu() -> float:
+    """CPU seconds (utime+stime) consumed by THIS process and every
+    live descendant — the python driver plus the py4j-launched JVM and
+    any Arrow/pandas workers. cpu_snap() reads the HOST-WIDE
+    /proc/stat counter, which any co-tenant process inflates: the r13
+    driver sweep read dedup_components at 39 host-busy cpu-s (with
+    8.7 s of steal in the same window) while the builder sweep at the
+    same HEAD read 16.9 — attribution needs a counter foreign work
+    cannot touch. Children are discovered via /proc/<pid>/stat ppid
+    chains; a child that EXITS donates its time to the parent's
+    cutime/cstime, which are added too, so short-lived workers are not
+    lost."""
+    import os as _os
+
+    hz = float(_os.sysconf("SC_CLK_TCK"))
+    me = _os.getpid()
+    # one pass over /proc to map pid -> (ppid, utime+stime+cutime+cstime)
+    stats: dict[int, tuple[int, float]] = {}
+    try:
+        pids = [int(d) for d in _os.listdir("/proc") if d.isdigit()]
+    except OSError:
+        return 0.0
+    for pid in pids:
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as f:
+                raw = f.read().decode("ascii", "replace")
+        except OSError:
+            continue  # exited between listdir and open
+        # comm may contain spaces/parens: split after the LAST ')'
+        rest = raw[raw.rfind(")") + 2:].split()
+        # rest[1]=ppid, rest[11..14]=utime stime cutime cstime
+        try:
+            ppid = int(rest[1])
+            cpu = sum(int(rest[i]) for i in (11, 12, 13, 14)) / hz
+        except (IndexError, ValueError):
+            continue
+        stats[pid] = (ppid, cpu)
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _cpu) in stats.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, stack, seen = 0.0, [me], set()
+    while stack:
+        pid = stack.pop()
+        if pid in seen:
+            continue
+        seen.add(pid)
+        if pid in stats:
+            total += stats[pid][1]
+            stack.extend(kids.get(pid, ()))
+    return total
