@@ -915,6 +915,60 @@ register(
     lambda s, d: ann.mutual_knn_components(s, d, m=3),
     _mutual_components_sql(m=3),
 )
+
+
+def _mutual_pagerank_sql(m: int = 3, rounds: int = 3, top: int = 25) -> str:
+    """Fixed-round integer-micro-unit PageRank over the mutual-kNN
+    graph, unrolled as CTE stages — floor division of positives and
+    BIGINT sums make every stage bit-identical to the Spark side."""
+    stages = []
+    for r in range(rounds):
+        prev, cur = f"p{r}", f"p{r + 1}"
+        stages.append(f"""
+{cur} AS MATERIALIZED (
+  SELECT d.src AS node,
+         CAST(150000 + COALESCE(s.total, 0) AS BIGINT) AS pr
+  FROM deg d LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM((p.pr * 85) // (g.deg * 100)) AS BIGINT) AS total
+    FROM edges e
+    JOIN {prev} p ON p.node = e.src
+    JOIN deg g ON g.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = d.src
+)""")
+    chain = ",".join(stages)
+    return f"""
+WITH kj AS MATERIALIZED ({_knn_join_sql(m=m)}),
+mut AS MATERIALIZED (
+  SELECT f.src AS a, f.dst AS b
+  FROM kj f JOIN kj r ON f.label = r.label AND f.src = r.dst AND f.dst = r.src
+  WHERE f.src < f.dst
+),
+edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM mut UNION ALL SELECT b, a FROM mut
+),
+deg AS MATERIALIZED (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+),
+p0 AS MATERIALIZED (
+  SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg
+),
+{chain}
+SELECT node AS vec_id, pr AS rank_us FROM p{rounds}
+ORDER BY pr DESC, node LIMIT {top}
+"""
+
+
+register(
+    # graph-centrality representative selection (r14): fixed-round
+    # integer-exact PageRank over the mutual-kNN graph — the coreset /
+    # cluster-representative ranking signal; sparse power-iteration
+    # shape (linear edge joins, one (node, pr) row per graph node)
+    "ann_knn_pagerank",
+    lambda s, d: ann.mutual_knn_pagerank(s, d, m=3, rounds=3, top=25),
+    _mutual_pagerank_sql(m=3, rounds=3, top=25),
+)
 register(
     # radius search: data-dependent result SIZE (the recall-complete
     # dual of the k-bounded reference search) — one codegen'd scan +
@@ -2742,8 +2796,8 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # green under tests/test_oracle_parity.py, which runs the identical
 # compare over ALL registered oracles.
 _PRIORITY_50 = [
-    # -- (a) never driver-sampled: the operator NEW this round --
-    "stream_ivf_maintenance",
+    # -- (a) never driver-sampled: the operators NEW this round --
+    "stream_ivf_maintenance", "ann_knn_pagerank",
     # -- (b) changed this round (r14): the map-side partial top-k
     # rewrite (multi_query_topk), the streaming journal compaction +
     # temp-dir hygiene, and the mutual-knn pointer-jump contraction —
@@ -2772,7 +2826,6 @@ _PRIORITY_50 = [
     "dedup_minhash_recall_vs_exact", "emb_norm_outliers",
     "emb_spectrum_audit", "ingest_chunks_embedded", "kernel_pairwise",
     "mllib_brp_approx_knn", "mllib_brp_bucket_index", "mm_blob_features",
-    "mm_blob_resize",
 ]
 
 

@@ -2129,3 +2129,89 @@ def mutual_knn_components(
     return full.groupBy("comp").agg(
         F.count("*").cast("long").alias("n_vectors")
     )
+
+
+def mutual_knn_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = 3,
+    rounds: int = 3,
+    top: int = 25,
+) -> DataFrame:
+    """Graph-centrality representative selection over the mutual k-NN
+    graph: `rounds` power-iteration steps of PageRank (damping 0.85)
+    restricted to vectors with at least one reciprocal neighbor — the
+    coreset-selection signal graph-based data-curation pipelines rank
+    by (a vector central in its redundancy neighborhood is the natural
+    cluster representative; the long tail of low-rank nodes is the
+    pruning candidate set). Returns the `top` most-central vectors.
+
+    All arithmetic is INTEGER micro-units so the fixed-round iteration
+    is bit-deterministic and order-independent cross-engine: ranks
+    start at 1_000_000; each step a node keeps 150_000 base mass and
+    receives floor((pr_u * 85) / (deg_u * 100)) from every in-neighbor
+    (floor division of positives — Spark's `div` and DuckDB's `//`
+    agree), summed as BIGINT. The oracle unrolls the identical rounds
+    as CTE stages. Iteration state is one (node, pr) row per GRAPH
+    node and each step is a linear edge join — the sparse-matrix
+    power-iteration shape that survives 100 TB (at scale: edges
+    pre-partitioned by src, ranks co-partitioned, no state growth).
+
+    Fixed `rounds` (not convergence-tested): centrality ORDERING
+    stabilizes in a few steps on these small-diameter redundancy
+    graphs, and a fixed unroll is what keeps the DuckDB oracle exact —
+    same design bargain as near_dup_components' bounded propagation."""
+    pairs = mutual_knn_pairs(spark, sf_dir, m=m).select(
+        F.col("vec_id_a").alias("src"), F.col("vec_id_b").alias("dst")
+    )
+    iter_parts = max(4, spark.sparkContext.defaultParallelism // 8)
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .coalesce(iter_parts)
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").cast("long").alias("deg"))
+        .coalesce(iter_parts)
+        .localCheckpoint(eager=False)
+    )
+    pr = deg.select(
+        F.col("src").alias("node"), F.lit(1_000_000).cast("long").alias("pr")
+    )
+    for _ in range(rounds):
+        contrib = (
+            edges.join(
+                pr.select(F.col("node").alias("src"), "pr"), "src"
+            )
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(pr * 85) div (deg * 100)").alias("c"),
+            )
+        )
+        pr = (
+            deg.select(F.col("src").alias("node"))
+            .join(
+                contrib.groupBy("node").agg(
+                    F.sum("c").cast("long").alias("s")
+                ),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                (F.lit(150_000) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("pr"),
+            )
+            .coalesce(iter_parts)
+            .localCheckpoint(eager=False)
+        )
+    return (
+        pr.orderBy(F.desc("pr"), F.asc("node"))
+        .limit(top)
+        .select(F.col("node").alias("vec_id"), F.col("pr").alias("rank_us"))
+    )
