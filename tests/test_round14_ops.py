@@ -247,3 +247,38 @@ def test_ivf_maintenance_refit_trigger(spark, tmp_path):
         r.list_id: r.n for r in sp._ivf_list_stats(
             spark.read.parquet(paths["idx"])).collect()}
     assert final_n[target_list] * 2 > base_n[target_list] * 3
+
+
+def test_time_travel_v0_immutable_and_snapshots_differ(spark, tmp_path):
+    # COW contract: committing versions 1 and 2 must not touch any v0
+    # file (historical snapshots stay byte-stable), and the as-of reads
+    # must differ in exactly the committed batch's ids.
+    from pyspark.sql import functions as F
+
+    from vector_db_service_spark.operators import store as st
+
+    manifest, out = st.versioned_cdc_merge(spark, SF, out_dir=str(tmp_path))
+    v0_dirs = [d for (v, _l), d in manifest.items() if v == 0]
+    assert v0_dirs and all(os.path.isdir(d) for d in v0_dirs)
+    v0 = {r.vec_id for r in st._versioned_read(spark, manifest, 0).collect()}
+    v1 = {r.vec_id for r in st._versioned_read(spark, manifest, 1).collect()}
+    v2 = {r.vec_id for r in st._versioned_read(spark, manifest, 2).collect()}
+    # batch 1 deletes = even ids with vec_id%13==7; batch 2 = odd ones
+    del1 = {i for i in v0 if i % 13 == 7 and i % 2 == 0}
+    del2 = {i for i in v0 if i % 13 == 7 and i % 2 == 1}
+    assert v0 - v1 == del1
+    assert v1 - v2 == del2
+    # updates present at every version they were committed in
+    upd1 = {i for i in v0 if i % 11 == 5 and i % 13 != 7 and i % 2 == 0}
+    assert upd1 <= v1 and upd1 <= v2
+    # reading "as of 1" after v2 exists must NOT see batch-2 effects:
+    # the update re-embedding is a reversal, so spot-check one vector
+    if upd1:
+        vid = min(upd1)
+        base_vec = {r.vec_id: list(r.embedding) for r in
+                    st._versioned_read(spark, manifest, 0)
+                    .filter(F.col("vec_id") == vid).collect()}[vid]
+        v1_vec = {r.vec_id: list(r.embedding) for r in
+                  st._versioned_read(spark, manifest, 1)
+                  .filter(F.col("vec_id") == vid).collect()}[vid]
+        assert v1_vec == base_vec[::-1]

@@ -2511,6 +2511,18 @@ SELECT event_type, count(*) AS n_events,
 FROM events GROUP BY event_type
 """,
 )
+register(
+    # dataset versioning / time travel (r14): partition-level
+    # copy-on-write commits of the CDC history + a (version, label) ->
+    # dir manifest, so any historical snapshot reads at full scan speed
+    # — reproducible training snapshots, the Delta/Iceberg contract
+    # without a table format. Output = per-version row count + BIGINT
+    # micro-unit checksum; exact oracle replays each version's CDC
+    # predicates.
+    "s19_store_time_travel",
+    store_ops.store_time_travel,
+    store_ops.store_time_travel_sql(),
+)
 
 
 # --- remaining §2 surface: scans, inserts, flag updates, stats, kernels ----
@@ -2797,7 +2809,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # compare over ALL registered oracles.
 _PRIORITY_50 = [
     # -- (a) never driver-sampled: the operators NEW this round --
-    "stream_ivf_maintenance", "ann_knn_pagerank",
+    "stream_ivf_maintenance", "ann_knn_pagerank", "s19_store_time_travel",
     # -- (b) changed this round (r14): the map-side partial top-k
     # rewrite (multi_query_topk), the streaming journal compaction +
     # temp-dir hygiene, and the mutual-knn pointer-jump contraction —
@@ -2825,7 +2837,7 @@ _PRIORITY_50 = [
     "dedup_keep_canonical", "dedup_minhash_pairs",
     "dedup_minhash_recall_vs_exact", "emb_norm_outliers",
     "emb_spectrum_audit", "ingest_chunks_embedded", "kernel_pairwise",
-    "mllib_brp_approx_knn", "mllib_brp_bucket_index", "mm_blob_features",
+    "mllib_brp_approx_knn", "mllib_brp_bucket_index",
 ]
 
 

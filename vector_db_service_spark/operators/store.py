@@ -603,3 +603,168 @@ def ivf_probe(
         .limit(k)
         .select("vec_id", "label", "score")
     )
+
+
+# --- dataset versioning / time travel (round 14) ----------------------------
+#
+# Reproducible training snapshots: "train on the corpus exactly as of
+# commit k" is a first-class need of a 100-TB data pipeline (rerunning
+# an ablation against a store that CDC has since mutated is silent
+# corruption). Delta/Iceberg solve it with a table format; the same
+# contract falls out of partition-level COPY-ON-WRITE plus a manifest:
+# each CDC commit rewrites ONLY its affected label partitions under a
+# new version directory, the manifest maps every (version, label) to
+# the newest directory at-or-before that version, and any historical
+# snapshot reads at full scan speed with zero log reconstruction. The
+# reference has no versioning at all — this is the §2.14
+# beyond-reference family extended to store lifecycle.
+
+def _versioned_read(
+    spark: SparkSession, manifest: dict, version: int
+) -> DataFrame:
+    """Snapshot as of `version`: per label, the newest committed
+    directory at-or-before it (the COW manifest lookup). The per-label
+    union is a metadata operation — every leaf is still a plain
+    partition-pruned parquet scan."""
+    import functools
+
+    dirs = {}
+    for (v, label), d in manifest.items():
+        if v <= version and (label not in dirs or dirs[label][0] < v):
+            dirs[label] = (v, d)
+    frames = [
+        spark.read.parquet(d).select(
+            "vec_id", F.lit(label).cast("int").alias("label"), "embedding"
+        )
+        for label, (_v, d) in sorted(dirs.items())
+    ]
+    return functools.reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def versioned_cdc_merge(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> tuple[dict, str]:
+    """Commit the deterministic CDC log (the stream_cdc_upserts family:
+    deletes at vec_id%13==7 winning over updates at vec_id%11==5, the
+    update re-embedding = IEEE-exact reversal) as TWO ordered version
+    commits — batch 1 is the even-vec_id half of the log, batch 2 the
+    odd half (a content split, so version history is deterministic and
+    SQL-replayable; a timestamp split would not be). Returns (manifest,
+    out_dir); version 0 is the pre-CDC bootstrap."""
+    import tempfile
+
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    out_dir = out_dir or tempfile.mkdtemp(prefix="vdbs_timetravel_")
+    manifest: dict = {}
+
+    def _commit(df: DataFrame, version: int, labels: list) -> None:
+        for label in labels:
+            d = os.path.join(out_dir, f"v{version}", f"label_{label}")
+            df.filter(F.col("label") == label).select(
+                "vec_id", "embedding"
+            ).write.mode("overwrite").parquet(d)
+            manifest[(version, label)] = d
+
+    all_labels = [
+        r["label"] for r in base.select("label").distinct().collect()
+    ]
+    _commit(base, 0, sorted(all_labels))
+
+    is_del = F.col("vec_id") % 13 == 7
+    is_upd = F.col("vec_id") % 11 == 5
+    log = base.filter(is_del | is_upd).select(
+        "vec_id",
+        "label",
+        F.when(is_del, F.lit("delete")).otherwise(F.lit("update")).alias("op"),
+        F.when(is_del, F.lit(None)).otherwise(
+            F.reverse(F.col("embedding"))
+        ).alias("embedding"),
+    )
+    for b, parity in ((1, 0), (2, 1)):
+        batch = log.filter(F.col("vec_id") % 2 == parity)
+        affected = sorted(
+            r["label"] for r in batch.select("label").distinct().collect()
+        )
+        if not affected:
+            continue
+        cur = _versioned_read(spark, manifest, b - 1).filter(
+            F.col("label").isin(affected)
+        )
+        post = (
+            cur.join(batch.select("vec_id"), "vec_id", "left_anti")
+            .unionByName(
+                batch.filter(F.col("op") == "update").select(
+                    "vec_id", "label", "embedding"
+                )
+            )
+        )
+        _commit(post, b, affected)
+    return manifest, out_dir
+
+
+def store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry surface: commit the CDC history, then read EVERY
+    version back through the manifest and summarize each snapshot
+    (row count + a BIGINT micro-unit checksum of the first embedding
+    component — order-independent, so the hash compares exactly).
+    Exact oracle: per-version CDC predicate replay
+    (store_time_travel_sql). Working tree removed after the eager
+    materialization."""
+    import functools
+    import shutil
+
+    manifest, out_dir = versioned_cdc_merge(spark, sf_dir)
+    try:
+        versions = sorted({v for (v, _l) in manifest})
+        frames = []
+        for v in versions:
+            frames.append(
+                _versioned_read(spark, manifest, v)
+                .agg(
+                    F.count("*").cast("long").alias("n_rows"),
+                    F.sum(
+                        F.expr(
+                            "CAST(round(CAST(element_at(embedding, 1) AS DOUBLE)"
+                            " * 1e6) AS BIGINT)"
+                        )
+                    ).cast("long").alias("sum_e0_us"),
+                )
+                .select(F.lit(v).cast("int").alias("version"), "n_rows",
+                        "sum_e0_us")
+            )
+        out = functools.reduce(lambda a, b: a.unionByName(b), frames)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def store_time_travel_sql() -> str:
+    """DuckDB mirror: version k = the base table with the first k CDC
+    half-batches applied (deletes %13==7 removed, surviving updates
+    %11==5 reversed; batch parity on vec_id%2)."""
+
+    def ver(conds: str) -> str:
+        if not conds:
+            return "SELECT vec_id, label, embedding FROM embeddings"
+        return f"""
+  SELECT vec_id, label,
+         CASE WHEN vec_id % 11 = 5 AND vec_id % 13 != 7 AND ({conds})
+              THEN list_reverse(embedding) ELSE embedding END AS embedding
+  FROM embeddings
+  WHERE NOT (vec_id % 13 = 7 AND ({conds}))"""
+
+    def summ(v: int, body: str) -> str:
+        return f"""
+SELECT {v} AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT))
+            AS BIGINT) AS sum_e0_us
+FROM ({body})"""
+
+    v0 = ver("")
+    v1 = ver("vec_id % 2 = 0")
+    v2 = ver("vec_id % 2 = 0 OR vec_id % 2 = 1")
+    return (
+        summ(0, v0) + "\nUNION ALL" + summ(1, v1) + "\nUNION ALL" + summ(2, v2)
+    )
