@@ -127,11 +127,16 @@ def test_stream_ops_leave_no_tmp_state(spark):
     import tempfile
 
     troot = tempfile.gettempdir()
-    patterns = ["vdbs_idx_maint_*", "vdbs_knn_stream_*", "vdbs_cdc_*"]
+    patterns = ["vdbs_idx_maint_*", "vdbs_knn_stream_*", "vdbs_cdc_*",
+                "vdbs_ivf_maint_*", "vdbs_timetravel_*", "vdbs_ingest_dedup_*"]
     before = {p: set(glob.glob(os.path.join(troot, p))) for p in patterns}
     assert sp.index_maintenance_stream(spark, SF).count() > 0
     assert sp.knn_query_stream(spark, SF, query_ids=[0, 1], k=3).count() == 6
     assert sp.cdc_upserts_stream(spark, SF).count() > 0
+    assert sp.ivf_maintenance_stream(spark, SF).count() > 0
+    assert sp.ingestion_dedup_stream(spark, SF).count() > 0
+    from vector_db_service_spark.operators import store as st
+    assert st.store_time_travel(spark, SF).count() == 3
     after = {p: set(glob.glob(os.path.join(troot, p))) for p in patterns}
     leaked = {p: after[p] - before[p] for p in patterns if after[p] - before[p]}
     assert not leaked, f"leaked temp dirs: {leaked}"
@@ -282,3 +287,21 @@ def test_time_travel_v0_immutable_and_snapshots_differ(spark, tmp_path):
                   st._versioned_read(spark, manifest, 1)
                   .filter(F.col("vec_id") == vid).collect()}[vid]
         assert v1_vec == base_vec[::-1]
+
+
+def test_ingestion_dedup_cross_batch_store_effect(spark):
+    # the layered store path must actually fire at the frozen test SF:
+    # at least one batch-2 doc (doc_id%10==5) is a dup OF a batch-1
+    # NOVEL doc (doc_id%10==0) — proving batch-1 survivors' fingerprints
+    # reached the store before batch 2 probed it.
+    from vector_db_service_spark.streaming import pipeline as sp
+
+    rows = sp.ingestion_dedup_stream(spark, SF).collect()
+    assert all((r.dup_of == -1) != r.is_dup for r in rows)
+    cross = [r for r in rows
+             if r.is_dup and r.doc_id % 10 == 5 and r.dup_of % 10 == 0]
+    assert cross, "no cross-batch dup at the pinned SF — store path unexercised"
+    # and every cross-batch target must itself be novel (dups are never
+    # appended to the store)
+    verdict = {r.doc_id: r.is_dup for r in rows}
+    assert all(not verdict[r.dup_of] for r in cross)

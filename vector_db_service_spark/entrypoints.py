@@ -2207,6 +2207,17 @@ register(
     opl.brute_force_topk_sql(query_ids=list(range(10)), k=5),
 )
 register(
+    # online INGESTION dedup (r14): new-document micro-batches probed
+    # against a persistent MinHash fingerprint store (band-bucket probe
+    # + exact-jaccard verify, keep-first within a batch); novel docs
+    # append their fingerprints, so later batches dedup against earlier
+    # survivors — incremental corpus dedup, never a re-dedup. Exact
+    # layered-CTE oracle.
+    "stream_ingestion_dedup",
+    stream_ops.ingestion_dedup_stream,
+    opl.ingestion_dedup_sql(),
+)
+register(
     # streaming IVF index maintenance (r13 verdict #3): mutation batches
     # are assigned to the EXISTING durable kmeans centers (one broadcast
     # projection — the quantizer is never refit per batch), only touched
@@ -2810,6 +2821,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 _PRIORITY_50 = [
     # -- (a) never driver-sampled: the operators NEW this round --
     "stream_ivf_maintenance", "ann_knn_pagerank", "s19_store_time_travel",
+    "stream_ingestion_dedup",
     # -- (b) changed this round (r14): the map-side partial top-k
     # rewrite (multi_query_topk), the streaming journal compaction +
     # temp-dir hygiene, and the mutual-knn pointer-jump contraction —
@@ -2837,7 +2849,7 @@ _PRIORITY_50 = [
     "dedup_keep_canonical", "dedup_minhash_pairs",
     "dedup_minhash_recall_vs_exact", "emb_norm_outliers",
     "emb_spectrum_audit", "ingest_chunks_embedded", "kernel_pairwise",
-    "mllib_brp_approx_knn", "mllib_brp_bucket_index",
+    "mllib_brp_approx_knn",
 ]
 
 

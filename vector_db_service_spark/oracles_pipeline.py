@@ -1430,3 +1430,49 @@ SELECT doc_id,
 FROM dc JOIN idf USING (tok)
 QUALIFY rnk <= {k}
 """
+
+
+def ingestion_dedup_sql(threshold: float = 0.2) -> str:
+    """Layered replay of streaming.pipeline.ingestion_dedup_stream:
+    batch 1 (doc_id % 10 == 0) dedups against the existing corpus
+    (doc_id % 5 != 0) plus lower-id batch-1 docs; batch 2
+    (doc_id % 10 == 5) additionally sees batch-1 SURVIVORS (novel docs
+    are the only fingerprints appended to the store). dup_of is the
+    minimum verified match, -1 when novel."""
+    band_match = " OR ".join(
+        f"a.band{b} = b.band{b}" for b in range(MINHASH_BANDS)
+    )
+    jac = (
+        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+        " / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)"
+    )
+    return f"""
+WITH {_sig_cte()},
+v1 AS MATERIALIZED (
+  SELECT a.doc_id, MIN(b.doc_id) AS dup_of
+  FROM banded a JOIN banded b
+    ON a.doc_id % 10 = 0
+   AND (b.doc_id % 5 != 0 OR (b.doc_id % 10 = 0 AND b.doc_id < a.doc_id))
+   AND ({band_match})
+  WHERE {jac} >= {threshold!r}
+  GROUP BY a.doc_id
+),
+v2 AS MATERIALIZED (
+  SELECT a.doc_id, MIN(b.doc_id) AS dup_of
+  FROM banded a JOIN banded b
+    ON a.doc_id % 10 = 5
+   AND (b.doc_id % 5 != 0
+        OR (b.doc_id % 10 = 0
+            AND b.doc_id NOT IN (SELECT doc_id FROM v1))
+        OR (b.doc_id % 10 = 5 AND b.doc_id < a.doc_id))
+   AND ({band_match})
+  WHERE {jac} >= {threshold!r}
+  GROUP BY a.doc_id
+),
+verdicts AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT f.doc_id,
+       v.dup_of IS NOT NULL AS is_dup,
+       CAST(COALESCE(v.dup_of, -1) AS BIGINT) AS dup_of
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) f
+LEFT JOIN verdicts v USING (doc_id)
+"""

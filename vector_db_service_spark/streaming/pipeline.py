@@ -1193,3 +1193,152 @@ def ivf_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(paths["root"], ignore_errors=True)
+
+
+# --- online ingestion dedup (round 14) ---------------------------------------
+
+def ingestion_dedup_stream(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.2
+) -> DataFrame:
+    """Dedup AT INGESTION: new documents arrive as micro-batches and are
+    probed against a persistent MinHash fingerprint STORE — the shape a
+    100-TB pipeline actually runs (the corpus is deduped once; arrivals
+    are checked incrementally against the band index, never by
+    re-deduping the corpus). Bootstrap: the 'existing corpus'
+    (doc_id % 5 != 0) writes its banded signatures + distinct-shingle
+    sets as the store. Per batch (feed = doc_id % 5 == 0, split
+    content-wise into doc_id % 10 == 0 then == 5, shipped as two
+    name-ordered files so arrival order is deterministic): band-bucket
+    probe against the store PLUS keep-first within the batch (lower
+    doc_id), exact-jaccard verify (same round-6 kernel as
+    dedup.minhash_near_dups), dup_of = the minimum verified match;
+    NOVEL docs append their fingerprints to the store, so the second
+    batch dedups against the first batch's survivors — exactly the
+    reference's create-then-index background flow
+    (routers/document_router.py -> background_tasks.py:260-311) with
+    dedup added at the door. Returns one row per feed doc:
+    (doc_id, is_dup, dup_of; -1 when novel). Exact oracle: layered CTE
+    replay of both batches (oracles_pipeline.ingestion_dedup_sql)."""
+    import shutil
+
+    from ..functions import hashing as H
+    from ..sources.tables import spread_for_compute
+
+    docs = load(spark, sf_dir, "documents")
+    out_dir = tempfile.mkdtemp(prefix="vdbs_ingest_dedup_")
+    store_bands = os.path.join(out_dir, "store_bands")
+    store_sh = os.path.join(out_dir, "store_sh")
+    feed_dir = os.path.join(out_dir, "feed")
+    sink = os.path.join(out_dir, "results")
+    ckpt = os.path.join(out_dir, "ckpt")
+
+    def _fingerprint(df: DataFrame) -> DataFrame:
+        return spread_for_compute(df).select(
+            "doc_id",
+            H.minhash_bands("text").alias("bands"),
+            F.array_distinct(H.shingles("text")).alias("sh"),
+        )
+
+    pre = _fingerprint(docs.filter(F.col("doc_id") % 5 != 0)).localCheckpoint(
+        eager=False
+    )
+    pre.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_key")
+    ).write.mode("overwrite").parquet(store_bands)
+    pre.select("doc_id", "sh").write.mode("overwrite").parquet(store_sh)
+
+    # two content-defined batch files with controlled, ordered names —
+    # the file source processes (mtime, path) ascending, so b0 then b1
+    os.makedirs(feed_dir, exist_ok=True)
+    feed = docs.filter(F.col("doc_id") % 5 == 0)
+    for i, parity in ((0, 0), (1, 5)):
+        tmp = os.path.join(out_dir, f"feed_tmp_{i}")
+        feed.filter(F.col("doc_id") % 10 == parity).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(tmp, part),
+                    os.path.join(feed_dir, f"b{i}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        fp = _fingerprint(batch).localCheckpoint(eager=True)
+        kb = fp.select(
+            "doc_id", F.posexplode("bands").alias("band_idx", "band_key")
+        )
+        cross = (
+            kb.join(
+                spark.read.parquet(store_bands).select(
+                    F.col("doc_id").alias("cand_id"), "band_idx", "band_key"
+                ),
+                ["band_idx", "band_key"],
+            )
+            .select("doc_id", "cand_id")
+        )
+        within = (
+            kb.join(
+                kb.select(
+                    F.col("doc_id").alias("cand_id"), "band_idx", "band_key"
+                ),
+                ["band_idx", "band_key"],
+            )
+            .filter(F.col("cand_id") < F.col("doc_id"))
+            .select("doc_id", "cand_id")
+        )
+        cand = cross.unionByName(within).distinct()
+        shs = fp.select("doc_id", "sh")
+        cand_sh = spark.read.parquet(store_sh).unionByName(shs).select(
+            F.col("doc_id").alias("cand_id"), F.col("sh").alias("sh_c")
+        )
+        ver = (
+            cand.join(shs, "doc_id")
+            .join(cand_sh, "cand_id")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.size(F.array_intersect("sh", "sh_c")).cast("double")
+                    / F.size(F.array_union("sh", "sh_c")).cast("double"),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= F.lit(threshold))
+            .groupBy("doc_id")
+            .agg(F.min("cand_id").alias("dup_of"))
+        )
+        res = (
+            fp.select("doc_id")
+            .join(ver, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("dup_of").isNotNull().alias("is_dup"),
+                F.coalesce("dup_of", F.lit(-1)).cast("long").alias("dup_of"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        res.write.mode("append").parquet(sink)
+        novel = res.filter(~F.col("is_dup")).select("doc_id")
+        nfp = fp.join(novel, "doc_id")
+        nfp.select(
+            "doc_id", F.posexplode("bands").alias("band_idx", "band_key")
+        ).write.mode("append").parquet(store_bands)
+        nfp.select("doc_id", "sh").write.mode("append").parquet(store_sh)
+
+    with _bounded_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.read.parquet(sink).select(
+        "doc_id", "is_dup", "dup_of"
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
