@@ -623,20 +623,28 @@ def _versioned_read(
     spark: SparkSession, manifest: dict, version: int
 ) -> DataFrame:
     """Snapshot as of `version`: per label, the newest committed
-    directory at-or-before it (the COW manifest lookup). The per-label
-    union is a metadata operation — every leaf is still a plain
+    directory at-or-before it (the COW manifest lookup). Selected
+    label dirs are GROUPED BY COMMIT and each group is read as ONE
+    relation (`basePath` = the commit dir, so the `label` partition
+    column comes back for free) — a per-label relation costs ~0.1 s of
+    driver planning each, and 10 labels x 3 versions made the summary
+    pass 3.3 s of pure planning. Every leaf remains a plain
     partition-pruned parquet scan."""
     import functools
 
-    dirs = {}
+    pick: dict = {}
     for (v, label), d in manifest.items():
-        if v <= version and (label not in dirs or dirs[label][0] < v):
-            dirs[label] = (v, d)
+        if v <= version and (label not in pick or pick[label][0] < v):
+            pick[label] = (v, d)
+    by_commit: dict = {}
+    for _label, (v, d) in pick.items():
+        by_commit.setdefault(v, []).append(d)
     frames = [
-        spark.read.parquet(d).select(
-            "vec_id", F.lit(label).cast("int").alias("label"), "embedding"
-        )
-        for label, (_v, d) in sorted(dirs.items())
+        spark.read.option("basePath", os.path.dirname(dirs[0]))
+        .parquet(*sorted(dirs))
+        .select("vec_id", F.col("label").cast("int").alias("label"),
+                "embedding")
+        for v, dirs in sorted(by_commit.items())
     ]
     return functools.reduce(lambda a, b: a.unionByName(b), frames)
 
@@ -660,12 +668,17 @@ def versioned_cdc_merge(
     manifest: dict = {}
 
     def _commit(df: DataFrame, version: int, labels: list) -> None:
+        # ONE label-partitioned write per commit (a per-label write loop
+        # costs one sequential Spark job per label — measured 9.4 s for
+        # the 3-version lifecycle vs ~2.5 s fused); the manifest then
+        # points at the per-label partition directories the single
+        # commit produced.
+        vdir = os.path.join(out_dir, f"v{version}")
+        df.select("vec_id", "embedding", "label").write.mode(
+            "overwrite"
+        ).partitionBy("label").parquet(vdir)
         for label in labels:
-            d = os.path.join(out_dir, f"v{version}", f"label_{label}")
-            df.filter(F.col("label") == label).select(
-                "vec_id", "embedding"
-            ).write.mode("overwrite").parquet(d)
-            manifest[(version, label)] = d
+            manifest[(version, label)] = os.path.join(vdir, f"label={label}")
 
     all_labels = [
         r["label"] for r in base.select("label").distinct().collect()
@@ -718,23 +731,28 @@ def store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest, out_dir = versioned_cdc_merge(spark, sf_dir)
     try:
         versions = sorted({v for (v, _l) in manifest})
-        frames = []
-        for v in versions:
-            frames.append(
-                _versioned_read(spark, manifest, v)
-                .agg(
-                    F.count("*").cast("long").alias("n_rows"),
-                    F.sum(
-                        F.expr(
-                            "CAST(round(CAST(element_at(embedding, 1) AS DOUBLE)"
-                            " * 1e6) AS BIGINT)"
-                        )
-                    ).cast("long").alias("sum_e0_us"),
-                )
-                .select(F.lit(v).cast("int").alias("version"), "n_rows",
-                        "sum_e0_us")
+        # ONE aggregation job over the union of version-tagged snapshot
+        # reads (three separate agg jobs paid ~0.4 s of scheduling each
+        # at local[32] for trivial data)
+        tagged = [
+            _versioned_read(spark, manifest, v).select(
+                F.lit(v).cast("int").alias("version"), "embedding"
             )
-        out = functools.reduce(lambda a, b: a.unionByName(b), frames)
+            for v in versions
+        ]
+        out = (
+            functools.reduce(lambda a, b: a.unionByName(b), tagged)
+            .groupBy("version")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(
+                    F.expr(
+                        "CAST(round(CAST(element_at(embedding, 1) AS DOUBLE)"
+                        " * 1e6) AS BIGINT)"
+                    )
+                ).cast("long").alias("sum_e0_us"),
+            )
+        )
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
