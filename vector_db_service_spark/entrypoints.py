@@ -970,6 +970,17 @@ register(
     _mutual_pagerank_sql(m=3, rounds=3, top=25),
 )
 register(
+    # sign-binarized Hamming ANN (r14): 32x-compressed sign-bit index
+    # (dim/8 bytes per vector — at 100 TB the binary index fits where
+    # the floats don't), XOR+bit_count candidate scan cut at `rerank`,
+    # exact cosine re-rank of the tiny survivor set — the classic
+    # binary-quantization two-stage serving path. One codegen'd scan +
+    # TakeOrderedAndProject; exact two-stage oracle.
+    "ann_binary_hamming_topk",
+    lambda s, d: ann.binary_hamming_topk(s, d, query_id=0, k=10, rerank=50),
+    oracles.binary_hamming_topk_sql(query_id=0, k=10, rerank=50),
+)
+register(
     # radius search: data-dependent result SIZE (the recall-complete
     # dual of the k-bounded reference search) — one codegen'd scan +
     # filter, zero shuffles
@@ -2821,7 +2832,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 _PRIORITY_50 = [
     # -- (a) never driver-sampled: the operators NEW this round --
     "stream_ivf_maintenance", "ann_knn_pagerank", "s19_store_time_travel",
-    "stream_ingestion_dedup",
+    "stream_ingestion_dedup", "ann_binary_hamming_topk",
     # -- (b) changed this round (r14): the map-side partial top-k
     # rewrite (multi_query_topk), the streaming journal compaction +
     # temp-dir hygiene, and the mutual-knn pointer-jump contraction —
@@ -2849,7 +2860,6 @@ _PRIORITY_50 = [
     "dedup_keep_canonical", "dedup_minhash_pairs",
     "dedup_minhash_recall_vs_exact", "emb_norm_outliers",
     "emb_spectrum_audit", "ingest_chunks_embedded", "kernel_pairwise",
-    "mllib_brp_approx_knn",
 ]
 
 

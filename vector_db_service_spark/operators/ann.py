@@ -2215,3 +2215,78 @@ def mutual_knn_pagerank(
         .limit(top)
         .select(F.col("node").alias("vec_id"), F.col("pr").alias("rank_us"))
     )
+
+
+def _sign_word_exprs(dim: int, vec_sql: str = "embedding") -> list[str]:
+    """Sign-bit binarization as 32-bit words packed into BIGINTs: word w
+    bit i is set iff embedding[w*32 + i + 1] >= 0. One SQL expression
+    per word, whole-stage-codegen'd; 32 bits per word (not 64) so the
+    sign bit of BIGINT is never touched and the DuckDB mirror's shift
+    arithmetic is value-identical."""
+    words = []
+    for w in range(0, dim, 32):
+        hi = min(32, dim - w)
+        words.append(
+            f"aggregate(sequence(0, {hi - 1}), CAST(0 AS BIGINT), "
+            f"(acc, i) -> acc + IF(element_at({vec_sql}, i + {w + 1}) >= 0, "
+            f"shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
+        )
+    return words
+
+
+def binary_hamming_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    rerank: int = 50,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Sign-binarized Hamming ANN: every embedding compresses to
+    dim/8 bytes of sign bits (32x smaller than float32 — at 100 TB the
+    binary index fits where the vectors don't), candidates are ranked
+    by Hamming distance to the query's sign pattern (XOR + bit_count,
+    one codegen'd scan, TakeOrderedAndProject keeps `rerank` rows),
+    and the tiny candidate set is exactly re-ranked with the real
+    kernel — the classic two-stage binary-quantization serving path
+    (the sign words are LSH.hyperplanes with axis-aligned planes, i.e.
+    SimHash on the embedding itself). Deterministic end to end:
+    candidate cut ties on (hamming, vec_id), final order
+    (score desc, vec_id); the DuckDB oracle replays both stages
+    bit-identically (binary_hamming_topk_sql)."""
+    from .knn import query_vector_row
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv, _ = query_vector_row(spark, sf_dir, query_id)
+    dim = len(qv)
+    words = _sign_word_exprs(dim)
+    qwords = [
+        sum(1 << i for i in range(min(32, dim - w * 32))
+            if float(qv[w * 32 + i]) >= 0.0)
+        for w in range((dim + 31) // 32)
+    ]
+    ham = " + ".join(
+        f"bit_count(({e}) ^ CAST({qw} AS BIGINT))"
+        for e, qw in zip(words, qwords)
+    )
+    cand = (
+        emb.select(
+            "vec_id", "label", "embedding",
+            F.expr(ham).cast("int").alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(rerank)
+    )
+    q = sim.vector_lit(qv)
+    # integer micro-units, the certified ivf_kmeans_topk pattern
+    # (round-to-int then cast — round(x, 6) * 1e6 would truncate
+    # through the cast on values like .9999999)
+    score_us = F.round(
+        sim.score(metric, F.col("embedding"), q) * F.lit(1e6), 0
+    ).cast("bigint")
+    return (
+        cand.withColumn("score_us", score_us)
+        .orderBy(F.desc("score_us"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "label", "hamming", "score_us")
+    )

@@ -371,3 +371,42 @@ SELECT e.vec_id, e.label, round({score}, 6) AS score
 FROM embeddings e, q
 WHERE round({score}, 6) >= {min_score!r} {lib}
 """
+
+
+def binary_hamming_topk_sql(
+    query_id: int = 0, k: int = 10, rerank: int = 50, dim: int = 64
+) -> str:
+    """Mirror of ann.binary_hamming_topk: sign-bit words (32 bits per
+    BIGINT, bit i of word w set iff embedding[w*32+i+1] >= 0), Hamming
+    candidate cut at `rerank` on (hamming, vec_id), exact cosine
+    re-rank in integer micro-units."""
+    def word(src: str, w: int) -> str:
+        hi = min(32, dim - w * 32)
+        return (
+            f"CAST(list_sum(list_transform(generate_series(0, {hi - 1}), "
+            f"i -> CASE WHEN {src}.embedding[i + {w * 32 + 1}] >= 0 "
+            f"THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) "
+            f"AS BIGINT)"
+        )
+
+    n_words = (dim + 31) // 32
+    ham = " + ".join(
+        f"bit_count(xor({word('e', w)}, {word('q', w)}))"
+        for w in range(n_words)
+    )
+    score = cosine_sql("e.embedding", "q.embedding")
+    return f"""
+WITH qv AS (SELECT embedding FROM embeddings WHERE vec_id = {query_id}),
+cand AS (
+  SELECT e.vec_id, e.label, e.embedding,
+         CAST(({ham}) AS INTEGER) AS hamming
+  FROM embeddings e, qv q
+  ORDER BY hamming, e.vec_id
+  LIMIT {rerank}
+)
+SELECT e.vec_id, e.label, e.hamming,
+       CAST(round(({score}) * 1e6) AS BIGINT) AS score_us
+FROM cand e, qv q
+ORDER BY score_us DESC, e.vec_id
+LIMIT {k}
+"""
