@@ -710,6 +710,18 @@ register(
     opl.near_dup_keep_canonical_sql(),
 )
 register(
+    # leakage-safe train/val split (r14): assignment keyed on the
+    # near-dup COMPONENT label, so duplicate clusters move together and
+    # no near-dup pair crosses the boundary; the zero-leak claim is
+    # COUNTED independently on both sides (banded graph vs quadratic
+    # pair CTE), never asserted. Shares the memoized labeling.
+    "pipeline_leakage_safe_split",
+    lambda s, d: dedup.leakage_safe_split(
+        load(s, d, "documents"), labels=dedup.near_dup_labels_cached(s, d)
+    ),
+    opl.leakage_safe_split_sql(),
+)
+register(
     # span-level cross-doc duplication (hash-window analog of
     # suffix-array substring dedup): per-doc duplicated-span fraction
     "dedup_substring_spans",
@@ -2833,6 +2845,7 @@ _PRIORITY_50 = [
     # -- (a) never driver-sampled: the operators NEW this round --
     "stream_ivf_maintenance", "ann_knn_pagerank", "s19_store_time_travel",
     "stream_ingestion_dedup", "ann_binary_hamming_topk",
+    "pipeline_leakage_safe_split",
     # -- (b) changed this round (r14): the map-side partial top-k
     # rewrite (multi_query_topk), the streaming journal compaction +
     # temp-dir hygiene, and the mutual-knn pointer-jump contraction —
@@ -2859,7 +2872,7 @@ _PRIORITY_50 = [
     "a1_count_by_library", "a9_two_level_agg", "dedup_containment_pairs",
     "dedup_keep_canonical", "dedup_minhash_pairs",
     "dedup_minhash_recall_vs_exact", "emb_norm_outliers",
-    "emb_spectrum_audit", "ingest_chunks_embedded", "kernel_pairwise",
+    "emb_spectrum_audit", "ingest_chunks_embedded",
 ]
 
 

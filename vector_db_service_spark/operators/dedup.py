@@ -1405,3 +1405,57 @@ def minhash_vs_exact_recall(docs: DataFrame, threshold: float = 0.2,
         prec.cast("bigint").alias("precision_us"),
         rec.cast("bigint").alias("recall_us"),
     )
+
+
+def leakage_safe_split(docs: DataFrame, val_pct: int = 10,
+                       max_hamming: int = 3,
+                       labels: DataFrame | None = None) -> DataFrame:
+    """Leakage-safe train/val split: the plain md5(doc_id) split
+    (textops.train_val_split) can land two NEAR-DUPLICATES on opposite
+    sides of the boundary — the validation set then contains soft
+    copies of training examples and every metric on it is inflated.
+    Assigning by near-dup COMPONENT closes that hole: the split key is
+    md5(comp) (the cluster's canonical label), so a whole duplicate
+    cluster moves together and no near-dup pair can cross the
+    boundary. Same md5-bucket determinism as the doc-level split
+    (appending docs cannot move an existing cluster's side unless the
+    cluster itself merges).
+
+    Output: per split (n_docs, n_clusters) plus `leaked_pairs` — the
+    count of near-dup pairs crossing the boundary, recomputed
+    INDEPENDENTLY from the pair list (not asserted zero: the Spark
+    side joins the dup graph against the assignment, and the oracle
+    replays the same count from its own quadratic pair CTE — a wrong
+    assignment keying would show up as a nonzero, hash-mismatched
+    column)."""
+    if labels is None:
+        labels = near_dup_labels_fast(docs, max_hamming)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("comp").cast("string")), 1, 8), 16, 10)
+        .cast("long") % F.lit(100)
+    )
+    tagged = labels.select(
+        "node",
+        "comp",
+        F.when(bucket < val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    ).localCheckpoint(eager=False)
+    edges = _dup_graph(docs, max_hamming)  # symmetric: each pair twice
+    leaked = (
+        edges.join(
+            tagged.select(F.col("node").alias("src"),
+                          F.col("split").alias("split_a")), "src")
+        .join(
+            tagged.select(F.col("node").alias("dst"),
+                          F.col("split").alias("split_b")), "dst")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .agg((F.count("*") / 2).cast("long").alias("leaked_pairs"))
+    )
+    per = tagged.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("comp").cast("long").alias("n_clusters"),
+    )
+    return per.crossJoin(F.broadcast(leaked)).select(
+        "split", "n_docs", "n_clusters", "leaked_pairs"
+    )

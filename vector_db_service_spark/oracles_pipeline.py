@@ -1476,3 +1476,34 @@ SELECT f.doc_id,
 FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) f
 LEFT JOIN verdicts v USING (doc_id)
 """
+
+
+def leakage_safe_split_sql(val_pct: int = 10, max_hamming: int = 3,
+                           rounds: int = 10) -> str:
+    """Replay of dedup.leakage_safe_split: component labels via the
+    unrolled min-propagation chain, md5(comp)-bucket assignment, and an
+    INDEPENDENT cross-boundary pair count from the quadratic pair CTE
+    (the Spark side counts over its banded dup graph — agreeing zeros
+    certify the no-leakage claim from two unrelated pair pipelines)."""
+    bucket = (
+        "CAST(concat('0x', substr(md5(CAST(comp AS VARCHAR)), 1, 8)) AS BIGINT)"
+        " % 100"
+    )
+    return _components_with_clause(max_hamming, rounds) + f""",
+tagged AS MATERIALIZED (
+  SELECT node, comp,
+         CASE WHEN {bucket} < {val_pct} THEN 'val' ELSE 'train' END AS split
+  FROM l{rounds}
+),
+leak AS (
+  SELECT CAST(count(*) AS BIGINT) AS leaked_pairs
+  FROM pairs p
+  JOIN tagged a ON a.node = p.d1
+  JOIN tagged b ON b.node = p.d2
+  WHERE a.split != b.split
+)
+SELECT t.split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT t.comp) AS BIGINT) AS n_clusters,
+       l.leaked_pairs
+FROM tagged t, leak l GROUP BY t.split, l.leaked_pairs
+"""
