@@ -305,3 +305,17 @@ def test_ingestion_dedup_cross_batch_store_effect(spark):
     # appended to the store)
     verdict = {r.doc_id: r.is_dup for r in rows}
     assert all(not verdict[r.dup_of] for r in cross)
+
+
+def test_binary_hamming_plan_and_semantics(spark):
+    # two-stage contract: candidate cut and final cut both compile to
+    # TakeOrderedAndProject (no full sort, no window); hamming of the
+    # query against itself is 0 and it ranks first on cosine.
+    df = ann.binary_hamming_topk(spark, SF, query_id=0, k=5, rerank=20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    rows = df.collect()
+    assert len(rows) == 5
+    top = max(rows, key=lambda r: (r.score_us, -r.vec_id))
+    assert top.vec_id == 0 and top.hamming == 0 and top.score_us == 1_000_000
