@@ -710,6 +710,15 @@ register(
     opl.near_dup_keep_canonical_sql(),
 )
 register(
+    # iterative BPE trainer (r14): n_merges rounds of pair-count ->
+    # argmax -> merge over the distinct-word symbol table — the actual
+    # tokenizer-induction loop; the corpus is scanned once, each round
+    # rides the Zipf-reduced word table. Exact unrolled-CTE oracle.
+    "text_bpe_train_merges",
+    lambda s, d: textops.bpe_train_merges(load(s, d, "documents"), n_merges=5),
+    opl.bpe_train_merges_sql(n_merges=5),
+)
+register(
     # leakage-safe train/val split (r14): assignment keyed on the
     # near-dup COMPONENT label, so duplicate clusters move together and
     # no near-dup pair crosses the boundary; the zero-leak claim is
@@ -2845,7 +2854,7 @@ _PRIORITY_50 = [
     # -- (a) never driver-sampled: the operators NEW this round --
     "stream_ivf_maintenance", "ann_knn_pagerank", "s19_store_time_travel",
     "stream_ingestion_dedup", "ann_binary_hamming_topk",
-    "pipeline_leakage_safe_split",
+    "pipeline_leakage_safe_split", "text_bpe_train_merges",
     # -- (b) changed this round (r14): the map-side partial top-k
     # rewrite (multi_query_topk), the streaming journal compaction +
     # temp-dir hygiene, and the mutual-knn pointer-jump contraction —
@@ -2872,7 +2881,7 @@ _PRIORITY_50 = [
     "a1_count_by_library", "a9_two_level_agg", "dedup_containment_pairs",
     "dedup_keep_canonical", "dedup_minhash_pairs",
     "dedup_minhash_recall_vs_exact", "emb_norm_outliers",
-    "emb_spectrum_audit", "ingest_chunks_embedded",
+    "emb_spectrum_audit",
 ]
 
 

@@ -1409,3 +1409,77 @@ def tfidf_keywords(docs: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rnk") <= k)
         .select("doc_id", "rnk", F.col("tok").alias("token"), "tf", "score_mln")
     )
+
+
+def bpe_train_merges(docs: DataFrame, n_merges: int = 5) -> DataFrame:
+    """Iterative BPE trainer (Sennrich et al. 2016), n_merges rounds:
+    the actual tokenizer-induction loop, not just the first pair count
+    (bpe_merge_pairs). Each round counts adjacent SYMBOL pairs over the
+    distinct-word table weighted by word frequency, adopts the
+    (count desc, pair asc) argmax as the next merge, and rewrites every
+    word's symbol sequence (space-delimited symbols; the padded
+    ' left right ' -> ' leftright ' replace is leftmost-non-overlapping
+    in both engines, the standard BPE application order). Returns one
+    row per adopted merge: (rank, left_sym, right_sym, merged, n).
+
+    100 TB shape: the loop rides the distinct-word table (Zipf: orders
+    of magnitude below corpus size) — each round is one explode +
+    groupBy over that reduced table plus a 1-row argmax; the corpus is
+    scanned once, ever. The merge itself is a driver-side literal pair
+    (bounded: n_merges rows), exactly the train-once lifecycle of the
+    quantizer fits. Exact oracle: oracles_pipeline.bpe_train_merges_sql
+    unrolls the same rounds as CTE stages."""
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 1)
+    wc = words.groupBy("w").agg(F.count("*").cast("long").alias("wn"))
+    seqs = wc.select(
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, length(w)), "
+            "i -> substring(w, i, 1)))"
+        ).alias("s"),
+        "wn",
+    ).localCheckpoint(eager=False)
+    rows = []
+    for r in range(n_merges):
+        syms = seqs.select("wn", F.split("s", " ").alias("a")).filter(
+            F.size("a") >= 2  # sequence(1, 0) DESCENDS in Spark — guard
+        )
+        pairs = syms.select(
+            "wn",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(a) - 1), "
+                    "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("wn").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("p"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        p, n = top[0]["p"], int(top[0]["n"])
+        left, right = p.split(" ")
+        rows.append((r + 1, left, right, left + right, n))
+        # literal-column replace (never an f-string into SQL — symbols
+        # come from corpus text and may contain quote characters)
+        seqs = seqs.select(
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
+                    F.lit(f" {p} "),
+                    F.lit(f" {left + right} "),
+                )
+            ).alias("s"),
+            "wn",
+        ).localCheckpoint(eager=False)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        rows, "rank int, left_sym string, right_sym string, "
+              "merged string, n long"
+    )

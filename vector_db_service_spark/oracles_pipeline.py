@@ -1507,3 +1507,56 @@ SELECT t.split, CAST(count(*) AS BIGINT) AS n_docs,
        l.leaked_pairs
 FROM tagged t, leak l GROUP BY t.split, l.leaked_pairs
 """
+
+
+def bpe_train_merges_sql(n_merges: int = 5) -> str:
+    """Replay of textops.bpe_train_merges: the same rounds unrolled as
+    CTE stages (pair count over the distinct-word symbol table, the
+    (n DESC, pair ASC) argmax, the padded leftmost-non-overlapping
+    merge rewrite)."""
+    stages = []
+    finals = []
+    for r in range(n_merges):
+        stages.append(f"""
+p{r} AS MATERIALIZED (
+  SELECT p, CAST(SUM(wn) AS BIGINT) AS n FROM (
+    SELECT wn,
+           unnest(list_transform(generate_series(1, len(sl) - 1),
+                                 i -> sl[i] || ' ' || sl[i + 1])) AS p
+    FROM (SELECT string_split(s, ' ') AS sl, wn FROM s{r})
+  ) GROUP BY p
+),
+top{r} AS MATERIALIZED (
+  SELECT p, n FROM p{r} ORDER BY n DESC, p LIMIT 1
+),
+s{r + 1} AS MATERIALIZED (
+  SELECT trim(replace(' ' || s || ' ',
+                      (SELECT ' ' || p || ' ' FROM top{r}),
+                      (SELECT ' ' || replace(p, ' ', '') || ' ' FROM top{r})))
+           AS s,
+         wn
+  FROM s{r}
+)""")
+        finals.append(
+            f"SELECT {r + 1} AS rank, split_part(p, ' ', 1) AS left_sym, "
+            f"split_part(p, ' ', 2) AS right_sym, "
+            f"replace(p, ' ', '') AS merged, n FROM top{r}"
+        )
+    chain = ",".join(stages)
+    body = "\nUNION ALL\n".join(finals)
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+wc AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS wn FROM words
+  WHERE length(w) >= 1 GROUP BY w
+),
+s0 AS MATERIALIZED (
+  SELECT array_to_string(list_transform(generate_series(1, length(w)),
+                                        i -> substr(w, i, 1)), ' ') AS s,
+         wn
+  FROM wc
+),{chain}
+{body}
+"""
