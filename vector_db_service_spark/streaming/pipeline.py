@@ -1129,7 +1129,11 @@ def ivf_maintenance_run(spark: SparkSession, sf_dir: str, paths: dict) -> None:
                 ).alias("refit_due"),
             )
         )
-        drift.write.mode("append").parquet(paths["drift"])
+        # batch-partitioned dynamic overwrite, not a blind append: a
+        # foreachBatch REPLAY after a crash rewrites its own batch
+        # partition instead of duplicating drift rows — the same
+        # idempotence the store merge already has
+        _dynamic_overwrite(drift, paths["drift"], col="batch_id")
 
     with _bounded_shuffle(spark):
         q = (
@@ -1242,10 +1246,13 @@ def ingestion_dedup_stream(
     pre = _fingerprint(docs.filter(F.col("doc_id") % 5 != 0)).localCheckpoint(
         eager=False
     )
+    boot = F.lit(-1).cast("long").alias("batch_id")
     pre.select(
-        "doc_id", F.posexplode("bands").alias("band_idx", "band_key")
-    ).write.mode("overwrite").parquet(store_bands)
-    pre.select("doc_id", "sh").write.mode("overwrite").parquet(store_sh)
+        boot, "doc_id", F.posexplode("bands").alias("band_idx", "band_key")
+    ).write.mode("overwrite").partitionBy("batch_id").parquet(store_bands)
+    pre.select(boot, "doc_id", "sh").write.mode(
+        "overwrite"
+    ).partitionBy("batch_id").parquet(store_sh)
 
     # two content-defined batch files with controlled, ordered names —
     # the file source processes (mtime, path) ascending, so b0 then b1
@@ -1293,7 +1300,9 @@ def ingestion_dedup_stream(
         )
         cand = cross.unionByName(within).distinct()
         shs = fp.select("doc_id", "sh")
-        cand_sh = spark.read.parquet(store_sh).unionByName(shs).select(
+        cand_sh = spark.read.parquet(store_sh).select(
+            "doc_id", "sh"
+        ).unionByName(shs).select(
             F.col("doc_id").alias("cand_id"), F.col("sh").alias("sh_c")
         )
         ver = (
@@ -1321,13 +1330,27 @@ def ingestion_dedup_stream(
             )
             .localCheckpoint(eager=True)
         )
-        res.write.mode("append").parquet(sink)
+        # every durable write below is a BATCH-partitioned dynamic
+        # overwrite: a foreachBatch replay after a crash rewrites its
+        # own partition (same rows — the store it probed is unchanged,
+        # since earlier batches live in other partitions) instead of
+        # appending duplicates
+        from ..operators.store import _dynamic_overwrite
+
+        bid = F.lit(int(batch_id)).cast("long").alias("batch_id")
+        _dynamic_overwrite(res.select(bid, "*"), sink, col="batch_id")
         novel = res.filter(~F.col("is_dup")).select("doc_id")
         nfp = fp.join(novel, "doc_id")
-        nfp.select(
-            "doc_id", F.posexplode("bands").alias("band_idx", "band_key")
-        ).write.mode("append").parquet(store_bands)
-        nfp.select("doc_id", "sh").write.mode("append").parquet(store_sh)
+        _dynamic_overwrite(
+            nfp.select(
+                bid, "doc_id",
+                F.posexplode("bands").alias("band_idx", "band_key"),
+            ),
+            store_bands, col="batch_id",
+        )
+        _dynamic_overwrite(
+            nfp.select(bid, "doc_id", "sh"), store_sh, col="batch_id"
+        )
 
     with _bounded_shuffle(spark):
         q = (
