@@ -869,6 +869,43 @@ register(
 )
 
 
+def _hard_negatives_sql(dim: int = _DIM, band_bits: int = 2) -> str:
+    """Mirror of ann.hard_negative_mining: the knn_join banding WITHOUT
+    the label scope, label-mismatch filter, top-1 per anchor on the
+    (score desc, negative_id asc) total order."""
+    from .operators.lsh import NUM_HASHES, SEED, hyperplanes
+
+    planes = hyperplanes(dim, NUM_HASHES, SEED)
+    cos = oracles.METRIC_SQL["cosine"]("a.embedding", "b.embedding")
+    return f"""
+WITH banded AS MATERIALIZED (
+{oracles.banded_cte_sql(planes, band_bits)}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS anchor_id, a.label AS anchor_label,
+         b.vec_id AS negative_id, b.label AS neg_label,
+         round({cos}, 6) AS score
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.label != b.label
+)
+SELECT anchor_id, anchor_label, negative_id, neg_label, score FROM cand
+QUALIFY row_number() OVER (PARTITION BY anchor_id
+                           ORDER BY score DESC, negative_id) <= 1
+"""
+
+
+register(
+    # hard-negative mining (r14): per anchor, the most-similar vector
+    # with a DIFFERENT label — contrastive training's highest-value
+    # pair; global (not label-scoped) banded candidates, map-side
+    # partial top-1, no window exchange. Exact oracle.
+    "pipeline_hard_negatives",
+    lambda s, d: ann.hard_negative_mining(s, d),
+    _hard_negatives_sql(),
+)
+
+
 def _mutual_knn_sql(m: int = 3) -> str:
     """Reciprocal-pair wrapper around the banded knn_join oracle: keep
     (a, b) iff each is in the other's top-m; emit once (src < dst) with
@@ -2855,6 +2892,7 @@ _PRIORITY_50 = [
     "stream_ivf_maintenance", "ann_knn_pagerank", "s19_store_time_travel",
     "stream_ingestion_dedup", "ann_binary_hamming_topk",
     "pipeline_leakage_safe_split", "text_bpe_train_merges",
+    "pipeline_hard_negatives",
     # -- (b) changed this round (r14): the map-side partial top-k
     # rewrite (multi_query_topk), the streaming journal compaction +
     # temp-dir hygiene, and the mutual-knn pointer-jump contraction —
@@ -2881,7 +2919,6 @@ _PRIORITY_50 = [
     "a1_count_by_library", "a9_two_level_agg", "dedup_containment_pairs",
     "dedup_keep_canonical", "dedup_minhash_pairs",
     "dedup_minhash_recall_vs_exact", "emb_norm_outliers",
-    "emb_spectrum_audit",
 ]
 
 

@@ -2290,3 +2290,89 @@ def binary_hamming_topk(
         .limit(k)
         .select("vec_id", "label", "hamming", "score_us")
     )
+
+
+def hard_negative_mining(
+    spark: SparkSession,
+    sf_dir: str,
+    band_bits: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for EVERY vector,
+    the single most-similar vector carrying a DIFFERENT library label —
+    the pair a contrastive objective learns the most from (easy random
+    negatives saturate; the hard ones sit just across the decision
+    boundary). Candidates come from the same seed-42 sign-band join as
+    knn_join but NOT label-scoped (the hardest negative lives across
+    the label boundary by definition), filtered to label mismatches,
+    exact-cosine re-ranked, then cut to top-1 per anchor through
+    multi_query_topk's map-side partial top-k — no full-width window
+    exchange anywhere. A vector whose bands collide with no cross-label
+    vector emits no row (banded recall, the knn_join contract).
+
+    At 100 TB: banding bounds the candidate shuffle exactly as in
+    knn_join (auto_band_bits keeps expected bucket size constant), the
+    label-mismatch filter runs inside the join stage, and the per-
+    anchor cut is partition-local before its one skinny exchange."""
+    from .lsh import (
+        SEED, N_SIGN_BANDS, auto_band_bits, band_keys, first_collision,
+        hyperplanes,
+    )
+
+    # n_labels=1: these buckets are NOT label-scoped (the join is
+    # global), so the width must be sized for the unsplit corpus —
+    # per-label sizing would leave buckets n_labels-times too big and
+    # the pair expansion quadratically over-budget (measured 4.6 s vs
+    # 1.7 s at sf0.1). Resolves to the static oracle's 2 bits at the
+    # oracle-gate scales, same contract as knn_join's auto width.
+    band_bits = auto_band_bits(
+        row_count(sf_dir, "embeddings"), band_bits, n_labels=1
+    )
+    emb = spread_for_compute(load(spark, sf_dir, "embeddings"))
+    planes = hyperplanes(embedding_dim(sf_dir), N_SIGN_BANDS * band_bits, SEED)
+    banded = emb.select(
+        "label", "vec_id", "embedding",
+        sim.norm(F.col("embedding")).alias("nrm"),
+        band_keys("embedding", planes, band_bits).alias("bands"),
+    ).select(
+        "label", "vec_id", "embedding", "nrm", "bands",
+        F.posexplode("bands").alias("band_idx", "band_key"),
+    )
+    a = banded.select(
+        "band_idx", "band_key", F.col("vec_id").alias("src"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+        F.col("bands").alias("ba"),
+    )
+    b = banded.select(
+        "band_idx", "band_key", F.col("vec_id").alias("dst"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+        F.col("bands").alias("bb"),
+    )
+    cos = F.when(
+        (F.col("na") == F.lit(0.0)) | (F.col("nb") == F.lit(0.0)), F.lit(0.0)
+    ).otherwise(sim.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
+    scored = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("anchor_label") != F.col("neg_label"))
+        .filter(
+            F.col("band_idx")
+            == first_collision(F.col("ba"), F.col("bb"), N_SIGN_BANDS)
+        )
+        .select(
+            F.col("src").alias("query_id"),
+            F.col("dst").alias("vec_id"),
+            "anchor_label",
+            "neg_label",
+            F.round(cos, 6).alias("score"),
+        )
+    )
+    return multi_query_topk(
+        scored, k=1, payload=("anchor_label", "neg_label")
+    ).select(
+        F.col("query_id").alias("anchor_id"),
+        "anchor_label",
+        F.col("vec_id").alias("negative_id"),
+        "neg_label",
+        "score",
+    )
