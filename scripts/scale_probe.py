@@ -77,6 +77,12 @@ PROBES = [
     # round-14: the maintained-IVF lifecycle (startup assign + two
     # partition-scoped merge batches) at 10x corpus volume
     "stream_ivf_maintenance",
+    # round-14: the two new quadratic-family ops — the globally-banded
+    # cross-label pair join (auto width n_labels=1) and the
+    # fingerprint-store ingestion probe (the near-twin corpus floods
+    # both with genuine duplicate structure)
+    "pipeline_hard_negatives",
+    "stream_ingestion_dedup",
 ]
 # lineitem-backed queries only have real data at the source SFs; the
 # synthetic corpus scales documents/embeddings/events 10x and reuses
