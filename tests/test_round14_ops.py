@@ -319,3 +319,31 @@ def test_binary_hamming_plan_and_semantics(spark):
     assert len(rows) == 5
     top = max(rows, key=lambda r: (r.score_us, -r.vec_id))
     assert top.vec_id == 0 and top.hamming == 0 and top.score_us == 1_000_000
+
+
+def test_vacuum_removes_old_dirs_and_latest_survives(spark, tmp_path):
+    # run the versioned merge with a known out_dir, then replicate the
+    # vacuum's needed-set computation and assert the v0 dirs of labels
+    # later rewritten are genuinely deletable (snapshot reads equal
+    # before/after) — the registry op itself re-reads after deleting.
+    from vector_db_service_spark.operators import store as st
+
+    manifest, out = st.versioned_cdc_merge(spark, SF, out_dir=str(tmp_path))
+    pick = {}
+    for (v, label), d in manifest.items():
+        if label not in pick or pick[label][0] < v:
+            pick[label] = (v, d)
+    needed = {d for (_v, d) in pick.values()}
+    removed = sorted(set(manifest.values()) - needed)
+    assert removed, "test needs at least one obsolete dir"
+    latest = max(v for (v, _l) in manifest)
+    before = sorted(map(tuple, st._versioned_read(
+        spark, manifest, latest).collect()))
+    import shutil
+    for d in removed:
+        shutil.rmtree(d, ignore_errors=True)
+    kept_manifest = {(v, label): d for label, (v, d) in pick.items()}
+    after = sorted(map(tuple, st._versioned_read(
+        spark, kept_manifest, latest).collect()))
+    assert before == after
+    assert all(not os.path.isdir(d) for d in removed)

@@ -2605,6 +2605,18 @@ register(
 )
 
 
+register(
+    # retention/vacuum for the versioned store (r14): keep exactly the
+    # dirs the latest snapshot references, physically delete the rest,
+    # then RE-READ the surviving snapshot — a wrong needed-set fails as
+    # a read error or hash mismatch, never a silent pass. Dir
+    # accounting is pure label algebra, so the oracle recomputes it.
+    "s20_store_vacuum",
+    store_ops.store_vacuum_retention,
+    store_ops.store_vacuum_retention_sql(),
+)
+
+
 # --- remaining §2 surface: scans, inserts, flag updates, stats, kernels ----
 from .functions import similarity as sim  # noqa: E402
 
@@ -2892,7 +2904,7 @@ _PRIORITY_50 = [
     "stream_ivf_maintenance", "ann_knn_pagerank", "s19_store_time_travel",
     "stream_ingestion_dedup", "ann_binary_hamming_topk",
     "pipeline_leakage_safe_split", "text_bpe_train_merges",
-    "pipeline_hard_negatives",
+    "pipeline_hard_negatives", "s20_store_vacuum",
     # -- (b) changed this round (r14): the map-side partial top-k
     # rewrite (multi_query_topk), the streaming journal compaction +
     # temp-dir hygiene, and the mutual-knn pointer-jump contraction —
@@ -2918,7 +2930,7 @@ _PRIORITY_50 = [
     "dedup_components", "stream_click_purchase_join",
     "a1_count_by_library", "a9_two_level_agg", "dedup_containment_pairs",
     "dedup_keep_canonical", "dedup_minhash_pairs",
-    "dedup_minhash_recall_vs_exact", "emb_norm_outliers",
+    "dedup_minhash_recall_vs_exact",
 ]
 
 

@@ -786,3 +786,90 @@ FROM ({body})"""
     return (
         summ(0, v0) + "\nUNION ALL" + summ(1, v1) + "\nUNION ALL" + summ(2, v2)
     )
+
+
+def store_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention/vacuum for the versioned store — the lifecycle step
+    that makes COW versioning sustainable: keep exactly the directories
+    the LATEST snapshot references (per label, its newest commit),
+    physically delete every other version dir, and then RE-READ the
+    surviving snapshot so the returned summary proves the vacuum
+    removed nothing the live view needs (a wrong needed-set would
+    surface as a missing-path read error or a count/checksum hash
+    mismatch, not a silent pass). The Delta VACUUM analog without the
+    table format; at 100 TB this is the storage-reclaim job that runs
+    after retention windows expire.
+
+    Output: one row — post-vacuum n_rows + BIGINT micro-unit checksum
+    of the latest snapshot, plus the kept/removed directory accounting
+    (both derivable from the CDC predicates, so the oracle recomputes
+    them from label algebra alone)."""
+    import functools
+    import shutil
+
+    manifest, out_dir = versioned_cdc_merge(spark, sf_dir)
+    try:
+        pick: dict = {}
+        for (v, label), d in manifest.items():
+            if label not in pick or pick[label][0] < v:
+                pick[label] = (v, d)
+        needed = {d for (_v, d) in pick.values()}
+        removed = sorted(set(manifest.values()) - needed)
+        for d in removed:
+            shutil.rmtree(d, ignore_errors=True)
+        kept_manifest = {
+            (v, label): d for label, (v, d) in pick.items()
+        }
+        latest = max(v for (v, _l) in manifest)
+        snap = _versioned_read(spark, kept_manifest, latest)
+        return snap.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(
+                F.expr(
+                    "CAST(round(CAST(element_at(embedding, 1) AS DOUBLE)"
+                    " * 1e6) AS BIGINT)"
+                )
+            ).cast("long").alias("sum_e0_us"),
+        ).select(
+            "n_rows",
+            "sum_e0_us",
+            F.lit(len(needed)).cast("long").alias("n_dirs_kept"),
+            F.lit(len(removed)).cast("long").alias("n_dirs_removed"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def store_vacuum_retention_sql() -> str:
+    """Mirror: the latest snapshot is the full CDC merge (both
+    half-batches applied); the directory accounting is pure label
+    algebra — every label owns one v0 dir plus one dir per half-batch
+    that mutates it, and the vacuum keeps exactly one (the newest) per
+    label."""
+    in_log = "(vec_id % 13 = 7 OR vec_id % 11 = 5)"
+    return f"""
+WITH post AS (
+  SELECT vec_id, label,
+         CASE WHEN vec_id % 11 = 5 AND vec_id % 13 != 7
+              THEN list_reverse(embedding) ELSE embedding END AS embedding
+  FROM embeddings
+  WHERE vec_id % 13 != 7
+),
+summ AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT))
+              AS BIGINT) AS sum_e0_us
+  FROM post
+),
+dirs AS (
+  SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS kept,
+         CAST(COUNT(DISTINCT CASE WHEN {in_log} AND vec_id % 2 = 0
+                                  THEN label END)
+            + COUNT(DISTINCT CASE WHEN {in_log} AND vec_id % 2 = 1
+                                  THEN label END) AS BIGINT) AS extra
+  FROM embeddings
+)
+SELECT s.n_rows, s.sum_e0_us, d.kept AS n_dirs_kept,
+       d.extra AS n_dirs_removed
+FROM summ s, dirs d
+"""
