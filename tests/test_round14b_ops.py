@@ -1,0 +1,127 @@
+"""Round-14 continuation pins: NN-descent refinement and BPE encode.
+
+* nn_descent_refine — the candidate superset can only IMPROVE the
+  per-node top-m (element-wise score dominance over the base graph),
+  the output honors the knn_join contract (per-src rank order, within-
+  label edges), and the plan keeps the multi_query_topk contract (no
+  full-width Window exchange).
+* bpe_encode_stats — token conservation (histogram covers every corpus
+  token exactly once) and monotone compression (more merges never
+  lengthen an encoding).
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL as SF
+from vector_db_service_spark.operators import ann, textops
+from vector_db_service_spark.sources.tables import load
+
+
+def _by_src(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r.src, []).append(r)
+    for rs in out.values():
+        rs.sort(key=lambda r: r.rnk)
+    return out
+
+
+def test_nn_descent_dominates_base_graph(spark):
+    m = 3
+    base = _by_src(ann.knn_join(spark, SF, m=m).collect())
+    refined = _by_src(ann.nn_descent_refine(spark, SF, m=m).collect())
+    # every base node survives (candidates are a superset of its base
+    # edges), ranks are contiguous, order is (score desc, dst asc)
+    assert set(base) <= set(refined)
+    improved = 0
+    for src, rs in refined.items():
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        keys = [(-r.score, r.dst) for r in rs]
+        assert keys == sorted(keys)
+        if src in base:
+            b = base[src]
+            # element-wise dominance: the refined rank-i score is >= the
+            # base rank-i score (the refined top-m is picked from a
+            # candidate superset under the same total order)
+            for i in range(min(len(b), len(rs))):
+                assert rs[i].score >= b[i].score, (src, i)
+            assert len(rs) >= len(b)
+            if [r.dst for r in rs] != [r.dst for r in b]:
+                improved += 1
+    # the banded base graph is not already exact on this corpus — the
+    # refinement round must actually move at least one node's list
+    assert improved > 0
+
+
+def test_nn_descent_edges_stay_within_label(spark):
+    ref = ann.nn_descent_refine(spark, SF, m=3)
+    lab = load(spark, SF, "embeddings").select("vec_id", "label")
+    bad = (
+        ref.join(
+            lab.select(F.col("vec_id").alias("src"),
+                       F.col("label").alias("src_label")), "src")
+        .join(
+            lab.select(F.col("vec_id").alias("dst"),
+                       F.col("label").alias("dst_label")), "dst")
+        .filter(
+            (F.col("label") != F.col("src_label"))
+            | (F.col("label") != F.col("dst_label"))
+        )
+    )
+    assert bad.isEmpty()
+
+
+def test_nn_descent_plan_has_no_window_exchange(spark):
+    df = ann.nn_descent_refine(spark, SF, m=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the base knn_join ranks via its own window; the REFINEMENT cut
+    # must go through multi_query_topk's map-side partial top-k — the
+    # only Window nodes allowed are knn_join's src-partitioned one
+    assert "MapInPandas" in plan
+    assert plan.count("Window") <= 1
+
+
+def test_bpe_encode_token_conservation(spark):
+    docs = load(spark, SF, "documents")
+    hist = textops.bpe_encode_stats(docs, n_merges=5).collect()
+    n_words_corpus = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+    )
+    total_occ = n_words_corpus.count()
+    vocab = n_words_corpus.distinct().count()
+    assert sum(r.n_occurrences for r in hist) == total_occ
+    assert sum(r.n_words for r in hist) == vocab
+    assert all(r.n_tokens >= 1 for r in hist)
+
+
+def test_bpe_encode_more_merges_never_lengthen(spark):
+    docs = load(spark, SF, "documents")
+
+    def weighted_tokens(n_merges):
+        rows = textops.bpe_encode_stats(docs, n_merges=n_merges).collect()
+        return sum(r.n_tokens * r.n_occurrences for r in rows)
+
+    t0, t5 = weighted_tokens(0), weighted_tokens(5)
+    # 0 merges = char-level; each adopted merge strictly reduces the
+    # weighted token count by its occurrence count
+    assert t5 < t0
+
+
+def test_audio_spectral_bins_and_dominance(spark):
+    from vector_db_service_spark.operators import multimodal as mm
+
+    rows = mm.audio_spectral(spark, SF).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in by_doc.items():
+        assert sorted(r.bin for r in rs) == sorted(mm.SPECTRAL_BINS)
+        doms = [r for r in rs if r.is_dominant]
+        assert len(doms) == 1, doc_id
+        # the dominant row carries the max (energy, -bin) key
+        best = max(rs, key=lambda r: (r.energy, -r.bin))
+        assert doms[0].bin == best.bin
+        for r in rs:
+            assert r.energy == abs(r.re_sum) + abs(r.im_sum)

@@ -719,6 +719,16 @@ register(
     opl.bpe_train_merges_sql(n_merges=5),
 )
 register(
+    # BPE encode (r14b): apply the trained merges to the Zipf-reduced
+    # word table and report the tokens-per-word distribution — the
+    # tokenizer-budget measurement (how much of the corpus compresses
+    # under the learned merges). Same unrolled-CTE chain, aggregated
+    # over the FINAL symbol table.
+    "text_bpe_encode",
+    lambda s, d: textops.bpe_encode_stats(load(s, d, "documents"), n_merges=5),
+    opl.bpe_encode_stats_sql(n_merges=5),
+)
+register(
     # leakage-safe train/val split (r14): assignment keyed on the
     # near-dup COMPONENT label, so duplicate clusters move together and
     # no near-dup pair crosses the boundary; the zero-leak claim is
@@ -972,6 +982,62 @@ register(
     "ann_mutual_knn_components",
     lambda s, d: ann.mutual_knn_components(s, d, m=3),
     _mutual_components_sql(m=3),
+)
+
+
+def _nn_descent_sql(m: int = 3) -> str:
+    """Mirror of ann.nn_descent_refine: undirect the banded knn_join
+    graph, expand to neighbors-of-neighbors, exact-score only NEW
+    candidates, keep top-m per node among old ∪ new on the same
+    (score desc, dst asc) total order."""
+    cos = oracles.METRIC_SQL["cosine"]("a.embedding", "b.embedding")
+    return f"""
+WITH kj AS MATERIALIZED (
+  SELECT label, src, dst, score FROM ({_knn_join_sql(m=m)})
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT label, src, dst FROM (
+    SELECT label, src, dst FROM kj
+    UNION ALL
+    SELECT label, dst AS src, src AS dst FROM kj
+  )
+),
+nbr2 AS MATERIALIZED (
+  SELECT DISTINCT x.label, x.src, y.dst
+  FROM und x JOIN und y ON x.label = y.label AND x.dst = y.src
+  WHERE x.src != y.dst
+),
+fresh AS (
+  SELECT n.label, n.src, n.dst FROM nbr2 n
+  ANTI JOIN kj k ON n.label = k.label AND n.src = k.src AND n.dst = k.dst
+),
+scored_new AS (
+  SELECT f.label, f.src, f.dst, round({cos}, 6) AS score
+  FROM fresh f
+  JOIN embeddings a ON a.vec_id = f.src
+  JOIN embeddings b ON b.vec_id = f.dst
+),
+allc AS (
+  SELECT label, src, dst, score FROM kj
+  UNION ALL
+  SELECT label, src, dst, score FROM scored_new
+)
+SELECT label, src, dst, score,
+       row_number() OVER (PARTITION BY src
+                          ORDER BY score DESC, dst) AS rnk
+FROM allc
+QUALIFY rnk <= {m}
+"""
+
+
+register(
+    # NN-descent (r14b): one neighbor-of-neighbor refinement round over
+    # the banded kNN graph — the distributed kNN-graph construction
+    # loop; candidates linear in n*m^2, new pairs exact-scored once,
+    # map-side partial top-m (no window exchange)
+    "ann_nn_descent",
+    lambda s, d: ann.nn_descent_refine(s, d, m=3),
+    _nn_descent_sql(m=3),
 )
 
 
@@ -1341,6 +1407,15 @@ register(
     "mm_waveform_stats",
     multimodal.waveform_stats,
     multimodal.waveform_stats_sql(),
+)
+register(
+    # audio spectral screen (r14b): integer micro-unit DFT probe bins
+    # over the decoded PCM — exact BIGINT responses, dominant bin per
+    # doc; the trig table is quantized ONCE in Python and shared with
+    # the oracle's literal VALUES table by construction
+    "mm_audio_spectral",
+    multimodal.audio_spectral,
+    multimodal.audio_spectral_sql(),
 )
 register("mm_blob_features", multimodal.blob_features, opl.blob_features_sql())
 register("mm_blob_resize", multimodal.blob_resize, multimodal.blob_resize_sql())
@@ -2901,6 +2976,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # compare over ALL registered oracles.
 _PRIORITY_50 = [
     # -- (a) never driver-sampled: the operators NEW this round --
+    "ann_nn_descent", "text_bpe_encode", "mm_audio_spectral",
     "stream_ivf_maintenance", "ann_knn_pagerank", "s19_store_time_travel",
     "stream_ingestion_dedup", "ann_binary_hamming_topk",
     "pipeline_leakage_safe_split", "text_bpe_train_merges",
@@ -2929,8 +3005,6 @@ _PRIORITY_50 = [
     # (fresh driver rows for the adjudication), then alphabetical --
     "dedup_components", "stream_click_purchase_join",
     "a1_count_by_library", "a9_two_level_agg", "dedup_containment_pairs",
-    "dedup_keep_canonical", "dedup_minhash_pairs",
-    "dedup_minhash_recall_vs_exact",
 ]
 
 

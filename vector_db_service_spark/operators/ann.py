@@ -2376,3 +2376,95 @@ def hard_negative_mining(
         "neg_label",
         "score",
     )
+
+
+def nn_descent_refine(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = 3,
+    metric: str = "cosine",
+) -> DataFrame:
+    """One NN-descent refinement round over the banded k-NN graph — the
+    distributed kNN-graph construction loop (Dong et al., WWW'11): "a
+    neighbor of a neighbor is likely a neighbor". Start from knn_join's
+    banded top-m graph, UNDIRECT it (reverse edges are NN-descent's key
+    trick — a hub that many nodes point AT offers its own neighbors
+    back to them), expand every node's candidate set to its neighbors'
+    neighbors, exact-score only the NEW candidates, and keep the best m
+    per node among old ∪ new. Each round strictly improves recall
+    toward the true graph; banding alone misses a true neighbor whose
+    bands never collide, and this is the standard repair at scale
+    (the reference never builds a full graph — its per-query probe is
+    knn.py; this is the batch/graph form at
+    reference services/vector_service.py:184-310 quality, corpus-wide).
+
+    Scale shape: the undirected edge list is <= 2nm skinny id rows; the
+    neighbor-of-neighbor self-join emits <= n*(2m)^2 candidate id pairs
+    (NO embeddings cross this shuffle); embeddings attach via two hash
+    joins on vec_id; scoring is one codegen'd projection; the per-node
+    cut is multi_query_topk's map-side partial top-k — no full-width
+    window exchange. Everything is linear in n*m^2, never quadratic in
+    corpus size. Output schema matches knn_join (label, src, dst,
+    score, rnk); ties break on the same (score desc, dst asc) total
+    order, so the oracle replays the identical pipeline in SQL."""
+    g0 = (
+        knn_join(spark, sf_dir, m=m, metric=metric)
+        .select("label", "src", "dst", "score")
+        .localCheckpoint(eager=False)
+    )
+    und = (
+        g0.select("label", "src", "dst")
+        .unionByName(
+            g0.select(
+                "label", F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    nbr2 = (
+        und.alias("x")
+        .join(
+            und.alias("y"),
+            (F.col("x.label") == F.col("y.label"))
+            & (F.col("x.dst") == F.col("y.src")),
+        )
+        .select(
+            F.col("x.label").alias("label"),
+            F.col("x.src").alias("src"),
+            F.col("y.dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        # score each pair once: drop candidates the base graph already
+        # scored (their fresh score would be identical — same kernel,
+        # same rounding — but the duplicate row would double-emit)
+        .join(g0.select("label", "src", "dst"), ["label", "src", "dst"], "left_anti")
+    )
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scored_new = (
+        nbr2.join(
+            emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea")),
+            "src",
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("eb")),
+            "dst",
+        )
+        .select(
+            "label", "src", "dst",
+            F.round(sim.score(metric, F.col("ea"), F.col("eb")), 6).alias("score"),
+        )
+    )
+    allc = g0.unionByName(scored_new).select(
+        F.col("src").alias("query_id"),
+        F.col("dst").alias("vec_id"),
+        "label",
+        "score",
+    )
+    return multi_query_topk(allc, k=m).select(
+        "label",
+        F.col("query_id").alias("src"),
+        F.col("vec_id").alias("dst"),
+        "score",
+        "rnk",
+    )

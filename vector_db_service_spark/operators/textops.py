@@ -1429,6 +1429,44 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = 5) -> DataFrame:
     (bounded: n_merges rows), exactly the train-once lifecycle of the
     quantizer fits. Exact oracle: oracles_pipeline.bpe_train_merges_sql
     unrolls the same rounds as CTE stages."""
+    rows, _ = _bpe_train(docs, n_merges)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        rows, "rank int, left_sym string, right_sym string, "
+              "merged string, n long"
+    )
+
+
+def bpe_encode_stats(docs: DataFrame, n_merges: int = 5) -> DataFrame:
+    """ENCODE with the trained tokenizer: apply the n_merges adopted
+    merges (rank order, leftmost-non-overlapping — the standard BPE
+    application) to the distinct-word table and report the resulting
+    tokens-per-word distribution: (n_tokens, n_words,
+    n_occurrences) — n_words distinct vocabulary entries encode to
+    n_tokens BPE symbols, covering n_occurrences corpus tokens. This is
+    the measurement a tokenizer-budget decision reads (how much of the
+    corpus compresses under the learned merges, and how long the
+    residual char-level tail is).
+
+    Same 100-TB shape as the trainer: encoding runs on the DISTINCT
+    word table (Zipf-reduced), never the corpus stream — a corpus-side
+    encode is then one broadcast join word -> n_tokens. Exact oracle:
+    the trainer oracle's CTE chain aggregated over the final symbol
+    table."""
+    _, seqs = _bpe_train(docs, n_merges)
+    return (
+        seqs.select(F.size(F.split("s", " ")).alias("n_tokens"), "wn")
+        .groupBy("n_tokens")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("wn").cast("long").alias("n_occurrences"),
+        )
+    )
+
+
+def _bpe_train(docs: DataFrame, n_merges: int):
+    """Shared trainer loop: returns (merge rows, final symbol table).
+    See bpe_train_merges for semantics and the scale argument."""
     words = docs.select(
         F.explode(F.split(F.lower("text"), " ")).alias("w")
     ).filter(F.length("w") >= 1)
@@ -1478,8 +1516,4 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = 5) -> DataFrame:
             ).alias("s"),
             "wn",
         ).localCheckpoint(eager=False)
-    spark = docs.sparkSession
-    return spark.createDataFrame(
-        rows, "rank int, left_sym string, right_sym string, "
-              "merged string, n long"
-    )
+    return rows, seqs

@@ -1509,15 +1509,11 @@ FROM tagged t, leak l GROUP BY t.split, l.leaked_pairs
 """
 
 
-def bpe_train_merges_sql(n_merges: int = 5) -> str:
-    """Replay of textops.bpe_train_merges: the same rounds unrolled as
-    CTE stages (pair count over the distinct-word symbol table, the
+def _bpe_stage_sql(r: int) -> str:
+    """One unrolled BPE train round: pair count over s{r}, the
     (n DESC, pair ASC) argmax, the padded leftmost-non-overlapping
-    merge rewrite)."""
-    stages = []
-    finals = []
-    for r in range(n_merges):
-        stages.append(f"""
+    merge rewrite into s{r+1}."""
+    return f"""
 p{r} AS MATERIALIZED (
   SELECT p, CAST(SUM(wn) AS BIGINT) AS n FROM (
     SELECT wn,
@@ -1536,14 +1532,30 @@ s{r + 1} AS MATERIALIZED (
            AS s,
          wn
   FROM s{r}
-)""")
-        finals.append(
-            f"SELECT {r + 1} AS rank, split_part(p, ' ', 1) AS left_sym, "
-            f"split_part(p, ' ', 2) AS right_sym, "
-            f"replace(p, ' ', '') AS merged, n FROM top{r}"
-        )
-    chain = ",".join(stages)
-    body = "\nUNION ALL\n".join(finals)
+)"""
+
+
+def bpe_train_merges_sql(n_merges: int = 5) -> str:
+    """Replay of textops.bpe_train_merges: the same rounds unrolled as
+    CTE stages (pair count over the distinct-word symbol table, the
+    (n DESC, pair ASC) argmax, the padded leftmost-non-overlapping
+    merge rewrite)."""
+    chain = ",".join(_bpe_stage_sql(r) for r in range(n_merges))
+    body = "\nUNION ALL\n".join(
+        f"SELECT {r + 1} AS rank, split_part(p, ' ', 1) AS left_sym, "
+        f"split_part(p, ' ', 2) AS right_sym, "
+        f"replace(p, ' ', '') AS merged, n FROM top{r}"
+        for r in range(n_merges)
+    )
+    return f"""
+{_bpe_with_prefix(chain)}
+{body}
+"""
+
+
+def _bpe_with_prefix(chain: str) -> str:
+    """Shared WITH-clause prefix of the BPE oracles: word counts, the
+    char-level symbol table s0, and the unrolled train/rewrite chain."""
     return f"""
 WITH words AS MATERIALIZED (
   SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
@@ -1557,6 +1569,19 @@ s0 AS MATERIALIZED (
                                         i -> substr(w, i, 1)), ' ') AS s,
          wn
   FROM wc
-),{chain}
-{body}
+),{chain}"""
+
+
+def bpe_encode_stats_sql(n_merges: int = 5) -> str:
+    """Replay of textops.bpe_encode_stats: the identical unrolled train
+    chain, then the tokens-per-word histogram over the FINAL symbol
+    table s{n_merges}."""
+    chain = ",".join(_bpe_stage_sql(r) for r in range(n_merges))
+    return f"""
+{_bpe_with_prefix(chain)}
+SELECT CAST(len(string_split(s, ' ')) AS INT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wn) AS BIGINT) AS n_occurrences
+FROM s{n_merges}
+GROUP BY n_tokens
 """
