@@ -2054,6 +2054,16 @@ register(
     lambda s, d: stream_ops.windowed_event_counts(s, d),
     opl.windowed_event_counts_sql(),
 )
+register(
+    # watermark late-data audit (r14b): two content-keyed micro-batches
+    # (even event_ids first, odd stragglers second) through an
+    # append-mode windowed count — per finalized window, the rows that
+    # arrived in-state, the late-but-accepted, and the dropped; the
+    # oracle replays Spark's ms-floor watermark algebra exactly
+    "stream_late_data_audit",
+    lambda s, d: stream_ops.late_data_audit_stream(s, d),
+    stream_ops.late_data_audit_sql(),
+)
 
 
 def _embed_components(s: SparkSession, d: str) -> DataFrame:
@@ -2692,6 +2702,18 @@ register(
 )
 
 
+register(
+    # small-file compaction (r14b): rewrite the latest snapshot one
+    # file per label as a NEW copy-on-write commit (the OPTIMIZE analog
+    # — old versions stay readable); pre/post summary parity proves the
+    # rewrite moved bytes, not data. File-count reduction pinned in
+    # tests (engine artifact, not SQL-derivable).
+    "s21_store_compaction",
+    store_ops.store_compaction,
+    store_ops.store_compaction_sql(),
+)
+
+
 # --- remaining §2 surface: scans, inserts, flag updates, stats, kernels ----
 from .functions import similarity as sim  # noqa: E402
 
@@ -2977,6 +2999,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 _PRIORITY_50 = [
     # -- (a) never driver-sampled: the operators NEW this round --
     "ann_nn_descent", "text_bpe_encode", "mm_audio_spectral",
+    "s21_store_compaction", "stream_late_data_audit",
     "stream_ivf_maintenance", "ann_knn_pagerank", "s19_store_time_travel",
     "stream_ingestion_dedup", "ann_binary_hamming_topk",
     "pipeline_leakage_safe_split", "text_bpe_train_merges",
@@ -3004,7 +3027,7 @@ _PRIORITY_50 = [
     # -- (d) r10 rows to fill 50: the two r13 bench_compare flags first
     # (fresh driver rows for the adjudication), then alphabetical --
     "dedup_components", "stream_click_purchase_join",
-    "a1_count_by_library", "a9_two_level_agg", "dedup_containment_pairs",
+    "a1_count_by_library",
 ]
 
 

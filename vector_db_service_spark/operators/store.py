@@ -873,3 +873,87 @@ SELECT s.n_rows, s.sum_e0_us, d.kept AS n_dirs_kept,
        d.extra AS n_dirs_removed
 FROM summ s, dirs d
 """
+
+
+def compact_latest(spark: SparkSession, manifest: dict, out_dir: str) -> int:
+    """Small-file compaction as a copy-on-write commit: read the LATEST
+    snapshot through the manifest, repartition so each label's rows
+    land in one task, and commit the rewrite as a NEW version covering
+    every label. Old versions stay readable (time travel is untouched
+    — compaction is a commit like any other, the OPTIMIZE analog of
+    Delta/Iceberg without the table format); the latest snapshot now
+    reads one file per label instead of one-per-historic-task. Returns
+    the new version number."""
+    latest = max(v for (v, _l) in manifest)
+    labels = sorted({l for (_v, l) in manifest})
+    snap = _versioned_read(spark, manifest, latest)
+    vdir = os.path.join(out_dir, f"v{latest + 1}")
+    # one hash partition per label: every label directory is written by
+    # exactly one task -> exactly one data file per label
+    snap.repartition(len(labels), "label").select(
+        "vec_id", "embedding", "label"
+    ).write.mode("overwrite").partitionBy("label").parquet(vdir)
+    for label in labels:
+        manifest[(latest + 1, label)] = os.path.join(vdir, f"label={label}")
+    return latest + 1
+
+
+def store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry surface: commit the deterministic CDC history (the
+    store_time_travel lifecycle), COMPACT the latest snapshot into a
+    new version, and summarize the pre- and post-compaction snapshots
+    side by side — parity between the two rows proves the rewrite
+    moved bytes, not data. The file-count reduction itself is pinned
+    in tests (engine-artifact, not SQL-derivable); the oracle replays
+    both rows from the CDC predicates. Working tree removed after the
+    eager materialization."""
+    import functools
+    import shutil
+
+    manifest, out_dir = versioned_cdc_merge(spark, sf_dir)
+    try:
+        before = max(v for (v, _l) in manifest)
+        after = compact_latest(spark, manifest, out_dir)
+        tagged = [
+            _versioned_read(spark, manifest, v).select(
+                F.lit(v).cast("int").alias("version"), "embedding"
+            )
+            for v in (before, after)
+        ]
+        out = (
+            functools.reduce(lambda a, b: a.unionByName(b), tagged)
+            .groupBy("version")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(
+                    F.expr(
+                        "CAST(round(CAST(element_at(embedding, 1) AS DOUBLE)"
+                        " * 1e6) AS BIGINT)"
+                    )
+                ).cast("long").alias("sum_e0_us"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def store_compaction_sql() -> str:
+    """Mirror: versions 2 (pre-compaction latest) and 3 (the compaction
+    commit) both summarize the full CDC merge — identical content by
+    construction."""
+    post = """
+  SELECT vec_id, label,
+         CASE WHEN vec_id % 11 = 5 AND vec_id % 13 != 7
+              THEN list_reverse(embedding) ELSE embedding END AS embedding
+  FROM embeddings
+  WHERE vec_id % 13 != 7"""
+
+    def summ(v: int) -> str:
+        return f"""
+SELECT {v} AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT))
+            AS BIGINT) AS sum_e0_us
+FROM ({post})"""
+
+    return summ(2) + "\nUNION ALL" + summ(3)

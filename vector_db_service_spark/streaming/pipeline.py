@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 import uuid
 from contextlib import contextmanager
 
@@ -1365,3 +1366,195 @@ def ingestion_dedup_stream(
     ).localCheckpoint(eager=True)
     shutil.rmtree(out_dir, ignore_errors=True)
     return out
+
+
+# hour-ALIGNED epoch base (1_700_002_800 s = 472223 * 3600): Spark's
+# window() aligns to the epoch, so a non-aligned base would split each
+# synthetic slot across two real windows
+_LATE_AUDIT_BASE_US = 1_700_002_800_000_000
+
+
+def late_data_audit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics made measurable — the audit a
+    production stream runs to answer "how much data does this watermark
+    delay drop, and how much late data still makes it in?". Event times
+    are a SYNTHETIC minute-aligned schedule derived purely from
+    event_id (slot = id%7 hours, minute = 1 + 2*(id%26) — odd minutes,
+    so no watermark ever lands exactly on a window boundary and the
+    eviction comparison's <=/< distinction can never matter), replayed
+    as four content-keyed micro-batches:
+
+      b0  feed:        id%4 in (0,1), slots 0-5 — the on-time corpus
+      b1  tick:        id%4 == 2, slot == 5     — advances the
+          watermark to W1 = max(b0,b1) - 30min, which finalizes and
+          EVICTS every window ending before it
+      b2  stragglers:  id%4 == 3, slots 0-5 — all LATE: rows whose
+          window was already evicted (wend <= W1) are DROPPED at the
+          state store; rows for the still-open slot-5 window are late
+          but ACCEPTED
+      b3  tick:        id%4 == 2, slot == 6 — advances the watermark
+          past the slot-5 window so the accepted stragglers EMIT
+
+    Verified Spark semantics this replays (measured, not assumed): the
+    initial batch runs with an epoch watermark so nothing is evicted or
+    dropped during it; a batch's late filter and its end-of-batch
+    eviction both use the watermark computed from all PRIOR batches'
+    max event time (ms floor, minus the delay); append mode emits a
+    window exactly once, when the watermark first passes its end.
+
+    Output per emitted window: hour slot, rows that made it into the
+    result (n_events), late-but-accepted stragglers among them
+    (n_late_accepted), and fed rows the watermark discarded
+    (n_late_dropped = fed - emitted). At 100 TB this is the
+    watermark-tuning feedback loop: delay is the knob, this audit is
+    the measurement."""
+    import shutil
+
+    out_dir = tempfile.mkdtemp(prefix="vdbs_late_audit_")
+    try:
+        base_us = _LATE_AUDIT_BASE_US
+        ev = load(spark, sf_dir, "events").select("event_id")
+        sched = ev.select(
+            "event_id",
+            (F.col("event_id") % 7).cast("int").alias("slot"),
+            (F.col("event_id") % 4).cast("int").alias("m4"),
+            (
+                F.lit(base_us)
+                + (F.col("event_id") % 7) * F.lit(3_600_000_000)
+                + (1 + 2 * (F.col("event_id") % 26)) * F.lit(60_000_000)
+            ).cast("long").alias("ts_us"),
+        )
+        batches = [
+            (F.col("m4").isin(0, 1)) & (F.col("slot") <= 5),
+            (F.col("m4") == 2) & (F.col("slot") == 5),
+            (F.col("m4") == 3) & (F.col("slot") <= 5),
+            (F.col("m4") == 2) & (F.col("slot") == 6),
+        ]
+        feed = os.path.join(out_dir, "feed")
+        os.makedirs(feed)
+        now = int(time.time())
+        for i, pred in enumerate(batches):
+            stage = os.path.join(out_dir, f"stage{i}")
+            sched.filter(pred).select(
+                "event_id", "slot", "m4", "ts_us"
+            ).coalesce(1).write.parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            dst = os.path.join(feed, f"b{i}.parquet")
+            os.rename(os.path.join(stage, part), dst)
+            # file order pinned by mtime: the source picks oldest first
+            os.utime(dst, (now - 100 + i, now - 100 + i))
+        schema = spark.read.parquet(os.path.join(feed, "b0.parquet")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        agg = (
+            stream.withColumn(
+                "event_time", F.timestamp_micros(F.col("ts_us"))
+            )
+            .withWatermark("event_time", "30 minutes")
+            .groupBy(F.window("event_time", "1 hour"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum((F.col("m4") == 3).cast("long")).alias(
+                    "n_late_accepted"
+                ),
+            )
+        )
+        name = f"late_{uuid.uuid4().hex[:12]}"
+        with _bounded_shuffle(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option(
+                    "checkpointLocation", os.path.join(out_dir, "ckpt")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        emitted = spark.table(name).select(
+            (
+                (F.unix_micros(F.col("window.start")) - F.lit(base_us))
+                / F.lit(3_600_000_000)
+            ).cast("int").alias("slot"),
+            "n_events",
+            "n_late_accepted",
+        )
+        fed = (
+            sched.filter(
+                batches[0] | batches[1] | batches[2] | batches[3]
+            )
+            .groupBy("slot")
+            .agg(F.count("*").cast("long").alias("n_fed"))
+        )
+        out = emitted.join(fed, "slot").select(
+            "slot",
+            "n_events",
+            "n_late_accepted",
+            (F.col("n_fed") - F.col("n_events"))
+            .cast("long")
+            .alias("n_late_dropped"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def late_data_audit_sql() -> str:
+    """Mirror of late_data_audit_stream: the same event_id schedule, the
+    same watermark algebra — W1 = max(b0 ∪ b1) - 30min (drop boundary
+    for the straggler batch), W3 = max(all fed) - 30min (final emit
+    boundary); kept = on-time rows plus stragglers whose window
+    outlived W1; emitted = kept windows ending at or before W3."""
+    base = _LATE_AUDIT_BASE_US
+    return f"""
+WITH sched AS (
+  SELECT event_id,
+         CAST(event_id % 7 AS INT) AS slot,
+         CAST(event_id % 4 AS INT) AS m4,
+         {base}
+           + (event_id % 7) * 3600000000
+           + (1 + 2 * (event_id % 26)) * 60000000 AS ts_us
+  FROM events
+),
+fed AS (
+  SELECT *,
+         CASE WHEN m4 IN (0, 1) AND slot <= 5 THEN 0
+              WHEN m4 = 2 AND slot = 5 THEN 1
+              WHEN m4 = 3 AND slot <= 5 THEN 2
+              WHEN m4 = 2 AND slot = 6 THEN 3
+         END AS batch,
+         {base} + (slot + 1) * 3600000000 AS wend_us
+  FROM sched
+  WHERE (m4 IN (0, 1) AND slot <= 5)
+     OR (m4 = 2 AND slot IN (5, 6))
+     OR (m4 = 3 AND slot <= 5)
+),
+w1 AS (
+  SELECT (max(ts_us) // 1000 - 1800000) * 1000 AS wm
+  FROM fed WHERE batch IN (0, 1)
+),
+w3 AS (
+  SELECT (max(ts_us) // 1000 - 1800000) * 1000 AS wm FROM fed
+),
+kept AS (
+  SELECT * FROM fed
+  WHERE batch IN (0, 1, 3)
+     OR (batch = 2 AND wend_us > (SELECT wm FROM w1))
+)
+SELECT k.slot,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN k.batch = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late_accepted,
+       CAST(t.n_fed - count(*) AS BIGINT) AS n_late_dropped
+FROM kept k
+JOIN (SELECT slot, count(*) AS n_fed FROM fed GROUP BY slot) t
+  ON t.slot = k.slot
+WHERE k.wend_us <= (SELECT wm FROM w3)
+GROUP BY k.slot, t.n_fed
+"""
