@@ -181,3 +181,88 @@ def test_late_data_audit_exercises_both_late_paths(spark):
     assert rows[5].n_late_dropped == 0
     # accepted rows are part of the emitted count
     assert rows[5].n_events > rows[5].n_late_accepted
+
+
+def test_pca_power_iteration_matches_numpy_eigenvector(spark):
+    import numpy as np
+
+    rows = ann.pca_power_iteration(spark, SF).collect()
+    v = np.array([r.v_scaled for r in sorted(rows, key=lambda r: r.dim_idx)],
+                 dtype=np.float64)
+    emb = load(spark, SF, "embeddings").select("embedding").collect()
+    X = np.array([
+        np.round(np.asarray(r.embedding, dtype=np.float64) * 100)
+        for r in emb
+    ])
+    G = X.T @ X
+    evals, evecs = np.linalg.eigh(G)
+    top = evecs[:, -1]
+    cos = abs(float(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top)))
+    # 8 integer power-iteration rounds must land on the dominant
+    # eigendirection of the same quantized Gram matrix
+    assert cos > 0.999, cos
+
+
+def test_pca_power_iteration_overflow_guard(spark, monkeypatch):
+    import pytest as _pytest
+
+    monkeypatch.setattr(ann, "row_count", lambda *a, **k: 2 ** 40)
+    with _pytest.raises(ValueError, match="int64 envelope"):
+        ann.pca_power_iteration(spark, SF)
+
+
+def test_knn_triangles_match_bruteforce(spark):
+    from itertools import combinations
+
+    pairs = ann.mutual_knn_pairs(spark, SF, m=3).collect()
+    adj, nodes = {}, {}
+    for r in pairs:
+        adj.setdefault(r.label, set()).add((r.vec_id_a, r.vec_id_b))
+        nodes.setdefault(r.label, set()).update((r.vec_id_a, r.vec_id_b))
+    expected = {}
+    for lbl, es in adj.items():
+        und = es | {(b, a) for a, b in es}
+        tri = sum(
+            1
+            for a, b, c in combinations(sorted(nodes[lbl]), 3)
+            if (a, b) in und and (b, c) in und and (a, c) in und
+        )
+        deg = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+        wed = sum(d * (d - 1) // 2 for d in deg.values())
+        expected[lbl] = (len(es), wed, tri)
+    got = {
+        r.label: (r.n_edges, r.n_wedges, r.n_triangles)
+        for r in ann.mutual_knn_triangles(spark, SF, m=3).collect()
+    }
+    assert got == expected
+    # the corpus must actually close at least one triangle somewhere,
+    # or the census is vacuous
+    assert any(t for (_e, _w, t) in expected.values())
+
+
+def test_scd2_intervals_are_contiguous_and_typed(spark):
+    from vector_db_service_spark.operators import relational
+
+    rows = relational.scd2_user_history(spark, SF).collect()
+    ev = load(spark, SF, "events")
+    per_user_events = {
+        r.user_id: r.n for r in
+        ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, vs in by_user.items():
+        vs.sort(key=lambda r: r.version_no)
+        assert [v.version_no for v in vs] == list(range(1, len(vs) + 1))
+        # exactly one open (current) version, and it is the last
+        assert [v.valid_to_us for v in vs].count(-1) == 1
+        assert vs[-1].valid_to_us == -1
+        for a, b in zip(vs, vs[1:]):
+            # contiguous: each interval closes where the next opens
+            assert a.valid_to_us == b.valid_from_us
+            # a version exists only because the type changed
+            assert a.event_type != b.event_type
+        assert sum(v.n_events for v in vs) == per_user_events[uid]

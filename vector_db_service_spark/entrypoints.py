@@ -541,6 +541,44 @@ FROM events GROUP BY 1, 2
 """,
 )
 register(
+    # SCD2 dimension build (r14b): per user, consecutive same-type
+    # events collapse into versioned validity intervals
+    # (gaps-and-islands: lag flag -> running-sum island -> per-island
+    # aggregate -> lead for the exclusive valid_to; -1 = current row)
+    "rel_scd2_user_history",
+    relational.scd2_user_history,
+    """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w != event_type
+            THEN 1 ELSE 0 END AS chg
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+isl AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+versions AS (
+  SELECT user_id, island, min(event_type) AS event_type,
+         min(ts_us) AS valid_from_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id, CAST(island AS INT) AS version_no, event_type,
+       valid_from_us,
+       CAST(COALESCE(lead(valid_from_us)
+                       OVER (PARTITION BY user_id ORDER BY island), -1)
+            AS BIGINT) AS valid_to_us,
+       n_events
+FROM versions
+""",
+)
+register(
     "rel_sessionize_events",
     relational.sessionize_events,
     """
@@ -1031,6 +1069,15 @@ QUALIFY rnk <= {m}
 
 
 register(
+    # dominant principal direction (r14b): integer-exact uncentered
+    # Gram matrix (distributed, dim^2 partials per task) + fixed-round
+    # power iteration with sign-split floor division — bit-identical
+    # cross-engine; the train-once collect is dim^2 rows, never data
+    "emb_pca_power_iteration",
+    lambda s, d: ann.pca_power_iteration(s, d),
+    ann.pca_power_iteration_sql(dim=_DIM),
+)
+register(
     # NN-descent (r14b): one neighbor-of-neighbor refinement round over
     # the banded kNN graph — the distributed kNN-graph construction
     # loop; candidates linear in n*m^2, new pairs exact-scored once,
@@ -1038,6 +1085,57 @@ register(
     "ann_nn_descent",
     lambda s, d: ann.nn_descent_refine(s, d, m=3),
     _nn_descent_sql(m=3),
+)
+
+
+def _mutual_triangles_sql(m: int = 3) -> str:
+    """Mirror of ann.mutual_knn_triangles: the mutual-pair CTE, the
+    oriented a<b<c two-hop join with the closing-edge semi-join, and
+    integer wedge counts from undirected degrees."""
+    return f"""
+WITH mut AS MATERIALIZED ({_mutual_knn_sql(m=m)}),
+e AS MATERIALIZED (
+  SELECT label, vec_id_a AS a, vec_id_b AS b FROM mut
+),
+tri AS (
+  SELECT e1.label, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e1.label = e2.label AND e1.b = e2.a
+  WHERE EXISTS (
+    SELECT 1 FROM e e3
+    WHERE e3.label = e1.label AND e3.a = e1.a AND e3.b = e2.b
+  )
+  GROUP BY e1.label
+),
+und AS (
+  SELECT label, a AS node FROM e UNION ALL SELECT label, b FROM e
+),
+deg AS (
+  SELECT label, node, count(*) AS deg FROM und GROUP BY label, node
+),
+wed AS (
+  SELECT label, CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg GROUP BY label
+),
+edg AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_edges FROM e GROUP BY label
+)
+SELECT edg.label, edg.n_edges,
+       COALESCE(wed.n_wedges, 0) AS n_wedges,
+       COALESCE(tri.n_triangles, 0) AS n_triangles
+FROM edg
+LEFT JOIN wed ON wed.label = edg.label
+LEFT JOIN tri ON tri.label = edg.label
+"""
+
+
+register(
+    # triangle census of the mutual-kNN graph (r14b): local clustering
+    # of the embedding manifold — oriented a<b<c two-hop join + closing
+    # semi-join, integer wedge counts; no stage touches embeddings
+    "ann_knn_triangles",
+    lambda s, d: ann.mutual_knn_triangles(s, d, m=3),
+    _mutual_triangles_sql(m=3),
 )
 
 
@@ -3000,6 +3098,8 @@ _PRIORITY_50 = [
     # -- (a) never driver-sampled: the operators NEW this round --
     "ann_nn_descent", "text_bpe_encode", "mm_audio_spectral",
     "s21_store_compaction", "stream_late_data_audit",
+    "emb_pca_power_iteration", "ann_knn_triangles",
+    "rel_scd2_user_history",
     "stream_ivf_maintenance", "ann_knn_pagerank", "s19_store_time_travel",
     "stream_ingestion_dedup", "ann_binary_hamming_topk",
     "pipeline_leakage_safe_split", "text_bpe_train_merges",
@@ -3013,7 +3113,7 @@ _PRIORITY_50 = [
     "ann_mutual_knn_components",
     # -- (c) the r9 cohort: every query last driver-green in round 9
     # (at the 5-round staleness ceiling this round) --
-    "ann_ivf_topk", "ann_scalar_quantize", "dedup_exact_summary",
+    "ann_ivf_topk", "dedup_exact_summary",
     "dedup_ngram_jaccard_topk", "dedup_simhash_pairs", "j2_semi_join",
     "j3_orphan_anti_join", "knn_dispatch_flat", "knn_dist_euclidean",
     "knn_dist_manhattan", "knn_flat_cosine", "knn_flat_dot_product",
@@ -3023,11 +3123,9 @@ _PRIORITY_50 = [
     "rel_order_priority_rollup", "rel_revenue_by_nation",
     "rel_sessionize_events", "rel_status_pivot", "rel_top_customers",
     "s13_partial_update", "stream_embed_pending",
-    "stream_stateful_user_totals",
     # -- (d) r10 rows to fill 50: the two r13 bench_compare flags first
     # (fresh driver rows for the adjudication), then alphabetical --
     "dedup_components", "stream_click_purchase_join",
-    "a1_count_by_library",
 ]
 
 

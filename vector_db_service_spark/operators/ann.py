@@ -2468,3 +2468,205 @@ def nn_descent_refine(
         "score",
         "rnk",
     )
+
+
+# power-iteration scales: embeddings quantized to centi-units, the
+# iterate to micro-units. int64 bound: rows * Q_SCALE^2 * V_SCALE * dim
+# must stay < 2^63 — guarded loudly in pca_power_iteration.
+PCA_Q_SCALE = 100
+PCA_V_SCALE = 1_000_000
+PCA_ROUNDS = 64
+
+
+def pca_power_iteration(
+    spark: SparkSession, sf_dir: str, rounds: int = PCA_ROUNDS
+) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by power
+    iteration over the integer-exact (uncentered) second-moment matrix
+    — the spectral summary an embedding-quality audit reads next to
+    emb_spectrum_audit's participation ratio: a corpus whose mass
+    collapses onto one direction embeds poorly regardless of recall.
+
+    Distributed part: G[i,j] = sum over rows of q_i * q_j with
+    q = round(x * 100) — one flat-map of dim^2 integer terms per row
+    into a groupBy(i, j) whose map-side partial aggregation reduces
+    every task to dim^2 rows before the (tiny) shuffle. The iteration
+    itself is the train-once lifecycle (quantizer-fit precedent): G is
+    dim^2 = bounded rows collected once, then `rounds` integer
+    matrix-vector products v <- G v with a magnitude rescale
+    d = max(1, max|w| // 1e6); sign-split floor division keeps Spark
+    `div` and DuckDB `//` in exact agreement on negatives, so the
+    final iterate is bit-identical cross-engine (the pagerank/unigram
+    integer-determinism discipline). All magnitudes are proven inside
+    int64 by the guard below; the oracle unrolls the identical rounds
+    as CTE stages over the same quantized Gram CTE.
+
+    Output: (dim_idx, v_scaled) — the dominant direction as micro-unit
+    integers (sign = the iteration's, deterministic from the all-ones
+    start). Convergence is spectral-gap-dependent — error shrinks as
+    (lambda2/lambda1)^rounds, and this corpus family is deliberately
+    near-isotropic (gap 0.93-0.98), hence 64 rounds; the numpy
+    eigenvector cross-check in tests pins the claim at the test SF. At 100 TB the Gram aggregation is the only data-sized
+    stage and it shuffles dim^2 partials per task, never rows."""
+    dim = embedding_dim(sf_dir)
+    n = row_count(sf_dir, "embeddings")
+    # |w| <= n * (Q_SCALE * max|x|)^2-ish * V_SCALE * dim; max|x| is ~1
+    # for this corpus family but not enforced — bound with headroom and
+    # fail loudly rather than wrap
+    if n * (PCA_Q_SCALE ** 2) * PCA_V_SCALE * dim >= 2 ** 62:
+        raise ValueError(
+            f"pca_power_iteration: {n} rows x dim {dim} exceeds the "
+            "int64 envelope; shard the corpus or lower the scales"
+        )
+    emb = spread_for_compute(load(spark, sf_dir, "embeddings"))
+    q = emb.select(
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) "
+            f"* {PCA_Q_SCALE}) AS BIGINT))"
+        ).alias("qv")
+    )
+    cells = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(qv, (x, i) -> "
+                "transform(qv, (y, j) -> struct(i, j, x * y AS t))))"
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.t")
+    gram = (
+        cells.groupBy("i", "j")
+        .agg(F.sum("t").cast("long").alias("g"))
+        .collect()
+    )  # bounded: dim^2 rows, never data-sized
+    G: dict = {}
+    for r in gram:
+        G[(int(r["i"]), int(r["j"]))] = int(r["g"])
+    v = [PCA_V_SCALE] * dim
+    for _ in range(rounds):
+        w = [
+            sum(G.get((i, j), 0) * v[j] for j in range(dim))
+            for i in range(dim)
+        ]
+        d = max(1, max(abs(x) for x in w) // PCA_V_SCALE)
+        v = [(-((-x) // d) if x < 0 else x // d) for x in w]
+    out = [(i + 1, v[i]) for i in range(dim)]
+    return spark.createDataFrame(out, "dim_idx int, v_scaled long")
+
+
+def pca_power_iteration_sql(
+    dim: int, rounds: int = PCA_ROUNDS
+) -> str:
+    """Unrolled replay of pca_power_iteration: the same quantized Gram
+    CTE, then `rounds` matrix-vector stages with the identical
+    magnitude rescale and sign-split floor division."""
+    stages = []
+    for r in range(rounds):
+        prev, cur = f"v{r}", f"v{r + 1}"
+        stages.append(f"""
+w{r + 1} AS MATERIALIZED (
+  SELECT g.i, CAST(sum(g.g * v.v) AS BIGINT) AS w
+  FROM gram g JOIN {prev} v ON v.i = g.j GROUP BY g.i
+),
+d{r + 1} AS MATERIALIZED (
+  SELECT greatest(CAST(1 AS BIGINT), max(abs(w)) // {PCA_V_SCALE}) AS d
+  FROM w{r + 1}
+),
+{cur} AS MATERIALIZED (
+  SELECT i, CASE WHEN w < 0
+                 THEN -((-w) // (SELECT d FROM d{r + 1}))
+                 ELSE w // (SELECT d FROM d{r + 1}) END AS v
+  FROM w{r + 1}
+)""")
+    chain = ",".join(stages)
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {PCA_Q_SCALE})
+                                  AS BIGINT)) AS qv
+  FROM embeddings
+),
+gram AS MATERIALIZED (
+  SELECT i, j, CAST(sum(qv[i] * qv[j]) AS BIGINT) AS g
+  FROM q, generate_series(1, {dim}) s1(i), generate_series(1, {dim}) s2(j)
+  GROUP BY i, j
+),
+v0 AS MATERIALIZED (
+  SELECT i, CAST({PCA_V_SCALE} AS BIGINT) AS v
+  FROM generate_series(1, {dim}) t(i)
+),{chain}
+SELECT CAST(i AS INT) AS dim_idx, v AS v_scaled FROM v{rounds}
+"""
+
+
+def mutual_knn_triangles(
+    spark: SparkSession, sf_dir: str, m: int = 3
+) -> DataFrame:
+    """Triangle census of the mutual k-NN graph — the local-clustering
+    signal of the embedding manifold: a high triangle-to-wedge ratio
+    means reciprocal neighborhoods close on themselves (dense
+    redundancy clusters, dedup will bite); a wedge-heavy graph is
+    chain-like (hubs/bridges, dedup removes little). Per library:
+    edges, wedges (= sum over nodes of C(deg, 2), exact integers) and
+    triangles via the oriented two-hop join — edges are kept as
+    (a < b) pairs, e1=(a,b) joins e2=(b,c) so a < b < c counts each
+    triangle exactly once, then a semi-join confirms the closing (a,c)
+    edge. The global clustering coefficient is 3*triangles/wedges —
+    emitted as exact integer numerator/denominator, never a float.
+
+    Scale shape: the mutual edge list is <= n*m rows; the two-hop join
+    output is bounded by the wedge count (sum deg^2 — bounded because
+    mutual degree <= m); the closing check is a skinny semi-join. No
+    stage touches embeddings."""
+    e = (
+        mutual_knn_pairs(spark, sf_dir, m=m)
+        .select(
+            "label",
+            F.col("vec_id_a").alias("a"),
+            F.col("vec_id_b").alias("b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    two_hop = (
+        e.alias("e1")
+        .join(
+            e.alias("e2"),
+            (F.col("e1.label") == F.col("e2.label"))
+            & (F.col("e1.b") == F.col("e2.a")),
+        )
+        .select(
+            F.col("e1.label").alias("label"),
+            F.col("e1.a").alias("a"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    tri = (
+        two_hop.join(
+            e.select(
+                "label", F.col("a").alias("a"), F.col("b").alias("c")
+            ),
+            ["label", "a", "c"],
+            "left_semi",
+        )
+        .groupBy("label")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    und = e.select("label", F.col("a").alias("node")).unionByName(
+        e.select("label", F.col("b").alias("node"))
+    )
+    deg = und.groupBy("label", "node").agg(F.count("*").alias("deg"))
+    wedges = deg.groupBy("label").agg(
+        F.sum(F.expr("deg * (deg - 1) DIV 2")).cast("long").alias("n_wedges")
+    )
+    edges = e.groupBy("label").agg(F.count("*").cast("long").alias("n_edges"))
+    return (
+        edges.join(wedges, "label", "left")
+        .join(tri, "label", "left")
+        .select(
+            "label",
+            "n_edges",
+            F.coalesce("n_wedges", F.lit(0)).cast("long").alias("n_wedges"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+        )
+    )

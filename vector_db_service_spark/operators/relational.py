@@ -776,3 +776,57 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("purchase_rate"),
     )
+
+
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension build from the events CDC feed —
+    the warehouse pattern that turns a mutation log into versioned
+    validity intervals: per user, consecutive events carrying the SAME
+    event_type collapse into one version row; a type change closes the
+    open interval and opens the next. Classic gaps-and-islands: one
+    lag-flag window, a running-sum island id, a per-island aggregate,
+    then a lead() for the exclusive valid_to (NULL -> -1 marks the
+    current open row). Deterministic under ties via the (ts_us,
+    event_id) total order.
+
+    Scale shape: two window passes and one aggregate, all partitioned
+    by user_id — a single hash exchange of skinny columns; no joins,
+    no data-sized state. This is the dimension-build step a 100 TB
+    training warehouse runs nightly over its CDC feed."""
+    from ..sources.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts_us"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts_us"), F.asc("event_id")
+    )
+    flagged = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("island", F.sum("chg").over(w))
+    versions = flagged.groupBy("user_id", "island").agg(
+        # event_type is constant within an island by construction
+        F.min("event_type").alias("event_type"),
+        F.min("ts_us").alias("valid_from_us"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    # order versions by island id, not valid_from_us: two adjacent
+    # islands can share a min ts when a type change happens inside a
+    # timestamp tie (the (ts_us, event_id) order breaks the tie, and
+    # island ids follow it)
+    w2 = Window.partitionBy("user_id").orderBy(F.asc("island"))
+    return versions.select(
+        "user_id",
+        F.col("island").cast("int").alias("version_no"),
+        "event_type",
+        "valid_from_us",
+        F.coalesce(
+            F.lead("valid_from_us").over(w2), F.lit(-1)
+        ).cast("long").alias("valid_to_us"),
+        "n_events",
+    )
