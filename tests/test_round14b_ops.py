@@ -266,3 +266,22 @@ def test_scd2_intervals_are_contiguous_and_typed(spark):
             # a version exists only because the type changed
             assert a.event_type != b.event_type
         assert sum(v.n_events for v in vs) == per_user_events[uid]
+
+
+def test_scene_cuts_threshold_is_discriminative(spark):
+    from vector_db_service_spark.operators import multimodal as mm
+
+    rows = mm.scene_cuts(spark, SF).collect()
+    assert all(r.n_pairs == max(0, r.n_frames - 1) for r in rows)
+    assert all(0 <= r.n_cuts <= r.n_pairs for r in rows)
+    with_pairs = [r for r in rows if r.n_pairs > 0]
+    assert with_pairs
+    # the pinned threshold must actually split the corpus: some pairs
+    # cut, some do not — otherwise the screen is vacuous
+    assert any(r.n_cuts > 0 for r in with_pairs)
+    assert any(r.n_cuts < r.n_pairs for r in with_pairs)
+    for r in rows:
+        if r.n_pairs == 0:
+            assert r.max_diff == 0 and r.sum_diff == 0 and r.n_cuts == 0
+        else:
+            assert r.max_diff <= r.sum_diff

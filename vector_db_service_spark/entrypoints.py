@@ -1515,6 +1515,14 @@ register(
     multimodal.audio_spectral,
     multimodal.audio_spectral_sql(),
 )
+register(
+    # video scene cuts (r14b): exact integer L1 diff between
+    # consecutive frame slices, cut = diff beyond the pinned threshold;
+    # the keyframe-selection screen with a byte-level oracle
+    "mm_scene_cuts",
+    multimodal.scene_cuts,
+    multimodal.scene_cuts_sql(),
+)
 register("mm_blob_features", multimodal.blob_features, opl.blob_features_sql())
 register("mm_blob_resize", multimodal.blob_resize, multimodal.blob_resize_sql())
 register("mm_frame_stats", multimodal.frame_stats, opl.frame_stats_sql())
@@ -3099,7 +3107,7 @@ _PRIORITY_50 = [
     "ann_nn_descent", "text_bpe_encode", "mm_audio_spectral",
     "s21_store_compaction", "stream_late_data_audit",
     "emb_pca_power_iteration", "ann_knn_triangles",
-    "rel_scd2_user_history",
+    "rel_scd2_user_history", "mm_scene_cuts",
     "stream_ivf_maintenance", "ann_knn_pagerank", "s19_store_time_travel",
     "stream_ingestion_dedup", "ann_binary_hamming_topk",
     "pipeline_leakage_safe_split", "text_bpe_train_merges",
@@ -3125,7 +3133,7 @@ _PRIORITY_50 = [
     "s13_partial_update", "stream_embed_pending",
     # -- (d) r10 rows to fill 50: the two r13 bench_compare flags first
     # (fresh driver rows for the adjudication), then alphabetical --
-    "dedup_components", "stream_click_purchase_join",
+    "dedup_components",
 ]
 
 

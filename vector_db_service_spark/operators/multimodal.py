@@ -1406,3 +1406,107 @@ SELECT doc_id, bin, re_sum, im_sum, energy,
                           ORDER BY energy DESC, bin) = 1 AS is_dominant
 FROM scored
 """
+
+
+SCENE_CUT_THRESHOLD = 4_000  # L1 byte-diff per frame pair; ~the corpus median
+
+
+def scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection for the video modality: slice each blob into
+    FRAME_BYTES frames (the sample_frames convention) and measure the
+    exact integer L1 byte difference between consecutive frames — a
+    pair whose difference exceeds SCENE_CUT_THRESHOLD is a cut. This is
+    the shot-boundary screen a video curation pipeline runs before
+    paying for a model pass (keyframe selection samples one frame per
+    detected scene, not per fixed stride). The tail frame compares over
+    its own (shorter) length, so every byte the blob actually has
+    participates exactly once per pair.
+
+    One fused mapInPandas pass (the blob never crosses Arrow, the
+    mm_decode discipline); all features are exact BIGINT sums, so the
+    byte-level DuckDB oracle replays them term for term. At 100 TB:
+    embarrassingly parallel, no shuffle beyond the per-doc rows."""
+    import numpy as np
+
+    from ..sources.tables import spread_for_compute
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("n_pairs", T.LongType()),
+            T.StructField("n_cuts", T.LongType()),
+            T.StructField("max_diff", T.LongType()),
+            T.StructField("sum_diff", T.LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("doc_id", "n_frames", "n_pairs", "n_cuts", "max_diff",
+                "sum_diff")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                blob = (text or "").encode("utf-8")
+                x = np.frombuffer(blob, np.uint8).astype(np.int64)
+                n = len(x)
+                nf = (n + FRAME_BYTES - 1) // FRAME_BYTES
+                diffs = []
+                for p in range(nf - 1):
+                    a = x[p * FRAME_BYTES:(p + 1) * FRAME_BYTES]
+                    b = x[(p + 1) * FRAME_BYTES:(p + 2) * FRAME_BYTES]
+                    diffs.append(int(np.abs(a[: len(b)] - b).sum()))
+                rows["doc_id"].append(int(doc_id))
+                rows["n_frames"].append(nf)
+                rows["n_pairs"].append(len(diffs))
+                rows["n_cuts"].append(
+                    sum(1 for d in diffs if d > SCENE_CUT_THRESHOLD)
+                )
+                rows["max_diff"].append(max(diffs, default=0))
+                rows["sum_diff"].append(sum(diffs))
+            yield pd.DataFrame(rows)
+
+    docs = spread_for_compute(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return docs.mapInPandas(gen, schema)
+
+
+def scene_cuts_sql() -> str:
+    """Byte-level mirror: frame p's byte j = blob byte p*256+j; pair
+    diff = sum over the SHORTER (later) frame's length; same threshold,
+    same integer arithmetic."""
+    fb = FRAME_BYTES
+    return f"""
+WITH raw AS (SELECT doc_id, {utf8_bytes_sql()} AS bl FROM documents),
+base AS (
+  SELECT doc_id, bl, len(bl) AS n,
+         (len(bl) + {fb} - 1) // {fb} AS nf
+  FROM raw
+),
+pairdiff AS (
+  SELECT doc_id, p,
+         CAST(sum(abs(bl[p * {fb} + j + 1] - bl[(p + 1) * {fb} + j + 1]))
+              AS BIGINT) AS d
+  FROM base,
+       unnest(range(0, nf - 1)) t(p),
+       unnest(range(0, {fb})) u(j)
+  WHERE (p + 1) * {fb} + j < n
+  GROUP BY doc_id, p
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN d > {SCENE_CUT_THRESHOLD} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_cuts,
+         CAST(max(d) AS BIGINT) AS max_diff,
+         CAST(sum(d) AS BIGINT) AS sum_diff
+  FROM pairdiff GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.nf AS BIGINT) AS n_frames,
+       COALESCE(a.n_pairs, 0) AS n_pairs,
+       COALESCE(a.n_cuts, 0) AS n_cuts,
+       COALESCE(a.max_diff, 0) AS max_diff,
+       COALESCE(a.sum_diff, 0) AS sum_diff
+FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+"""
