@@ -83,6 +83,15 @@ PROBES = [
     # both with genuine duplicate structure)
     "pipeline_hard_negatives",
     "stream_ingestion_dedup",
+    # round-14 continuation: NN-descent rides the banded graph's
+    # neighbor-of-neighbor expansion (linear in n*m^2, and the
+    # near-twin corpus densifies every neighborhood); the PCA Gram
+    # aggregation is the dim^2-partials-per-task shape whose wall
+    # should stay flat-ish at 10x rows; the triangle census is the
+    # two-hop join over the mutual edge list
+    "ann_nn_descent",
+    "emb_pca_power_iteration",
+    "ann_knn_triangles",
 ]
 # lineitem-backed queries only have real data at the source SFs; the
 # synthetic corpus scales documents/embeddings/events 10x and reuses
