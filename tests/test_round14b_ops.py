@@ -285,3 +285,48 @@ def test_scene_cuts_threshold_is_discriminative(spark):
             assert r.max_diff == 0 and r.sum_diff == 0 and r.n_cuts == 0
         else:
             assert r.max_diff <= r.sum_diff
+
+
+def test_nn_descent_improves_recall_vs_true_topm(spark):
+    import numpy as np
+
+    m = 3
+    emb = load(spark, SF, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(
+            (r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+        )
+    true_top = {}
+    for _lbl, rows in by_label.items():
+        ids = [i for i, _ in rows]
+        X = np.stack([v for _, v in rows])
+        nrm = np.linalg.norm(X, axis=1)
+        nrm[nrm == 0] = 1.0
+        S = (X / nrm[:, None]) @ (X / nrm[:, None]).T
+        for a, vid in enumerate(ids):
+            order = sorted(
+                ((round(S[a, b], 6), ids[b]) for b in range(len(ids))
+                 if b != a),
+                key=lambda t: (-t[0], t[1]),
+            )
+            true_top[vid] = {v for _s, v in order[:m]}
+
+    def recall(edges):
+        hit = tot = 0
+        by_src = {}
+        for r in edges:
+            by_src.setdefault(r.src, set()).add(r.dst)
+        for src, true in true_top.items():
+            got = by_src.get(src, set())
+            hit += len(got & true)
+            tot += len(true)
+        return hit / tot
+
+    r_base = recall(ann.knn_join(spark, SF, m=m).collect())
+    r_ref = recall(ann.nn_descent_refine(spark, SF, m=m).collect())
+    # one NN-descent round must strictly improve banded recall toward
+    # the true graph on this corpus (and never regress anywhere)
+    assert r_ref > r_base, (r_base, r_ref)
