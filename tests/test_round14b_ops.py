@@ -330,3 +330,50 @@ def test_nn_descent_improves_recall_vs_true_topm(spark):
     # one NN-descent round must strictly improve banded recall toward
     # the true graph on this corpus (and never regress anywhere)
     assert r_ref > r_base, (r_base, r_ref)
+
+
+def test_nn_descent_recall_report_shows_strict_gain(spark):
+    rows = {r.stage: r for r in ann.nn_descent_recall(spark, SF).collect()}
+    assert set(rows) == {"banded_base", "nn_descent_r1"}
+    b, r = rows["banded_base"], rows["nn_descent_r1"]
+    assert b.total == r.total > 0
+    assert r.hits > b.hits  # the refinement round must buy real recall
+    assert r.recall_micro == (r.hits * 1_000_000) // r.total
+
+
+def test_lsh_multiprobe_expands_the_candidate_set(spark):
+    from vector_db_service_spark.operators import lsh as lsh_ops
+    from vector_db_service_spark.sources.tables import row_count
+
+    band_bits = lsh_ops.auto_band_bits(row_count(SF, "embeddings"), None)
+    qvec, _ = __import__(
+        "vector_db_service_spark.operators.knn", fromlist=["query_vector_row"]
+    ).query_vector_row(spark, SF, 0)
+    planes = lsh_ops.hyperplanes(
+        len(qvec), lsh_ops.N_SIGN_BANDS * band_bits, lsh_ops.SEED
+    )
+    qbits = lsh_ops.query_bits(qvec, planes)
+    qkeys = [
+        sum(qbits[b * band_bits + i] << i for i in range(band_bits))
+        for b in range(lsh_ops.N_SIGN_BANDS)
+    ]
+    from vector_db_service_spark.sources.tables import load as _load
+
+    emb = _load(spark, SF, "embeddings").withColumn(
+        "_bands", lsh_ops.band_keys("embedding", planes, band_bits)
+    )
+    qk = ", ".join(str(x) for x in qkeys)
+    exact = emb.filter(F.expr(
+        f"exists(zip_with(_bands, array({qk}), (a, b) -> a = b), x -> x)"
+    )).count()
+    probe1 = emb.filter(F.expr(
+        f"exists(zip_with(_bands, array({qk}), "
+        f"(a, b) -> bit_count(a ^ b) <= 1), x -> x)"
+    )).count()
+    # Hamming-1 expansion must strictly widen the candidate set (that
+    # is the recall it buys), and the exact buckets are a subset
+    assert probe1 > exact > 0
+    res = lsh_ops.multiprobe_search(spark, SF, query_id=0, k=10)
+    rows = res.collect()
+    keys = [(-r.score, r.vec_id) for r in rows]
+    assert keys == sorted(keys) and len(rows) == 10

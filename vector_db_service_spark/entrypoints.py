@@ -633,6 +633,44 @@ register(
     oracles.lsh_search_sql(_PLANES, query_id=0, k=10, metric="cosine"),
 )
 
+
+def _lsh_multiprobe_sql(
+    query_id: int = 0, k: int = 10, dim: int = _DIM, band_bits: int = 2
+) -> str:
+    """Mirror of lsh_ops.multiprobe_search: banded keys for corpus AND
+    query from the same seed-42 algebra, candidates = any band with
+    bit_count(xor) <= 1, exact cosine re-rank."""
+    from .operators.lsh import NUM_HASHES, SEED, hyperplanes
+
+    planes = hyperplanes(dim, NUM_HASHES, SEED)
+    cos = oracles.METRIC_SQL["cosine"]("e.embedding", "q.qv")
+    return f"""
+WITH banded AS MATERIALIZED (
+{oracles.banded_cte_sql(planes, band_bits)}
+),
+qb AS (SELECT band_idx, band_key FROM banded WHERE vec_id = {query_id}),
+cand AS (
+  SELECT DISTINCT b.vec_id
+  FROM banded b JOIN qb ON qb.band_idx = b.band_idx
+   AND bit_count(xor(CAST(b.band_key AS BIGINT),
+                     CAST(qb.band_key AS BIGINT))) <= 1
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_id})
+SELECT e.vec_id, e.label, round({cos}, 6) AS score
+FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id, q
+QUALIFY row_number() OVER (ORDER BY score DESC, e.vec_id) <= {k}
+"""
+
+
+register(
+    # LSH multi-probe (r14b): probe every bucket within Hamming-1 of
+    # the query's band keys — the recall-vs-tables trade (Lv et al.
+    # VLDB'07); predicate evaluated inside the scan, no join/shuffle
+    "knn_lsh_multiprobe",
+    lambda s, d: lsh_ops.multiprobe_search(s, d, query_id=0, k=10),
+    _lsh_multiprobe_sql(query_id=0, k=10),
+)
+
 # --- I7-I10: Grid index -----------------------------------------------------
 def _grid_cells(s: SparkSession, d: str) -> DataFrame:
     emb = load(s, d, "embeddings")
@@ -1085,6 +1123,57 @@ register(
     "ann_nn_descent",
     lambda s, d: ann.nn_descent_refine(s, d, m=3),
     _nn_descent_sql(m=3),
+)
+
+
+def _nn_descent_recall_sql(m: int = 3) -> str:
+    """Mirror of ann.nn_descent_recall: exact within-label top-m truth,
+    semi-join hit counts for the base and refined graphs, integer
+    micro-unit recall."""
+    cos = oracles.METRIC_SQL["cosine"]("a.embedding", "b.embedding")
+    return f"""
+WITH base_g AS MATERIALIZED (
+  SELECT label, src, dst FROM ({_knn_join_sql(m=m)})
+),
+ref_g AS MATERIALIZED (
+  SELECT label, src, dst FROM ({_nn_descent_sql(m=m)})
+),
+truth AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst, round({cos}, 6) AS score
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id != b.vec_id
+  )
+  QUALIFY row_number() OVER (PARTITION BY src
+                             ORDER BY score DESC, dst) <= {m}
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM truth),
+bh AS (
+  SELECT CAST(count(*) AS BIGINT) AS hits
+  FROM base_g k SEMI JOIN truth t ON t.src = k.src AND t.dst = k.dst
+),
+rh AS (
+  SELECT CAST(count(*) AS BIGINT) AS hits
+  FROM ref_g n SEMI JOIN truth t ON t.src = n.src AND t.dst = n.dst
+)
+SELECT 'banded_base' AS stage, bh.hits, tot.total,
+       CAST((bh.hits * 1000000) // greatest(tot.total, 1) AS BIGINT)
+         AS recall_micro
+FROM bh, tot
+UNION ALL
+SELECT 'nn_descent_r1', rh.hits, tot.total,
+       CAST((rh.hits * 1000000) // greatest(tot.total, 1) AS BIGINT)
+FROM rh, tot
+"""
+
+
+register(
+    # the NN-descent VALUE made driver-visible (r14b): exact recall of
+    # the base vs refined graph against the true within-label top-m —
+    # integer micro-unit recall, no float compare
+    "ann_nn_descent_recall",
+    lambda s, d: ann.nn_descent_recall(s, d, m=3),
+    _nn_descent_recall_sql(m=3),
 )
 
 
@@ -3107,7 +3196,8 @@ _PRIORITY_50 = [
     "ann_nn_descent", "text_bpe_encode", "mm_audio_spectral",
     "s21_store_compaction", "stream_late_data_audit",
     "emb_pca_power_iteration", "ann_knn_triangles",
-    "rel_scd2_user_history", "mm_scene_cuts",
+    "rel_scd2_user_history", "mm_scene_cuts", "ann_nn_descent_recall",
+    "knn_lsh_multiprobe",
     "stream_ivf_maintenance", "ann_knn_pagerank", "s19_store_time_travel",
     "stream_ingestion_dedup", "ann_binary_hamming_topk",
     "pipeline_leakage_safe_split", "text_bpe_train_merges",
@@ -3130,10 +3220,7 @@ _PRIORITY_50 = [
     "p4_exists_probe", "rel_docs_top_by_length",
     "rel_order_priority_rollup", "rel_revenue_by_nation",
     "rel_sessionize_events", "rel_status_pivot", "rel_top_customers",
-    "s13_partial_update", "stream_embed_pending",
-    # -- (d) r10 rows to fill 50: the two r13 bench_compare flags first
-    # (fresh driver rows for the adjudication), then alphabetical --
-    "dedup_components",
+    "s13_partial_update",
 ]
 
 

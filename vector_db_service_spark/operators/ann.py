@@ -2670,3 +2670,63 @@ def mutual_knn_triangles(
             ),
         )
     )
+
+
+def nn_descent_recall(
+    spark: SparkSession, sf_dir: str, m: int = 3
+) -> DataFrame:
+    """Recall evidence for the NN-descent round, as a driver-gated
+    query rather than a test-only claim: per stage (banded base graph
+    vs one refinement round), how many of the TRUE within-label top-m
+    edges the graph holds. The truth side is the exact per-label
+    scoring pass (same shape as index_recall_report's exact leg: one
+    within-label pair scan — quadratic per label, the measurement's
+    cost, not the serving path's). Output is integer (hits, total)
+    plus recall in exact micro-units, so the oracle compares without
+    float noise. The refined stage can never read below the base stage
+    (candidate-superset dominance, pinned in tests); the GAP between
+    the rows is the measured value of the neighbor-of-neighbor round."""
+    emb = spread_for_compute(load(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        "label", F.col("vec_id").alias("src"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        "label", F.col("vec_id").alias("dst"), F.col("embedding").alias("eb")
+    )
+    scored = (
+        a.join(b, "label")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "label", "src", "dst",
+            F.round(sim.score("cosine", F.col("ea"), F.col("eb")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    true_top = multi_query_topk(
+        scored.select(
+            F.col("src").alias("query_id"),
+            F.col("dst").alias("vec_id"),
+            "label",
+            "score",
+        ),
+        k=m,
+    ).select(F.col("query_id").alias("src"), F.col("vec_id").alias("dst"))
+    true_top = true_top.localCheckpoint(eager=False)
+    total = true_top.count()
+
+    def stage(name: str, graph: DataFrame) -> DataFrame:
+        hits = graph.select("src", "dst").join(
+            true_top, ["src", "dst"], "left_semi"
+        )
+        return hits.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").cast("long").alias("hits"),
+            F.lit(total).cast("long").alias("total"),
+            F.expr(
+                f"CAST((count(*) * 1000000) DIV {max(total, 1)} AS BIGINT)"
+            ).alias("recall_micro"),
+        )
+    base = stage("banded_base", knn_join(spark, sf_dir, m=m))
+    refined = stage("nn_descent_r1", nn_descent_refine(spark, sf_dir, m=m))
+    return base.unionByName(refined)

@@ -344,3 +344,59 @@ def signatures(emb: DataFrame, planes: list[list[float]]) -> DataFrame:
         "label",
         bucket_key(signature_bits("embedding", planes)).alias("bucket"),
     )
+
+
+def multiprobe_search(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    query_id: int = 0,
+    k: int = 10,
+    metric: str = "cosine",
+    band_bits: int | None = None,
+) -> DataFrame:
+    """LSH MULTI-PROBE search over the banded index (Lv et al.,
+    VLDB'07): probe not just the query's own bucket per band but every
+    bucket within Hamming distance 1 of its band key — the standard
+    recall-vs-tables trade (multi-probe buys the recall extra hash
+    tables would, without storing them; at 100 TB the index is the
+    dominant storage bill, so probing wider beats building more).
+    Candidates = rows sharing any band where
+    bit_count(row_key XOR query_key) <= 1, evaluated INSIDE the scan
+    projection as a zip_with/exists predicate over the row's band-key
+    array against the query's literal keys — no join, no shuffle; then
+    the exact re-rank with the same (score desc, vec_id asc) contract
+    as every other probe. A 1-bit probe radius multiplies candidate
+    mass by ~(1 + band_bits * p/(1-p)) per band; the oracle replays
+    the identical XOR algebra."""
+    from ..sources.tables import row_count
+
+    validate_k(k)
+    band_bits = auto_band_bits(row_count(sf_dir, "embeddings"), band_bits)
+    qvec, _qlabel = query_vector_row(spark, sf_dir, query_id)
+    planes = hyperplanes(len(qvec), N_SIGN_BANDS * band_bits, SEED)
+    # query band keys, driver-side with the executors' float64 algebra
+    qbits = query_bits(qvec, planes)
+    qkeys = [
+        sum(qbits[b * band_bits + i] << i for i in range(band_bits))
+        for b in range(N_SIGN_BANDS)
+    ]
+    emb = load(spark, sf_dir, "embeddings")
+    qk_lit = ", ".join(str(x) for x in qkeys)
+    cand = emb.withColumn(
+        "_bands", band_keys("embedding", planes, band_bits)
+    ).filter(
+        F.expr(
+            f"exists(zip_with(_bands, array({qk_lit}), "
+            f"(a, b) -> bit_count(a ^ b) <= 1), x -> x)"
+        )
+    ).drop("_bands")
+    scored = cand.withColumn(
+        "score",
+        F.round(sim.score(metric, F.col("embedding"), sim.vector_lit(qvec)), 6),
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "label", "score")
+    )
