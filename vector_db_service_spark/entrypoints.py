@@ -2909,6 +2909,17 @@ register(
 )
 
 
+register(
+    # schema evolution (r14b): a new column lands as a new commit; the
+    # mergeSchema read NULL-backfills history without touching old
+    # bytes — membership and the new column are pure arithmetic, so the
+    # NULL semantics are proven by value hash, not asserted
+    "s22_store_schema_evolution",
+    store_ops.schema_evolution,
+    store_ops.schema_evolution_sql(),
+)
+
+
 # --- remaining §2 surface: scans, inserts, flag updates, stats, kernels ----
 from .functions import similarity as sim  # noqa: E402
 
@@ -3197,7 +3208,7 @@ _PRIORITY_50 = [
     "s21_store_compaction", "stream_late_data_audit",
     "emb_pca_power_iteration", "ann_knn_triangles",
     "rel_scd2_user_history", "mm_scene_cuts", "ann_nn_descent_recall",
-    "knn_lsh_multiprobe",
+    "knn_lsh_multiprobe", "s22_store_schema_evolution",
     "stream_ivf_maintenance", "ann_knn_pagerank", "s19_store_time_travel",
     "stream_ingestion_dedup", "ann_binary_hamming_topk",
     "pipeline_leakage_safe_split", "text_bpe_train_merges",
@@ -3220,7 +3231,6 @@ _PRIORITY_50 = [
     "p4_exists_probe", "rel_docs_top_by_length",
     "rel_order_priority_rollup", "rel_revenue_by_nation",
     "rel_sessionize_events", "rel_status_pivot", "rel_top_customers",
-    "s13_partial_update",
 ]
 
 

@@ -957,3 +957,66 @@ SELECT {v} AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
 FROM ({post})"""
 
     return summ(2) + "\nUNION ALL" + summ(3)
+
+
+def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the versioned store — the lakehouse
+    lifecycle the COW commits make safe: commit v0 with the base
+    schema, commit v1 whose writer ADDS a `quality` column
+    (deterministic: vec_id % 97, so the oracle recomputes it), then
+    read the union of both commits with Spark's mergeSchema — old
+    files surface the new column as NULL, new files carry it, and no
+    rewrite of historical data ever happens (the at-100-TB point:
+    schema changes must not touch old bytes). The v1 cohort is the
+    even-vec_id half, so membership is pure arithmetic cross-engine.
+
+    Output: per (version, has_quality) counts plus the BIGINT sum of
+    the new column where present — proving NULL-backfill semantics
+    byte-exactly rather than asserting them."""
+    import shutil
+    import tempfile
+
+    base = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    out_dir = tempfile.mkdtemp(prefix="vdbs_schema_evo_")
+    try:
+        v0 = os.path.join(out_dir, "v0")
+        v1 = os.path.join(out_dir, "v1")
+        base.filter(F.col("vec_id") % 2 == 1).write.parquet(v0)
+        base.filter(F.col("vec_id") % 2 == 0).withColumn(
+            "quality", (F.col("vec_id") % 97).cast("long")
+        ).write.parquet(v1)
+        merged = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(v0, v1)
+            .withColumn(
+                "version",
+                F.when(F.col("quality").isNull(), F.lit(0)).otherwise(
+                    F.lit(1)
+                ).cast("int"),
+            )
+        )
+        out = merged.groupBy("version").agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count("quality").cast("long").alias("n_with_quality"),
+            F.coalesce(F.sum("quality"), F.lit(0)).cast("long").alias(
+                "sum_quality"
+            ),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def schema_evolution_sql() -> str:
+    """Mirror: v1 = even vec_ids with quality = vec_id % 97; v0 = odd
+    vec_ids where the merged read backfills NULL."""
+    return """
+SELECT CAST(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS INT) AS version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_quality,
+       CAST(sum(CASE WHEN vec_id % 2 = 0 THEN vec_id % 97 ELSE 0 END)
+            AS BIGINT) AS sum_quality
+FROM embeddings
+GROUP BY 1
+"""
