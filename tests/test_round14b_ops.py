@@ -377,3 +377,38 @@ def test_lsh_multiprobe_expands_the_candidate_set(spark):
     rows = res.collect()
     keys = [(-r.score, r.vec_id) for r in rows]
     assert keys == sorted(keys) and len(rows) == 10
+
+
+def test_ivm_replay_is_idempotent(spark, tmp_path):
+    import os
+
+    from vector_db_service_spark.streaming import pipeline as sp
+
+    paths = sp.ivm_init(spark, SF, out_dir=str(tmp_path))
+    log = spark.read.parquet(paths["log"]).localCheckpoint(eager=True)
+    sp.ivm_apply_batch(spark, paths, log, 0)
+    snap = os.path.join(paths["stats"], "batch=0")
+    first = sorted(map(tuple, spark.read.parquet(snap).collect()))
+    # crash-replay: the same batch applied again must reproduce the
+    # identical snapshot (it recomputes from batch=-1 + the same delta)
+    sp.ivm_apply_batch(spark, paths, log, 0)
+    second = sorted(map(tuple, spark.read.parquet(snap).collect()))
+    assert first == second
+    # and the maintained view equals a from-scratch recompute over the
+    # CDC-merged corpus (deletes dropped, updates reversed)
+    base = load(spark, SF, "embeddings")
+    is_del = F.col("vec_id") % 13 == 7
+    is_upd = F.col("vec_id") % 11 == 5
+    post = base.filter(~is_del).select(
+        "label",
+        F.when(is_upd, F.reverse("embedding")).otherwise(
+            F.col("embedding")
+        ).alias("embedding"),
+    )
+    expected = sorted(
+        map(tuple, post.groupBy("label").agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum(F.expr(sp._E0_US)).cast("long").alias("sum_e0_us"),
+        ).collect())
+    )
+    assert first == expected

@@ -2259,6 +2259,15 @@ register(
     lambda s, d: stream_ops.late_data_audit_stream(s, d),
     stream_ops.late_data_audit_sql(),
 )
+register(
+    # incremental view maintenance (r14b): the per-label stats view
+    # maintained ALGEBRAICALLY from the CDC feed's before/after images
+    # — per-batch cost O(batch + |labels|), base corpus read once at
+    # init; cumulative snapshots make replay idempotent
+    "stream_ivm_label_stats",
+    lambda s, d: stream_ops.ivm_label_stats_stream(s, d),
+    stream_ops.ivm_label_stats_sql(),
+)
 
 
 def _embed_components(s: SparkSession, d: str) -> DataFrame:
@@ -3209,6 +3218,7 @@ _PRIORITY_50 = [
     "emb_pca_power_iteration", "ann_knn_triangles",
     "rel_scd2_user_history", "mm_scene_cuts", "ann_nn_descent_recall",
     "knn_lsh_multiprobe", "s22_store_schema_evolution",
+    "stream_ivm_label_stats",
     "stream_ivf_maintenance", "ann_knn_pagerank", "s19_store_time_travel",
     "stream_ingestion_dedup", "ann_binary_hamming_topk",
     "pipeline_leakage_safe_split", "text_bpe_train_merges",
@@ -3230,7 +3240,7 @@ _PRIORITY_50 = [
     "knn_search_hydrated", "mllib_minhash_jaccard_join",
     "p4_exists_probe", "rel_docs_top_by_length",
     "rel_order_priority_rollup", "rel_revenue_by_nation",
-    "rel_sessionize_events", "rel_status_pivot", "rel_top_customers",
+    "rel_sessionize_events", "rel_status_pivot",
 ]
 
 
