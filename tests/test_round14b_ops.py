@@ -412,3 +412,18 @@ def test_ivm_replay_is_idempotent(spark, tmp_path):
         ).collect())
     )
     assert first == expected
+
+
+def test_graph_beam_search_walk_properties(spark):
+    r1 = ann.graph_beam_search(spark, SF, query_id=0, k=10, rounds=1).collect()
+    r2 = ann.graph_beam_search(spark, SF, query_id=0, k=10, rounds=2).collect()
+    for rows in (r1, r2):
+        keys = [(-r.score, r.vec_id) for r in rows]
+        assert keys == sorted(keys) and len(rows) == 10
+    # query_id 0 sits in the entry layer (0 % sample_mod == 0), so the
+    # walk's best hit is the query itself at cosine 1.0
+    assert r2[0].vec_id == 0 and r2[0].score == 1.0
+    # more rounds only grow the visited set: the rank-i score can never
+    # get worse
+    for a, b in zip(r1, r2):
+        assert b.score >= a.score

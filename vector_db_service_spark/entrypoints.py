@@ -1177,6 +1177,64 @@ register(
 )
 
 
+def _graph_beam_sql(
+    query_id: int = 0, k: int = 10, beam: int = 8, rounds: int = 2,
+    sample_mod: int = 16, m: int = 3,
+) -> str:
+    """Mirror of ann.graph_beam_search: the identical walk unrolled —
+    entry-layer scores, per-round frontier cut + neighbor expansion,
+    final top-k over the visited set."""
+    stages = []
+    for r in range(rounds):
+        stages.append(f"""
+f{r} AS MATERIALIZED (
+  SELECT vec_id, label, score FROM v{r}
+  QUALIFY row_number() OVER (ORDER BY score DESC, vec_id) <= {beam}
+),
+v{r + 1} AS MATERIALIZED (
+  SELECT DISTINCT s.vec_id, s.label, s.score FROM (
+    SELECT vec_id, label, score FROM v{r}
+    UNION ALL
+    SELECT sa.vec_id, sa.label, sa.score
+    FROM f{r} f JOIN und u ON u.src = f.vec_id
+    JOIN scored_all sa ON sa.vec_id = u.dst
+  ) s
+)""")
+    chain = ",".join(stages)
+    cos = oracles.METRIC_SQL["cosine"]("e.embedding", "q.qv")
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_id}),
+scored_all AS MATERIALIZED (
+  SELECT e.vec_id, e.label, round({cos}, 6) AS score FROM embeddings e, q
+),
+base_kj AS MATERIALIZED (
+  SELECT src, dst FROM ({_knn_join_sql(m=m)})
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM base_kj UNION ALL SELECT dst, src FROM base_kj
+  )
+),
+v0 AS MATERIALIZED (
+  SELECT vec_id, label, score FROM scored_all
+  WHERE vec_id % {sample_mod} = 0
+),{chain}
+SELECT vec_id, label, score FROM v{rounds}
+QUALIFY row_number() OVER (ORDER BY score DESC, vec_id) <= {k}
+"""
+
+
+register(
+    # graph-navigated beam search (r14b): HNSW-family serving shape —
+    # sampled entry layer + rounds of kNN-graph descent, O(n/sample +
+    # rounds*beam*m) scored vectors instead of a flat scan; the oracle
+    # replays the identical walk, pinning the whole trajectory
+    "ann_graph_beam_search",
+    lambda s, d: ann.graph_beam_search(s, d, query_id=0, k=10),
+    _graph_beam_sql(query_id=0, k=10),
+)
+
+
 def _mutual_triangles_sql(m: int = 3) -> str:
     """Mirror of ann.mutual_knn_triangles: the mutual-pair CTE, the
     oriented a<b<c two-hop join with the closing-edge semi-join, and
@@ -3218,7 +3276,7 @@ _PRIORITY_50 = [
     "emb_pca_power_iteration", "ann_knn_triangles",
     "rel_scd2_user_history", "mm_scene_cuts", "ann_nn_descent_recall",
     "knn_lsh_multiprobe", "s22_store_schema_evolution",
-    "stream_ivm_label_stats",
+    "stream_ivm_label_stats", "ann_graph_beam_search",
     "stream_ivf_maintenance", "ann_knn_pagerank", "s19_store_time_travel",
     "stream_ingestion_dedup", "ann_binary_hamming_topk",
     "pipeline_leakage_safe_split", "text_bpe_train_merges",
@@ -3240,7 +3298,7 @@ _PRIORITY_50 = [
     "knn_search_hydrated", "mllib_minhash_jaccard_join",
     "p4_exists_probe", "rel_docs_top_by_length",
     "rel_order_priority_rollup", "rel_revenue_by_nation",
-    "rel_sessionize_events", "rel_status_pivot",
+    "rel_sessionize_events",
 ]
 
 

@@ -2730,3 +2730,74 @@ def nn_descent_recall(
     base = stage("banded_base", knn_join(spark, sf_dir, m=m))
     refined = stage("nn_descent_r1", nn_descent_refine(spark, sf_dir, m=m))
     return base.unionByName(refined)
+
+
+def graph_beam_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    beam: int = 8,
+    rounds: int = 2,
+    sample_mod: int = 16,
+    m: int = 3,
+) -> DataFrame:
+    """Graph-NAVIGATED search — the HNSW-family serving shape, made
+    deterministic and exactly replayable: score the query against a
+    fixed 1/sample_mod entry layer (vec_id % sample_mod == 0 — the
+    "upper layer" of a navigable graph), keep the best `beam`
+    candidates as the frontier, then descend `rounds` times through the
+    k-NN graph (the banded knn_join's undirected edges): expand the
+    frontier's neighbors, exact-score only what the walk touches, and
+    re-cut to the beam. The answer is the top-k of every VISITED node.
+
+    Why it matters at 100 TB: the flat scan prices every query at
+    O(corpus); the navigated walk prices it at O(corpus/sample_mod +
+    rounds * beam * m) scored vectors — the sublinear serving path
+    graph indexes exist for. Recall is the walk's reach, not a scan
+    guarantee; the exact oracle replays the identical walk (same
+    frontier cuts, same (score desc, vec_id) order), so the driver
+    hash pins the whole trajectory, not just the final list."""
+    from .knn import query_vector_row, validate_k
+
+    validate_k(k)
+    qvec, _ = query_vector_row(spark, sf_dir, query_id)
+    q = sim.vector_lit(qvec)
+    emb = load(spark, sf_dir, "embeddings")
+    scored_all = emb.select(
+        "vec_id", "label",
+        F.round(sim.score("cosine", F.col("embedding"), q), 6).alias("score"),
+    )
+    entry = scored_all.filter(
+        F.col("vec_id") % sample_mod == 0
+    ).localCheckpoint(eager=False)
+    kj = (
+        knn_join(spark, sf_dir, m=m)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)  # one banded join, read twice
+    )
+    und = (
+        kj.unionByName(
+            kj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    frontier = entry.orderBy(F.desc("score"), F.asc("vec_id")).limit(beam)
+    visited = frontier
+    for _ in range(rounds):
+        nbrs = (
+            frontier.select(F.col("vec_id").alias("src"))
+            .join(und, "src")
+            .select(F.col("dst").alias("vec_id"))
+            .distinct()
+            .join(scored_all, "vec_id")
+        )
+        visited = visited.unionByName(nbrs).dropDuplicates(["vec_id"])
+        visited = visited.localCheckpoint(eager=False)
+        frontier = visited.orderBy(F.desc("score"), F.asc("vec_id")).limit(beam)
+    return (
+        visited.orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "label", "score")
+    )
