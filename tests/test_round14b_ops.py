@@ -427,3 +427,63 @@ def test_graph_beam_search_walk_properties(spark):
     # get worse
     for a, b in zip(r1, r2):
         assert b.score >= a.score
+
+
+def test_store_clone_is_zero_copy_and_source_untouched(spark, tmp_path):
+    import os
+
+    from vector_db_service_spark.operators import store as st
+
+    manifest, out_dir = st.versioned_cdc_merge(spark, SF,
+                                               out_dir=str(tmp_path))
+    latest = max(v for (v, _l) in manifest)
+
+    def tree_state(root):
+        out = {}
+        for r, _d, files in os.walk(root):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                p = os.path.join(r, f)
+                stt = os.stat(p)
+                out[os.path.relpath(p, root)] = (stt.st_size, stt.st_mtime_ns)
+        return out
+
+    before = tree_state(out_dir)
+    # shallow clone + clone-side COW mutation, exactly as the operator
+    pick = {}
+    for (v, label), d in manifest.items():
+        if label not in pick or pick[label][0] < v:
+            pick[label] = (v, d)
+    clone_manifest = {(0, label): d for label, (_v, d) in pick.items()}
+    clone_dir = str(tmp_path) + "_clone_tree"  # OUTSIDE the source tree
+    cur = st._versioned_read(spark, clone_manifest, 0)
+    is_mut = F.col("vec_id") % 19 == 3
+    affected = sorted(
+        r["label"] for r in
+        cur.filter(is_mut).select("label").distinct().collect()
+    )
+    post = cur.filter(F.col("label").isin(affected)).select(
+        "vec_id",
+        F.when(is_mut, F.transform("embedding", lambda x: -x))
+        .otherwise(F.col("embedding")).alias("embedding"),
+        "label",
+    )
+    v1 = os.path.join(clone_dir, "v1")
+    post.write.mode("overwrite").partitionBy("label").parquet(v1)
+    for label in affected:
+        clone_manifest[(1, label)] = os.path.join(v1, f"label={label}")
+    # ZERO-COPY: the source tree is byte-for-byte untouched (same
+    # files, sizes, mtimes) — cloning plus clone-side writes moved no
+    # source data
+    assert tree_state(out_dir) == before
+    # and the clone's head actually diverged from the source's
+    src = st._versioned_read(spark, manifest, latest)
+    cl = st._versioned_read(spark, clone_manifest, 1)
+    try:
+        assert src.count() == cl.count()
+        assert cl.exceptAll(src).count() > 0
+    finally:
+        import shutil
+
+        shutil.rmtree(clone_dir, ignore_errors=True)

@@ -2987,6 +2987,17 @@ register(
 )
 
 
+register(
+    # shallow clone (r14b): fork the store in O(metadata) — a new
+    # manifest over the source's dirs; a further mutation commits into
+    # the CLONE's tree only, and the source-head checksum doubles as
+    # the byte-untouched proof
+    "s23_store_clone",
+    store_ops.store_clone,
+    store_ops.store_clone_sql(),
+)
+
+
 # --- remaining §2 surface: scans, inserts, flag updates, stats, kernels ----
 from .functions import similarity as sim  # noqa: E402
 
@@ -3276,7 +3287,7 @@ _PRIORITY_50 = [
     "emb_pca_power_iteration", "ann_knn_triangles",
     "rel_scd2_user_history", "mm_scene_cuts", "ann_nn_descent_recall",
     "knn_lsh_multiprobe", "s22_store_schema_evolution",
-    "stream_ivm_label_stats", "ann_graph_beam_search",
+    "stream_ivm_label_stats", "ann_graph_beam_search", "s23_store_clone",
     "stream_ivf_maintenance", "ann_knn_pagerank", "s19_store_time_travel",
     "stream_ingestion_dedup", "ann_binary_hamming_topk",
     "pipeline_leakage_safe_split", "text_bpe_train_merges",
@@ -3298,7 +3309,6 @@ _PRIORITY_50 = [
     "knn_search_hydrated", "mllib_minhash_jaccard_join",
     "p4_exists_probe", "rel_docs_top_by_length",
     "rel_order_priority_rollup", "rel_revenue_by_nation",
-    "rel_sessionize_events",
 ]
 
 

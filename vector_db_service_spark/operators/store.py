@@ -1020,3 +1020,106 @@ SELECT CAST(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS INT) AS version,
 FROM embeddings
 GROUP BY 1
 """
+
+
+def store_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE of the versioned store — the Delta/
+    Iceberg clone contract without the table format: a clone is a new
+    MANIFEST pointing at the source's existing commit directories (no
+    data copied), and writes to the clone are copy-on-write commits
+    into the CLONE's own tree, so the source's bytes are never touched.
+    At 100 TB this is how a team forks a training corpus for an
+    experiment in O(metadata) instead of O(data).
+
+    Lifecycle exercised here: commit the deterministic CDC history,
+    shallow-clone the latest version, apply one further mutation batch
+    to the CLONE ONLY (negate the embeddings of vec_id % 19 == 3 — a
+    deterministic, oracle-replayable delta), and summarize source
+    HEAD vs clone HEAD side by side. Divergence shows in the checksum;
+    the source row doubles as the byte-untouched proof (its checksum
+    equals the plain CDC merge), and the no-copy property is pinned in
+    tests (clone tree contains only the delta commit's files)."""
+    import functools
+    import shutil
+
+    manifest, out_dir = versioned_cdc_merge(spark, sf_dir)
+    try:
+        latest = max(v for (v, _l) in manifest)
+        # shallow clone: a NEW manifest whose v0 points at the source's
+        # newest-per-label directories — no data moves
+        pick: dict = {}
+        for (v, label), d in manifest.items():
+            if v <= latest and (label not in pick or pick[label][0] < v):
+                pick[label] = (v, d)
+        clone_manifest = {(0, label): d for label, (_v, d) in pick.items()}
+        clone_dir = os.path.join(out_dir, "clone")
+        os.makedirs(clone_dir)
+        # mutate the CLONE: one COW commit into the clone's own tree
+        cur = _versioned_read(spark, clone_manifest, 0)
+        is_mut = F.col("vec_id") % 19 == 3
+        affected = sorted(
+            r["label"]
+            for r in cur.filter(is_mut).select("label").distinct().collect()
+        )
+        post = cur.filter(F.col("label").isin(affected)).select(
+            "vec_id",
+            F.when(
+                is_mut, F.transform("embedding", lambda x: -x)
+            ).otherwise(F.col("embedding")).alias("embedding"),
+            "label",
+        )
+        v1 = os.path.join(clone_dir, "v1")
+        post.write.mode("overwrite").partitionBy("label").parquet(v1)
+        for label in affected:
+            clone_manifest[(1, label)] = os.path.join(v1, f"label={label}")
+        frames = [
+            _versioned_read(spark, manifest, latest).select(
+                F.lit("source_head").alias("side"), "embedding"
+            ),
+            _versioned_read(spark, clone_manifest, 1).select(
+                F.lit("clone_head").alias("side"), "embedding"
+            ),
+        ]
+        out = (
+            functools.reduce(lambda a, b: a.unionByName(b), frames)
+            .groupBy("side")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(
+                    F.expr(
+                        "CAST(round(CAST(element_at(embedding, 1) AS DOUBLE)"
+                        " * 1e6) AS BIGINT)"
+                    )
+                ).cast("long").alias("sum_e0_us"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def store_clone_sql() -> str:
+    """Mirror: source head = the full CDC merge; clone head = the same
+    merge with vec_id%19==3 survivors' embeddings negated (negation
+    flips the first component's micro-unit term exactly)."""
+    post = """
+  SELECT vec_id,
+         CASE WHEN vec_id % 11 = 5 AND vec_id % 13 != 7
+              THEN list_reverse(embedding) ELSE embedding END AS embedding
+  FROM embeddings
+  WHERE vec_id % 13 != 7"""
+    return f"""
+WITH merged AS MATERIALIZED ({post})
+SELECT 'source_head' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT))
+            AS BIGINT) AS sum_e0_us
+FROM merged
+UNION ALL
+SELECT 'clone_head', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN vec_id % 19 = 3
+                     THEN -CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6)
+                                AS BIGINT)
+                     ELSE CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6)
+                               AS BIGINT) END) AS BIGINT)
+FROM merged
+"""
