@@ -487,3 +487,34 @@ def test_store_clone_is_zero_copy_and_source_untouched(spark, tmp_path):
         import shutil
 
         shutil.rmtree(clone_dir, ignore_errors=True)
+
+
+def test_rake_phrases_never_contain_stopwords(spark):
+    from vector_db_service_spark.functions.text import STOPWORDS
+
+    rows = textops.rake_keyphrases(load(spark, SF, "documents"), k=3).collect()
+    assert rows
+    stops = set(STOPWORDS["en"])
+    for r in rows:
+        ws = r.phrase.split(" ")
+        assert ws and all(w and w not in stops for w in ws), r.phrase
+        assert 1 <= r.rnk <= 3 and r.score_us >= 1_000_000  # deg/freq >= 1
+    # multi-word phrases must exist — RAKE's point over unigram keywords
+    assert any(" " in r.phrase for r in rows)
+
+
+def test_epoch_shuffle_orders_decorrelate(spark):
+    rows = textops.epoch_shuffle(load(spark, SF, "documents"),
+                                 epochs=2, n=20).collect()
+    e1 = [r.doc_id for r in sorted(
+        (r for r in rows if r.epoch == 1), key=lambda r: r.position)]
+    e2 = [r.doc_id for r in sorted(
+        (r for r in rows if r.epoch == 2), key=lambda r: r.position)]
+    assert len(e1) == len(e2) == 20
+    assert len(set(e1)) == len(set(e2)) == 20
+    # different epochs must produce genuinely different orders
+    assert e1 != e2
+    # reproducibility: the same epoch re-run is identical
+    again = textops.epoch_shuffle(load(spark, SF, "documents"),
+                                  epochs=1, n=20).collect()
+    assert [r.doc_id for r in sorted(again, key=lambda r: r.position)] == e1

@@ -794,6 +794,75 @@ register(
     lambda s, d: textops.bpe_train_merges(load(s, d, "documents"), n_merges=5),
     opl.bpe_train_merges_sql(n_merges=5),
 )
+def _rake_sql(k: int = 3) -> str:
+    """Mirror of textops.rake_keyphrases: same gaps-and-islands phrase
+    split, same integer micro-unit degree/freq scores, same
+    (score desc, phrase asc, island asc) rank cut."""
+    from .functions.text import STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
+    return f"""
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos,
+         regexp_replace(arr[i], '[^a-z]', '', 'g') AS w
+  FROM (
+    SELECT doc_id, arr,
+           unnest(generate_series(1, len(arr))) AS i
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS arr
+          FROM documents)
+  )
+),
+flagged AS (
+  SELECT *,
+         (w = '' OR w IN ({stops})) AS stop
+  FROM toks
+),
+isl AS (
+  SELECT *, sum(CASE WHEN stop THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+words AS (
+  SELECT doc_id, island, pos, w FROM isl WHERE NOT stop
+),
+plen AS (
+  SELECT doc_id, island, count(*) AS phrase_len
+  FROM words GROUP BY doc_id, island
+),
+occ AS (
+  SELECT w.*, p.phrase_len
+  FROM words w JOIN plen p ON p.doc_id = w.doc_id AND p.island = w.island
+),
+wstats AS (
+  SELECT doc_id, w,
+         (sum(phrase_len) * 1000000) // count(*) AS wscore_us
+  FROM occ GROUP BY doc_id, w
+),
+phrases AS (
+  SELECT o.doc_id, o.island,
+         string_agg(o.w, ' ' ORDER BY o.pos) AS phrase,
+         CAST(sum(s.wscore_us) AS BIGINT) AS score_us
+  FROM occ o JOIN wstats s ON s.doc_id = o.doc_id AND s.w = o.w
+  GROUP BY o.doc_id, o.island
+)
+SELECT doc_id, phrase, score_us,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_us DESC, phrase, island)
+            AS INT) AS rnk
+FROM phrases
+QUALIFY rnk <= {k}
+"""
+
+
+register(
+    # RAKE keyphrases (r14b): gaps-and-islands phrase split on
+    # stopword/punct boundaries, integer micro-unit degree/freq word
+    # scores, per-doc top-k — everything doc-local, one skinny exchange
+    "text_rake_keyphrases",
+    lambda s, d: textops.rake_keyphrases(load(s, d, "documents"), k=3),
+    _rake_sql(k=3),
+)
 register(
     # BPE encode (r14b): apply the trained merges to the Zipf-reduced
     # word table and report the tokens-per-word distribution — the
@@ -1566,6 +1635,29 @@ SELECT doc_id,
 FROM documents
 ORDER BY priority DESC, doc_id ASC
 LIMIT 25
+""",
+)
+register(
+    # epoch-wise shuffle (r14b): reproducible per-epoch permutation as
+    # a SORT KEY (md5(epoch:doc_id)) — no permuted copy materialized;
+    # first-n positions per epoch emitted
+    "pipeline_epoch_shuffle",
+    lambda s, d: textops.epoch_shuffle(load(s, d, "documents")),
+    """
+SELECT epoch, position, doc_id FROM (
+  SELECT 1 AS epoch, doc_id,
+         CAST(row_number() OVER (
+           ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS INT) AS position
+  FROM documents
+  UNION ALL
+  SELECT 2, doc_id,
+         CAST(row_number() OVER (
+           ORDER BY md5('2:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS INT)
+  FROM documents
+)
+WHERE position <= 20
 """,
 )
 register(
@@ -3288,6 +3380,7 @@ _PRIORITY_50 = [
     "rel_scd2_user_history", "mm_scene_cuts", "ann_nn_descent_recall",
     "knn_lsh_multiprobe", "s22_store_schema_evolution",
     "stream_ivm_label_stats", "ann_graph_beam_search", "s23_store_clone",
+    "text_rake_keyphrases", "pipeline_epoch_shuffle",
     "stream_ivf_maintenance", "ann_knn_pagerank", "s19_store_time_travel",
     "stream_ingestion_dedup", "ann_binary_hamming_topk",
     "pipeline_leakage_safe_split", "text_bpe_train_merges",
@@ -3304,10 +3397,10 @@ _PRIORITY_50 = [
     "ann_ivf_topk", "dedup_exact_summary",
     "dedup_ngram_jaccard_topk", "dedup_simhash_pairs", "j2_semi_join",
     "j3_orphan_anti_join", "knn_dispatch_flat", "knn_dist_euclidean",
-    "knn_dist_manhattan", "knn_flat_cosine", "knn_flat_dot_product",
+    "knn_flat_cosine", "knn_flat_dot_product",
     "knn_flat_euclidean", "knn_flat_manhattan", "knn_safe_flat",
     "knn_search_hydrated", "mllib_minhash_jaccard_join",
-    "p4_exists_probe", "rel_docs_top_by_length",
+    "p4_exists_probe",
     "rel_order_priority_rollup", "rel_revenue_by_nation",
 ]
 

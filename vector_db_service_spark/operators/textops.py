@@ -5,7 +5,7 @@ per document, embarrassingly parallel at any scale."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -1517,3 +1517,105 @@ def _bpe_train(docs: DataFrame, n_merges: int):
             "wn",
         ).localCheckpoint(eager=False)
     return rows, seqs
+
+
+def rake_keyphrases(docs: DataFrame, k: int = 3) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal runs of content words between stopword/punctuation
+    boundaries (gaps-and-islands over the token stream); each content
+    word scores degree/frequency (degree = total length of the phrases
+    it appears in), and a phrase scores the sum of its words' scores.
+    The per-word ratio is kept EXACT as floor((degree * 1e6) / freq)
+    micro-units (the unigram-logprob integer discipline), so ranking is
+    integer arithmetic cross-engine — a float RAKE would flake on the
+    driver's value hash. Returns each doc's top-k phrases on the
+    (score desc, phrase asc) total order.
+
+    Scale shape: one token explode, two windows partitioned by doc, one
+    per-doc word aggregate — everything is doc-local, one hash exchange
+    of skinny token rows; no corpus-wide state."""
+    from ..functions.text import STOPWORDS
+
+    stops = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "raw"),
+    ).select(
+        "doc_id", "pos",
+        F.regexp_replace("raw", "[^a-z]", "").alias("w"),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = toks.withColumn(
+        "stop",
+        (F.col("w") == "") | F.array_contains(stops, F.col("w")),
+    ).withColumn("island", F.sum(F.col("stop").cast("int")).over(w_doc))
+    words = flagged.filter(~F.col("stop")).select(
+        "doc_id", "island", "pos", "w"
+    )
+    plen = words.groupBy("doc_id", "island").agg(
+        F.count("*").alias("phrase_len")
+    )
+    occurrences = words.join(plen, ["doc_id", "island"])
+    wstats = occurrences.groupBy("doc_id", "w").agg(
+        F.count("*").alias("freq"),
+        F.sum("phrase_len").alias("degree"),
+    ).withColumn(
+        "wscore_us", F.expr("(degree * 1000000) DIV freq")
+    )
+    scored = occurrences.join(wstats.select("doc_id", "w", "wscore_us"),
+                              ["doc_id", "w"])
+    phrases = scored.groupBy("doc_id", "island").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, w))),"
+            " s -> s.w), ' ')"
+        ).alias("phrase"),
+        F.sum("wscore_us").cast("long").alias("score_us"),
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_us"), F.asc("phrase"), F.asc("island")
+    )
+    return (
+        phrases.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= k)
+        # identical phrases can recur in one doc (same text, different
+        # islands): rank ties break on island id so the cut is total,
+        # then the island column is dropped — output rows for twin
+        # phrases are identical, multiset-stable for the hash compare
+        .select("doc_id", "phrase", "score_us", "rnk")
+    )
+
+
+def epoch_shuffle(docs: DataFrame, epochs: int = 2, n: int = 20) -> DataFrame:
+    """Deterministic EPOCH-WISE shuffling — the training data-loader
+    contract: each epoch visits the same corpus in a different but
+    fully reproducible order, without ever materializing a permuted
+    copy. The permutation key is md5(epoch || ':' || doc_id) (the
+    weighted-sample draw discipline), so 'shuffle' is just a sort key:
+    at scale an epoch's read order is orderBy(key) — a total-order sort
+    Spark executes as range-partitioned sort with no data rewrite, and
+    a resume-from-position is a key-range predicate. Emits the first
+    `n` positions of each epoch; cross-epoch order decorrelation is
+    pinned in tests, exact identity of the multiset is by
+    construction."""
+    spark = docs.sparkSession
+    outs = []
+    for e in range(1, epochs + 1):
+        key = F.md5(F.concat(F.lit(f"{e}:"), F.col("doc_id").cast("string")))
+        head = (
+            docs.select("doc_id", key.alias("k"))
+            .orderBy("k", "doc_id")
+            .limit(n)
+        )
+        w = Window.orderBy("k", "doc_id")  # n rows only — tiny window
+        outs.append(
+            head.withColumn("position", F.row_number().over(w))
+            .select(
+                F.lit(e).cast("int").alias("epoch"),
+                F.col("position").cast("int"),
+                "doc_id",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
