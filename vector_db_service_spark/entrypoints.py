@@ -61,6 +61,9 @@ def _ensure_worker_imports(spark: SparkSession) -> None:
     _WORKER_IMPORTS_READY.add(app)
 
 
+_DIM = 64  # driver embeddings.parquet dimension (TESTDATA.md)
+
+
 def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
     def wrapped(spark: SparkSession, sf_dir: str, _fn: QueryFn = fn) -> DataFrame:
         _ensure_worker_imports(spark)
@@ -579,6 +582,52 @@ FROM versions
 """,
 )
 register(
+    # declarative DQ audit (r14b): expectations over the warehouse —
+    # nulls, ranges, PK uniqueness, cross-table referential integrity;
+    # every rule one aggregate or one broadcast anti-join
+    "rel_data_quality_audit",
+    relational.data_quality_audit,
+    f"""
+SELECT 'fk_orders_customer' AS rule,
+       CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_checked,
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT) AS n_failed
+UNION ALL
+SELECT 'fk_lineitem_orders',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'nn_customer_name',
+       CAST((SELECT count(*) FROM customer) AS BIGINT),
+       CAST((SELECT count(*) FROM customer WHERE c_name IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'range_order_totalprice_positive',
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       CAST((SELECT count(*) FROM orders WHERE NOT (o_totalprice > 0))
+            AS BIGINT)
+UNION ALL
+SELECT 'range_lineitem_quantity_1_50',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem
+             WHERE NOT (l_quantity BETWEEN 1 AND 50)) AS BIGINT)
+UNION ALL
+SELECT 'unique_pk_orders',
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+            AS BIGINT)
+UNION ALL
+SELECT 'embedding_dim_uniform',
+       CAST((SELECT count(*) FROM embeddings) AS BIGINT),
+       CAST((SELECT count(*) FROM embeddings
+             WHERE len(embedding) != {_DIM}) AS BIGINT)
+""",
+)
+register(
     "rel_sessionize_events",
     relational.sessionize_events,
     """
@@ -614,7 +663,6 @@ FROM per_session GROUP BY user_id
 from .operators import grid as grid_ops  # noqa: E402
 from .operators import lsh as lsh_ops  # noqa: E402
 
-_DIM = 64  # driver embeddings.parquet dimension (TESTDATA.md)
 _PLANES = lsh_ops.hyperplanes(_DIM)
 
 register(
@@ -3381,6 +3429,7 @@ _PRIORITY_50 = [
     "knn_lsh_multiprobe", "s22_store_schema_evolution",
     "stream_ivm_label_stats", "ann_graph_beam_search", "s23_store_clone",
     "text_rake_keyphrases", "pipeline_epoch_shuffle",
+    "rel_data_quality_audit",
     "stream_ivf_maintenance", "ann_knn_pagerank", "s19_store_time_travel",
     "stream_ingestion_dedup", "ann_binary_hamming_topk",
     "pipeline_leakage_safe_split", "text_bpe_train_merges",
@@ -3397,7 +3446,7 @@ _PRIORITY_50 = [
     "ann_ivf_topk", "dedup_exact_summary",
     "dedup_ngram_jaccard_topk", "dedup_simhash_pairs", "j2_semi_join",
     "j3_orphan_anti_join", "knn_dispatch_flat", "knn_dist_euclidean",
-    "knn_flat_cosine", "knn_flat_dot_product",
+    "knn_flat_cosine",
     "knn_flat_euclidean", "knn_flat_manhattan", "knn_safe_flat",
     "knn_search_hydrated", "mllib_minhash_jaccard_join",
     "p4_exists_probe",

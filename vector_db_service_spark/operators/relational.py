@@ -830,3 +830,84 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("valid_to_us"),
         "n_events",
     )
+
+
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit over the warehouse — the
+    expectations-suite shape (null rules, range rules, primary-key
+    uniqueness, cross-table referential integrity), each rule emitting
+    (rule, n_checked, n_failed). This is the gate a 100 TB ingest runs
+    before promoting a snapshot: every rule is one aggregate or one
+    broadcast anti-join, so the whole audit is a handful of scans with
+    map-side partial aggregation and the only joins carry key columns.
+
+    Rules are deterministic facts of the corpus (including expected-0
+    referential failures — an audit that can only pass is not an
+    audit, so the value-hash pins the exact failure counts either
+    way)."""
+    from ..sources.tables import embedding_dim, load
+
+    dim = embedding_dim(sf_dir)
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    lineitem = load(spark, sf_dir, "lineitem")
+    emb = load(spark, sf_dir, "embeddings")
+
+    def rule(name: str, checked, failed) -> DataFrame:
+        # two 1-row aggregates crossed — the only cross joins here are
+        # against broadcast scalars, per the repo-wide discipline
+        return (
+            checked.agg(F.count("*").cast("long").alias("n_checked"))
+            .crossJoin(
+                failed.agg(F.count("*").cast("long").alias("n_failed"))
+            )
+            .select(F.lit(name).alias("rule"), "n_checked", "n_failed")
+        )
+
+    fk_oc = rule(
+        "fk_orders_customer",
+        orders,
+        orders.join(
+            F.broadcast(customer.select(F.col("c_custkey").alias("o_custkey"))),
+            "o_custkey", "left_anti",
+        ),
+    )
+    fk_lo = rule(
+        "fk_lineitem_orders",
+        lineitem,
+        lineitem.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")).distinct(),
+            "l_orderkey", "left_anti",
+        ),
+    )
+    nn_name = rule(
+        "nn_customer_name", customer, customer.filter(F.col("c_name").isNull())
+    )
+    rng_total = rule(
+        "range_order_totalprice_positive",
+        orders,
+        orders.filter(~(F.col("o_totalprice") > 0)),
+    )
+    rng_qty = rule(
+        "range_lineitem_quantity_1_50",
+        lineitem,
+        lineitem.filter(
+            ~F.col("l_quantity").between(F.lit(1), F.lit(50))
+        ),
+    )
+    uniq = orders.agg(
+        F.count("*").cast("long").alias("n_checked"),
+        (F.count("*") - F.count_distinct(F.col("o_orderkey")))
+        .cast("long").alias("n_failed"),
+    ).select(
+        F.lit("unique_pk_orders").alias("rule"), "n_checked", "n_failed"
+    )
+    dim_rule = rule(
+        "embedding_dim_uniform",
+        emb,
+        emb.filter(F.size("embedding") != F.lit(dim)),
+    )
+    out = fk_oc
+    for df in (fk_lo, nn_name, rng_total, rng_qty, uniq, dim_rule):
+        out = out.unionByName(df)
+    return out
