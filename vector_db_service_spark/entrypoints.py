@@ -1243,7 +1243,7 @@ register(
 )
 
 
-def _nn_descent_recall_sql(m: int = 3) -> str:
+def _nn_descent_recall_sql(m: int = 3, sample_mod: int = 5) -> str:
     """Mirror of ann.nn_descent_recall: exact within-label top-m truth,
     semi-join hit counts for the base and refined graphs, integer
     micro-unit recall."""
@@ -1260,6 +1260,7 @@ truth AS MATERIALIZED (
     SELECT a.vec_id AS src, b.vec_id AS dst, round({cos}, 6) AS score
     FROM embeddings a
     JOIN embeddings b ON a.label = b.label AND a.vec_id != b.vec_id
+    WHERE a.vec_id % {sample_mod} = 0
   )
   QUALIFY row_number() OVER (PARTITION BY src
                              ORDER BY score DESC, dst) <= {m}
