@@ -518,3 +518,63 @@ def test_epoch_shuffle_orders_decorrelate(spark):
     again = textops.epoch_shuffle(load(spark, SF, "documents"),
                                   epochs=1, n=20).collect()
     assert [r.doc_id for r in sorted(again, key=lambda r: r.position)] == e1
+
+
+def test_graph_maintenance_untouched_partitions_byte_identical(spark, tmp_path):
+    import os
+
+    from vector_db_service_spark.streaming import pipeline as sp
+
+    paths = sp.knn_graph_maintenance_init(spark, SF, out_dir=str(tmp_path))
+
+    def snap(root, labels):
+        out = {}
+        for lbl in labels:
+            d = os.path.join(root, f"label={lbl}")
+            for f in sorted(os.listdir(d)):
+                if f.startswith(("_", ".")):
+                    continue
+                p = os.path.join(d, f)
+                stt = os.stat(p)
+                out[(lbl, f)] = (stt.st_size, stt.st_mtime_ns)
+        return out
+
+    all_labels = {
+        int(d.split("=")[1]) for d in os.listdir(paths["store"])
+        if d.startswith("label=")
+    }
+    untouched = sorted(all_labels - set(sp._MUT_LABELS))
+    assert untouched, "need at least one unmutated label"
+    before = snap(paths["store"], untouched)
+
+    sp.knn_graph_maintenance_run(spark, SF, paths)
+
+    # labels the mutation feed never touches keep byte-identical
+    # partition directories — the rebuild is genuinely partition-scoped
+    assert snap(paths["store"], untouched) == before
+    # and the incremental post-state equals a from-scratch rebuild over
+    # the mutated corpus
+    from pyspark.sql import functions as SF_
+    from vector_db_service_spark.operators import ann
+    from vector_db_service_spark.sources.tables import (
+        embedding_dim, load as _load, spread_for_compute,
+    )
+
+    base = _load(spark, SF, "embeddings")
+    post = base.select(
+        "vec_id", "label",
+        SF_.when(
+            SF_.col("label").isin(*sp._MUT_LABELS)
+            & (SF_.col("vec_id") % sp._MUT_MOD == sp._MUT_REM),
+            SF_.transform("embedding", lambda x: -x),
+        ).otherwise(SF_.col("embedding")).alias("embedding"),
+    )
+    scratch = ann.knn_join_frame(
+        spread_for_compute(post), embedding_dim(SF), m=3,
+        band_bits=paths["band_bits"],
+    )
+    maintained = spark.read.parquet(paths["store"]).select(
+        "label", "src", "dst", "score", "rnk"
+    )
+    assert maintained.exceptAll(scratch).isEmpty()
+    assert scratch.exceptAll(maintained).isEmpty()

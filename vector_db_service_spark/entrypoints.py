@@ -2458,6 +2458,49 @@ register(
     lambda s, d: stream_ops.late_data_audit_stream(s, d),
     stream_ops.late_data_audit_sql(),
 )
+def _knn_join_post_sql(m: int = 3, dim: int = _DIM, band_bits: int = 2) -> str:
+    """The banded knn_join algebra over the POST-STATE embeddings (the
+    index-maintenance mutation log applied: labels 1/2, vec_id % 7 = 3,
+    IEEE-exact negation) — the oracle of the maintained k-NN graph."""
+    from .operators.lsh import NUM_HASHES, SEED, hyperplanes
+
+    planes = hyperplanes(dim, NUM_HASHES, SEED)
+    cos = oracles.METRIC_SQL["cosine"]("a.embedding", "b.embedding")
+    return f"""
+WITH post AS MATERIALIZED (
+  SELECT vec_id, label,
+         CASE WHEN label IN (1, 2) AND vec_id % 7 = 3
+              THEN list_transform(embedding, x -> -x)
+              ELSE embedding END AS embedding
+  FROM embeddings
+),
+banded AS MATERIALIZED (
+{oracles.banded_cte_sql(planes, band_bits, source="post")}
+),
+cand AS (
+  SELECT DISTINCT a.label, a.vec_id AS src, b.vec_id AS dst,
+         round({cos}, 6) AS score
+  FROM banded a JOIN banded b
+    ON a.label = b.label AND a.band_idx = b.band_idx
+   AND a.band_key = b.band_key AND a.vec_id != b.vec_id
+)
+SELECT CAST(label AS INT) AS label, src, dst, score,
+       CAST(row_number() OVER (PARTITION BY src
+                               ORDER BY score DESC, dst) AS INT) AS rnk
+FROM cand
+QUALIFY rnk <= {m}
+"""
+
+
+register(
+    # incremental kNN-graph maintenance (r14b): knn_join is
+    # label-scoped, so a mutation batch invalidates exactly its labels'
+    # graph partitions — compacted delta store + partition-scoped
+    # rebuild, untouched partitions byte-identical (pinned)
+    "stream_knn_graph_maintenance",
+    lambda s, d: stream_ops.knn_graph_maintenance_stream(s, d),
+    _knn_join_post_sql(m=3),
+)
 register(
     # incremental view maintenance (r14b): the per-label stats view
     # maintained ALGEBRAICALLY from the CDC feed's before/after images
@@ -3430,7 +3473,7 @@ _PRIORITY_50 = [
     "knn_lsh_multiprobe", "s22_store_schema_evolution",
     "stream_ivm_label_stats", "ann_graph_beam_search", "s23_store_clone",
     "text_rake_keyphrases", "pipeline_epoch_shuffle",
-    "rel_data_quality_audit",
+    "rel_data_quality_audit", "stream_knn_graph_maintenance",
     "stream_ivf_maintenance", "ann_knn_pagerank", "s19_store_time_travel",
     "stream_ingestion_dedup", "ann_binary_hamming_topk",
     "pipeline_leakage_safe_split", "text_bpe_train_merges",
@@ -3448,7 +3491,7 @@ _PRIORITY_50 = [
     "dedup_ngram_jaccard_topk", "dedup_simhash_pairs", "j2_semi_join",
     "j3_orphan_anti_join", "knn_dispatch_flat", "knn_dist_euclidean",
     "knn_flat_cosine",
-    "knn_flat_euclidean", "knn_flat_manhattan", "knn_safe_flat",
+    "knn_flat_euclidean", "knn_safe_flat",
     "knn_search_hydrated", "mllib_minhash_jaccard_join",
     "p4_exists_probe",
     "rel_order_priority_rollup", "rel_revenue_by_nation",

@@ -1420,7 +1420,7 @@ def knn_join(
     count: buckets hold a constant expected size at any corpus scale
     (quadratic-blowup guard), bit-identical to the static oracle at test
     scales where it resolves to 2."""
-    from .lsh import SEED, N_SIGN_BANDS, auto_band_bits, band_keys, first_collision, hyperplanes
+    from .lsh import auto_band_bits
 
     band_bits = auto_band_bits(row_count(sf_dir, "embeddings"), band_bits)
     # spread BEFORE banding: the band equi-join's OUTPUT is quadratic in
@@ -1430,7 +1430,27 @@ def knn_join(
     # ONE task (wall == cpu-busy, measured). No-op at production
     # partition counts.
     emb = spread_for_compute(load(spark, sf_dir, "embeddings"))
-    dim = embedding_dim(sf_dir)
+    return knn_join_frame(
+        emb, embedding_dim(sf_dir), m=m, metric=metric,
+        band_bits=band_bits, salt=salt, hot_bucket_min=hot_bucket_min,
+    )
+
+
+def knn_join_frame(
+    emb: DataFrame,
+    dim: int,
+    m: int = 3,
+    metric: str = "cosine",
+    band_bits: int = 2,
+    salt: int | None = None,
+    hot_bucket_min: int = 1000,
+) -> DataFrame:
+    """knn_join's body over an ARBITRARY (label, vec_id, embedding)
+    frame — factored out so the streaming graph-maintenance path can
+    rebuild a label's partition from post-state embeddings without
+    re-reading the table path. Semantics identical to knn_join."""
+    from .lsh import SEED, N_SIGN_BANDS, band_keys, first_collision, hyperplanes
+
     planes = hyperplanes(dim, N_SIGN_BANDS * band_bits, SEED)
     banded = emb.select(
         "label", "vec_id", "embedding", sim.norm(F.col("embedding")).alias("nrm"),

@@ -1706,3 +1706,125 @@ SELECT label,
 FROM embeddings
 GROUP BY label
 """
+
+
+def knn_graph_maintenance_init(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> dict:
+    """Set up the maintained k-NN graph: full knn_join build for every
+    label plus the two-file mutation log (the index-maintenance feed).
+    Factored from knn_graph_maintenance_stream so the byte-identity
+    test can snapshot untouched partitions between init and the run."""
+    from ..operators import ann
+    from ..operators.store import _dynamic_overwrite
+    from ..sources.tables import embedding_dim, row_count, spread_for_compute
+    from ..operators.lsh import auto_band_bits
+
+    out_dir = out_dir or tempfile.mkdtemp(prefix="vdbs_graph_maint_")
+    paths = {
+        "root": out_dir,
+        "store": os.path.join(out_dir, "knn_graph"),
+        "delta": os.path.join(out_dir, "mutations_delta"),
+        "log": os.path.join(out_dir, "mutation_log"),
+        "ckpt": os.path.join(out_dir, "ckpt"),
+    }
+    base = load(spark, sf_dir, "embeddings")
+    paths["dim"] = embedding_dim(sf_dir)
+    # updates only — row count is stable, so the auto band width
+    # resolves identically before and after every batch
+    paths["band_bits"] = auto_band_bits(row_count(sf_dir, "embeddings"), None)
+    full = ann.knn_join_frame(
+        spread_for_compute(base), paths["dim"], m=3,
+        band_bits=paths["band_bits"],
+    )
+    _dynamic_overwrite(full, paths["store"])
+    _index_maintenance_mutations(base).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(paths["log"])
+    return paths
+
+
+def knn_graph_maintenance_run(
+    spark: SparkSession, sf_dir: str, paths: dict
+) -> None:
+    """The stream: per micro-batch, merge mutations into the compacted
+    delta store and rebuild EXACTLY the affected labels' graph
+    partitions through knn_join_frame + dynamic-partition overwrite."""
+    from ..operators import ann
+    from ..operators.store import _dynamic_overwrite, _fs_exists
+    from ..sources.tables import spread_for_compute
+
+    base = load(spark, sf_dir, "embeddings")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(paths["log"]).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(paths["log"])
+    )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        affected = [
+            r["label"] for r in batch.select("label").distinct().collect()
+        ]
+        if not affected:
+            return
+        if _fs_exists(spark, paths["delta"]):
+            prev = spark.read.parquet(paths["delta"]).filter(
+                F.col("label").isin(*affected)
+            )
+            merged = prev.join(
+                batch.select("vec_id"), "vec_id", "left_anti"
+            ).unionByName(batch)
+        else:
+            merged = batch
+        merged = merged.select(
+            "vec_id", "label", "embedding"
+        ).localCheckpoint(eager=True)
+        _dynamic_overwrite(merged, paths["delta"])
+        post = (
+            base.filter(F.col("label").isin(*affected))
+            .join(merged.select("vec_id"), "vec_id", "left_anti")
+            .select("vec_id", "label", "embedding")
+            .unionByName(merged)
+        )
+        rebuilt = ann.knn_join_frame(
+            spread_for_compute(post), paths["dim"], m=3,
+            band_bits=paths["band_bits"],
+        )
+        _dynamic_overwrite(rebuilt, paths["store"])
+
+    with _bounded_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", paths["ckpt"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+def knn_graph_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the k-NN GRAPH under the mutation
+    feed — the graph analog of the LSH/IVF index-maintenance family:
+    NN-descent, mutual-pair dedup, and the beam-search serving path all
+    ride the knn_join graph, so at 100 TB the graph must stay fresh
+    without corpus-wide rebuilds. Because knn_join is label-scoped, a
+    mutation batch invalidates EXACTLY its labels' partitions; the
+    delta store is compacted (one row per mutated id — the
+    index-maintenance discipline), untouched labels' partition
+    directories stay byte-identical (pinned in tests), and the final
+    graph equals a from-scratch batch rebuild. Exact oracle: the banded
+    knn_join algebra over the post-state embeddings CTE."""
+    import shutil
+
+    paths = knn_graph_maintenance_init(spark, sf_dir)
+    try:
+        knn_graph_maintenance_run(spark, sf_dir, paths)
+        return spark.read.parquet(paths["store"]).select(
+            F.col("label").cast("int").alias("label"),
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.col("score").cast("double").alias("score"),
+            F.col("rnk").cast("int").alias("rnk"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(paths["root"], ignore_errors=True)
