@@ -578,3 +578,58 @@ def test_graph_maintenance_untouched_partitions_byte_identical(spark, tmp_path):
     )
     assert maintained.exceptAll(scratch).isEmpty()
     assert scratch.exceptAll(maintained).isEmpty()
+
+
+def test_ood_zscore_tracks_float_zscore(spark):
+    import numpy as np
+
+    rows = ann.ood_zscore(spark, SF, top=25).collect()
+    got = [r.vec_id for r in rows]
+    emb = load(spark, SF, "embeddings").collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(
+            (r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+        )
+    scores = {}
+    for _lbl, rs in by_label.items():
+        X = np.stack([v for _, v in rs])
+        mu = X.mean(axis=0)
+        var = X.var(axis=0)
+        var[var == 0] = 1.0
+        z = (((X - mu) ** 2) / var).sum(axis=1)
+        for (vid, _), s in zip(rs, z):
+            scores[vid] = s
+    float_top = {v for v, _ in sorted(
+        scores.items(), key=lambda t: (-t[1], t[0]))[:25]}
+    # the integer micro-unit screen must substantially agree with the
+    # float z-score it approximates (floor rounding can reorder close
+    # calls, never the bulk)
+    assert len(set(got) & float_top) >= 18, (sorted(got), sorted(float_top))
+
+
+def test_phash_components_match_union_find(spark):
+    from vector_db_service_spark.operators import multimodal as mm
+
+    pairs = mm.phash_near_dups(spark, SF, max_hamming=3).collect()
+    docs = [r.doc_id for r in
+            load(spark, SF, "documents").select("doc_id").collect()]
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(r.doc_id_1), find(r.doc_id_2)
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    expected = {}
+    for d in docs:
+        expected[find(d)] = expected.get(find(d), 0) + 1
+    got = {r.comp: r.n_docs for r in
+           mm.phash_components(spark, SF, max_hamming=3).collect()}
+    assert got == expected
+    assert any(n > 1 for n in expected.values())  # real clusters exist

@@ -1295,6 +1295,57 @@ register(
 )
 
 
+def _ood_zscore_sql(top: int = 25) -> str:
+    """Mirror of ann.ood_zscore: the same two integer passes with
+    sign-split floor means and floor variances."""
+    return f"""
+WITH cells AS MATERIALIZED (
+  SELECT label, vec_id, i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x_us
+  FROM (
+    SELECT label, vec_id, embedding,
+           unnest(generate_series(1, len(embedding))) AS i
+    FROM embeddings
+  )
+),
+stats1 AS MATERIALIZED (
+  SELECT label, dim, count(*) AS n,
+         CASE WHEN sum(x_us) >= 0
+              THEN sum(x_us) // count(*)
+              ELSE -((-sum(x_us)) // count(*)) END AS mean_us
+  FROM cells GROUP BY label, dim
+),
+dev AS MATERIALIZED (
+  SELECT c.label, c.vec_id, c.dim, c.x_us - s.mean_us AS d, s.n
+  FROM cells c JOIN stats1 s ON s.label = c.label AND s.dim = c.dim
+),
+vr AS MATERIALIZED (
+  SELECT label, dim, sum(d * d) // max(n) AS var_us2
+  FROM dev GROUP BY label, dim
+),
+scored AS (
+  SELECT d2.vec_id, d2.label,
+         CAST(sum((d2.d * d2.d * 1000) // greatest(v.var_us2, 1)) AS BIGINT)
+           AS ood_score
+  FROM dev d2 JOIN vr v ON v.label = d2.label AND v.dim = d2.dim
+  GROUP BY d2.vec_id, d2.label
+)
+SELECT vec_id, label, ood_score FROM scored
+QUALIFY row_number() OVER (ORDER BY ood_score DESC, vec_id) <= {top}
+"""
+
+
+register(
+    # OOD z-score screen (r14b): per-label diagonal-Gaussian deviation
+    # in exact integer micro-units — the distribution-shift complement
+    # of the norm-outlier screen; two explode+groupBy passes, broadcast
+    # stats, TakeOrderedAndProject cut
+    "emb_ood_zscore",
+    lambda s, d: ann.ood_zscore(s, d, top=25),
+    _ood_zscore_sql(top=25),
+)
+
+
 def _graph_beam_sql(
     query_id: int = 0, k: int = 10, beam: int = 8, rounds: int = 2,
     sample_mod: int = 16, m: int = 3,
@@ -1785,6 +1836,15 @@ register(
     "mm_phash_near_dups",
     lambda s, d: multimodal.phash_near_dups(s, d, max_hamming=3),
     multimodal.phash_near_dups_sql(max_hamming=3),
+)
+register(
+    # image near-dup CLUSTERS (r14b): connected components over the
+    # dHash pair graph via the pointer-jumped min-contraction;
+    # singletons included; the oracle is the independent quadratic
+    # pair scan + unrolled min propagation
+    "mm_phash_components",
+    lambda s, d: multimodal.phash_components(s, d, max_hamming=3),
+    multimodal.phash_components_sql(max_hamming=3),
 )
 register(
     # audio modality: synthesized 16-bit signed little-endian PCM,
@@ -3172,6 +3232,15 @@ register(
 
 
 register(
+    # version diff (r14b): the review surface before a promote — per
+    # label, rows added/removed/changed/identical between the bootstrap
+    # and the final CDC version, via one full-outer join per label
+    # scope; oracle recomputes every cell from the CDC predicates
+    "s24_store_version_diff",
+    store_ops.version_diff,
+    store_ops.version_diff_sql(),
+)
+register(
     # shallow clone (r14b): fork the store in O(metadata) — a new
     # manifest over the source's dirs; a further mutation commits into
     # the CLONE's tree only, and the source-head checksum doubles as
@@ -3474,6 +3543,7 @@ _PRIORITY_50 = [
     "stream_ivm_label_stats", "ann_graph_beam_search", "s23_store_clone",
     "text_rake_keyphrases", "pipeline_epoch_shuffle",
     "rel_data_quality_audit", "stream_knn_graph_maintenance",
+    "s24_store_version_diff", "emb_ood_zscore", "mm_phash_components",
     "stream_ivf_maintenance", "ann_knn_pagerank", "s19_store_time_travel",
     "stream_ingestion_dedup", "ann_binary_hamming_topk",
     "pipeline_leakage_safe_split", "text_bpe_train_merges",
@@ -3488,11 +3558,11 @@ _PRIORITY_50 = [
     # -- (c) the r9 cohort: every query last driver-green in round 9
     # (at the 5-round staleness ceiling this round) --
     "ann_ivf_topk", "dedup_exact_summary",
-    "dedup_ngram_jaccard_topk", "dedup_simhash_pairs", "j2_semi_join",
+    "dedup_simhash_pairs", "j2_semi_join",
     "j3_orphan_anti_join", "knn_dispatch_flat", "knn_dist_euclidean",
     "knn_flat_cosine",
-    "knn_flat_euclidean", "knn_safe_flat",
-    "knn_search_hydrated", "mllib_minhash_jaccard_join",
+    "knn_safe_flat",
+    "knn_search_hydrated",
     "p4_exists_probe",
     "rel_order_priority_rollup", "rel_revenue_by_nation",
 ]

@@ -2825,3 +2825,71 @@ def graph_beam_search(
         .limit(k)
         .select("vec_id", "label", "score")
     )
+
+
+def ood_zscore(
+    spark: SparkSession, sf_dir: str, top: int = 25
+) -> DataFrame:
+    """Out-of-distribution screen over the embedding corpus: per-label
+    diagonal-Gaussian z-score — each vector's squared deviation from
+    its library's per-dimension mean, normalized by the per-dimension
+    variance and summed. The distribution-shift complement of the
+    norm-outlier screen (a vector can have a perfectly typical norm and
+    still sit nowhere near its library's mass). Two passes, all
+    INTEGER: components quantized to micro-units; pass 1 aggregates
+    per-(label, dim) count/sum and takes the floor mean (sign-split
+    floor division — Spark `div` and DuckDB `//` agree on negatives);
+    pass 2 sums squared deviations into the floor variance and each
+    vector's score = sum over dims of floor(dev^2 / max(var, 1)) —
+    bit-deterministic at any partitioning, and every magnitude is
+    proven inside int64 at the test tiers (dev^2 * 1000 <= 4e15 per
+    cell). Per-dim z^2 is O(1), so the term carries a *1000 milli-unit
+    scale BEFORE the floor — without it the floor quantized the signal
+    away (measured: only 13/25 agreement with the float z-score; with
+    milli-units >= 18/25, the remaining drift being genuine
+    rounding-boundary ties). Returns the `top` highest scorers — the
+    curation review queue; scores are in milli-z^2 units.
+
+    Scale: two explode+groupBy passes whose shuffles carry
+    |labels| * dims partial rows, plus one broadcast join of the tiny
+    stats table; the final cut is TakeOrderedAndProject."""
+    emb = spread_for_compute(load(spark, sf_dir, "embeddings"))
+    cells = emb.select(
+        "label", "vec_id",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+                " * 1000000) AS BIGINT))"
+            )
+        ).alias("dim", "x_us"),
+    )
+    floordiv = (
+        "CASE WHEN {num} >= 0 THEN {num} DIV {den} "
+        "ELSE -((-({num})) DIV {den}) END"
+    )
+    stats1 = cells.groupBy("label", "dim").agg(
+        F.count("*").alias("n"), F.sum("x_us").alias("s")
+    ).withColumn("mean_us", F.expr(floordiv.format(num="s", den="n")))
+    dev = cells.join(
+        F.broadcast(stats1.select("label", "dim", "n", "mean_us")),
+        ["label", "dim"],
+    ).withColumn("d", F.col("x_us") - F.col("mean_us"))
+    var = dev.groupBy("label", "dim").agg(
+        F.expr("sum(d * d) DIV max(n)").alias("var_us2")
+    )
+    scored = (
+        dev.join(F.broadcast(var), ["label", "dim"])
+        .withColumn(
+            "term",
+            F.expr(
+                "(d * d * 1000) DIV greatest(var_us2, CAST(1 AS BIGINT))"
+            ),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("term").cast("long").alias("ood_score"))
+    )
+    return (
+        scored.orderBy(F.desc("ood_score"), F.asc("vec_id"))
+        .limit(top)
+        .select("vec_id", "label", "ood_score")
+    )

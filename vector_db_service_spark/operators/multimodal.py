@@ -1510,3 +1510,78 @@ SELECT b.doc_id, CAST(b.nf AS BIGINT) AS n_frames,
        COALESCE(a.sum_diff, 0) AS sum_diff
 FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
 """
+
+
+def phash_components(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Image near-dup CLUSTERS — connected components over the dHash
+    pair graph, the cluster view of mm_phash_near_dups (a chain
+    a~b~c of near-dup images is one redundancy cluster even when (a, c)
+    exceeds the pairwise radius — exactly the text-dedup argument
+    applied to the image modality). Components via the pointer-jumped
+    min-contraction shared with the mutual-kNN family
+    (ann._min_contract_components: <= log2(max component) rounds on any
+    graph shape, loud raise on exhaustion); every document is included
+    (no-pair images are singletons). Output: (comp, n_docs) histogram,
+    comp = the cluster's minimum doc_id."""
+    from .ann import _min_contract_components
+
+    pairs = phash_near_dups(spark, sf_dir, max_hamming=max_hamming).select(
+        F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+    )
+    iter_parts = max(4, spark.sparkContext.defaultParallelism // 8)
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .coalesce(iter_parts)
+        .localCheckpoint(eager=False)
+    )
+    rep = _min_contract_components(
+        edges, iter_parts, max_rounds, op_name="phash_components"
+    )
+    nodes = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    if rep is None:
+        full = nodes.withColumn("comp", F.col("node"))
+    else:
+        full = nodes.join(
+            rep.select(F.col("cnode").alias("node"), "rep"), "node", "left"
+        ).select("node", F.coalesce(F.col("rep"), F.col("node")).alias("comp"))
+    return full.groupBy("comp").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+def phash_components_sql(max_hamming: int = 3, rounds: int = 40) -> str:
+    """Oracle: the independent quadratic dHash pair scan, then plain
+    min-label propagation unrolled `rounds` CTE stages (the
+    mutual-kNN-components oracle pattern — this side is exact, so a
+    deeper future corpus fails loudly as a parity mismatch)."""
+    stages = []
+    for r in range(rounds):
+        prev, cur = f"l{r}", f"l{r + 1}"
+        stages.append(f"""
+{cur} AS MATERIALIZED (
+  SELECT node, min(comp) AS comp FROM (
+    SELECT node, comp FROM {prev}
+    UNION ALL
+    SELECT e.src AS node, l.comp FROM edges e JOIN {prev} l ON l.node = e.dst
+  ) GROUP BY node
+)""")
+    chain = ",".join(stages)
+    return f"""
+WITH prs AS MATERIALIZED ({phash_near_dups_sql(max_hamming=max_hamming)}),
+edges AS MATERIALIZED (
+  SELECT doc_id_1 AS src, doc_id_2 AS dst FROM prs
+  UNION ALL
+  SELECT doc_id_2, doc_id_1 FROM prs
+),
+l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS comp FROM documents),
+{chain}
+SELECT comp, CAST(count(*) AS BIGINT) AS n_docs
+FROM l{rounds} GROUP BY comp
+"""

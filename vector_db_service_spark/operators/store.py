@@ -1123,3 +1123,74 @@ SELECT 'clone_head', CAST(count(*) AS BIGINT),
                                AS BIGINT) END) AS BIGINT)
 FROM merged
 """
+
+
+def version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset DIFF between two committed versions — the review surface
+    a versioned training corpus needs before a promote ("what exactly
+    changed since the snapshot we trained on?"): per label, rows added,
+    rows removed, rows changed (same vec_id, different payload), rows
+    identical. Computed from the COW manifest reads with one full outer
+    join on vec_id per label scope — no full-corpus sort, and at 100 TB
+    the join prunes to the labels whose manifests differ (identical
+    label dirs can be skipped entirely by pointer equality; here every
+    label is read so the 'identical' count is itself verified rather
+    than inferred).
+
+    Diffs v0 (bootstrap) against the final CDC version: the oracle
+    recomputes every cell from the CDC predicates."""
+    import shutil
+
+    manifest, out_dir = versioned_cdc_merge(spark, sf_dir)
+    try:
+        latest = max(v for (v, _l) in manifest)
+        a = _versioned_read(spark, manifest, 0).select(
+            "vec_id", "label", F.col("embedding").alias("ea")
+        )
+        b = _versioned_read(spark, manifest, latest).select(
+            "vec_id", F.col("label").alias("label_b"),
+            F.col("embedding").alias("eb"),
+        )
+        j = a.join(b, "vec_id", "full_outer")
+        out = (
+            j.select(
+                F.coalesce("label", "label_b").alias("label"),
+                F.when(F.col("ea").isNull(), F.lit("added"))
+                .when(F.col("eb").isNull(), F.lit("removed"))
+                .when(F.col("ea") != F.col("eb"), F.lit("changed"))
+                .otherwise(F.lit("identical"))
+                .alias("status"),
+            )
+            .groupBy("label")
+            .pivot("status", ["added", "removed", "changed", "identical"])
+            .count()
+            .na.fill(0)
+            .select(
+                "label",
+                F.col("added").cast("long").alias("n_added"),
+                F.col("removed").cast("long").alias("n_removed"),
+                F.col("changed").cast("long").alias("n_changed"),
+                F.col("identical").cast("long").alias("n_identical"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def version_diff_sql() -> str:
+    """Mirror: the CDC feed only deletes (vec_id%13==7) and updates
+    (vec_id%11==5, not deleted); nothing is added, so per label
+    n_added = 0, n_removed = deletes, n_changed = surviving updates,
+    n_identical = the rest."""
+    return """
+SELECT label,
+       CAST(0 AS BIGINT) AS n_added,
+       CAST(count(*) FILTER (WHERE vec_id % 13 = 7) AS BIGINT) AS n_removed,
+       CAST(count(*) FILTER (WHERE vec_id % 13 != 7 AND vec_id % 11 = 5)
+            AS BIGINT) AS n_changed,
+       CAST(count(*) FILTER (WHERE vec_id % 13 != 7 AND vec_id % 11 != 5)
+            AS BIGINT) AS n_identical
+FROM embeddings
+GROUP BY label
+"""
