@@ -544,6 +544,33 @@ FROM events GROUP BY 1, 2
 """,
 )
 register(
+    # effective-dated temporal join (r14b): clicks joined to the
+    # purchase-derived running tier ACTIVE at each click's timestamp —
+    # facts x SCD dimension without a non-equi range join (interleaved
+    # running sum on the (ts, event_id) total order)
+    "rel_temporal_tier_join",
+    relational.temporal_tier_join,
+    """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+),
+tiered AS (
+  SELECT *, sum(is_p) OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS tier
+  FROM ev
+)
+SELECT tier,
+       CAST(count(*) AS BIGINT) AS n_clicks,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM tiered WHERE is_p = 0
+GROUP BY tier
+""",
+)
+register(
     # SCD2 dimension build (r14b): per user, consecutive same-type
     # events collapse into versioned validity intervals
     # (gaps-and-islands: lag flag -> running-sum island -> per-island
@@ -3544,6 +3571,7 @@ _PRIORITY_50 = [
     "text_rake_keyphrases", "pipeline_epoch_shuffle",
     "rel_data_quality_audit", "stream_knn_graph_maintenance",
     "s24_store_version_diff", "emb_ood_zscore", "mm_phash_components",
+    "rel_temporal_tier_join",
     "stream_ivf_maintenance", "ann_knn_pagerank", "s19_store_time_travel",
     "stream_ingestion_dedup", "ann_binary_hamming_topk",
     "pipeline_leakage_safe_split", "text_bpe_train_merges",
@@ -3561,7 +3589,6 @@ _PRIORITY_50 = [
     "dedup_simhash_pairs", "j2_semi_join",
     "j3_orphan_anti_join", "knn_dispatch_flat", "knn_dist_euclidean",
     "knn_flat_cosine",
-    "knn_safe_flat",
     "knn_search_hydrated",
     "p4_exists_probe",
     "rel_order_priority_rollup", "rel_revenue_by_nation",

@@ -911,3 +911,39 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in (fk_lo, nn_name, rng_total, rng_qty, uniq, dim_rule):
         out = out.unionByName(df)
     return out
+
+
+def temporal_tier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-dated temporal join — fact events joined against a
+    slowly-changing dimension DERIVED FROM A DIFFERENT event stream:
+    each purchase advances its user's "purchase tier" (tier = how many
+    purchases the user had completed so far), and every click joins the
+    tier ACTIVE at its own timestamp. The classic product-analytics
+    question ("do users click differently after their Nth purchase?")
+    and the classic warehouse shape (facts x effective-dated dim)
+    WITHOUT a non-equi range join: interleave both streams per user on
+    the (ts, event_id) total order and take a running sum of purchase
+    flags — one window pass, one hash exchange on user_id, no interval
+    join anywhere. Deterministic under timestamp ties via the unique
+    event_id. Output: (tier, n_clicks, n_users) — clicks per active
+    tier and the distinct users contributing."""
+    from ..sources.tables import load
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id", "event_id", "ts_us",
+        (F.col("event_type") == "purchase").cast("long").alias("is_p"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts_us"), F.asc("event_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tiered = ev.withColumn("tier", F.sum("is_p").over(w))
+    return (
+        tiered.filter(F.col("is_p") == 0)
+        .groupBy("tier")
+        .agg(
+            F.count("*").cast("long").alias("n_clicks"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+    )
