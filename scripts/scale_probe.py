@@ -92,6 +92,14 @@ PROBES = [
     "ann_nn_descent",
     "emb_pca_power_iteration",
     "ann_knn_triangles",
+    # round-14 continuation, second wave: the maintained-graph
+    # lifecycle (startup build + partition-scoped rebuild batches), the
+    # navigated walk (entry-layer scan should amortize at 10x), the
+    # two-pass integer OOD screen, and the image cluster contraction
+    "stream_knn_graph_maintenance",
+    "ann_graph_beam_search",
+    "emb_ood_zscore",
+    "mm_phash_components",
 ]
 # lineitem-backed queries only have real data at the source SFs; the
 # synthetic corpus scales documents/embeddings/events 10x and reuses

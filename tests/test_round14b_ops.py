@@ -633,3 +633,14 @@ def test_phash_components_match_union_find(spark):
            mm.phash_components(spark, SF, max_hamming=3).collect()}
     assert got == expected
     assert any(n > 1 for n in expected.values())  # real clusters exist
+
+
+def test_bloom_join_prune_never_loses_a_match(spark):
+    from vector_db_service_spark.operators import sketches as sk
+
+    row = sk.bloom_join_prune(spark, SF, nation=1).collect()[0]
+    # no false negatives: every true match passes the filter
+    assert row.n_bloom_pass >= row.n_true_match > 0
+    assert row.n_false_positive == row.n_bloom_pass - row.n_true_match
+    # the filter must actually prune (the audit is vacuous otherwise)
+    assert row.pruned_ppm > 500_000

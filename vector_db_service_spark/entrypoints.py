@@ -2687,6 +2687,15 @@ register(
     sketches.bloom_membership_sql(key="user_id"),
 )
 register(
+    # Bloom-pruned join audit (r14b): the runtime-row-filter technique
+    # measured — filter built over a filtered dimension's keys, every
+    # fact row probed pre-join, pruning and false-positive cost
+    # verified against the exact semi-join
+    "sketch_bloom_join_prune",
+    lambda s, d: sketches.bloom_join_prune(s, d, nation=1),
+    sketches.bloom_join_prune_sql(nation=1),
+)
+register(
     # KMV bottom-k overlap sketch: Jaccard + intersection estimates for
     # {click users} vs {purchase users} with exact counts alongside —
     # the corpus-contamination-check primitive
@@ -3571,7 +3580,7 @@ _PRIORITY_50 = [
     "text_rake_keyphrases", "pipeline_epoch_shuffle",
     "rel_data_quality_audit", "stream_knn_graph_maintenance",
     "s24_store_version_diff", "emb_ood_zscore", "mm_phash_components",
-    "rel_temporal_tier_join",
+    "rel_temporal_tier_join", "sketch_bloom_join_prune",
     "stream_ivf_maintenance", "ann_knn_pagerank", "s19_store_time_travel",
     "stream_ingestion_dedup", "ann_binary_hamming_topk",
     "pipeline_leakage_safe_split", "text_bpe_train_merges",
@@ -3590,7 +3599,6 @@ _PRIORITY_50 = [
     "j3_orphan_anti_join", "knn_dispatch_flat", "knn_dist_euclidean",
     "knn_flat_cosine",
     "knn_search_hydrated",
-    "p4_exists_probe",
     "rel_order_priority_rollup", "rel_revenue_by_nation",
 ]
 

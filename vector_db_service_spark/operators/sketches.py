@@ -654,3 +654,115 @@ SELECT est_slice0, est_slice1, est_merged, est_whole, exact_distinct,
        est_merged = est_whole AS merge_matches_whole
 FROM est_slice0_v, est_slice1_v, est_merged_v, est_whole_v, ex
 """
+
+
+def bloom_join_prune(
+    spark: SparkSession, sf_dir: str, nation: int = 1
+) -> DataFrame:
+    """Bloom-PRUNED join audit — the runtime-row-filter technique
+    measured rather than assumed: build the m={BLOOM_M}/k={BLOOM_K}
+    filter over a FILTERED dimension's keys (customers of one nation),
+    probe every order's custkey against it BEFORE the join, and verify
+    exactly. At 100 TB this is the filter Spark's runtime bloom
+    pushdown ships to the fact scan so non-matching rows die before the
+    shuffle; the audit reports what that buys — rows pruned map-side —
+    and what it costs — false positives that still reach the join and
+    are discarded there. False negatives are impossible by construction
+    (the membership op's test pins this), so correctness is never at
+    stake, only shuffle volume. One broadcast of the bit set; the
+    truth side is the exact broadcast semi-join.
+
+    Output (single row, all BIGINT): orders probed, bloom passes, true
+    matches, false positives, plus the pruned fraction in ppm."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") == nation
+    ).select(F.col("c_custkey").alias("k")).distinct()
+    bits = cust.select(
+        F.explode(
+            F.array(
+                *[(_hash52(F.col("k"), f"bf{i}:") % BLOOM_M)
+                  for i in range(BLOOM_K)]
+            )
+        ).alias("bit")
+    ).distinct()
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("probe_key")
+    )
+    pbits = orders.select(
+        "o_orderkey",
+        F.explode(
+            F.array(
+                *[(_hash52(F.col("probe_key"), f"bf{i}:") % BLOOM_M)
+                  for i in range(BLOOM_K)]
+            )
+        ).alias("bit"),
+    )
+    passed = (
+        pbits.join(F.broadcast(bits), "bit")
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") == BLOOM_K)
+        .select("o_orderkey")
+    )
+    true_match = orders.join(
+        F.broadcast(cust.select(F.col("k").alias("probe_key"))),
+        "probe_key", "left_semi",
+    ).select("o_orderkey")
+    n_orders = orders.count()
+    n_pass = passed.count()
+    n_true = true_match.count()
+    # a Bloom filter admits every true key, so FP = passes - trues
+    n_fp = n_pass - n_true
+    pruned_ppm = ((n_orders - n_pass) * 1_000_000) // max(n_orders, 1)
+    return spark.createDataFrame(
+        [(n_orders, n_pass, n_true, n_fp, pruned_ppm)],
+        "n_orders long, n_bloom_pass long, n_true_match long, "
+        "n_false_positive long, pruned_ppm long",
+    )
+
+
+def bloom_join_prune_sql(nation: int = 1) -> str:
+    """Mirror: identical md5-slice bit algebra over the filtered
+    dimension keys and the order probes."""
+    def h(i: int, expr: str) -> str:
+        return (
+            f"CAST(concat('0x', substr(md5(concat('bf{i}:',"
+            f" CAST({expr} AS VARCHAR))), 1, {HLL_HASH_HEX})) AS BIGINT)"
+            f" % {BLOOM_M}"
+        )
+
+    bit_union = "\nUNION ALL\n".join(
+        f"SELECT {h(i, 'k')} AS bit FROM ks" for i in range(BLOOM_K)
+    )
+    pbit_union = "\nUNION ALL\n".join(
+        f"SELECT o_orderkey, {h(i, 'probe_key')} AS bit FROM orders_p"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH ks AS (
+  SELECT DISTINCT c_custkey AS k FROM customer WHERE c_nationkey = {nation}
+),
+bits AS (SELECT DISTINCT bit FROM ({bit_union})),
+orders_p AS (SELECT o_orderkey, o_custkey AS probe_key FROM orders),
+pbits AS ({pbit_union}),
+passed AS (
+  SELECT o_orderkey FROM pbits JOIN bits USING (bit)
+  GROUP BY o_orderkey HAVING count(*) = {BLOOM_K}
+),
+tm AS (
+  SELECT o_orderkey FROM orders_p
+  WHERE probe_key IN (SELECT k FROM ks)
+),
+agg AS (
+  SELECT (SELECT count(*) FROM orders_p) AS n_orders,
+         (SELECT count(*) FROM passed) AS n_pass,
+         (SELECT count(*) FROM tm) AS n_true
+)
+SELECT CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(n_pass AS BIGINT) AS n_bloom_pass,
+       CAST(n_true AS BIGINT) AS n_true_match,
+       CAST(n_pass - n_true AS BIGINT) AS n_false_positive,
+       CAST(((n_orders - n_pass) * 1000000) // greatest(n_orders, 1)
+            AS BIGINT) AS pruned_ppm
+FROM agg
+"""
