@@ -563,7 +563,7 @@ tiered AS (
                             ROWS UNBOUNDED PRECEDING) AS tier
   FROM ev
 )
-SELECT tier,
+SELECT CAST(tier AS BIGINT) AS tier,
        CAST(count(*) AS BIGINT) AS n_clicks,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM tiered WHERE is_p = 0
