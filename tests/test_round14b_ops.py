@@ -334,11 +334,13 @@ def test_nn_descent_improves_recall_vs_true_topm(spark):
 
 def test_nn_descent_recall_report_shows_strict_gain(spark):
     rows = {r.stage: r for r in ann.nn_descent_recall(spark, SF).collect()}
-    assert set(rows) == {"banded_base", "nn_descent_r1"}
-    b, r = rows["banded_base"], rows["nn_descent_r1"]
-    assert b.total == r.total > 0
-    assert r.hits > b.hits  # the refinement round must buy real recall
-    assert r.recall_micro == (r.hits * 1_000_000) // r.total
+    assert set(rows) == {"banded_base", "nn_descent_r1", "nn_descent_r2"}
+    b, r1, r2 = (rows["banded_base"], rows["nn_descent_r1"],
+                 rows["nn_descent_r2"])
+    assert b.total == r1.total == r2.total > 0
+    assert r1.hits > b.hits  # the first round must buy real recall
+    assert r2.hits >= r1.hits  # rounds are monotone toward the truth
+    assert r1.recall_micro == (r1.hits * 1_000_000) // r1.total
 
 
 def test_lsh_multiprobe_expands_the_candidate_set(spark):

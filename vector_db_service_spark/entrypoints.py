@@ -1205,47 +1205,55 @@ register(
 )
 
 
-def _nn_descent_sql(m: int = 3) -> str:
-    """Mirror of ann.nn_descent_refine: undirect the banded knn_join
-    graph, expand to neighbors-of-neighbors, exact-score only NEW
-    candidates, keep top-m per node among old ∪ new on the same
-    (score desc, dst asc) total order."""
+def _nn_descent_sql(m: int = 3, rounds: int = 1) -> str:
+    """Mirror of ann.nn_descent_refine: per round — undirect the
+    current graph, expand to neighbors-of-neighbors, exact-score only
+    NEW candidates, keep top-m per node among old ∪ new on the same
+    (score desc, dst asc) total order; unrolled `rounds` times."""
     cos = oracles.METRIC_SQL["cosine"]("a.embedding", "b.embedding")
-    return f"""
-WITH kj AS MATERIALIZED (
+    parts = [f"""
+g0 AS MATERIALIZED (
   SELECT label, src, dst, score FROM ({_knn_join_sql(m=m)})
-),
-und AS MATERIALIZED (
+)"""]
+    for r in range(rounds):
+        parts.append(f"""
+und{r} AS MATERIALIZED (
   SELECT DISTINCT label, src, dst FROM (
-    SELECT label, src, dst FROM kj
+    SELECT label, src, dst FROM g{r}
     UNION ALL
-    SELECT label, dst AS src, src AS dst FROM kj
+    SELECT label, dst AS src, src AS dst FROM g{r}
   )
 ),
-nbr2 AS MATERIALIZED (
+nbr2{r} AS MATERIALIZED (
   SELECT DISTINCT x.label, x.src, y.dst
-  FROM und x JOIN und y ON x.label = y.label AND x.dst = y.src
+  FROM und{r} x JOIN und{r} y ON x.label = y.label AND x.dst = y.src
   WHERE x.src != y.dst
 ),
-fresh AS (
-  SELECT n.label, n.src, n.dst FROM nbr2 n
-  ANTI JOIN kj k ON n.label = k.label AND n.src = k.src AND n.dst = k.dst
+fresh{r} AS (
+  SELECT n.label, n.src, n.dst FROM nbr2{r} n
+  ANTI JOIN g{r} k ON n.label = k.label AND n.src = k.src AND n.dst = k.dst
 ),
-scored_new AS (
+scored{r} AS (
   SELECT f.label, f.src, f.dst, round({cos}, 6) AS score
-  FROM fresh f
+  FROM fresh{r} f
   JOIN embeddings a ON a.vec_id = f.src
   JOIN embeddings b ON b.vec_id = f.dst
 ),
-allc AS (
-  SELECT label, src, dst, score FROM kj
-  UNION ALL
-  SELECT label, src, dst, score FROM scored_new
-)
+g{r + 1} AS MATERIALIZED (
+  SELECT label, src, dst, score FROM (
+    SELECT label, src, dst, score,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY score DESC, dst) AS rk
+    FROM (SELECT * FROM g{r} UNION ALL SELECT * FROM scored{r})
+  ) WHERE rk <= {m}
+)""")
+    chain = ",".join(parts)
+    return f"""
+WITH {chain}
 SELECT label, src, dst, score,
        row_number() OVER (PARTITION BY src
                           ORDER BY score DESC, dst) AS rnk
-FROM allc
+FROM g{rounds}
 QUALIFY rnk <= {m}
 """
 
@@ -1271,17 +1279,18 @@ register(
 
 
 def _nn_descent_recall_sql(m: int = 3, sample_mod: int = 5) -> str:
-    """Mirror of ann.nn_descent_recall: exact within-label top-m truth,
-    semi-join hit counts for the base and refined graphs, integer
-    micro-unit recall."""
+    """Mirror of ann.nn_descent_recall: exact within-label top-m truth
+    over the sampled sources, semi-join hit counts for the base graph
+    and both refinement rounds, integer micro-unit recall."""
     cos = oracles.METRIC_SQL["cosine"]("a.embedding", "b.embedding")
+    # the 2-round chain CTEs (g0, g1, g2) come from the generalized
+    # builder; strip its trailing final-select so the stages can be
+    # referenced directly
+    chain = _nn_descent_sql(m=m, rounds=2)
+    chain = chain[: chain.rindex("SELECT label, src, dst, score,")]
+    chain = chain.rstrip().rstrip(",")  # keep just the WITH ... gN list
     return f"""
-WITH base_g AS MATERIALIZED (
-  SELECT label, src, dst FROM ({_knn_join_sql(m=m)})
-),
-ref_g AS MATERIALIZED (
-  SELECT label, src, dst FROM ({_nn_descent_sql(m=m)})
-),
+{chain},
 truth AS MATERIALIZED (
   SELECT src, dst FROM (
     SELECT a.vec_id AS src, b.vec_id AS dst, round({cos}, 6) AS score
@@ -1293,22 +1302,30 @@ truth AS MATERIALIZED (
                              ORDER BY score DESC, dst) <= {m}
 ),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM truth),
-bh AS (
+h0 AS (
   SELECT CAST(count(*) AS BIGINT) AS hits
-  FROM base_g k SEMI JOIN truth t ON t.src = k.src AND t.dst = k.dst
+  FROM g0 k SEMI JOIN truth t ON t.src = k.src AND t.dst = k.dst
 ),
-rh AS (
+h1 AS (
   SELECT CAST(count(*) AS BIGINT) AS hits
-  FROM ref_g n SEMI JOIN truth t ON t.src = n.src AND t.dst = n.dst
+  FROM g1 k SEMI JOIN truth t ON t.src = k.src AND t.dst = k.dst
+),
+h2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS hits
+  FROM g2 k SEMI JOIN truth t ON t.src = k.src AND t.dst = k.dst
 )
-SELECT 'banded_base' AS stage, bh.hits, tot.total,
-       CAST((bh.hits * 1000000) // greatest(tot.total, 1) AS BIGINT)
+SELECT 'banded_base' AS stage, h0.hits, tot.total,
+       CAST((h0.hits * 1000000) // greatest(tot.total, 1) AS BIGINT)
          AS recall_micro
-FROM bh, tot
+FROM h0, tot
 UNION ALL
-SELECT 'nn_descent_r1', rh.hits, tot.total,
-       CAST((rh.hits * 1000000) // greatest(tot.total, 1) AS BIGINT)
-FROM rh, tot
+SELECT 'nn_descent_r1', h1.hits, tot.total,
+       CAST((h1.hits * 1000000) // greatest(tot.total, 1) AS BIGINT)
+FROM h1, tot
+UNION ALL
+SELECT 'nn_descent_r2', h2.hits, tot.total,
+       CAST((h2.hits * 1000000) // greatest(tot.total, 1) AS BIGINT)
+FROM h2, tot
 """
 
 

@@ -2403,35 +2403,74 @@ def nn_descent_refine(
     sf_dir: str,
     m: int = 3,
     metric: str = "cosine",
+    rounds: int = 1,
 ) -> DataFrame:
-    """One NN-descent refinement round over the banded k-NN graph — the
+    """NN-descent refinement over the banded k-NN graph — the
     distributed kNN-graph construction loop (Dong et al., WWW'11): "a
     neighbor of a neighbor is likely a neighbor". Start from knn_join's
-    banded top-m graph, UNDIRECT it (reverse edges are NN-descent's key
-    trick — a hub that many nodes point AT offers its own neighbors
-    back to them), expand every node's candidate set to its neighbors'
-    neighbors, exact-score only the NEW candidates, and keep the best m
-    per node among old ∪ new. Each round strictly improves recall
-    toward the true graph; banding alone misses a true neighbor whose
+    banded top-m graph and run `rounds` rounds; each round UNDIRECTS
+    the current graph (reverse edges are NN-descent's key trick — a hub
+    that many nodes point AT offers its own neighbors back to them),
+    expands every node's candidate set to its neighbors' neighbors,
+    exact-scores only the NEW candidates, and keeps the best m per node
+    among old ∪ new. Each round monotonically improves recall toward
+    the true graph (measured by ann_nn_descent_recall: 86.7% -> 91.1%
+    -> further at round 2); banding alone misses a true neighbor whose
     bands never collide, and this is the standard repair at scale
     (the reference never builds a full graph — its per-query probe is
     knn.py; this is the batch/graph form at
     reference services/vector_service.py:184-310 quality, corpus-wide).
 
-    Scale shape: the undirected edge list is <= 2nm skinny id rows; the
-    neighbor-of-neighbor self-join emits <= n*(2m)^2 candidate id pairs
-    (NO embeddings cross this shuffle); embeddings attach via two hash
-    joins on vec_id; scoring is one codegen'd projection; the per-node
-    cut is multi_query_topk's map-side partial top-k — no full-width
-    window exchange. Everything is linear in n*m^2, never quadratic in
-    corpus size. Output schema matches knn_join (label, src, dst,
-    score, rnk); ties break on the same (score desc, dst asc) total
-    order, so the oracle replays the identical pipeline in SQL."""
-    g0 = (
+    Scale shape per round: the undirected edge list is <= 2nm skinny id
+    rows; the neighbor-of-neighbor self-join emits <= n*(2m)^2
+    candidate id pairs (NO embeddings cross this shuffle); embeddings
+    attach via two hash joins on vec_id; scoring is one codegen'd
+    projection; the per-node cut is multi_query_topk's map-side partial
+    top-k — no full-width window exchange. Everything is linear in
+    n*m^2 per round, never quadratic in corpus size. Output schema
+    matches knn_join (label, src, dst, score, rnk); ties break on the
+    same (score desc, dst asc) total order, so the oracle replays the
+    identical pipeline in SQL."""
+    g = (
         knn_join(spark, sf_dir, m=m, metric=metric)
         .select("label", "src", "dst", "score")
         .localCheckpoint(eager=False)
     )
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    for _ in range(rounds):
+        g = _nn_descent_round(g, emb, m=m, metric=metric)
+    return _rank_graph(g, m)
+
+
+def _rank_graph(g: DataFrame, m: int) -> DataFrame:
+    """Attach the 1-based rank column to a (label, src, dst, score)
+    graph on the (score desc, dst asc) order via the map-side partial
+    top-k (the graph already holds <= m rows per src, so this is a
+    skinny re-rank, not a cut)."""
+    ranked = multi_query_topk(
+        g.select(
+            F.col("src").alias("query_id"),
+            F.col("dst").alias("vec_id"),
+            "label",
+            "score",
+        ),
+        k=m,
+    )
+    return ranked.select(
+        "label",
+        F.col("query_id").alias("src"),
+        F.col("vec_id").alias("dst"),
+        "score",
+        "rnk",
+    )
+
+
+def _nn_descent_round(
+    g0: DataFrame, emb: DataFrame, m: int, metric: str
+) -> DataFrame:
+    """One expansion round: undirect, neighbor-of-neighbor candidates,
+    exact-score the new pairs, keep top-m per node among old ∪ new.
+    Returns a (label, src, dst, score) frame (<= m rows per src)."""
     und = (
         g0.select("label", "src", "dst")
         .unionByName(
@@ -2455,12 +2494,12 @@ def nn_descent_refine(
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        # score each pair once: drop candidates the base graph already
-        # scored (their fresh score would be identical — same kernel,
-        # same rounding — but the duplicate row would double-emit)
+        # score each pair once: drop candidates the current graph
+        # already scored (their fresh score would be identical — same
+        # kernel, same rounding — but the duplicate row would
+        # double-emit)
         .join(g0.select("label", "src", "dst"), ["label", "src", "dst"], "left_anti")
     )
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     scored_new = (
         nbr2.join(
             emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea")),
@@ -2486,8 +2525,7 @@ def nn_descent_refine(
         F.col("query_id").alias("src"),
         F.col("vec_id").alias("dst"),
         "score",
-        "rnk",
-    )
+    ).localCheckpoint(eager=False)
 
 
 # power-iteration scales: embeddings quantized to centi-units, the
@@ -2695,15 +2733,17 @@ def mutual_knn_triangles(
 def nn_descent_recall(
     spark: SparkSession, sf_dir: str, m: int = 3, sample_mod: int = 5
 ) -> DataFrame:
-    """Recall evidence for the NN-descent round, as a driver-gated
-    query rather than a test-only claim: per stage (banded base graph
-    vs one refinement round), how many of the TRUE within-label top-m
+    """Recall evidence for the NN-descent rounds, as a driver-gated
+    query rather than a test-only claim: per stage (banded base graph,
+    one round, two rounds), how many of the TRUE within-label top-m
     edges the graph holds. The truth side is the exact per-label
     scoring pass (same shape as index_recall_report's exact leg: one
     within-label pair scan — quadratic per label, the measurement's
     cost, not the serving path's). Output is integer (hits, total)
     plus recall in exact micro-units, so the oracle compares without
-    float noise. The truth side is restricted to a deterministic
+    float noise; the round-2 row quantifies CONVERGENCE (each round
+    monotonically approaches the true graph). The truth side is
+    restricted to a deterministic
     1-in-sample_mod source sample (vec_id %% sample_mod == 0) — the
     standard recall-eval economy: exact for every sampled node, and the
     quadratic measurement cost drops by the sampling factor (152 ->
@@ -2751,9 +2791,18 @@ def nn_descent_recall(
                 f"CAST((count(*) * 1000000) DIV {max(total, 1)} AS BIGINT)"
             ).alias("recall_micro"),
         )
-    base = stage("banded_base", knn_join(spark, sf_dir, m=m))
-    refined = stage("nn_descent_r1", nn_descent_refine(spark, sf_dir, m=m))
-    return base.unionByName(refined)
+    emb_g = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    g0 = (
+        knn_join(spark, sf_dir, m=m)
+        .select("label", "src", "dst", "score")
+        .localCheckpoint(eager=False)
+    )
+    g1 = _nn_descent_round(g0, emb_g, m=m, metric="cosine")
+    g2 = _nn_descent_round(g1, emb_g, m=m, metric="cosine")
+    out = stage("banded_base", g0)
+    for name, g in (("nn_descent_r1", g1), ("nn_descent_r2", g2)):
+        out = out.unionByName(stage(name, g))
+    return out
 
 
 def graph_beam_search(
