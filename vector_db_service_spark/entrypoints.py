@@ -571,6 +571,27 @@ GROUP BY tier
 """,
 )
 register(
+    # first-order journey transition matrix (r14b): each event paired
+    # with its user's previous event type (lag window, explicit _start
+    # state), counted corpus-wide — the Markov view funnels flatten
+    "rel_event_transitions",
+    relational.event_transitions,
+    """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+lagged AS (
+  SELECT coalesce(lag(event_type)
+                    OVER (PARTITION BY user_id ORDER BY ts_us, event_id),
+                  '_start') AS prev_type,
+         event_type AS next_type
+  FROM ev
+)
+SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions
+FROM lagged GROUP BY prev_type, next_type
+""",
+)
+register(
     # SCD2 dimension build (r14b): per user, consecutive same-type
     # events collapse into versioned validity intervals
     # (gaps-and-islands: lag flag -> running-sum island -> per-island
@@ -3598,6 +3619,7 @@ _PRIORITY_50 = [
     "rel_data_quality_audit", "stream_knn_graph_maintenance",
     "s24_store_version_diff", "emb_ood_zscore", "mm_phash_components",
     "rel_temporal_tier_join", "sketch_bloom_join_prune",
+    "rel_event_transitions",
     "stream_ivf_maintenance", "ann_knn_pagerank", "s19_store_time_travel",
     "stream_ingestion_dedup", "ann_binary_hamming_topk",
     "pipeline_leakage_safe_split", "text_bpe_train_merges",
@@ -3615,8 +3637,7 @@ _PRIORITY_50 = [
     "dedup_simhash_pairs", "j2_semi_join",
     "j3_orphan_anti_join", "knn_dispatch_flat", "knn_dist_euclidean",
     "knn_flat_cosine",
-    "knn_search_hydrated",
-    "rel_order_priority_rollup", "rel_revenue_by_nation",
+    "knn_search_hydrated", "rel_revenue_by_nation",
 ]
 
 

@@ -947,3 +947,29 @@ def temporal_tier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").cast("long").alias("n_users"),
         )
     )
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order user-journey transition matrix: per user, each
+    event's type paired with the PREVIOUS event's type on the
+    (ts, event_id) total order, counted corpus-wide — the Markov-chain
+    view funnels summarize away ('after a view, what actually happens
+    next?'). One lag window partitioned by user, one grouped count;
+    the chain START is modeled explicitly as prev_type = '_start'.
+    Scale: one hash exchange on user_id, |types|^2-bounded output."""
+    from ..sources.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts_us"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts_us"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn(
+            "prev_type",
+            F.coalesce(F.lag("event_type").over(w), F.lit("_start")),
+        )
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("long").alias("n_transitions"))
+    )
