@@ -646,3 +646,42 @@ def test_bloom_join_prune_never_loses_a_match(spark):
     assert row.n_false_positive == row.n_bloom_pass - row.n_true_match
     # the filter must actually prune (the audit is vacuous otherwise)
     assert row.pruned_ppm > 500_000
+
+
+def test_min_contract_components_random_graphs(spark):
+    # property check beyond the fixed chain pin: on arbitrary random
+    # graphs (seeded, deterministic), the pointer-jumped contraction
+    # must match a union-find ground truth within the log2 round bound
+    import random
+
+    for seed in (7, 41, 1337):
+        rng = random.Random(seed)
+        n = 120
+        edges = set()
+        for _ in range(150):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {}
+        for v in range(n):
+            if any(v in e for e in edges):
+                expected[v] = find(v)
+        sym = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+        df = spark.createDataFrame(sym, "src long, dst long").coalesce(4)
+        rep = ann._min_contract_components(
+            df.localCheckpoint(eager=False), iter_parts=4, max_rounds=8
+        )
+        got = {r.cnode: r.rep for r in rep.collect()}
+        assert got == expected, seed
