@@ -1226,11 +1226,13 @@ register(
 )
 
 
-def _nn_descent_sql(m: int = 3, rounds: int = 1) -> str:
-    """Mirror of ann.nn_descent_refine: per round — undirect the
-    current graph, expand to neighbors-of-neighbors, exact-score only
-    NEW candidates, keep top-m per node among old ∪ new on the same
-    (score desc, dst asc) total order; unrolled `rounds` times."""
+def _nn_descent_chain_sql(m: int = 3, rounds: int = 1) -> str:
+    """The NN-descent CTE chain (g0 .. g{rounds}) WITHOUT the `WITH`
+    keyword or a final select, so callers can extend the chain with
+    their own stages (`_nn_descent_recall_sql` appends the truth-side
+    CTEs) instead of string-slicing the finished query (r14 advisor:
+    the rindex surgery was brittle — the marker string also appears
+    inside each stage's inner subquery)."""
     cos = oracles.METRIC_SQL["cosine"]("a.embedding", "b.embedding")
     parts = [f"""
 g0 AS MATERIALIZED (
@@ -1268,9 +1270,16 @@ g{r + 1} AS MATERIALIZED (
     FROM (SELECT * FROM g{r} UNION ALL SELECT * FROM scored{r})
   ) WHERE rk <= {m}
 )""")
-    chain = ",".join(parts)
+    return ",".join(parts)
+
+
+def _nn_descent_sql(m: int = 3, rounds: int = 1) -> str:
+    """Mirror of ann.nn_descent_refine: per round — undirect the
+    current graph, expand to neighbors-of-neighbors, exact-score only
+    NEW candidates, keep top-m per node among old ∪ new on the same
+    (score desc, dst asc) total order; unrolled `rounds` times."""
     return f"""
-WITH {chain}
+WITH {_nn_descent_chain_sql(m=m, rounds=rounds)}
 SELECT label, src, dst, score,
        row_number() OVER (PARTITION BY src
                           ORDER BY score DESC, dst) AS rnk
@@ -1299,25 +1308,26 @@ register(
 )
 
 
-def _nn_descent_recall_sql(m: int = 3, sample_mod: int = 5) -> str:
+def _nn_descent_recall_sql(m: int = 3, anchors: int = 300) -> str:
     """Mirror of ann.nn_descent_recall: exact within-label top-m truth
-    over the sampled sources, semi-join hit counts for the base graph
-    and both refinement rounds, integer micro-unit recall."""
+    over a fixed-count md5-hash-ordered anchor sample, semi-join hit
+    counts for the base graph and both refinement rounds, integer
+    micro-unit recall. The 2-round chain CTEs (g0, g1, g2) come from
+    `_nn_descent_chain_sql` directly — no string surgery."""
     cos = oracles.METRIC_SQL["cosine"]("a.embedding", "b.embedding")
-    # the 2-round chain CTEs (g0, g1, g2) come from the generalized
-    # builder; strip its trailing final-select so the stages can be
-    # referenced directly
-    chain = _nn_descent_sql(m=m, rounds=2)
-    chain = chain[: chain.rindex("SELECT label, src, dst, score,")]
-    chain = chain.rstrip().rstrip(",")  # keep just the WITH ... gN list
     return f"""
-{chain},
+WITH {_nn_descent_chain_sql(m=m, rounds=2)},
+anchors AS MATERIALIZED (
+  SELECT vec_id FROM embeddings
+  QUALIFY row_number() OVER (
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {anchors}
+),
 truth AS MATERIALIZED (
   SELECT src, dst FROM (
     SELECT a.vec_id AS src, b.vec_id AS dst, round({cos}, 6) AS score
     FROM embeddings a
     JOIN embeddings b ON a.label = b.label AND a.vec_id != b.vec_id
-    WHERE a.vec_id % {sample_mod} = 0
+    WHERE a.vec_id IN (SELECT vec_id FROM anchors)
   )
   QUALIFY row_number() OVER (PARTITION BY src
                              ORDER BY score DESC, dst) <= {m}
@@ -1351,9 +1361,11 @@ FROM h2, tot
 
 
 register(
-    # the NN-descent VALUE made driver-visible (r14b): exact recall of
-    # the base vs refined graph against the true within-label top-m —
-    # integer micro-unit recall, no float compare
+    # the NN-descent VALUE made driver-visible (r14b; truth side
+    # re-based r15): exact recall of the base vs refined graph against
+    # the true within-label top-m over a FIXED-COUNT md5-hash-ordered
+    # anchor sample — O(anchors * n) at any scale, where the earlier
+    # 1-in-5 fraction stayed quadratic by construction
     "ann_nn_descent_recall",
     lambda s, d: ann.nn_descent_recall(s, d, m=3),
     _nn_descent_recall_sql(m=3),

@@ -2731,7 +2731,7 @@ def mutual_knn_triangles(
 
 
 def nn_descent_recall(
-    spark: SparkSession, sf_dir: str, m: int = 3, sample_mod: int = 5
+    spark: SparkSession, sf_dir: str, m: int = 3, anchors: int = 300
 ) -> DataFrame:
     """Recall evidence for the NN-descent rounds, as a driver-gated
     query rather than a test-only claim: per stage (banded base graph,
@@ -2743,15 +2743,25 @@ def nn_descent_recall(
     plus recall in exact micro-units, so the oracle compares without
     float noise; the round-2 row quantifies CONVERGENCE (each round
     monotonically approaches the true graph). The truth side is
-    restricted to a deterministic
-    1-in-sample_mod source sample (vec_id %% sample_mod == 0) — the
-    standard recall-eval economy: exact for every sampled node, and the
-    quadratic measurement cost drops by the sampling factor (152 ->
-    ~30 cpu-s at sf0.1 measured). The refined stage can never read below the base stage
-    (candidate-superset dominance, pinned in tests); the GAP between
-    the rows is the measured value of the neighbor-of-neighbor round."""
+    restricted to a FIXED-COUNT deterministic anchor sample: the
+    `anchors` lowest vec_ids under the md5 hash order (md5 of the id
+    string, vec_id tie-break — replayable verbatim in the oracle).
+    A fixed count makes the audit O(anchors * n) at ANY corpus size,
+    where the earlier 1-in-k fraction kept the truth side quadratic
+    by construction (O(n^2/k) — at 100x data the audit cost 10,000x/k;
+    r14 verdict). Exactness per sampled node is unchanged. The refined
+    stage can never read below the base stage (candidate-superset
+    dominance, pinned in tests); the GAP between the rows is the
+    measured value of the neighbor-of-neighbor round."""
     emb = spread_for_compute(load(spark, sf_dir, "embeddings"))
-    a = emb.filter(F.col("vec_id") % sample_mod == 0).select(
+    anchor_ids = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(anchors)  # TakeOrderedAndProject: O(n log anchors), no sort
+        .select("vec_id")
+    )
+    a = emb.join(anchor_ids, "vec_id", "left_semi").select(
         "label", F.col("vec_id").alias("src"), F.col("embedding").alias("ea")
     )
     b = emb.select(
@@ -2857,7 +2867,14 @@ def graph_beam_search(
         .localCheckpoint(eager=False)
     )
     frontier = entry.orderBy(F.desc("score"), F.asc("vec_id")).limit(beam)
-    visited = frontier
+    # visited seeds with the FULL entry layer, not just the top-beam:
+    # every entry node was scored (the walk paid for it), and the
+    # docstring's contract is "top-k of every VISITED node". Seeding
+    # with the frontier alone made parity with the oracle (whose v0 is
+    # the whole entry layer) data-dependent: an entry node ranked
+    # beam+1..k in the entry layer could enter the oracle's top-k while
+    # being unreachable here (r14 advisor, medium).
+    visited = entry
     for _ in range(rounds):
         nbrs = (
             frontier.select(F.col("vec_id").alias("src"))
