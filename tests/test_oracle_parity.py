@@ -24,6 +24,8 @@ _PINNED_SF = {
     "mllib_ivf_kmeans_topk": "/root/testdata/sf0.01",
     # same pinned-centers precondition (r14)
     "stream_ivf_maintenance": "/root/testdata/sf0.01",
+    # pinned OLD centers feed the pre-refit leg (r15)
+    "stream_ivf_refit": "/root/testdata/sf0.01",
 }
 
 QUERIES = entry_mod.queries()

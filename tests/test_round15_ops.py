@@ -1,0 +1,66 @@
+"""Round-15 operator pins: the IVF refit lifecycle (the consequence of
+refit_due), plus this round's new-operator semantics."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL as SF
+from vector_db_service_spark.sources.tables import load
+from vector_db_service_spark.streaming import pipeline as sp
+
+
+def test_ivf_refit_equals_from_scratch_and_improves(spark):
+    keep: dict = {}
+    try:
+        out = sp.ivf_refit_stream(spark, SF, keep_paths=keep)
+        rows = out.collect()
+        pre = [r for r in rows if r.stage == "pre_refit"]
+        post = [r for r in rows if r.stage == "post_refit"]
+        assert pre and post
+        # the corpus is conserved across the rebuild
+        assert sum(r.n_vectors for r in pre) == sum(r.n_vectors for r in post)
+        # the refit's entire point: total quantization error DROPS when
+        # the centers are refit on the drifted corpus
+        assert sum(r.sum_qerr_us for r in post) < sum(r.sum_qerr_us for r in pre)
+
+        # post-refit ON-DISK state == a from-scratch build on the post
+        # corpus (exceptAll both ways) — the LSH byte-identity
+        # discipline applied to the trained index
+        base = load(spark, SF, "embeddings")
+        muts = sp._ivf_refit_mutations(base)
+        scratch_corpus = (
+            base.join(muts.select("vec_id"), "vec_id", "left_anti")
+            .select("vec_id", "label", "embedding")
+            .unionByName(muts)
+        )
+        cols = [
+            F.col("vec_id").cast("long"),
+            F.col("label").cast("long"),
+            F.col("qerr_us").cast("long"),
+            F.col("list_id").cast("int"),
+        ]
+        scratch = sp._ivf_assign(scratch_corpus, keep["refit_centers"]).select(*cols)
+        disk = spark.read.parquet(keep["idx"]).select(*cols)
+        assert disk.exceptAll(scratch).count() == 0
+        assert scratch.exceptAll(disk).count() == 0
+    finally:
+        if "root" in keep:
+            shutil.rmtree(keep["root"], ignore_errors=True)
+
+
+def test_ivf_refit_guard_raises_on_quiet_feed(spark):
+    """A feed that never crosses the drift thresholds must raise the
+    loud guard, not silently 'refit' an undrifted index."""
+    import pytest
+
+    orig = sp._ivf_refit_mutations
+    # the DEFAULT maintenance feed (negation) is measured not to fire
+    sp._ivf_refit_mutations = sp._index_maintenance_mutations
+    try:
+        with pytest.raises(ValueError, match="refit threshold"):
+            sp.ivf_refit_stream(spark, SF)
+    finally:
+        sp._ivf_refit_mutations = orig

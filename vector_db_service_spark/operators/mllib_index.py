@@ -418,6 +418,71 @@ FROM bstat b JOIN pstat p USING (list_id)
 """
 
 
+def ivf_refit_sql(n_lists: int = 7, lloyd_iters: int = 8,
+                  train_cap: int = 100_000) -> str:
+    """DuckDB mirror of streaming.pipeline.ivf_refit_stream: the refit
+    CONSEQUENCE of the drift monitor. Replays (1) the post-mutation
+    corpus under the x4-scaled drift feed (IEEE-exact: double multiply
+    by a power of two, cast back to FLOAT), (2) the pre-refit per-list
+    stats against the pinned durable centers, (3) the canonical-Lloyd
+    REFIT over the md5-ordered post-state sample as an unrolled CTE
+    chain (oracles_quant._fit_ctes with source=post — the identical
+    fit the PQ/IVF-PQ oracles replay), and (4) the post-refit stats
+    against the refit centers.
+
+    PRECONDITION — sf0.01 corpus ONLY for the pinned OLD centers (same
+    as ivf_maintenance_sql); the refit chain itself is corpus-agnostic."""
+    from .. import oracles_quant
+
+    vals = ",\n    ".join(
+        f"({i}, {_plane_lit_local(c)})"
+        for i, c in enumerate(IVF_KMEANS_CENTERS_SF001)
+    )
+    d2_old = oracles_quant._l2sq("e.embedding", "b.c")
+    d2_new = oracles_quant._l2sq("e.embedding", "b.c")
+    fit = oracles_quant._fit_ctes(
+        "r", n_lists, lloyd_iters, 1, 64, None, train_cap, source="post"
+    )
+
+    def asg(cb: str, name: str) -> str:
+        d2 = d2_old if cb == "ccb" else d2_new
+        return f"""{name} AS MATERIALIZED (
+  SELECT vec_id, CAST(cid AS INTEGER) AS list_id,
+         CAST(round(d2 * 1e6) AS BIGINT) AS qerr_us FROM (
+    SELECT e.vec_id, b.cid, {d2} AS d2,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2}, b.cid) AS rn
+    FROM post e CROSS JOIN {cb} b
+  ) WHERE rn = 1
+)"""
+
+    return f"""
+WITH ccb AS (
+  SELECT * FROM (VALUES
+    {vals}) AS t(cid, c)
+),
+post AS MATERIALIZED (
+  SELECT vec_id, label,
+         CASE WHEN label IN (1, 2) AND vec_id % 7 = 3
+              THEN list_transform(embedding,
+                                  x -> CAST(CAST(x AS DOUBLE) * 4.0 AS FLOAT))
+              ELSE embedding END AS embedding
+  FROM embeddings
+),
+{asg("ccb", "pasg")},
+{fit},
+{asg("rcb", "rasg")}
+SELECT 'pre_refit' AS stage, list_id,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(qerr_us) AS BIGINT) AS sum_qerr_us
+FROM pasg GROUP BY list_id
+UNION ALL
+SELECT 'post_refit', list_id, CAST(count(*) AS BIGINT),
+       CAST(sum(qerr_us) AS BIGINT)
+FROM rasg GROUP BY list_id
+"""
+
+
 def _plane_lit_local(vec: list[float]) -> str:
     from .. import oracles
 

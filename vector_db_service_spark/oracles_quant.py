@@ -53,6 +53,7 @@ def _fit_ctes(
     sub_dim: int,
     train_pct: int | None,
     train_cap: int,
+    source: str = "embeddings",
 ) -> str:
     """CTE chain replaying _lloyd_canonical over the md5-ordered sample.
 
@@ -60,13 +61,14 @@ def _fit_ctes(
     is 1 and sub_id is constant 0. Assumes the bucket sample is
     non-empty and >= k_eff rows (true at every test scale; the Spark
     side's degenerate-corpus fallbacks are exercised by unit tests, not
-    by the oracle corpus)."""
+    by the oracle corpus). `source` names the table/CTE the fit trains
+    on (the IVF refit oracle trains on the post-mutation corpus CTE)."""
     p = prefix
     where = f"WHERE {_BUCKET} < {train_pct}" if train_pct is not None else ""
     ctes = [
         f"""{p}samp AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY {_H}, vec_id) AS rid, embedding
-  FROM (SELECT vec_id, embedding FROM embeddings {where}
+  FROM (SELECT vec_id, embedding FROM {source} {where}
         ORDER BY {_H}, vec_id LIMIT {train_cap})
 )""",
         f"""{p}sub AS MATERIALIZED (
