@@ -51,6 +51,31 @@ def test_ivf_refit_equals_from_scratch_and_improves(spark):
             shutil.rmtree(keep["root"], ignore_errors=True)
 
 
+def test_bpe_encode_corpus_conservation(spark):
+    """Per-document budgets must reconcile exactly with the corpus:
+    n_words sums to the corpus word count, and each document's BPE
+    token count is bounded by [its word count, its character count]."""
+    from vector_db_service_spark.operators import textops
+
+    docs = load(spark, SF, "documents")
+    out = textops.bpe_encode_corpus(docs, n_merges=5)
+    total_words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .count()
+    )
+    agg = out.agg(F.sum("n_words"), F.sum("n_bpe_tokens")).head()
+    assert agg[0] == total_words
+    assert agg[1] <= docs.agg(
+        F.sum(F.length(F.regexp_replace(F.lower("text"), " ", "")))
+    ).head()[0]
+    bad = out.filter(
+        (F.col("n_bpe_tokens") < F.col("n_words"))
+        | (F.col("n_bpe_tokens") <= 0)
+    ).count()
+    assert bad == 0
+
+
 def test_ivf_refit_guard_raises_on_quiet_feed(spark):
     """A feed that never crosses the drift thresholds must raise the
     loud guard, not silently 'refit' an undrifted index."""

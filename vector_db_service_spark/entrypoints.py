@@ -970,6 +970,15 @@ register(
     opl.bpe_encode_stats_sql(n_merges=5),
 )
 register(
+    # corpus-side BPE encode (r14 verdict "missing #4"): the trained
+    # word -> n_tokens map (Zipf-reduced final symbol table) broadcast-
+    # joined against the tokenized corpus, per-document token budgets
+    # out — the corpus is scanned once and never re-merged per symbol
+    "text_bpe_encode_corpus",
+    lambda s, d: textops.bpe_encode_corpus(load(s, d, "documents"), n_merges=5),
+    opl.bpe_encode_corpus_sql(n_merges=5),
+)
+register(
     # leakage-safe train/val split (r14): assignment keyed on the
     # near-dup COMPONENT label, so duplicate clusters move together and
     # no near-dup pair crosses the boundary; the zero-leak claim is

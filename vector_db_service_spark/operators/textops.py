@@ -1471,7 +1471,10 @@ def _bpe_train(docs: DataFrame, n_merges: int):
         F.explode(F.split(F.lower("text"), " ")).alias("w")
     ).filter(F.length("w") >= 1)
     wc = words.groupBy("w").agg(F.count("*").cast("long").alias("wn"))
+    # `w` rides along untouched so bpe_encode_corpus can broadcast-join
+    # word -> final token count; the train loop itself never reads it
     seqs = wc.select(
+        "w",
         F.expr(
             "concat_ws(' ', transform(sequence(1, length(w)), "
             "i -> substring(w, i, 1)))"
@@ -1507,6 +1510,7 @@ def _bpe_train(docs: DataFrame, n_merges: int):
         # literal-column replace (never an f-string into SQL — symbols
         # come from corpus text and may contain quote characters)
         seqs = seqs.select(
+            "w",
             F.trim(
                 F.replace(
                     F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
@@ -1517,6 +1521,33 @@ def _bpe_train(docs: DataFrame, n_merges: int):
             "wn",
         ).localCheckpoint(eager=False)
     return rows, seqs
+
+
+def bpe_encode_corpus(docs: DataFrame, n_merges: int = 5) -> DataFrame:
+    """The CORPUS-SIDE encode the histogram op documents but did not
+    register (r14 verdict "missing #4"): tokens-per-DOCUMENT under the
+    trained tokenizer. The trained word -> n_tokens map (the final
+    symbol table, Zipf-reduced) is broadcast-joined against the
+    tokenized corpus ONCE — the corpus stream itself is never re-merged
+    symbol-by-symbol, which is exactly why training on the distinct-word
+    table is the 100-TB shape. Output per document: how many whitespace
+    words it has and how many BPE tokens they encode to — the
+    token-budget column a packing/pricing pass consumes."""
+    _, seqs = _bpe_train(docs, n_merges)
+    wmap = seqs.select(
+        "w", F.size(F.split("s", " ")).cast("long").alias("n_tokens")
+    )
+    dw = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 1)
+    return (
+        dw.join(F.broadcast(wmap), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+    )
 
 
 def rake_keyphrases(docs: DataFrame, k: int = 3) -> DataFrame:

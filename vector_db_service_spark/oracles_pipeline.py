@@ -1526,7 +1526,8 @@ top{r} AS MATERIALIZED (
   SELECT p, n FROM p{r} ORDER BY n DESC, p LIMIT 1
 ),
 s{r + 1} AS MATERIALIZED (
-  SELECT trim(replace(' ' || s || ' ',
+  SELECT w,
+         trim(replace(' ' || s || ' ',
                       (SELECT ' ' || p || ' ' FROM top{r}),
                       (SELECT ' ' || replace(p, ' ', '') || ' ' FROM top{r})))
            AS s,
@@ -1565,7 +1566,8 @@ wc AS MATERIALIZED (
   WHERE length(w) >= 1 GROUP BY w
 ),
 s0 AS MATERIALIZED (
-  SELECT array_to_string(list_transform(generate_series(1, length(w)),
+  SELECT w,
+         array_to_string(list_transform(generate_series(1, length(w)),
                                         i -> substr(w, i, 1)), ' ') AS s,
          wn
   FROM wc
@@ -1584,4 +1586,26 @@ SELECT CAST(len(string_split(s, ' ')) AS INT) AS n_tokens,
        CAST(sum(wn) AS BIGINT) AS n_occurrences
 FROM s{n_merges}
 GROUP BY n_tokens
+"""
+
+
+def bpe_encode_corpus_sql(n_merges: int = 5) -> str:
+    """Replay of textops.bpe_encode_corpus: the identical unrolled train
+    chain, the word -> n_tokens map off the final symbol table, joined
+    back against the tokenized corpus for per-document token budgets."""
+    chain = ",".join(_bpe_stage_sql(r) for r in range(n_merges))
+    return f"""
+{_bpe_with_prefix(chain)},
+wmap AS MATERIALIZED (
+  SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_tokens
+  FROM s{n_merges}
+),
+dw AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(m.n_tokens) AS BIGINT) AS n_bpe_tokens
+FROM dw d JOIN wmap m USING (w)
+WHERE length(d.w) >= 1
+GROUP BY d.doc_id
 """
