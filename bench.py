@@ -450,39 +450,24 @@ def main() -> None:
         try:
             with open(_prev_path) as f:
                 _prev = json.load(f)
-            _cal_prev = _prev.get("calibration") or []
-            _host = 1.0
-            if _cal_prev and calibration:
-                # median, not mean: pre-r13 triples carry a hot t0 the
-                # warm-until-stable loop has since removed — a mean ratio
-                # would misread that as a faster host (see bench_compare)
-                import statistics as _stats
-
-                _host = _stats.median(calibration) / _stats.median(_cal_prev)
-            # POSITIONAL factor (r13 verdict #7): normalize each query
-            # by the calibration interpolated at its own sweep position
-            # on BOTH sides; falls back to the global median ratio when
-            # either side lacks a position
+            # ADDITIVE floor transport (r14 verdict #2): shared algebra
+            # with scripts/bench_compare.py — dividing walls by the
+            # calibration ratio manufactured regressions out of raw
+            # improvements whenever the current host was FASTER, because
+            # the sub-second scheduling floor does not scale with CPU
+            # speed; the positional calibration delta transports it
             from vector_db_service_spark.benchutil import (
-                cal_at as _cal_at,
-                interp_series as _interp_series,
-                sweep_positions as _sweep_positions,
+                floor_transport as _floor_transport,
             )
 
-            _pos_prev = _sweep_positions(_prev)
-            _cal_prev_i = _interp_series(_prev)  # t0 cleaned pre-r14
-
-            def _host_for(_n: str) -> float:
-                if (
-                    _n in sweep_pos
-                    and _n in _pos_prev
-                    and len(calibration) >= 2
-                    and len(_cal_prev_i) >= 2
-                ):
-                    return _cal_at(calibration, sweep_pos[_n]) / _cal_at(
-                        _cal_prev_i, _pos_prev[_n]
-                    )
-                return _host
+            _adj = _floor_transport(
+                _prev,
+                {
+                    "calibration": calibration,
+                    "sweep_pos": sweep_pos,
+                    "queries": timings,
+                },
+            )
 
             _prev_floor = dict(_prev.get("spread", {}))
             for _n, _rs in (_prev.get("runs") or {}).items():
@@ -492,7 +477,7 @@ def main() -> None:
             for _n, _t in timings.items():
                 if _n in rerun_set or _n not in _prev.get("queries", {}):
                     continue
-                _delta = abs(_t / _host_for(_n) - _prev["queries"][_n])
+                _delta = abs(_adj(_n, _t) - _prev["queries"][_n])
                 _floor = max(_prev_floor.get(_n, 0.0), 0.3)
                 if _delta > _floor:
                     _flagged.append((_delta - _floor, _n))

@@ -76,6 +76,23 @@ def test_bpe_encode_corpus_conservation(spark):
     assert bad == 0
 
 
+def test_pca_guard_uses_measured_magnitude(spark, tmp_path):
+    """A tiny corpus with HUGE components must trip the int64 guard even
+    though the old max|x|~=1 assumption would have let it through
+    (r14 advisor: silent wrap risk)."""
+    import pytest
+
+    from vector_db_service_spark.operators import ann
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, 0, [1.0e6] * 4) for i in range(10)],
+        "vec_id long, label long, embedding array<float>",
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    with pytest.raises(ValueError, match="int64 envelope"):
+        ann.pca_power_iteration(spark, sf)
+
+
 def test_ivf_refit_guard_raises_on_quiet_feed(spark):
     """A feed that never crosses the drift thresholds must raise the
     loud guard, not silently 'refit' an undrifted index."""

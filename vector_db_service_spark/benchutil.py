@@ -188,6 +188,54 @@ def interp_series(detail: dict) -> list:
     return cal
 
 
+def floor_transport(detail_old: dict, detail_new: dict):
+    """ADDITIVE scheduling-floor transport between two sweeps — the
+    r14-verdict fix for the cross-regime normalization artifact.
+
+    The old scheme DIVIDED new walls by the calibration ratio. That is
+    only correct for the busy-proportional component of a wall; the
+    sub-second queries that dominate this suite's count are instead
+    dominated by a fixed per-query scheduling floor that does NOT scale
+    with host CPU speed — so when the new host is FASTER (ratio < 1)
+    the division inflates every floor-dominated wall and manufactures
+    regressions out of raw improvements (the r13->r14 compare read 69
+    flags on a sweep whose raw walls fell 10%). The calibration probe
+    is itself a floor-dominated sub-second query, so its positional
+    wall is the best in-sweep measure of that floor + weather: express
+    a new wall in old-sweep units by SUBTRACTING the new sweep's
+    positional calibration wall and ADDING the old sweep's
+    (wall - c_new + c_old). Multi-second queries where CPU-speed
+    scaling would matter are exactly the ones whose cpu_proc_sec both
+    sweeps record — busy deltas, not wall ratios, adjudicate those.
+
+    Returns adj(name, new_wall) -> the new wall transported into the
+    old sweep's weather units."""
+    import statistics as _stats
+
+    pos_o = sweep_positions(detail_old)
+    pos_n = sweep_positions(detail_new)
+    ical_o = interp_series(detail_old)
+    ical_n = interp_series(detail_new)
+    med_o = _stats.median(ical_o) if ical_o else 0.0
+    med_n = _stats.median(ical_n) if ical_n else 0.0
+
+    def adj(name: str, new_wall: float) -> float:
+        if (
+            name in pos_o
+            and name in pos_n
+            and len(ical_o) >= 2
+            and len(ical_n) >= 2
+        ):
+            return (
+                new_wall
+                - cal_at(ical_n, pos_n[name])
+                + cal_at(ical_o, pos_o[name])
+            )
+        return new_wall - med_n + med_o
+
+    return adj
+
+
 def proc_tree_cpu() -> float:
     """CPU seconds (utime+stime) consumed by THIS process and every
     live descendant — the python driver plus the py4j-launched JVM and

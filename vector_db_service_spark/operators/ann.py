@@ -2568,14 +2568,6 @@ def pca_power_iteration(
     stage and it shuffles dim^2 partials per task, never rows."""
     dim = embedding_dim(sf_dir)
     n = row_count(sf_dir, "embeddings")
-    # |w| <= n * (Q_SCALE * max|x|)^2-ish * V_SCALE * dim; max|x| is ~1
-    # for this corpus family but not enforced — bound with headroom and
-    # fail loudly rather than wrap
-    if n * (PCA_Q_SCALE ** 2) * PCA_V_SCALE * dim >= 2 ** 62:
-        raise ValueError(
-            f"pca_power_iteration: {n} rows x dim {dim} exceeds the "
-            "int64 envelope; shard the corpus or lower the scales"
-        )
     emb = spread_for_compute(load(spark, sf_dir, "embeddings"))
     q = emb.select(
         F.expr(
@@ -2583,6 +2575,25 @@ def pca_power_iteration(
             f"* {PCA_Q_SCALE}) AS BIGINT))"
         ).alias("qv")
     )
+    # int64 envelope from the MEASURED component magnitude, not an
+    # assumed max|x| ~= 1 (r14 advisor: the old n * Q_SCALE^2 bound only
+    # covered max|x| up to ~sqrt(2) — a larger corpus component could
+    # pass the guard yet wrap silently). One cheap aggregate gives
+    # maxq = max|round(x * Q_SCALE)|; then |G[i,j]| <= n * maxq^2 and,
+    # with the rescale keeping max|v| < 2 * V_SCALE, each matvec term
+    # sum is < dim * n * maxq^2 * 2 * V_SCALE — require that < 2^63.
+    maxq = (
+        q.agg(
+            F.max(F.expr("array_max(transform(qv, x -> abs(x)))")).alias("m")
+        ).head()["m"]
+        or 0
+    )
+    if n * max(int(maxq), 1) ** 2 * PCA_V_SCALE * dim >= 2 ** 62:
+        raise ValueError(
+            f"pca_power_iteration: {n} rows x dim {dim} at measured "
+            f"max|q|={maxq} exceeds the int64 envelope; shard the corpus "
+            "or lower the scales"
+        )
     cells = q.select(
         F.explode(
             F.expr(
