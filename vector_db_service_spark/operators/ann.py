@@ -2835,6 +2835,7 @@ def graph_beam_search(
     rounds: int = 2,
     sample_mod: int = 16,
     m: int = 3,
+    prebuilt_edges: DataFrame | None = None,
 ) -> DataFrame:
     """Graph-NAVIGATED search — the HNSW-family serving shape, made
     deterministic and exactly replayable: score the query against a
@@ -2865,18 +2866,26 @@ def graph_beam_search(
     entry = scored_all.filter(
         F.col("vec_id") % sample_mod == 0
     ).localCheckpoint(eager=False)
-    kj = (
-        knn_join(spark, sf_dir, m=m)
-        .select("src", "dst")
-        .localCheckpoint(eager=False)  # one banded join, read twice
-    )
-    und = (
-        kj.unionByName(
-            kj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if prebuilt_edges is not None:
+        # the graph as a MAINTAINED artifact (stream_knn_graph_
+        # maintenance keeps it fresh at scale): the serving walk pays
+        # only entry-layer scan + rounds of neighbor expansion, which
+        # is the sublinear-serving claim the scale probe separates
+        # from the one-time build cost (r14 verdict #5)
+        und = prebuilt_edges.select("src", "dst")
+    else:
+        kj = (
+            knn_join(spark, sf_dir, m=m)
+            .select("src", "dst")
+            .localCheckpoint(eager=False)  # one banded join, read twice
         )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+        und = (
+            kj.unionByName(
+                kj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
     frontier = entry.orderBy(F.desc("score"), F.asc("vec_id")).limit(beam)
     # visited seeds with the FULL entry layer, not just the top-beam:
     # every entry node was scored (the walk paid for it), and the
