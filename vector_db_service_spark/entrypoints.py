@@ -1381,6 +1381,55 @@ register(
 )
 
 
+def _knn_classify_sql(n_queries: int = 25, k: int = 5) -> str:
+    """Mirror of ann.knn_classify: per-query exact top-k neighbors
+    (self excluded, (score desc, vec_id) order), integer label votes,
+    (n_votes desc, label asc) argmax, correctness against the stored
+    label."""
+    cos = oracles.METRIC_SQL["cosine"]("e.embedding", "q.qv")
+    ids = ", ".join(str(i) for i in range(n_queries))
+    return f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+top AS MATERIALIZED (
+  SELECT query_id, vec_id, label FROM (
+    SELECT q.query_id, e.vec_id, e.label,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY round({cos}, 6) DESC, e.vec_id) AS rn
+    FROM embeddings e, qs q WHERE e.vec_id != q.query_id
+  ) WHERE rn <= {k}
+),
+votes AS (
+  SELECT query_id, label, CAST(count(*) AS BIGINT) AS n_votes
+  FROM top GROUP BY query_id, label
+),
+pred AS (
+  SELECT query_id, label AS pred_label, n_votes FROM (
+    SELECT query_id, label, n_votes,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY n_votes DESC, label) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT q.query_id, q.true_label, p.pred_label, p.n_votes,
+       (p.pred_label = q.true_label) AS correct
+FROM qs q JOIN pred p USING (query_id)
+"""
+
+
+register(
+    # k-NN label classification (r15): majority vote among the k
+    # nearest neighbors (self excluded) vs the stored label — the
+    # taxonomy-coherence check; integer votes, total-order argmax,
+    # map-side partial top-k for the neighbor scan
+    "ann_knn_classify",
+    lambda s, d: ann.knn_classify(s, d, k=5),
+    _knn_classify_sql(n_queries=25, k=5),
+)
+
+
 def _ood_zscore_sql(top: int = 25) -> str:
     """Mirror of ann.ood_zscore: the same two integer passes with
     sign-split floor means and floor variances."""
@@ -2518,6 +2567,16 @@ register(
     oracles_quant.recall_sweep_sql(k=10, n_lists=7),
 )
 register(
+    # BATCHED IVF serving (r15): a 10-query batch routed to its nprobe
+    # nearest lists (probe map is driver-side index metadata), corpus
+    # scored ONLY where probed — scored-pair volume ~ nprobe/n_lists of
+    # brute force — then the map-side partial top-k per query. The
+    # cost/recall pairing of ann_ivf_recall_sweep, as the serving path.
+    "ann_ivf_multi_query",
+    lambda s, d: ann.ivf_multi_query_topk(s, d, k=10, n_lists=7, nprobe=4),
+    oracles_quant.ivf_multi_query_sql(k=10, n_lists=7, nprobe=4),
+)
+register(
     # sample-trained PQ: driver-side canonical Lloyd fit on a bounded
     # hash sample, distributed single-projection encode — EXACT oracle
     # (the CTE chain replays the fit, then the unrounded-argmin encode)
@@ -3348,6 +3407,24 @@ register(
     "s24_store_version_diff",
     store_ops.version_diff,
     store_ops.version_diff_sql(),
+)
+register(
+    # RESTORE as a commit (r15): roll back to v0 via an O(metadata)
+    # manifest entry pointing at v0's directories — history v1/v2 stays
+    # readable, and the v3==v0 equality is in the driver-compared
+    # artifact (the Delta RESTORE analog)
+    "s25_store_restore",
+    store_ops.store_restore,
+    store_ops.store_restore_sql(),
+)
+register(
+    # incremental change-feed read (r15): the rows a downstream
+    # incremental consumer pulls between two versions — removed rows
+    # with NULL payload, changed rows with the new payload checksum;
+    # prunes to pointer-unequal label dirs at scale (the COW invariant)
+    "s26_store_incremental_read",
+    store_ops.store_incremental_read,
+    store_ops.store_incremental_read_sql(),
 )
 register(
     # shallow clone (r14b): fork the store in O(metadata) — a new

@@ -2913,6 +2913,146 @@ def graph_beam_search(
     )
 
 
+def ivf_multi_query_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    n_lists: int = 7,
+    nprobe: int = 4,
+) -> DataFrame:
+    """BATCHED IVF serving — the search endpoint under load, on the
+    trained index: a batch of queries is routed to its nprobe cosine-
+    nearest coarse lists (centroid ranking is index METADATA — n_lists
+    x n_queries scores computed driver-side with the bit-identical
+    _py_score/_py_round6 fold, the recall-sweep precedent), and the
+    corpus is scored ONLY where a query probes it: one equi-join of the
+    assigned corpus against the broadcast (query_id, list_id) probe
+    map, so each corpus row fans out to exactly the queries probing its
+    list. Per-query ranking rides multi_query_topk's map-side partial
+    top-k — no full-width window exchange.
+
+    The serving economics vs brute_force_topk: the scored-pair volume
+    is ~ (nprobe / n_lists) * n * q instead of n * q, and at 100 TB the
+    assignment column is a stored index (the maintained-IVF store), so
+    a batch pays only the probe-map join + k-merge. Recall at this
+    operating point is what ann_ivf_recall_sweep MEASURES — the two
+    queries together are the cost/recall trade a user actually reads.
+    Exact oracle: oracles_quant replays the canonical Lloyd fit, the
+    same argmin assignment, the same rounded centroid ranking, and the
+    same (score desc, vec_id) total order."""
+    from .knn import query_vector_rows, validate_k
+
+    validate_k(k)
+    query_ids = query_ids or [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
+    cents = _coarse_centers(spark, sf_dir, n_lists)
+    emb = load(spark, sf_dir, "embeddings")
+    cmat_df = spark.createDataFrame(
+        [([list(map(float, c)) for c in cents],)], "cmat array<array<double>>"
+    )
+    assigned = emb.crossJoin(F.broadcast(cmat_df)).select(
+        "vec_id", "label", "embedding", _list_id_matrix_expr().alias("list_id")
+    )
+    qvecs = query_vector_rows(spark, sf_dir, query_ids)
+    # probe map: nprobe rows per query, bounded by index state
+    probe_rows = []
+    for qid in query_ids:
+        ranked = sorted(
+            (-_py_round6(_py_score("cosine", c, qvecs[qid][0])), i)
+            for i, c in enumerate(cents)
+        )
+        probe_rows += [(int(qid), int(lid)) for _, lid in ranked[:nprobe]]
+    probed = spark.createDataFrame(probe_rows, "query_id bigint, list_id int")
+    queries = spark.createDataFrame(
+        [(int(qid), qvecs[qid][0]) for qid in query_ids],
+        "query_id bigint, qv array<double>",
+    )
+    routed = (
+        assigned.join(F.broadcast(probed), "list_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(
+                sim.score("cosine", F.col("embedding"), F.col("qv")), 6
+            ).alias("score"),
+        )
+    )
+    return multi_query_topk(routed, k=k).select(
+        "query_id", "rnk", "vec_id", "label", "score"
+    )
+
+
+def knn_classify(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """k-NN LABEL CLASSIFICATION — the label-propagation quality check a
+    curation pipeline runs on its taxonomy: for each held-out query
+    vector, the majority label among its k nearest neighbors
+    (self excluded), against its own stored label. A corpus whose
+    labels are k-NN-predictable embeds coherently; one whose votes
+    scatter has noisy labels or a collapsed embedding space. Votes are
+    integers and the argmax uses the (n_votes desc, label asc) total
+    order, so the verdict is exact cross-engine.
+
+    Shape: the neighbor scan is one scored pass through multi_query_
+    topk's map-side partial top-k (queries broadcast, corpus never
+    shuffled wide); the vote/argmax windows run over <= queries * k
+    rows — bounded by the batch, never the corpus. At 100 TB the
+    neighbor source swaps to any of the ANN serving paths
+    (ivf_multi_query_topk routes the same scored frame); the exact
+    scan here is the measurement-grade variant."""
+    from .knn import validate_k
+
+    validate_k(k)
+    query_ids = query_ids or list(range(25))
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    scored = (
+        emb.join(F.broadcast(queries.select("query_id", "qv")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(
+                sim.score("cosine", F.col("embedding"), F.col("qv")), 6
+            ).alias("score"),
+        )
+    )
+    top = multi_query_topk(scored, k=k)
+    votes = top.groupBy("query_id", "label").agg(
+        F.count("*").cast("long").alias("n_votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+    return (
+        queries.select("query_id", "true_label")
+        .join(pred, "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            "pred_label",
+            "n_votes",
+            (F.col("pred_label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
 def ood_zscore(
     spark: SparkSession, sf_dir: str, top: int = 25
 ) -> DataFrame:

@@ -1194,3 +1194,130 @@ SELECT label,
 FROM embeddings
 GROUP BY label
 """
+
+
+def store_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE — roll the versioned store back to an earlier snapshot
+    as a NEW commit (the Delta `RESTORE TABLE ... VERSION AS OF`
+    analog): after the two CDC commits, version 3 is created whose
+    manifest entries point at version 0's partition directories — an
+    O(metadata) operation (the clone discipline: no bytes move, no
+    bytes are deleted), so the rollback is itself versioned and the
+    intermediate history v1/v2 STAYS readable (an audit can still ask
+    what the store looked like mid-incident). The summary reads every
+    version back through the manifest: the v3 row must equal the v0
+    row exactly, and v1/v2 keep their post-CDC counts — both facts are
+    in the driver-compared artifact, not just a test."""
+    import functools
+    import shutil
+
+    manifest, out_dir = versioned_cdc_merge(spark, sf_dir)
+    try:
+        latest = max(v for (v, _l) in manifest)
+        # restore-as-commit: point the new version at v0's directories
+        pick: dict = {}
+        for (v, label), d in manifest.items():
+            if v == 0:
+                pick[label] = d
+        for label, d in pick.items():
+            manifest[(latest + 1, label)] = d
+        versions = sorted({v for (v, _l) in manifest})
+        tagged = [
+            _versioned_read(spark, manifest, v).select(
+                F.lit(v).cast("int").alias("version"), "embedding"
+            )
+            for v in versions
+        ]
+        out = (
+            functools.reduce(lambda a, b: a.unionByName(b), tagged)
+            .groupBy("version")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(
+                    F.expr(
+                        "CAST(round(CAST(element_at(embedding, 1) AS DOUBLE)"
+                        " * 1e6) AS BIGINT)"
+                    )
+                ).cast("long").alias("sum_e0_us"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def store_restore_sql() -> str:
+    """Mirror of store_restore: the time-travel summary plus the
+    restored version 3 == version 0 by construction."""
+    base = store_time_travel_sql()
+    return (
+        base
+        + """
+UNION ALL
+SELECT 3 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT))
+            AS BIGINT) AS sum_e0_us
+FROM (SELECT vec_id, label, embedding FROM embeddings)"""
+    )
+
+
+def store_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CHANGE-FEED read between two committed versions —
+    what a downstream incremental consumer (index maintainer,
+    replication target, feature store) actually pulls, where
+    version_diff only reports the counts: per changed row, (vec_id,
+    label, change, e0_us) with change in (removed, changed) and e0_us
+    the NEW payload's first-component micro-units (NULL for removed
+    rows). One full-outer join on vec_id between the two manifest
+    snapshots; at 100 TB the join prunes to labels whose manifest
+    pointers differ (pointer-equal label dirs cannot contain changes —
+    the clone/COW invariant), so the feed costs O(changed partitions),
+    not O(corpus)."""
+    import shutil
+
+    manifest, out_dir = versioned_cdc_merge(spark, sf_dir)
+    try:
+        latest = max(v for (v, _l) in manifest)
+        a = _versioned_read(spark, manifest, 0).select(
+            "vec_id", "label", F.col("embedding").alias("ea")
+        )
+        b = _versioned_read(spark, manifest, latest).select(
+            "vec_id", F.col("label").alias("label_b"),
+            F.col("embedding").alias("eb"),
+        )
+        j = a.join(b, "vec_id", "full_outer")
+        out = (
+            j.select(
+                "vec_id",
+                F.coalesce("label", "label_b").alias("label"),
+                F.when(F.col("ea").isNull(), F.lit("added"))
+                .when(F.col("eb").isNull(), F.lit("removed"))
+                .when(F.col("ea") != F.col("eb"), F.lit("changed"))
+                .otherwise(F.lit("identical"))
+                .alias("change"),
+                F.expr(
+                    "CAST(round(CAST(element_at(eb, 1) AS DOUBLE) * 1e6)"
+                    " AS BIGINT)"
+                ).alias("e0_us"),
+            )
+            .filter(F.col("change").isin("added", "removed", "changed"))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def store_incremental_read_sql() -> str:
+    """Mirror: the CDC predicates name every changed row directly —
+    deletes (vec_id%13==7) surface as 'removed' with NULL payload,
+    surviving updates (vec_id%11==5) as 'changed' whose new first
+    component is the ORIGINAL embedding's last component (the update is
+    the IEEE-exact reversal)."""
+    return """
+SELECT vec_id, label, 'removed' AS change, CAST(NULL AS BIGINT) AS e0_us
+FROM embeddings WHERE vec_id % 13 = 7
+UNION ALL
+SELECT vec_id, label, 'changed',
+       CAST(round(CAST(embedding[len(embedding)] AS DOUBLE) * 1e6) AS BIGINT)
+FROM embeddings WHERE vec_id % 13 != 7 AND vec_id % 11 = 5
+"""
