@@ -111,6 +111,40 @@ def test_pca_guard_uses_measured_magnitude(spark, tmp_path):
         ann.pca_power_iteration(spark, sf)
 
 
+def test_bucketed_join_is_exchange_free(spark):
+    """The whole point of the bucketed layout: NO Exchange node may
+    feed the join — both sides stream straight from their bucket files.
+    (A plain parquet-parquet join of these tables plans a shuffle on
+    at least one side.)"""
+    from vector_db_service_spark.operators import relational
+
+    # at test scale Catalyst (correctly) broadcasts the tiny dimension,
+    # which sidesteps bucketing entirely — the contract under pin is the
+    # BIG-data regime where broadcast is off the table, so disable it
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        df = relational.bucketed_join_audit(spark, SF, n_buckets=8)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(key, prev)
+    join_at = min(
+        (plan.find(t) for t in ("SortMergeJoin", "ShuffledHashJoin")
+         if plan.find(t) >= 0),
+        default=-1,
+    )
+    assert join_at >= 0, plan
+    # everything BELOW the join (its inputs) must be exchange-free;
+    # the aggregation above it may legitimately shuffle
+    below = plan[join_at:]
+    assert "Exchange" not in below, below
+    # and the results are layout-independent
+    rows = {r.c_mktsegment: (r.n_orders, r.revenue_cents)
+            for r in df.collect()}
+    assert rows and all(n > 0 for n, _ in rows.values())
+
+
 def test_ivf_refit_guard_raises_on_quiet_feed(spark):
     """A feed that never crosses the drift thresholds must raise the
     loud guard, not silently 'refit' an undrifted index."""

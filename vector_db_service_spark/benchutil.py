@@ -40,7 +40,9 @@ def index_state_caches() -> list[dict]:
     conditions (round-11 review: re-run medians that mix one cold run
     with warm-cache re-runs under-report cold cost ~5x and the spread
     becomes cache asymmetry, not host noise)."""
-    from vector_db_service_spark.operators import ann, dedup, grid, knn, store
+    from vector_db_service_spark.operators import (
+        ann, dedup, grid, knn, relational, store,
+    )
     from vector_db_service_spark.sources import tables
 
     return [
@@ -53,6 +55,7 @@ def index_state_caches() -> list[dict]:
         store._STORED_FPRINT_CACHE,
         tables._ROW_COUNT_CACHE,
         tables._DIM_CACHE,
+        relational._BUCKETED_CACHE,
     ]
 
 

@@ -571,6 +571,37 @@ GROUP BY tier
 """,
 )
 register(
+    # co-located bucketed join (r15): orders and customer written
+    # CLUSTERED+SORTED by the join key, so the fact-dim join runs
+    # exchange-free (no shuffle of either side — the plan pin asserts
+    # no Exchange feeds the join); integer-cents revenue so the
+    # layout-independent oracle hashes exactly
+    "rel_bucketed_join_audit",
+    lambda s, d: relational.bucketed_join_audit(s, d, n_buckets=8),
+    """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c_mktsegment
+""",
+)
+register(
+    # k-anonymity audit (r15): per quasi-identifier group (nation x
+    # market segment), size and at-risk verdict under k=5 — the
+    # privacy gate before a dataset release; one map-side-combined
+    # aggregation, output bounded by the QI domain
+    "rel_kanonymity_audit",
+    lambda s, d: relational.kanonymity_audit(s, d, k=5),
+    """
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       (count(*) < 5) AS at_risk
+FROM customer GROUP BY c_nationkey, c_mktsegment
+""",
+)
+register(
     # first-order journey transition matrix (r14b): each event paired
     # with its user's previous event type (lag window, explicit _start
     # state), counted corpus-wide — the Markov view funnels flatten
@@ -1232,6 +1263,57 @@ register(
     "ann_mutual_knn_components",
     lambda s, d: ann.mutual_knn_components(s, d, m=3),
     _mutual_components_sql(m=3),
+)
+
+
+def _knn_link_prediction_sql(m: int = 3, top: int = 50) -> str:
+    """Mirror of ann.knn_link_prediction: the mutual-pair CTE, per-node
+    Adamic-Adar weights quantized once (round(1000/ln(deg)), deg >= 2
+    by construction), the wedge join, the existing-edge anti-join, and
+    the (aa_mln desc, n_common desc, a, b) cut."""
+    return f"""
+WITH mut AS MATERIALIZED (
+  SELECT label, vec_id_a AS a, vec_id_b AS b FROM ({_mutual_knn_sql(m=m)})
+),
+und AS MATERIALIZED (
+  SELECT label, a AS src, b AS dst FROM mut
+  UNION ALL SELECT label, b, a FROM mut
+),
+deg AS MATERIALIZED (
+  SELECT label, src AS w,
+         CAST(round(1000.0 / ln(CAST(count(*) AS DOUBLE))) AS BIGINT)
+           AS aa_mln_w
+  FROM und GROUP BY label, src
+  HAVING count(*) >= 2
+),
+wedges AS (
+  SELECT x.label, x.src AS w, x.dst AS a, y.dst AS b
+  FROM (SELECT label, dst AS src, src AS dst FROM und) x
+  JOIN und y ON y.label = x.label AND y.src = x.src
+  WHERE x.dst < y.dst
+),
+cand AS (
+  SELECT w2.label, w2.w, w2.a, w2.b FROM wedges w2
+  ANTI JOIN mut e ON e.label = w2.label AND e.a = w2.a AND e.b = w2.b
+)
+SELECT c.label, c.a, c.b,
+       CAST(count(*) AS BIGINT) AS n_common,
+       CAST(sum(d.aa_mln_w) AS BIGINT) AS aa_mln
+FROM cand c JOIN deg d ON d.label = c.label AND d.w = c.w
+GROUP BY c.label, c.a, c.b
+ORDER BY aa_mln DESC, n_common DESC, a, b
+LIMIT {top}
+"""
+
+
+register(
+    # link prediction over the mutual-kNN graph (r15): common-neighbor
+    # + Adamic-Adar scores for non-adjacent wedge pairs — the
+    # borderline near-dup review queue the reciprocity filter dropped;
+    # all-integer scoring, wedge join bounded by n*m^2
+    "ann_link_prediction",
+    lambda s, d: ann.knn_link_prediction(s, d, m=3, top=50),
+    _knn_link_prediction_sql(m=3, top=50),
 )
 
 
@@ -2005,6 +2087,15 @@ register(
     "mm_scene_cuts",
     multimodal.scene_cuts,
     multimodal.scene_cuts_sql(),
+)
+register(
+    # keyframe selection (r15): the step scene_cuts enables — gaps-and-
+    # islands shots at the cut boundaries, one representative frame per
+    # shot (max byte-sum brightness proxy, lowest-index tie-break);
+    # model passes pay per KEYFRAME, not per frame. Byte-level oracle.
+    "mm_video_keyframes",
+    multimodal.video_keyframes,
+    multimodal.video_keyframes_sql(),
 )
 register("mm_blob_features", multimodal.blob_features, opl.blob_features_sql())
 register("mm_blob_resize", multimodal.blob_resize, multimodal.blob_resize_sql())

@@ -2741,6 +2741,67 @@ def mutual_knn_triangles(
     )
 
 
+def knn_link_prediction(
+    spark: SparkSession, sf_dir: str, m: int = 3, top: int = 50
+) -> DataFrame:
+    """LINK PREDICTION over the mutual-kNN graph — common-neighbor and
+    Adamic-Adar scores for the non-adjacent pairs most likely to be the
+    graph's missing edges. In a dedup/curation pipeline these are the
+    borderline near-duplicate candidates the banded join's reciprocity
+    filter dropped: two vectors that share neighborhoods without being
+    each other's top-m are exactly the "review next" queue.
+
+    All-integer scoring (the unigram-logprob discipline): each common
+    neighbor w contributes aa_mln(w) = round(1000 / ln(deg(w))) —
+    quantized ONCE per node before the sum, so the aggregate is
+    order-independent; deg(w) >= 2 by construction (w is adjacent to
+    both endpoints), so ln is never zero. Output: the `top` candidate
+    pairs by (aa_mln desc, n_common desc, a, b).
+
+    Shape: the mutual edge list is n*m skinny rows; the wedge join
+    (und x und on the middle node) is bounded by sum(deg^2) <= n*m^2 —
+    the same budget the NN-descent expansion runs on; existing edges
+    leave via one anti-join; the final cut is TakeOrderedAndProject."""
+    mut = mutual_knn_pairs(spark, sf_dir, m=m).select(
+        "label", F.col("vec_id_a").alias("a"), F.col("vec_id_b").alias("b")
+    ).localCheckpoint(eager=False)
+    und = mut.select("label", F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        mut.select("label", F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint(eager=False)
+    deg = und.groupBy("label", F.col("src").alias("w")).agg(
+        F.count("*").cast("long").alias("deg")
+    ).filter(
+        # only deg >= 2 nodes can be a COMMON neighbor (adjacent to both
+        # endpoints) — and ANSI mode would raise on 1000/ln(1) for the
+        # degree-1 nodes this join can never use
+        F.col("deg") >= 2
+    ).select(
+        "label", "w",
+        F.round(F.lit(1000.0) / F.log(F.col("deg").cast("double")), 0)
+        .cast("long").alias("aa_mln_w"),
+    )
+    wedges = (
+        und.select("label", F.col("dst").alias("w"), F.col("src").alias("a"))
+        .join(
+            und.select("label", F.col("src").alias("w"), F.col("dst").alias("b")),
+            ["label", "w"],
+        )
+        .filter(F.col("a") < F.col("b"))
+    )
+    cand = wedges.join(mut, ["label", "a", "b"], "left_anti")
+    scored = (
+        cand.join(deg, ["label", "w"])
+        .groupBy("label", "a", "b")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum("aa_mln_w").cast("long").alias("aa_mln"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("aa_mln"), F.desc("n_common"), F.asc("a"), F.asc("b")
+    ).limit(top)
+
+
 def nn_descent_recall(
     spark: SparkSession, sf_dir: str, m: int = 3, anchors: int = 300
 ) -> DataFrame:

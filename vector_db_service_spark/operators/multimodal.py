@@ -1512,6 +1512,137 @@ FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
 """
 
 
+def video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYFRAME SELECTION — the step scene_cuts exists to enable: slice
+    the blob into FRAME_BYTES frames, segment into SHOTS at the
+    scene-cut boundaries (gaps-and-islands over the same exact L1 pair
+    diffs, same threshold), and pick ONE representative frame per shot
+    — the frame with the maximal byte sum (the integer-exact brightness
+    proxy; ties to the lowest frame index). This is the frame-sampling
+    economics of video curation: a model pass pays per KEYFRAME
+    (one per shot), not per frame or per fixed stride.
+
+    Output: one row per (doc_id, shot_id) with the shot's frame count,
+    the chosen key_frame index, and its byte sum. Same fused
+    mapInPandas discipline as scene_cuts (the blob never crosses Arrow
+    twice, no shuffle beyond the per-shot rows); all values exact
+    BIGINT, byte-level DuckDB oracle."""
+    import numpy as np
+
+    from ..sources.tables import spread_for_compute
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("shot_id", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("key_frame", T.LongType()),
+            T.StructField("key_sum", T.LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("doc_id", "shot_id", "n_frames", "key_frame", "key_sum")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                blob = (text or "").encode("utf-8")
+                x = np.frombuffer(blob, np.uint8).astype(np.int64)
+                n = len(x)
+                nf = (n + FRAME_BYTES - 1) // FRAME_BYTES
+                fsums = [
+                    int(x[p * FRAME_BYTES:(p + 1) * FRAME_BYTES].sum())
+                    for p in range(nf)
+                ]
+                shot = 1
+                cur: list[int] = []  # frame indices of the open shot
+
+                def flush() -> None:
+                    if not cur:
+                        return
+                    best = max(cur, key=lambda f: (fsums[f], -f))
+                    rows["doc_id"].append(int(doc_id))
+                    rows["shot_id"].append(shot)
+                    rows["n_frames"].append(len(cur))
+                    rows["key_frame"].append(best)
+                    rows["key_sum"].append(fsums[best])
+
+                for p in range(nf):
+                    if p > 0:
+                        a = x[(p - 1) * FRAME_BYTES:p * FRAME_BYTES]
+                        b = x[p * FRAME_BYTES:(p + 1) * FRAME_BYTES]
+                        d = int(np.abs(a[: len(b)] - b).sum())
+                        if d > SCENE_CUT_THRESHOLD:
+                            flush()
+                            shot += 1
+                            cur = []
+                    cur.append(p)
+                flush()
+            yield pd.DataFrame(rows)
+
+    docs = spread_for_compute(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return docs.mapInPandas(gen, schema)
+
+
+def video_keyframes_sql() -> str:
+    """Byte-level mirror of video_keyframes: the scene_cuts pairdiff
+    CTE, per-frame byte sums, gaps-and-islands shot ids (1 + running
+    count of cuts at or before the frame), per-shot (fsum desc, frame)
+    argmax."""
+    fb = FRAME_BYTES
+    return f"""
+WITH raw AS (SELECT doc_id, {utf8_bytes_sql()} AS bl FROM documents),
+base AS (
+  SELECT doc_id, bl, len(bl) AS n,
+         (len(bl) + {fb} - 1) // {fb} AS nf
+  FROM raw
+),
+pairdiff AS (
+  SELECT doc_id, p,
+         CAST(sum(abs(bl[p * {fb} + j + 1] - bl[(p + 1) * {fb} + j + 1]))
+              AS BIGINT) AS d
+  FROM base,
+       unnest(range(0, nf - 1)) t(p),
+       unnest(range(0, {fb})) u(j)
+  WHERE (p + 1) * {fb} + j < n
+  GROUP BY doc_id, p
+),
+cuts AS (SELECT doc_id, p FROM pairdiff WHERE d > {SCENE_CUT_THRESHOLD}),
+frames AS (
+  SELECT doc_id, f, CAST(sum(bl[f * {fb} + j + 1]) AS BIGINT) AS fsum
+  FROM base,
+       unnest(range(0, nf)) t(f),
+       unnest(range(0, {fb})) u(j)
+  WHERE f * {fb} + j < n
+  GROUP BY doc_id, f
+),
+flagged AS (
+  SELECT fr.doc_id, fr.f, fr.fsum,
+         CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END AS is_new_shot
+  FROM frames fr LEFT JOIN cuts c
+    ON c.doc_id = fr.doc_id AND c.p = fr.f - 1
+),
+sh AS (
+  SELECT doc_id, f, fsum,
+         1 + sum(is_new_shot) OVER (PARTITION BY doc_id ORDER BY f)
+           AS shot_id
+  FROM flagged
+)
+SELECT doc_id, CAST(shot_id AS INTEGER) AS shot_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       f AS key_frame, fsum AS key_sum
+FROM (
+  SELECT doc_id, shot_id, f, fsum,
+         count(*) OVER (PARTITION BY doc_id, shot_id) AS n_frames,
+         row_number() OVER (PARTITION BY doc_id, shot_id
+                            ORDER BY fsum DESC, f) AS rn
+  FROM sh
+) WHERE rn = 1
+"""
+
+
 def phash_components(
     spark: SparkSession, sf_dir: str, max_hamming: int = 3,
     max_rounds: int = 16,

@@ -973,3 +973,107 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").cast("long").alias("n_transitions"))
     )
+
+
+def kanonymity_audit(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """k-ANONYMITY audit over a quasi-identifier combination — the
+    privacy gate a dataset release runs before publishing: any
+    (nation, market segment) group with fewer than k members is a
+    re-identification risk (its members are distinguishable by the
+    published attributes alone), and the release either suppresses or
+    generalizes those rows. One grouped count plus an integer flag —
+    exact, order-independent, and at 100 TB a single map-side-combined
+    aggregation whose output is bounded by the QI domain, never the
+    row count. Output: every QI group with its size and at_risk
+    verdict, so the suppression set is the driver-visible artifact."""
+    from ..sources.tables import load
+
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_rows",
+            (F.col("n_rows") < k).alias("at_risk"),
+        )
+    )
+
+
+_BUCKETED_CACHE: dict = {}
+
+
+def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str,
+                            n_buckets: int = 8) -> tuple[str, str]:
+    """Bucketed copies of orders and customer, CLUSTERED + SORTED by the
+    join key — written once per source dataset (index-state lifecycle:
+    the memo key carries the sources' path signatures, so a source
+    rewrite forces a rebuild, and the bench snapshot/restore sees this
+    cache like every other index memo). Stored under the repo
+    spark-warehouse next to the other stored indexes."""
+    import os
+
+    from ..operators.store import DEFAULT_ROOT
+    from ..sources.tables import path_signature
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    key = (
+        path_signature(os.path.join(sf_dir, "orders.parquet")),
+        path_signature(os.path.join(sf_dir, "customer.parquet")),
+        n_buckets,
+    )
+    t_orders = f"bkt_orders_{tag}"
+    t_cust = f"bkt_customer_{tag}"
+    if _BUCKETED_CACHE.get((t_orders, t_cust)) == key and all(
+        spark.catalog.tableExists(t) for t in (t_orders, t_cust)
+    ):
+        return t_orders, t_cust
+    root = os.path.join(os.path.dirname(DEFAULT_ROOT), "vdbs_bucketed", tag)
+    for tbl, src, bkey in (
+        (t_orders, "orders", "o_custkey"),
+        (t_cust, "customer", "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            spark.read.parquet(os.path.join(sf_dir, f"{src}.parquet"))
+            .write.format("parquet")
+            .mode("overwrite")
+            .bucketBy(n_buckets, bkey)
+            .sortBy(bkey)
+            .option("path", os.path.join(root, tbl))
+            .saveAsTable(tbl)
+        )
+    _BUCKETED_CACHE[(t_orders, t_cust)] = key
+    return t_orders, t_cust
+
+
+def bucketed_join_audit(spark: SparkSession, sf_dir: str,
+                        n_buckets: int = 8) -> DataFrame:
+    """CO-LOCATED bucketed join — the 100-TB fact-dimension join shape
+    where BOTH sides were written bucketed on the join key, so the join
+    is exchange-free: each task reads matching bucket files from both
+    tables and merges them locally; no shuffle of either side, ever.
+    This is the storage-layout contract (Spark bucketing / Hive
+    CLUSTERED BY) that turns the biggest recurring shuffle in a
+    warehouse into a scan, and the plan pin in tests asserts NO
+    Exchange node feeds the join. Results are layout-independent by
+    definition — the oracle runs the plain join over the raw parquet —
+    and the revenue sums are exact integer cents so the hash compares
+    bit-for-bit."""
+    t_orders, t_cust = _ensure_bucketed_tables(spark, sf_dir, n_buckets)
+    o = spark.table(t_orders).select(
+        "o_custkey",
+        F.expr(
+            "CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)"
+        ).alias("cents"),
+    )
+    c = spark.table(t_cust).select("c_custkey", "c_mktsegment")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
