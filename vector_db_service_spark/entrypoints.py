@@ -3798,49 +3798,46 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 # --- Registration order ---------------------------------------------------
 # External correctness tooling samples the FIRST 50 registered queries.
-# Round-12 ROTATION (same policy as rounds 10-11): (a) queries whose
-# generated SQL or build path changed THIS round — every consumer of
-# the band_keys/signature_bits single-parse string path (the column
-# name is now backtick-quoted inside the F.expr string) plus
-# mllib_ivf_kmeans_topk (its fit was factored into mllib_km_centers
-# for the bench prewarm); (b) the full r7 cohort — 23 queries last
-# driver-green in round 7, now the oldest and at the 5-round staleness
-# ceiling; (c) the three operators ADDED this round (skyline, z-order
-# locality, sequential funnel — never driver-sampled); (d) the
-# alphabetically-first r8 rows to fill 50. Everything displaced stays
-# green under tests/test_oracle_parity.py, which runs the identical
-# compare over ALL registered oracles.
+# Round-15 ROTATION (standing policy since round 10): (a) the ten
+# operators ADDED this round (never driver-sampled — zero driver rows
+# is the bigger blind spot, they always outrank stale-but-once-green
+# queries); (b) queries whose code paths changed materially this round;
+# (c) the FULL r9-stale cohort (r14 verdict #1 — at the 6-round
+# staleness ceiling, the round's only coverage debt); (d) the oldest
+# r10 rows as alphabetical fill so the ceiling never regrows (r14
+# verdict #8). Everything displaced stays green under
+# tests/test_oracle_parity.py, which runs the identical compare over
+# ALL registered oracles.
 _PRIORITY_50 = [
-    # -- (a) never driver-sampled: the operators NEW this round --
-    "ann_nn_descent", "text_bpe_encode", "mm_audio_spectral",
-    "s21_store_compaction", "stream_late_data_audit",
-    "emb_pca_power_iteration", "ann_knn_triangles",
-    "rel_scd2_user_history", "mm_scene_cuts", "ann_nn_descent_recall",
-    "knn_lsh_multiprobe", "s22_store_schema_evolution",
-    "stream_ivm_label_stats", "ann_graph_beam_search", "s23_store_clone",
-    "text_rake_keyphrases", "pipeline_epoch_shuffle",
-    "rel_data_quality_audit", "stream_knn_graph_maintenance",
-    "s24_store_version_diff", "emb_ood_zscore", "mm_phash_components",
-    "rel_temporal_tier_join", "sketch_bloom_join_prune",
-    "rel_event_transitions",
-    "stream_ivf_maintenance", "ann_knn_pagerank", "s19_store_time_travel",
-    "stream_ingestion_dedup", "ann_binary_hamming_topk",
-    "pipeline_leakage_safe_split", "text_bpe_train_merges",
-    "pipeline_hard_negatives", "s20_store_vacuum",
-    # -- (b) changed this round (r14): the map-side partial top-k
-    # rewrite (multi_query_topk), the streaming journal compaction +
-    # temp-dir hygiene, and the mutual-knn pointer-jump contraction —
-    # all r13-green but their code paths changed materially --
-    "ann_brute_force_topk", "stream_knn_queries", "stream_cdc_upserts",
-    "stream_index_maintenance", "ann_mutual_knn_pairs",
-    "ann_mutual_knn_components",
-    # -- (c) the r9 cohort: every query last driver-green in round 9
-    # (at the 5-round staleness ceiling this round) --
-    "ann_ivf_topk", "dedup_exact_summary",
-    "dedup_simhash_pairs", "j2_semi_join",
-    "j3_orphan_anti_join", "knn_dispatch_flat", "knn_dist_euclidean",
-    "knn_flat_cosine",
-    "knn_search_hydrated", "rel_revenue_by_nation",
+    # -- (a) never driver-sampled: the ten operators NEW this round --
+    "stream_ivf_refit", "ann_ivf_multi_query", "ann_knn_classify",
+    "ann_link_prediction", "text_bpe_encode_corpus", "mm_video_keyframes",
+    "s25_store_restore", "s26_store_incremental_read",
+    "rel_kanonymity_audit", "rel_bucketed_join_audit",
+    # -- (b) changed this round (r15): the beam-search visited-set fix,
+    # the fixed-count-anchor recall truth side, the BPE word-column
+    # threading (train chain + encode outputs re-derived), and the PCA
+    # measured-magnitude guard --
+    "ann_graph_beam_search", "ann_nn_descent_recall",
+    "text_bpe_train_merges", "text_bpe_encode", "emb_pca_power_iteration",
+    # -- (c) the FULL r9 cohort (r14 verdict #1: 6-round staleness at
+    # r15, the round's only coverage debt — honored in full) --
+    "ann_scalar_quantize", "dedup_ngram_jaccard_topk",
+    "knn_dist_manhattan", "knn_flat_dot_product", "knn_flat_euclidean",
+    "knn_flat_manhattan", "knn_safe_flat", "mllib_minhash_jaccard_join",
+    "p4_exists_probe", "rel_docs_top_by_length",
+    "rel_order_priority_rollup", "rel_sessionize_events",
+    "rel_status_pivot", "rel_top_customers", "s13_partial_update",
+    "stream_embed_pending", "stream_stateful_user_totals",
+    # -- (d) the oldest r10 rows (alphabetical fill; r14 verdict #8 —
+    # keep the ceiling from regrowing) --
+    "a1_count_by_library", "a9_two_level_agg", "dedup_components",
+    "dedup_containment_pairs", "dedup_keep_canonical",
+    "dedup_minhash_pairs", "dedup_minhash_recall_vs_exact",
+    "emb_norm_outliers", "emb_spectrum_audit", "ingest_chunks_embedded",
+    "kernel_pairwise", "mllib_brp_approx_knn", "mllib_brp_bucket_index",
+    "mm_blob_features", "mm_blob_resize", "mm_decode_png",
+    "mm_decode_png_deep", "mm_frame_stats",
 ]
 
 
