@@ -111,6 +111,20 @@ def test_pca_guard_uses_measured_magnitude(spark, tmp_path):
         ann.pca_power_iteration(spark, sf)
 
 
+def test_refit_recall_gain_is_measurable(spark):
+    """At the driver's gate SF the drift must COST the stale quantizer
+    recall and the refit must win it back (mean post >= pre, both
+    nondegenerate) — the op is a measurement, so vacuity is the bug."""
+    from vector_db_service_spark.operators import ann
+
+    rows = ann.refit_recall_gain(spark, "/root/testdata/sf0.01").collect()
+    pre = [r.recall_micro for r in rows if r.method == "pre_refit"]
+    post = [r.recall_micro for r in rows if r.method == "post_refit"]
+    assert len(pre) == len(post) == 10
+    assert 0 < sum(pre) / len(pre) < 1_000_000  # drift costs recall
+    assert sum(post) >= sum(pre)  # the refit wins it back
+
+
 def test_bucketed_join_is_exchange_free(spark):
     """The whole point of the bucketed layout: NO Exchange node may
     feed the join — both sides stream straight from their bucket files.

@@ -2668,6 +2668,15 @@ register(
     oracles_quant.ivf_multi_query_sql(k=10, n_lists=7, nprobe=4),
 )
 register(
+    # the refit's SERVING consequence (r15): IVF recall@10 on the
+    # drifted corpus under the stale vs the refit quantizer — measured
+    # 0.84 -> 0.87 mean at sf0.01; both fits canonical Lloyd, zero
+    # pinned state, the whole chain replayed by the oracle
+    "ann_refit_recall_gain",
+    lambda s, d: ann.refit_recall_gain(s, d, k=10, n_lists=7, nprobe=4),
+    oracles_quant.refit_recall_gain_sql(k=10, n_lists=7, nprobe=4),
+)
+register(
     # sample-trained PQ: driver-side canonical Lloyd fit on a bounded
     # hash sample, distributed single-projection encode — EXACT oracle
     # (the CTE chain replays the fit, then the unrounded-argmin encode)

@@ -384,6 +384,112 @@ SELECT query_id, CAST(rn AS INTEGER) AS rnk, vec_id, label, score FROM (
 """
 
 
+def refit_recall_gain_sql(
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9),
+    k: int = 10,
+    n_lists: int = 7,
+    nprobe: int = 4,
+    lloyd_iters: int = 8,
+    train_cap: int = 100_000,
+) -> str:
+    """Oracle for ann.refit_recall_gain: the pre-corpus canonical fit
+    (ccb), the x4-drifted post corpus, the post-corpus refit chain
+    (rcb via _fit_ctes(source='post')), both unrounded-argmin
+    assignments, one scored pass, and per-query routed top-k overlap
+    against the exact top-k — all replayed with zero pinned state."""
+    cos_pair = oracles.cosine_sql("p.embedding", "q.qv")
+    cos_pre = oracles.cosine_sql("b.c", "q.qv")
+    ids = ", ".join(str(i) for i in query_ids)
+    refit = _fit_ctes("r", n_lists, lloyd_iters, 1, 64, None, train_cap,
+                      source="post")
+
+    def asg(cb: str, name: str, col: str) -> str:
+        d2 = _l2sq("e.embedding", "b.c")
+        return f"""{name} AS MATERIALIZED (
+  SELECT vec_id, CAST(cid AS INTEGER) AS {col} FROM (
+    SELECT e.vec_id, b.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2}, b.cid) AS rn
+    FROM post e CROSS JOIN {cb} b
+  ) WHERE rn = 1
+)"""
+
+    def cq(cb: str, name: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT q.query_id, CAST(b.cid AS INTEGER) AS list_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY round({cos_pre}, 6) DESC, b.cid) AS c_rnk
+  FROM {cb} b, qs q
+)"""
+
+    def routed(cqn: str, col: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT pr.query_id, pr.vec_id,
+           row_number() OVER (PARTITION BY pr.query_id
+                              ORDER BY pr.score DESC, pr.vec_id) AS rn
+    FROM pairs pr
+    JOIN {cqn} c ON c.query_id = pr.query_id AND c.list_id = pr.{col}
+    WHERE c.c_rnk <= {nprobe}
+  ) WHERE rn <= {k}
+)"""
+
+    def ov(branch: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT s.query_id, count(*) AS hits
+  FROM exact e JOIN {branch} s
+    ON s.query_id = e.query_id AND s.vec_id = e.vec_id
+  GROUP BY s.query_id
+)"""
+
+    return f"""
+WITH {coarse_fit_ctes(n_lists=n_lists)},
+post AS MATERIALIZED (
+  SELECT vec_id, label,
+         CASE WHEN label IN (1, 2) AND vec_id % 7 = 3
+              THEN list_transform(embedding,
+                                  x -> CAST(CAST(x AS DOUBLE) * 4.0 AS FLOAT))
+              ELSE embedding END AS embedding
+  FROM embeddings
+),
+{refit},
+{asg("ccb", "pasg", "list_pre")},
+{asg("rcb", "rasg", "list_post")},
+qs AS (SELECT vec_id AS query_id, embedding AS qv FROM post
+       WHERE vec_id IN ({ids})),
+pairs AS MATERIALIZED (
+  SELECT q.query_id, p.vec_id, pa.list_pre, ra.list_post,
+         round({cos_pair}, 6) AS score
+  FROM post p
+  JOIN pasg pa USING (vec_id)
+  JOIN rasg ra USING (vec_id)
+  CROSS JOIN qs q
+),
+exact AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id) AS rn
+    FROM pairs) WHERE rn <= {k}
+),
+{cq("ccb", "cq_pre")},
+{cq("rcb", "cq_post")},
+{routed("cq_pre", "list_pre", "b_pre")},
+{routed("cq_post", "list_post", "b_post")},
+{ov("b_pre", "ov_pre")},
+{ov("b_post", "ov_post")}
+SELECT 'pre_refit' AS method, q.query_id,
+       CAST(coalesce(o.hits, 0) AS BIGINT) AS hits,
+       CAST(coalesce(o.hits, 0) * 1000000 // {k} AS BIGINT) AS recall_micro
+FROM (SELECT query_id FROM qs) q LEFT JOIN ov_pre o USING (query_id)
+UNION ALL
+SELECT 'post_refit', q.query_id,
+       CAST(coalesce(o.hits, 0) AS BIGINT),
+       CAST(coalesce(o.hits, 0) * 1000000 // {k} AS BIGINT)
+FROM (SELECT query_id FROM qs) q LEFT JOIN ov_post o USING (query_id)
+"""
+
+
 def semantic_dedup_keep_sql(n_lists: int = 7, threshold: float = 0.35) -> str:
     """Oracle for ann.semantic_dedup_keep: replay the canonical coarse
     fit, the unrounded-argmin assignment, the (round(d2,6), vec_id)
