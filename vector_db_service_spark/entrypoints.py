@@ -2677,6 +2677,15 @@ register(
     oracles_quant.refit_recall_gain_sql(k=10, n_lists=7, nprobe=4),
 )
 register(
+    # FILTERED search on the trained index (r15): the metadata
+    # predicate (documents lang semi-join) restricts candidates BEFORE
+    # scoring, composing multiplicatively with the probe fraction —
+    # scored volume ~ sel * nprobe/n_lists * n * q
+    "ann_ivf_filtered",
+    lambda s, d: ann.ivf_filtered_topk(s, d, k=10, n_lists=7, nprobe=4),
+    oracles_quant.ivf_filtered_sql(k=10, n_lists=7, nprobe=4),
+)
+register(
     # sample-trained PQ: driver-side canonical Lloyd fit on a bounded
     # hash sample, distributed single-projection encode — EXACT oracle
     # (the CTE chain replays the fit, then the unrounded-argmin encode)
@@ -2934,6 +2943,15 @@ register(
     "sketch_hll_merge",
     lambda s, d: sketches.hll_merge(s, d),
     sketches.hll_merge_sql(),
+)
+register(
+    # audience-overlap estimation (r15): per-segment HLL registers,
+    # union via the exact max-merge, intersection via inclusion-
+    # exclusion, exact count riding along so the estimate's error is
+    # driver-visible; register-sized after one scan
+    "sketch_hll_intersection",
+    lambda s, d: sketches.hll_intersection(s, d),
+    sketches.hll_intersection_sql(),
 )
 
 # --- second-stage retrieval (hybrid fusion + diversification) -------------

@@ -3045,6 +3045,79 @@ def ivf_multi_query_topk(
     )
 
 
+def ivf_filtered_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    n_lists: int = 7,
+    nprobe: int = 4,
+    lang: str = "en",
+) -> DataFrame:
+    """FILTERED search on the TRAINED index — the production
+    vector-store feature knn_prefiltered demonstrates on the exact
+    scan, here on the IVF serving path: the metadata predicate (a
+    documents-table semi-join on `lang`; at scale, a denormalized
+    column on the vector store) restricts the candidate set BEFORE any
+    scoring, then the batch routes to its nprobe lists and only
+    filtered-AND-probed rows pay the kernel. Filter selectivity
+    composes multiplicatively with the probe fraction — the scored
+    volume is ~ sel * nprobe/n_lists * n * q. Results may run short of
+    k when the filtered list slice is small; that is the documented
+    filtered-ANN trade (recall vs a filtered exact scan is what
+    knn_prefiltered measures)."""
+    from .knn import query_vector_rows, validate_k
+
+    validate_k(k)
+    query_ids = query_ids or [0, 1, 2, 3, 4]
+    cents = _coarse_centers(spark, sf_dir, n_lists)
+    emb = load(spark, sf_dir, "embeddings")
+    allowed = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("lang") == lang)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    cmat_df = spark.createDataFrame(
+        [([list(map(float, c)) for c in cents],)], "cmat array<array<double>>"
+    )
+    assigned = (
+        emb.join(allowed, "vec_id", "left_semi")
+        .crossJoin(F.broadcast(cmat_df))
+        .select(
+            "vec_id", "label", "embedding",
+            _list_id_matrix_expr().alias("list_id"),
+        )
+    )
+    qvecs = query_vector_rows(spark, sf_dir, query_ids)
+    probe_rows = []
+    for qid in query_ids:
+        ranked = sorted(
+            (-_py_round6(_py_score("cosine", c, qvecs[qid][0])), i)
+            for i, c in enumerate(cents)
+        )
+        probe_rows += [(int(qid), int(lid)) for _, lid in ranked[:nprobe]]
+    probed = spark.createDataFrame(probe_rows, "query_id bigint, list_id int")
+    queries = spark.createDataFrame(
+        [(int(qid), qvecs[qid][0]) for qid in query_ids],
+        "query_id bigint, qv array<double>",
+    )
+    routed = (
+        assigned.join(F.broadcast(probed), "list_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(
+                sim.score("cosine", F.col("embedding"), F.col("qv")), 6
+            ).alias("score"),
+        )
+    )
+    return multi_query_topk(routed, k=k).select(
+        "query_id", "rnk", "vec_id", "label", "score"
+    )
+
+
 def refit_recall_gain(
     spark: SparkSession,
     sf_dir: str,

@@ -656,6 +656,129 @@ FROM est_slice0_v, est_slice1_v, est_merged_v, est_whole_v, ex
 """
 
 
+def hll_intersection(
+    spark: SparkSession,
+    sf_dir: str,
+    type_a: str = "click",
+    type_b: str = "purchase",
+    key: str = "user_id",
+) -> DataFrame:
+    """Audience-OVERLAP estimation from mergeable sketches — the
+    segment-intersection question ("how many users both click AND
+    purchase?") answered without a distinct-join: build one HLL
+    register set per segment, take the UNION estimate from the
+    max-merged registers (the exact merge property hll_merge pins),
+    and read the intersection off inclusion-exclusion
+    |A∩B| ≈ |A| + |B| - |A∪B|. The exact intersection count rides
+    along so the estimate's error is driver-visible. Each estimate is
+    rounded to 4dp BEFORE the subtraction, so the arithmetic is the
+    same pair of doubles on both engines.
+
+    Scale: one scan builds both register sets (2 x HLL_M rows);
+    everything after is register-sized. Inclusion-exclusion error
+    grows as the intersection shrinks relative to the union — the
+    known sketch-theory caveat, which is exactly why the exact column
+    is in the output."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(type_a, type_b)
+    ).select(F.col(key).alias("k"), "event_type")
+    h = _hash52(F.col("k"), "hll:")
+    w = (h / F.lit(HLL_M)).cast("long")
+    rank = F.when(w == 0, F.lit(47)).otherwise(F.lit(47) - F.length(F.bin(w)))
+    sliced = ev.select(
+        "event_type", (h % HLL_M).alias("bucket"), rank.alias("r")
+    )
+    regs = sliced.groupBy("event_type", "bucket").agg(F.max("r").alias("m_j"))
+
+    def estimate(src: DataFrame, out: str) -> DataFrame:
+        agg = src.agg(
+            F.count("*").alias("n_ne"),
+            F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("s_ne"),
+        )
+        return agg.select(
+            F.round(_hll_est(F.col("n_ne"), F.col("s_ne")), 4).alias(out)
+        )
+
+    ea = estimate(regs.filter(F.col("event_type") == type_a), "est_a")
+    eb = estimate(regs.filter(F.col("event_type") == type_b), "est_b")
+    eu = estimate(
+        regs.groupBy("bucket").agg(F.max("m_j").alias("m_j")), "est_union"
+    )
+    exact = (
+        ev.groupBy("k")
+        .agg(F.count_distinct("event_type").alias("nt"))
+        .filter(F.col("nt") == 2)
+        .agg(F.count("*").cast("long").alias("exact_intersection"))
+    )
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+            ).alias("est_intersection"),
+            "exact_intersection",
+        )
+    )
+
+
+def hll_intersection_sql(
+    type_a: str = "click", type_b: str = "purchase", key: str = "user_id"
+) -> str:
+    h = (
+        f"CAST(concat('0x', substr(md5(concat('hll:', CAST(k AS VARCHAR)))"
+        f", 1, {HLL_HASH_HEX})) AS BIGINT)"
+    )
+
+    def est(src: str, out: str) -> str:
+        return f"""{out}_agg AS (
+  SELECT count(*) AS n_ne, sum(power(2.0, -m_j)) AS s_ne FROM {src}
+),
+{out}_v AS (
+  SELECT round(CASE WHEN {HLL_ALPHA * HLL_M * HLL_M} / (s_ne + ({HLL_M} - n_ne))
+                         <= {2.5 * HLL_M} AND ({HLL_M} - n_ne) > 0
+               THEN {float(HLL_M)} * ln({float(HLL_M)} / ({HLL_M} - n_ne))
+               ELSE {HLL_ALPHA * HLL_M * HLL_M} / (s_ne + ({HLL_M} - n_ne))
+               END, 4) AS {out}
+  FROM {out}_agg
+)"""
+
+    return f"""
+WITH ev AS (
+  SELECT {key} AS k, event_type FROM events
+  WHERE event_type IN ('{type_a}', '{type_b}')
+),
+sliced AS (
+  SELECT event_type, {h} % {HLL_M} AS bucket,
+         CASE WHEN CAST(floor({h} / {HLL_M}.0) AS BIGINT) = 0 THEN 47
+              ELSE 47 - length(bin(CAST(floor({h} / {HLL_M}.0) AS BIGINT)))
+         END AS r
+  FROM ev
+),
+regs AS (SELECT event_type, bucket, max(r) AS m_j FROM sliced
+         GROUP BY event_type, bucket),
+sa AS (SELECT bucket, m_j FROM regs WHERE event_type = '{type_a}'),
+sb AS (SELECT bucket, m_j FROM regs WHERE event_type = '{type_b}'),
+su AS (SELECT bucket, max(m_j) AS m_j FROM regs GROUP BY bucket),
+{est('sa', 'est_a')},
+{est('sb', 'est_b')},
+{est('su', 'est_union')},
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_intersection FROM (
+    SELECT k FROM ev GROUP BY k HAVING count(DISTINCT event_type) = 2
+  )
+)
+SELECT est_a, est_b, est_union,
+       round(est_a + est_b - est_union, 4) AS est_intersection,
+       exact_intersection
+FROM est_a_v, est_b_v, est_union_v, ex
+"""
+
+
 def bloom_join_prune(
     spark: SparkSession, sf_dir: str, nation: int = 1
 ) -> DataFrame:

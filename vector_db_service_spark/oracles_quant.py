@@ -490,6 +490,48 @@ FROM (SELECT query_id FROM qs) q LEFT JOIN ov_post o USING (query_id)
 """
 
 
+def ivf_filtered_sql(
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 10,
+    n_lists: int = 7,
+    nprobe: int = 4,
+    lang: str = "en",
+) -> str:
+    """Oracle for ann.ivf_filtered_topk: the multi-query serving oracle
+    with the metadata predicate applied before scoring."""
+    cos_pair = oracles.cosine_sql("a.embedding", "q.qv")
+    cos_cent = oracles.cosine_sql("b.c", "q.qv")
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH {coarse_fit_ctes(n_lists=n_lists)},
+{_coarse_assign_cte()},
+fasg AS MATERIALIZED (
+  SELECT * FROM asg
+  WHERE vec_id IN (SELECT doc_id FROM documents WHERE lang = '{lang}')
+),
+qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       WHERE vec_id IN ({ids})),
+cq AS MATERIALIZED (
+  SELECT q.query_id, CAST(b.cid AS INTEGER) AS list_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY round({cos_cent}, 6) DESC, b.cid) AS c_rnk
+  FROM ccb b, qs q
+),
+routed AS MATERIALIZED (
+  SELECT q.query_id, a.vec_id, a.label, round({cos_pair}, 6) AS score
+  FROM fasg a
+  JOIN cq ON cq.list_id = a.list_id AND cq.c_rnk <= {nprobe}
+  JOIN qs q ON q.query_id = cq.query_id
+)
+SELECT query_id, CAST(rn AS INTEGER) AS rnk, vec_id, label, score FROM (
+  SELECT query_id, vec_id, label, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rn
+  FROM routed
+) WHERE rn <= {k}
+"""
+
+
 def semantic_dedup_keep_sql(n_lists: int = 7, threshold: float = 0.35) -> str:
     """Oracle for ann.semantic_dedup_keep: replay the canonical coarse
     fit, the unrounded-argmin assignment, the (round(d2,6), vec_id)
