@@ -3836,11 +3836,13 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # tests/test_oracle_parity.py, which runs the identical compare over
 # ALL registered oracles.
 _PRIORITY_50 = [
-    # -- (a) never driver-sampled: the ten operators NEW this round --
+    # -- (a) never driver-sampled: the thirteen operators NEW this
+    # round --
     "stream_ivf_refit", "ann_ivf_multi_query", "ann_knn_classify",
     "ann_link_prediction", "text_bpe_encode_corpus", "mm_video_keyframes",
     "s25_store_restore", "s26_store_incremental_read",
     "rel_kanonymity_audit", "rel_bucketed_join_audit",
+    "ann_refit_recall_gain", "ann_ivf_filtered", "sketch_hll_intersection",
     # -- (b) changed this round (r15): the beam-search visited-set fix,
     # the fixed-count-anchor recall truth side, the BPE word-column
     # threading (train chain + encode outputs re-derived), and the PCA
@@ -3863,8 +3865,7 @@ _PRIORITY_50 = [
     "dedup_minhash_pairs", "dedup_minhash_recall_vs_exact",
     "emb_norm_outliers", "emb_spectrum_audit", "ingest_chunks_embedded",
     "kernel_pairwise", "mllib_brp_approx_knn", "mllib_brp_bucket_index",
-    "mm_blob_features", "mm_blob_resize", "mm_decode_png",
-    "mm_decode_png_deep", "mm_frame_stats",
+    "mm_blob_features", "mm_blob_resize",
 ]
 
 
