@@ -913,6 +913,16 @@ register(
     opl.near_dup_keep_canonical_sql(),
 )
 register(
+    # dedup x mixture interaction (r15): how deduping shifts each
+    # (lang, source) domain's token share — exact integer ppm on both
+    # sides; shares the memoized component labeling, corpus scans once
+    "pipeline_dedup_mixture_shift",
+    lambda s, d: dedup.dedup_mixture_shift(
+        load(s, d, "documents"), labels=dedup.near_dup_labels_cached(s, d)
+    ),
+    opl.dedup_mixture_shift_sql(),
+)
+register(
     # iterative BPE trainer (r14): n_merges rounds of pair-count ->
     # argmax -> merge over the distinct-word symbol table — the actual
     # tokenizer-induction loop; the corpus is scanned once, each round
@@ -2087,6 +2097,15 @@ register(
     "mm_scene_cuts",
     multimodal.scene_cuts,
     multimodal.scene_cuts_sql(),
+)
+register(
+    # audio activity detection (r15): VAD-style segmentation — frame
+    # energies gated by the parameter-free integer mean compare
+    # (e * n_frames > total), gaps-and-islands segments; the
+    # pay-per-active-second budget columns. Byte-level oracle.
+    "mm_audio_activity",
+    multimodal.audio_activity,
+    multimodal.audio_activity_sql(),
 )
 register(
     # keyframe selection (r15): the step scene_cuts enables — gaps-and-

@@ -1459,3 +1459,54 @@ def leakage_safe_split(docs: DataFrame, val_pct: int = 10,
     return per.crossJoin(F.broadcast(leaked)).select(
         "split", "n_docs", "n_clusters", "leaked_pairs"
     )
+
+
+def dedup_mixture_shift(docs: "DataFrame",
+                        labels: "DataFrame | None" = None,
+                        max_hamming: int = 3,
+                        rounds: int = 5) -> "DataFrame":
+    """How dedup MOVES the training mixture — the interaction report a
+    data recipe needs before fixing domain weights: near-duplicates are
+    never uniform across (lang, source) domains (crawl dups concentrate
+    in few sources), so deduping shifts every domain's token share.
+    Per domain: raw vs deduped token counts and the share shift in
+    exact integer parts-per-million (n * 1e6 DIV total on both sides —
+    no float ratios to drift cross-engine). A mixture fit on the RAW
+    corpus then applied to the DEDUPED one trains on the wrong
+    distribution; shift_ppm is the size of that error per domain.
+
+    Plan: the memoized component labeling (one graph pass, shared with
+    dedup_components / keep_canonical), one equi-join on doc_id, one
+    grouped conditional aggregation over |domains| groups, totals via
+    an unpartitioned window over the aggregated frame (the
+    mixture_weights discipline — the corpus scans once)."""
+    from pyspark.sql import Window
+
+    if labels is None:
+        labels = near_dup_labels_fast(docs, max_hamming, rounds)
+    toks = F.size(F.split(F.lower("text"), " ")).cast("long")
+    per = (
+        docs.join(labels, docs.doc_id == labels.node)
+        .select(
+            "lang", "source", toks.alias("nt"),
+            (F.col("doc_id") == F.col("comp")).alias("survives"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("nt").cast("long").alias("n_tokens_raw"),
+            F.sum(F.when(F.col("survives"), F.col("nt")).otherwise(0))
+            .cast("long").alias("n_tokens_dedup"),
+        )
+    )
+    w = Window.partitionBy()
+    per = per.withColumn(
+        "tr", F.sum("n_tokens_raw").over(w).cast("long")
+    ).withColumn("td", F.sum("n_tokens_dedup").over(w).cast("long"))
+    raw_ppm = F.expr("n_tokens_raw * 1000000 DIV tr")
+    ded_ppm = F.expr("n_tokens_dedup * 1000000 DIV td")
+    return per.select(
+        "lang", "source", "n_tokens_raw", "n_tokens_dedup",
+        raw_ppm.cast("long").alias("share_raw_ppm"),
+        ded_ppm.cast("long").alias("share_dedup_ppm"),
+        (ded_ppm - raw_ppm).cast("long").alias("shift_ppm"),
+    )

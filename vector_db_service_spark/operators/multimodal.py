@@ -1267,6 +1267,133 @@ FROM feat
 """
 
 
+VAD_FRAME = 16  # samples per activity frame (16 frames per blob)
+
+
+def audio_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity DETECTION for the audio modality — the VAD-style
+    segmentation a speech-data pipeline runs before paying for
+    transcription: frame the decoded PCM into VAD_FRAME-sample frames,
+    mark a frame ACTIVE when its exact integer energy exceeds the
+    blob's mean frame energy (the cross-multiplied integer compare
+    e * n_frames > total_energy — parameter-free, deterministic, no
+    float threshold to drift), and segment the active frames with
+    gaps-and-islands. Output per doc: frame count, active frames,
+    segment count, longest segment — the columns a
+    pay-per-active-second budget reads.
+
+    Same fused synthesize+decode mapInPandas pass as waveform_stats
+    (the blob never crosses Arrow); every feature is exact integer,
+    byte-level DuckDB oracle."""
+    import numpy as np
+
+    from ..sources.tables import spread_for_compute
+
+    n_bytes = WAV_SAMPLES * 2
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("n_active", T.LongType()),
+            T.StructField("n_segments", T.LongType()),
+            T.StructField("longest_segment", T.LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("doc_id", "n_frames", "n_active", "n_segments",
+                "longest_segment")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                blob = _cycled_raster_bytes(text, n_bytes)
+                x = np.frombuffer(blob, dtype="<i2").astype(np.int64)
+                nf = len(x) // VAD_FRAME
+                e = [
+                    int((x[f * VAD_FRAME:(f + 1) * VAD_FRAME] ** 2).sum())
+                    for f in range(nf)
+                ]
+                tot = sum(e)
+                active = [f for f in range(nf) if e[f] * nf > tot]
+                n_seg, longest, run = 0, 0, 0
+                prev = None
+                for f in active:
+                    if prev is None or f != prev + 1:
+                        n_seg += 1
+                        run = 1
+                    else:
+                        run += 1
+                    longest = max(longest, run)
+                    prev = f
+                rows["doc_id"].append(int(doc_id))
+                rows["n_frames"].append(nf)
+                rows["n_active"].append(len(active))
+                rows["n_segments"].append(n_seg)
+                rows["longest_segment"].append(longest)
+            yield pd.DataFrame(rows)
+
+    docs = spread_for_compute(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return docs.mapInPandas(gen, schema)
+
+
+def audio_activity_sql() -> str:
+    """Byte-level mirror: the waveform_stats sample CTE, frame energies,
+    the integer cross-multiplied activity gate, gaps-and-islands
+    segments."""
+    fv = VAD_FRAME
+
+    return f"""
+WITH raw AS (SELECT doc_id, {utf8_bytes_sql()} AS bl FROM documents),
+base AS (SELECT doc_id, bl, len(bl) AS n FROM raw),
+smp AS (
+  SELECT doc_id, i,
+         CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS x
+  FROM (
+    SELECT doc_id, i,
+           (CASE WHEN n = 0 THEN 0 ELSE bl[CAST((2 * i) % n + 1 AS BIGINT)] END)
+           + 256 * (CASE WHEN n = 0 THEN 0
+                         ELSE bl[CAST((2 * i + 1) % n + 1 AS BIGINT)] END) AS v
+    FROM base, unnest(range(0, {WAV_SAMPLES})) AS t(i)
+  )
+),
+fr AS (
+  SELECT doc_id, i // {fv} AS f, CAST(sum(x * x) AS BIGINT) AS e
+  FROM smp GROUP BY doc_id, i // {fv}
+),
+tot AS (
+  SELECT doc_id, CAST(sum(e) AS BIGINT) AS te,
+         CAST(count(*) AS BIGINT) AS nf
+  FROM fr GROUP BY doc_id
+),
+act AS (
+  SELECT fr.doc_id, fr.f FROM fr JOIN tot USING (doc_id)
+  WHERE fr.e * tot.nf > tot.te
+),
+isl AS (
+  SELECT doc_id, f,
+         f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS g
+  FROM act
+),
+seg AS (
+  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS len
+  FROM isl GROUP BY doc_id, g
+),
+per AS (
+  SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_active,
+         CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(max(len) AS BIGINT) AS longest_segment
+  FROM seg GROUP BY doc_id
+)
+SELECT t.doc_id, t.nf AS n_frames,
+       COALESCE(p.n_active, 0) AS n_active,
+       COALESCE(p.n_segments, 0) AS n_segments,
+       COALESCE(p.longest_segment, 0) AS longest_segment
+FROM tot t LEFT JOIN per p USING (doc_id)
+"""
+
+
 # DFT probe bins for the spectral screen: low / mid / high / Nyquist-ish
 SPECTRAL_BINS = (1, 3, 7, 16)
 _TRIG_SCALE = 1_000_000  # cos/sin quantized once to integer micro-units

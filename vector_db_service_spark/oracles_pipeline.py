@@ -1609,3 +1609,33 @@ FROM dw d JOIN wmap m USING (w)
 WHERE length(d.w) >= 1
 GROUP BY d.doc_id
 """
+
+
+def dedup_mixture_shift_sql(max_hamming: int = 3, rounds: int = 10) -> str:
+    """Oracle for dedup.dedup_mixture_shift: the components chain, one
+    conditional aggregation per domain, integer ppm shares."""
+    return (
+        _components_with_clause(max_hamming, rounds)
+        + f"""
+, per AS (
+  SELECT d.lang, d.source,
+         CAST(sum(len({TOKS})) AS BIGINT) AS n_tokens_raw,
+         CAST(sum(CASE WHEN l.comp = d.doc_id
+                       THEN len({TOKS}) ELSE 0 END) AS BIGINT)
+           AS n_tokens_dedup
+  FROM documents d JOIN l{rounds} l ON l.node = d.doc_id
+  GROUP BY d.lang, d.source
+),
+tot AS (
+  SELECT CAST(sum(n_tokens_raw) AS BIGINT) AS tr,
+         CAST(sum(n_tokens_dedup) AS BIGINT) AS td
+  FROM per
+)
+SELECT lang, source, n_tokens_raw, n_tokens_dedup,
+       CAST(n_tokens_raw * 1000000 // tr AS BIGINT) AS share_raw_ppm,
+       CAST(n_tokens_dedup * 1000000 // td AS BIGINT) AS share_dedup_ppm,
+       CAST(n_tokens_dedup * 1000000 // td
+            - n_tokens_raw * 1000000 // tr AS BIGINT) AS shift_ppm
+FROM per, tot
+"""
+    )
