@@ -111,6 +111,33 @@ def test_pca_guard_uses_measured_magnitude(spark, tmp_path):
         ann.pca_power_iteration(spark, sf)
 
 
+def test_pca_top2_matches_numpy_eigenvectors(spark):
+    """Both integer iterates must land on the top-2 eigendirections of
+    the same quantized Gram matrix, and be numerically orthogonal."""
+    import numpy as np
+
+    from vector_db_service_spark.operators import ann
+
+    rows = sorted(ann.pca_top2(spark, SF).collect(),
+                  key=lambda r: r.dim_idx)
+    v1 = np.array([r.v1_scaled for r in rows], dtype=np.float64)
+    v2 = np.array([r.v2_scaled for r in rows], dtype=np.float64)
+    emb = load(spark, SF, "embeddings").select("embedding").collect()
+    X = np.array([
+        np.round(np.asarray(r.embedding, dtype=np.float64) * 100)
+        for r in emb
+    ])
+    G = X.T @ X
+    _evals, evecs = np.linalg.eigh(G)
+
+    def cos(a, b):
+        return abs(float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assert cos(v1, evecs[:, -1]) > 0.999
+    assert cos(v2, evecs[:, -2]) > 0.99
+    assert cos(v1, v2) < 0.01  # deflation held the plane orthogonal
+
+
 def test_refit_recall_gain_is_measurable(spark):
     """At the driver's gate SF the drift must COST the stale quantizer
     recall and the refit must win it back (mean post >= pre, both

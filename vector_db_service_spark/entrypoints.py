@@ -1399,6 +1399,16 @@ register(
     ann.pca_power_iteration_sql(dim=_DIM),
 )
 register(
+    # top-2 principal directions (r15): integer-exact Hotelling-style
+    # deflation BY PROJECTION — the second iterate re-orthogonalizes
+    # against v1 after every rescale (milli-unit ratio, sign-split
+    # floor division); the oracle unrolls BOTH chains including every
+    # projection step. The 2-D corpus projection / whitening plane.
+    "emb_pca_top2",
+    lambda s, d: ann.pca_top2(s, d),
+    ann.pca_top2_sql(dim=_DIM),
+)
+register(
     # NN-descent (r14b): one neighbor-of-neighbor refinement round over
     # the banded kNN graph — the distributed kNN-graph construction
     # loop; candidates linear in n*m^2, new pairs exact-scored once,

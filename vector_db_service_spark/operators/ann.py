@@ -2534,6 +2534,7 @@ def _nn_descent_round(
 PCA_Q_SCALE = 100
 PCA_V_SCALE = 1_000_000
 PCA_ROUNDS = 64
+PCA2_ROUNDS = 96  # deflated-chain rounds; see pca_top2's gap note
 
 
 def pca_power_iteration(
@@ -2566,6 +2567,19 @@ def pca_power_iteration(
     near-isotropic (gap 0.93-0.98), hence 64 rounds; the numpy
     eigenvector cross-check in tests pins the claim at the test SF. At 100 TB the Gram aggregation is the only data-sized
     stage and it shuffles dim^2 partials per task, never rows."""
+    dim, G = _pca_gram(spark, sf_dir, op_name="pca_power_iteration")
+    v = _pca_iterate(G, dim, rounds)
+    out = [(i + 1, v[i]) for i in range(dim)]
+    return spark.createDataFrame(out, "dim_idx int, v_scaled long")
+
+
+def _pca_gram(spark: SparkSession, sf_dir: str, op_name: str):
+    """Shared Gram stage of the PCA family: the quantized integer
+    second-moment matrix as a dict (dim^2 rows collected once — bounded
+    by index state, never data) plus the measured-magnitude int64
+    guard. The distributed part: one flat-map of dim^2 integer terms
+    per row into a groupBy(i, j) whose map-side partials reduce every
+    task to dim^2 rows before the (tiny) shuffle."""
     dim = embedding_dim(sf_dir)
     n = row_count(sf_dir, "embeddings")
     emb = spread_for_compute(load(spark, sf_dir, "embeddings"))
@@ -2590,7 +2604,7 @@ def pca_power_iteration(
     )
     if n * max(int(maxq), 1) ** 2 * PCA_V_SCALE * dim >= 2 ** 62:
         raise ValueError(
-            f"pca_power_iteration: {n} rows x dim {dim} at measured "
+            f"{op_name}: {n} rows x dim {dim} at measured "
             f"max|q|={maxq} exceeds the int64 envelope; shard the corpus "
             "or lower the scales"
         )
@@ -2610,16 +2624,74 @@ def pca_power_iteration(
     G: dict = {}
     for r in gram:
         G[(int(r["i"]), int(r["j"]))] = int(r["g"])
+    return dim, G
+
+
+def _sdiv(a: int, b: int) -> int:
+    """Sign-split floor division — Spark `div` and DuckDB `//` agree on
+    this form for negative numerators."""
+    return -((-a) // b) if a < 0 else a // b
+
+
+def _pca_iterate(G: dict, dim: int, rounds: int, project_out=None):
+    """The fixed-round integer power iteration; `project_out` (a scaled
+    integer vector) deflates by PROJECTION each round — u is re-
+    orthogonalized against the held direction after every rescale, so
+    the iterate converges to the dominant direction of the orthogonal
+    complement (= the second principal direction when v1 is held)."""
     v = [PCA_V_SCALE] * dim
+    n1 = sum(x * x for x in project_out) if project_out else 0
     for _ in range(rounds):
         w = [
             sum(G.get((i, j), 0) * v[j] for j in range(dim))
             for i in range(dim)
         ]
         d = max(1, max(abs(x) for x in w) // PCA_V_SCALE)
-        v = [(-((-x) // d) if x < 0 else x // d) for x in w]
-    out = [(i + 1, v[i]) for i in range(dim)]
-    return spark.createDataFrame(out, "dim_idx int, v_scaled long")
+        v = [_sdiv(x, d) for x in w]
+        if project_out and n1 > 0:
+            p = sum(v[i] * project_out[i] for i in range(dim))
+            # ratio in milli-units BEFORE the per-component multiply so
+            # every product stays far inside int64 (p * v1_i would not)
+            r_mln = _sdiv(p * 1000, n1)
+            v = [
+                v[i] - _sdiv(r_mln * project_out[i], 1000)
+                for i in range(dim)
+            ]
+    return v
+
+
+def pca_top2(
+    spark: SparkSession, sf_dir: str, rounds: int = PCA_ROUNDS,
+    rounds2: int = PCA2_ROUNDS,
+) -> DataFrame:
+    """TOP-2 principal directions — the dominant direction plus the
+    second, via integer-exact Hotelling-style deflation BY PROJECTION:
+    v1 is the fixed-round power iterate (identical to
+    emb_pca_power_iteration), then a second iterate re-orthogonalizes
+    against v1 after every rescale (p = <u, v1> in exact int64, the
+    ratio quantized once to milli-units, sign-split floor division
+    throughout), converging to the dominant direction of the
+    complement. Two directions turn the spectrum audit's scalar into a
+    PLANE — the 2-D projection a curation UI plots the corpus in, and
+    the first two rows of a whitening/rotation transform.
+
+    The Gram matrix is the only data-sized stage (shared _pca_gram;
+    dim^2 partials per task); both iterations are driver loops over
+    dim^2-bounded state, bit-identical cross-engine (the oracle unrolls
+    both chains, projection steps included). numpy eigen cross-check in
+    tests pins both directions at the test SF. The deflated chain runs
+    96 rounds where v1 needs 64: the complement's spectral gap
+    (lambda3/lambda2 = 0.959 measured) is tighter than the dominant
+    gap, and 64 rounds measured cos 0.987 vs numpy's e2 while 96
+    reaches 0.9992 — the same gap-aware rounds choice the r14 PCA
+    documented."""
+    dim, G = _pca_gram(spark, sf_dir, op_name="pca_top2")
+    v1 = _pca_iterate(G, dim, rounds)
+    v2 = _pca_iterate(G, dim, rounds2, project_out=v1)
+    out = [(i + 1, v1[i], v2[i]) for i in range(dim)]
+    return spark.createDataFrame(
+        out, "dim_idx int, v1_scaled long, v2_scaled long"
+    )
 
 
 def pca_power_iteration_sql(
@@ -2664,6 +2736,86 @@ v0 AS MATERIALIZED (
   FROM generate_series(1, {dim}) t(i)
 ),{chain}
 SELECT CAST(i AS INT) AS dim_idx, v AS v_scaled FROM v{rounds}
+"""
+
+
+def pca_top2_sql(dim: int, rounds: int = PCA_ROUNDS,
+                 rounds2: int = PCA2_ROUNDS) -> str:
+    """Unrolled replay of pca_top2: the v1 chain of
+    pca_power_iteration_sql, then the deflated u chain — per round the
+    same matvec + rescale followed by the exact integer projection
+    step (p = <u, v1>, r_mln = sign-split (p * 1000) // n1,
+    u_i -= sign-split (r_mln * v1_i) // 1000)."""
+
+    def sdiv(x: str, y: str) -> str:
+        return f"CASE WHEN {x} < 0 THEN -((-({x})) // ({y})) ELSE ({x}) // ({y}) END"
+
+    v_stages = []
+    for r in range(rounds):
+        v_stages.append(f"""
+w{r + 1} AS MATERIALIZED (
+  SELECT g.i, CAST(sum(g.g * v.v) AS BIGINT) AS w
+  FROM gram g JOIN v{r} v ON v.i = g.j GROUP BY g.i
+),
+d{r + 1} AS MATERIALIZED (
+  SELECT greatest(CAST(1 AS BIGINT), max(abs(w)) // {PCA_V_SCALE}) AS d
+  FROM w{r + 1}
+),
+v{r + 1} AS MATERIALIZED (
+  SELECT i, {sdiv('w', f'(SELECT d FROM d{r + 1})')} AS v
+  FROM w{r + 1}
+)""")
+    u_stages = []
+    for r in range(rounds2):
+        u_stages.append(f"""
+uw{r + 1} AS MATERIALIZED (
+  SELECT g.i, CAST(sum(g.g * u.v) AS BIGINT) AS w
+  FROM gram g JOIN u{r} u ON u.i = g.j GROUP BY g.i
+),
+ud{r + 1} AS MATERIALIZED (
+  SELECT greatest(CAST(1 AS BIGINT), max(abs(w)) // {PCA_V_SCALE}) AS d
+  FROM uw{r + 1}
+),
+up{r + 1} AS MATERIALIZED (
+  SELECT i, {sdiv('w', f'(SELECT d FROM ud{r + 1})')} AS v
+  FROM uw{r + 1}
+),
+pp{r + 1} AS MATERIALIZED (
+  SELECT CAST(sum(u.v * f.v) AS BIGINT) AS p
+  FROM up{r + 1} u JOIN v1f f ON f.i = u.i
+),
+rr{r + 1} AS MATERIALIZED (
+  SELECT {sdiv('p * 1000', '(SELECT n1 FROM n1)')} AS r FROM pp{r + 1}
+),
+u{r + 1} AS MATERIALIZED (
+  SELECT u.i,
+         u.v - ({sdiv(f'(SELECT r FROM rr{r + 1}) * f.v', '1000')}) AS v
+  FROM up{r + 1} u JOIN v1f f ON f.i = u.i
+)""")
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {PCA_Q_SCALE})
+                                  AS BIGINT)) AS qv
+  FROM embeddings
+),
+gram AS MATERIALIZED (
+  SELECT i, j, CAST(sum(qv[i] * qv[j]) AS BIGINT) AS g
+  FROM q, generate_series(1, {dim}) s1(i), generate_series(1, {dim}) s2(j)
+  GROUP BY i, j
+),
+v0 AS MATERIALIZED (
+  SELECT i, CAST({PCA_V_SCALE} AS BIGINT) AS v
+  FROM generate_series(1, {dim}) t(i)
+),{",".join(v_stages)},
+v1f AS MATERIALIZED (SELECT i, v FROM v{rounds}),
+n1 AS MATERIALIZED (SELECT CAST(sum(v * v) AS BIGINT) AS n1 FROM v1f),
+u0 AS MATERIALIZED (
+  SELECT i, CAST({PCA_V_SCALE} AS BIGINT) AS v
+  FROM generate_series(1, {dim}) t(i)
+),{",".join(u_stages)}
+SELECT CAST(f.i AS INT) AS dim_idx, f.v AS v1_scaled, u.v AS v2_scaled
+FROM v1f f JOIN u{rounds2} u ON u.i = f.i
 """
 
 
