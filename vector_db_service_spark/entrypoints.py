@@ -3865,13 +3865,14 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # tests/test_oracle_parity.py, which runs the identical compare over
 # ALL registered oracles.
 _PRIORITY_50 = [
-    # -- (a) never driver-sampled: the thirteen operators NEW this
+    # -- (a) never driver-sampled: the sixteen operators NEW this
     # round --
     "stream_ivf_refit", "ann_ivf_multi_query", "ann_knn_classify",
     "ann_link_prediction", "text_bpe_encode_corpus", "mm_video_keyframes",
     "s25_store_restore", "s26_store_incremental_read",
     "rel_kanonymity_audit", "rel_bucketed_join_audit",
     "ann_refit_recall_gain", "ann_ivf_filtered", "sketch_hll_intersection",
+    "mm_audio_activity", "pipeline_dedup_mixture_shift", "emb_pca_top2",
     # -- (b) changed this round (r15): the beam-search visited-set fix,
     # the fixed-count-anchor recall truth side, the BPE word-column
     # threading (train chain + encode outputs re-derived), and the PCA
@@ -3893,8 +3894,7 @@ _PRIORITY_50 = [
     "dedup_containment_pairs", "dedup_keep_canonical",
     "dedup_minhash_pairs", "dedup_minhash_recall_vs_exact",
     "emb_norm_outliers", "emb_spectrum_audit", "ingest_chunks_embedded",
-    "kernel_pairwise", "mllib_brp_approx_knn", "mllib_brp_bucket_index",
-    "mm_blob_features", "mm_blob_resize",
+    "kernel_pairwise", "mllib_brp_approx_knn",
 ]
 
 
