@@ -107,6 +107,15 @@ PROBES = [
     # full list rebuild)
     "ann_nn_descent_recall",
     "stream_ivf_refit",
+    # round-15 continuation: batched IVF serving (scored volume ~
+    # nprobe/n_lists of brute force), the drift-vs-refit recall
+    # measurement (two fits + one scored pass), the top-2 PCA (Gram is
+    # the only data-sized stage — wall should stay near-flat), and the
+    # audio activity screen (single fused pass)
+    "ann_ivf_multi_query",
+    "ann_refit_recall_gain",
+    "emb_pca_top2",
+    "mm_audio_activity",
 ]
 # lineitem-backed queries only have real data at the source SFs; the
 # synthetic corpus scales documents/embeddings/events 10x and reuses
