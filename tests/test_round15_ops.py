@@ -111,6 +111,33 @@ def test_pca_guard_uses_measured_magnitude(spark, tmp_path):
         ann.pca_power_iteration(spark, sf)
 
 
+def test_residual_pq_reconstructs_tighter_than_raw(spark):
+    """The reason FAISS encodes residuals: with the same code budget,
+    PQ over r = x - c(list) must reconstruct with LOWER mean error than
+    PQ over raw vectors (residuals concentrate near zero, so the
+    codebooks spend their centroids on a tighter distribution)."""
+    from vector_db_service_spark.operators import ann
+
+    raw_mean = (
+        ann.product_quantize(spark, SF, n_subvectors=8, codebook_k=16)
+        .agg(F.avg("recon_l2"))
+        .head()[0]
+    )
+    cents = ann._coarse_centers(spark, SF, 7)
+    resid, codebooks, sub_dim = ann._residual_pq_state(
+        spark, SF, cents, n_subvectors=8, codebook_k=16, train_pct=25
+    )
+    _codes, err_terms = ann._pq_code_exprs(codebooks, sub_dim)
+    res_mean = (
+        resid.select(
+            F.sqrt(F.expr(" + ".join(err_terms))).alias("recon_l2")
+        )
+        .agg(F.avg("recon_l2"))
+        .head()[0]
+    )
+    assert res_mean < raw_mean, (res_mean, raw_mean)
+
+
 def test_pca_top2_matches_numpy_eigenvectors(spark):
     """Both integer iterates must land on the top-2 eigendirections of
     the same quantized Gram matrix, and be numerically orthogonal."""

@@ -2697,6 +2697,17 @@ register(
     oracles_quant.ivf_multi_query_sql(k=10, n_lists=7, nprobe=4),
 )
 register(
+    # RESIDUAL-encoded IVF-PQ (r15): PQ trained and applied on
+    # r = x - c(list) — residuals concentrate near zero so the same
+    # code budget quantizes tighter (the FAISS default); the query side
+    # uses PER-LIST lookup tables (q - c_l differs per probed list).
+    # Same routing/ADC/re-rank algebra as mllib-free ivfpq_topk, so the
+    # two are comparable line by line; recon-error win pinned in tests.
+    "ann_ivfpq_residual_topk",
+    lambda s, d: ann.ivfpq_residual_topk(s, d, query_id=0, k=10),
+    oracles_quant.ivfpq_residual_sql(query_id=0, k=10),
+)
+register(
     # the refit's SERVING consequence (r15): IVF recall@10 on the
     # drifted corpus under the stale vs the refit quantizer — measured
     # 0.84 -> 0.87 mean at sf0.01; both fits canonical Lloyd, zero

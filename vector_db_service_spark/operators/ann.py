@@ -1166,6 +1166,167 @@ def ivfpq_topk(
     )
 
 
+def _residual_pq_state(
+    spark: SparkSession,
+    sf_dir: str,
+    cents: list,
+    n_subvectors: int,
+    codebook_k: int,
+    train_pct: int,
+    train_cap: int = 100_000,
+):
+    """Residual frame + residual-trained PQ codebooks, shared by the
+    serving op and the recon-error comparison test: r = x - c(list) via
+    one zip_with against the coarse-center matrix; codebooks fit on the
+    residual sample with _pq_train's exact md5-bucket + cap
+    discipline. Returns (resid_df, codebooks, sub_dim); the residual
+    column is named `embedding` so _pq_code_exprs applies verbatim."""
+    import numpy as np
+
+    cmat_sql = "array(" + ", ".join(
+        "array(" + ", ".join(repr(float(x)) for x in c) + ")" for c in cents
+    ) + ")"
+    resid = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        _list_id_expr(cents).alias("list_id"),
+        "embedding",
+    ).select(
+        "vec_id",
+        "label",
+        "list_id",
+        F.expr(
+            f"zip_with(embedding, element_at({cmat_sql}, list_id + 1), "
+            f"(x, c) -> CAST(x AS DOUBLE) - c)"
+        ).alias("embedding"),
+    )
+    h = F.md5(F.col("vec_id").cast("string"))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 100
+
+    def _take(df: DataFrame) -> list:
+        return (
+            df.select("embedding", h.alias("h"), "vec_id")
+            .orderBy("h", "vec_id")
+            .limit(train_cap)
+            .select("embedding")
+            .collect()
+        )
+
+    rows = _take(resid.filter(bucket < train_pct))
+    if not rows:
+        rows = _take(resid)
+    if not rows:
+        raise ValueError(
+            "cannot train residual PQ codebooks: embeddings table is empty"
+        )
+    X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    sub_dim = X.shape[1] // n_subvectors
+    k_eff = min(codebook_k, len(X))
+    codebooks = [
+        _lloyd_canonical(X[:, s * sub_dim:(s + 1) * sub_dim], k_eff, 8)
+        for s in range(n_subvectors)
+    ]
+    return resid, codebooks, sub_dim
+
+
+def ivfpq_residual_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    n_lists: int = 7,
+    nprobe: int = 4,
+    n_subvectors: int = 8,
+    codebook_k: int = 16,
+    train_pct: int = 25,
+    rerank: int = 200,
+    train_cap: int = 100_000,
+) -> DataFrame:
+    """RESIDUAL-encoded IVF-PQ — the production refinement over
+    ivfpq_topk: PQ codes are trained and applied on the RESIDUAL
+    r = x - c(list) to each vector's coarse centroid, not on raw
+    vectors. Residuals concentrate near zero (the coarse quantizer has
+    already absorbed the between-list variance), so the same code
+    budget spends its centroids on a tighter distribution — the reason
+    FAISS's IVF-PQ encodes residuals by default. The ADC query side
+    must then use a PER-LIST lookup table (the query's residual differs
+    per probed list: q - c_l), which is exactly the extra machinery
+    this operator demonstrates; everything else (routing, ADC scan,
+    exact re-rank, integer micro-unit keys) matches ivfpq_topk so the
+    two are comparable line by line. Mean reconstruction error vs the
+    raw-vector PQ is pinned lower in tests — the measurable win.
+
+    Scale: the residual projection is one zip_with against the
+    broadcast center matrix; training still rides the bounded
+    md5-sample; the per-list LUTs are nprobe * n_sub * k tiny literals.
+    Exact oracle: oracles_quant.ivfpq_residual_sql replays both fits,
+    the residual projection, the per-list LUTs, and the re-rank."""
+    import numpy as np
+
+    from .knn import query_vector_row, validate_k
+
+    validate_k(k)
+    emb = load(spark, sf_dir, "embeddings")
+    qv, _ = query_vector_row(spark, sf_dir, query_id)
+    q = [float(x) for x in qv]
+
+    cents = _coarse_centers(spark, sf_dir, n_lists)
+    resid, codebooks, sub_dim = _residual_pq_state(
+        spark, sf_dir, cents, n_subvectors, codebook_k, train_pct, train_cap
+    )
+    codes_cols, _ = _pq_code_exprs(codebooks, sub_dim)
+
+    # routing on the RAW query vs the coarse centers (same total order
+    # as ivfpq_topk's oracle: round-to-micro + lowest-cid ties)
+    centers = np.asarray(cents, dtype=np.float64)
+    d2u = np.floor(
+        ((centers - np.asarray(q)) ** 2).sum(axis=1) * 1e6 + 0.5
+    ).astype(np.int64)
+    probed = [int(i) for i in np.lexsort((np.arange(len(d2u)), d2u))[:nprobe]]
+
+    # per-LIST ADC lookup tables: the query residual differs per list
+    adc_terms = []
+    for s in range(n_subvectors):
+        arms = []
+        for lid in probed:
+            qr = [qi - float(ci) for qi, ci in
+                  zip(q, cents[lid])][s * sub_dim:(s + 1) * sub_dim]
+            lut = [
+                sum((qi - float(ci)) ** 2 for qi, ci in zip(qr, c))
+                for c in codebooks[s]
+            ]
+            arms.append(
+                f"WHEN {lid} THEN array("
+                + ", ".join(repr(float(x)) for x in lut) + ")"
+            )
+        adc_terms.append(
+            f"element_at(CASE list_id {' '.join(arms)} END, code{s} + 1)"
+        )
+    adc_us = F.round(
+        F.expr(" + ".join(adc_terms)) * F.lit(1e6), 0
+    ).cast("bigint")
+    cand_ids = (
+        resid.filter(F.col("list_id").isin(probed))
+        .select("vec_id", "list_id", *codes_cols)
+        .withColumn("adc_us", adc_us)
+        .orderBy(F.asc("adc_us"), F.asc("vec_id"))
+        .limit(rerank)
+        .select("vec_id", "list_id", "adc_us")
+    )
+    qlit = sim.vector_lit(q)
+    dist_us = F.round(
+        sim.DISTANCES["euclidean"](F.col("embedding"), qlit) * F.lit(1e6), 0
+    ).cast("bigint")
+    rer = emb.join(F.broadcast(cand_ids), "vec_id").withColumn(
+        "dist_us", dist_us
+    )
+    return (
+        rer.orderBy(F.asc("dist_us"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "label", "list_id", "adc_us", "dist_us")
+    )
+
+
 def product_quantize(
     spark: SparkSession,
     sf_dir: str,

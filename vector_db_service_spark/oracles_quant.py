@@ -134,21 +134,23 @@ def coarse_fit_ctes(
     return _fit_ctes("c", n_lists, iters, 1, dim, None, train_cap)
 
 
-def _pq_encode_cte(sub_dim: int = 8) -> str:
-    """enc (vec_id, label, sub_id, cid, d2): nearest-codeword per
+def _pq_encode_cte(sub_dim: int = 8, source: str = "embeddings",
+                   name: str = "enc") -> str:
+    """{name} (vec_id, label, sub_id, cid, d2): nearest-codeword per
     subspace over the FULL corpus — UNROUNDED d2 argmin with lowest-cid
-    tiebreak, matching ann._pq_code_exprs' array_position-of-min."""
+    tiebreak, matching ann._pq_code_exprs' array_position-of-min.
+    `source` lets the residual-IVFPQ oracle encode the resid CTE."""
     sl = (
         f"list_slice(e.embedding, b.sub_id * {sub_dim} + 1, "
         f"(b.sub_id + 1) * {sub_dim})"
     )
     d2 = _l2sq(sl, "b.c")
-    return f"""enc AS MATERIALIZED (
+    return f"""{name} AS MATERIALIZED (
   SELECT vec_id, label, sub_id, cid, d2 FROM (
     SELECT e.vec_id, e.label, b.sub_id, b.cid, {d2} AS d2,
            row_number() OVER (PARTITION BY e.vec_id, b.sub_id
                               ORDER BY {d2}, b.cid) AS rn
-    FROM embeddings e CROSS JOIN pqcb b
+    FROM {source} e CROSS JOIN pqcb b
   ) WHERE rn = 1
 )"""
 
@@ -272,6 +274,79 @@ adcp AS MATERIALIZED (
   JOIN (SELECT vec_id, list_id FROM asg JOIN probed USING (list_id)) a
     ON a.vec_id = e.vec_id
   JOIN lut l ON l.sub_id = e.sub_id AND l.cid = e.cid
+  GROUP BY e.vec_id, a.list_id
+),
+cand AS (
+  SELECT vec_id, list_id, CAST(round(({tsum}) * 1e6) AS BIGINT) AS adc_us
+  FROM adcp
+  ORDER BY adc_us, vec_id LIMIT {rerank}
+)
+SELECT e.vec_id, e.label, c.list_id, c.adc_us,
+       CAST(round(({dist}) * 1e6) AS BIGINT) AS dist_us
+FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, qv q
+ORDER BY dist_us, e.vec_id LIMIT {k}
+"""
+
+
+def ivfpq_residual_sql(
+    query_id: int = 0,
+    k: int = 10,
+    n_lists: int = 7,
+    nprobe: int = 4,
+    n_subvectors: int = 8,
+    sub_dim: int = 8,
+    codebook_k: int = 16,
+    train_pct: int = 25,
+    rerank: int = 200,
+) -> str:
+    """Oracle for ann.ivfpq_residual_topk: the coarse chain and
+    assignment, the residual projection, the PQ fit chain trained on
+    the resid CTE, the residual encode, PER-LIST query-residual lookup
+    tables, and the identical ADC + exact re-rank algebra as
+    ivfpq_topk_sql."""
+    ts, tsum = _adc_terms(n_subvectors)
+    dist = oracles.euclidean_distance_sql("e.embedding", "q.embedding")
+    route = f"CAST(round({_l2sq('q.embedding', 'b.c')} * 1e6) AS BIGINT)"
+    qsl = (
+        f"list_slice(r.v, b.sub_id * {sub_dim} + 1, "
+        f"(b.sub_id + 1) * {sub_dim})"
+    )
+    return f"""
+WITH {coarse_fit_ctes(n_lists=n_lists)},
+{_coarse_assign_cte()},
+resid AS MATERIALIZED (
+  SELECT a.vec_id, a.label, a.list_id,
+         list_transform(list_zip(a.embedding, b.c),
+                        p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+           AS embedding
+  FROM asg a JOIN ccb b ON b.cid = a.list_id
+),
+{_fit_ctes("pq", codebook_k, 8, n_subvectors, sub_dim, train_pct,
+           100_000, source="resid")},
+{_pq_encode_cte(sub_dim, source="resid", name="renc")},
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = {query_id}),
+probed AS (
+  SELECT CAST(b.cid AS INTEGER) AS list_id FROM ccb b, qv q
+  ORDER BY {route}, b.cid LIMIT {nprobe}
+),
+qres AS MATERIALIZED (
+  SELECT p.list_id,
+         list_transform(list_zip(q.embedding, b.c),
+                        p2 -> CAST(p2[1] AS DOUBLE) - CAST(p2[2] AS DOUBLE))
+           AS v
+  FROM probed p JOIN ccb b ON b.cid = p.list_id, qv q
+),
+rlut AS MATERIALIZED (
+  SELECT r.list_id, b.sub_id, b.cid, {_l2sq(qsl, 'b.c')} AS qd2
+  FROM pqcb b, qres r
+),
+adcp AS MATERIALIZED (
+  SELECT e.vec_id, a.list_id, {ts}
+  FROM renc e
+  JOIN (SELECT vec_id, list_id FROM asg JOIN probed USING (list_id)) a
+    ON a.vec_id = e.vec_id
+  JOIN rlut l ON l.list_id = a.list_id AND l.sub_id = e.sub_id
+             AND l.cid = e.cid
   GROUP BY e.vec_id, a.list_id
 ),
 cand AS (
