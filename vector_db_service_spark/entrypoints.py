@@ -1011,6 +1011,15 @@ register(
     opl.bpe_encode_stats_sql(n_merges=5),
 )
 register(
+    # tokenizer fertility by language (r15): tokens-per-word under the
+    # trained merges, per lang in exact integer ppm — the multilingual
+    # tokenizer-equity metric a mixture/pricing decision reads
+    "text_bpe_fertility_by_lang",
+    lambda s, d: textops.bpe_fertility_by_lang(load(s, d, "documents"),
+                                               n_merges=5),
+    opl.bpe_fertility_by_lang_sql(n_merges=5),
+)
+register(
     # corpus-side BPE encode (r14 verdict "missing #4"): the trained
     # word -> n_tokens map (Zipf-reduced final symbol table) broadcast-
     # joined against the tokenized corpus, per-document token budgets
@@ -2983,6 +2992,16 @@ register(
     "sketch_hll_merge",
     lambda s, d: sketches.hll_merge(s, d),
     sketches.hll_merge_sql(),
+)
+register(
+    # Count-Min LINEARITY (r15): two shards' counter tables merge by
+    # elementwise addition and equal the whole-corpus table exactly
+    # (counts add) — the second mergeable-sketch family after
+    # hll_merge's max-merge; the oracle recomputes `whole`
+    # independently so the equality is proven, not constructed
+    "sketch_countmin_merge",
+    lambda s, d: sketches.countmin_merge(s, d),
+    sketches.countmin_merge_sql(),
 )
 register(
     # audience-overlap estimation (r15): per-segment HLL registers,

@@ -656,6 +656,129 @@ FROM est_slice0_v, est_slice1_v, est_merged_v, est_whole_v, ex
 """
 
 
+def countmin_merge(
+    spark: SparkSession, sf_dir: str, key: str = "event_type"
+) -> DataFrame:
+    """The LINEARITY of the Count-Min sketch demonstrated as a
+    checkable query — the second mergeable-sketch family after
+    hll_merge's max-merge: CM counters are sums, so two shards' tables
+    merge by ELEMENTWISE ADDITION and the merged table is bit-identical
+    to the whole-corpus table (not just approximately — counts add).
+    Events split on event_id parity (two ingest days), one counter
+    table per slice, merged = cell-wise sum, and per key the point
+    estimates (min over depth rows) from slice / merged / whole tables
+    plus the exact count. merge == whole is in the output, and the
+    per-slice estimates show the decomposition a shard-parallel
+    pipeline actually runs.
+
+    One scan builds the per-slice cells; everything after is
+    counter-table-sized (depth x width x 2 rows)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col(key).alias("k"), (F.col("event_id") % 2).alias("slc")
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                (_hash52(F.col("k"), f"cm{i}:") % CMS_WIDTH).alias("bucket"),
+            )
+            for i in range(CMS_DEPTH)
+        ]
+    )
+    cells_slice = (
+        ev.select("slc", F.explode(rows).alias("s"))
+        .select("slc", "s.i", "s.bucket")
+        .groupBy("slc", "i", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    merged = cells_slice.groupBy("i", "bucket").agg(F.sum("c").alias("c"))
+    whole = (
+        ev.select(F.explode(rows).alias("s"))
+        .select("s.i", "s.bucket")
+        .groupBy("i", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    exact = ev.groupBy("k").agg(F.count("*").alias("exact_n"))
+    probes = exact.select(
+        "k", "exact_n", F.explode(rows).alias("s")
+    ).select("k", "exact_n", "s.i", "s.bucket")
+
+    def est(cells: DataFrame, out: str) -> DataFrame:
+        return (
+            probes.join(F.broadcast(cells), ["i", "bucket"])
+            .groupBy("k", "exact_n")
+            .agg(F.min("c").cast("long").alias(out))
+        )
+
+    e0 = est(cells_slice.filter(F.col("slc") == 0).drop("slc"), "est_slice0")
+    e1 = est(cells_slice.filter(F.col("slc") == 1).drop("slc"), "est_slice1")
+    em = est(merged, "est_merged")
+    ew = est(whole, "est_whole")
+    return (
+        e0.join(e1, ["k", "exact_n"])
+        .join(em, ["k", "exact_n"])
+        .join(ew, ["k", "exact_n"])
+        .select(
+            F.col("k").alias(key),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            "est_slice0", "est_slice1", "est_merged", "est_whole",
+            (F.col("est_merged") == F.col("est_whole")).alias(
+                "merge_matches_whole"
+            ),
+        )
+    )
+
+
+def countmin_merge_sql(key: str = "event_type") -> str:
+    def h(i: int) -> str:
+        return (
+            f"CAST(concat('0x', substr(md5(concat('cm{i}:', "
+            f"CAST(k AS VARCHAR))), 1, 13)) AS BIGINT) % {CMS_WIDTH}"
+        )
+
+    probes = " UNION ALL ".join(
+        f"SELECT k, exact_n, {i} AS i, {h(i)} AS bucket FROM exact"
+        for i in range(CMS_DEPTH)
+    )
+    cells = " UNION ALL ".join(
+        f"SELECT slc, {i} AS i, {h(i)} AS bucket FROM ev"
+        for i in range(CMS_DEPTH)
+    )
+
+    def est(src: str, out: str) -> str:
+        return f"""{out}_v AS (
+  SELECT p.k, p.exact_n, CAST(min(c.c) AS BIGINT) AS {out}
+  FROM probes p JOIN {src} c ON c.i = p.i AND c.bucket = p.bucket
+  GROUP BY p.k, p.exact_n
+)"""
+
+    return f"""
+WITH ev AS (SELECT {key} AS k, event_id % 2 AS slc FROM events),
+exact AS (SELECT k, CAST(count(*) AS BIGINT) AS exact_n FROM ev GROUP BY k),
+probes AS ({probes}),
+cells_slice AS (
+  SELECT slc, i, bucket, count(*) AS c FROM ({cells}) GROUP BY slc, i, bucket
+),
+s0 AS (SELECT i, bucket, c FROM cells_slice WHERE slc = 0),
+s1 AS (SELECT i, bucket, c FROM cells_slice WHERE slc = 1),
+merged AS (SELECT i, bucket, sum(c) AS c FROM cells_slice GROUP BY i, bucket),
+whole AS (
+  SELECT i, bucket, count(*) AS c FROM ({cells}) GROUP BY i, bucket
+),
+{est('s0', 'est_slice0')},
+{est('s1', 'est_slice1')},
+{est('merged', 'est_merged')},
+{est('whole', 'est_whole')}
+SELECT e0.k AS {key}, e0.exact_n,
+       e0.est_slice0, e1.est_slice1, em.est_merged, ew.est_whole,
+       em.est_merged = ew.est_whole AS merge_matches_whole
+FROM est_slice0_v e0
+JOIN est_slice1_v e1 ON e1.k = e0.k
+JOIN est_merged_v em ON em.k = e0.k
+JOIN est_whole_v ew ON ew.k = e0.k
+"""
+
+
 def hll_intersection(
     spark: SparkSession,
     sf_dir: str,

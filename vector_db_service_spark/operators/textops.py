@@ -1523,6 +1523,40 @@ def _bpe_train(docs: DataFrame, n_merges: int):
     return rows, seqs
 
 
+def bpe_fertility_by_lang(docs: DataFrame, n_merges: int = 5) -> DataFrame:
+    """Tokenizer FERTILITY per language — tokens-per-word under the
+    trained merges, the standard multilingual-tokenizer equity metric:
+    a language whose fertility is high pays more of the context budget
+    per word (and more per-token inference cost), which is exactly the
+    number a mixture/pricing decision needs BY LANGUAGE rather than as
+    bpe_encode_stats' corpus-wide histogram. Same broadcast-join shape
+    as bpe_encode_corpus; fertility is exact integer ppm
+    (tokens * 1e6 DIV words)."""
+    _, seqs = _bpe_train(docs, n_merges)
+    wmap = seqs.select(
+        "w", F.size(F.split("s", " ")).cast("long").alias("n_tokens")
+    )
+    dw = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 1)
+    return (
+        dw.join(F.broadcast(wmap), "w")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_bpe_tokens",
+            F.expr("n_bpe_tokens * 1000000 DIV n_words")
+            .cast("long")
+            .alias("fertility_ppm"),
+        )
+    )
+
+
 def bpe_encode_corpus(docs: DataFrame, n_merges: int = 5) -> DataFrame:
     """The CORPUS-SIDE encode the histogram op documents but did not
     register (r14 verdict "missing #4"): tokens-per-DOCUMENT under the

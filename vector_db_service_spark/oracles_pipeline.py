@@ -1589,6 +1589,30 @@ GROUP BY n_tokens
 """
 
 
+def bpe_fertility_by_lang_sql(n_merges: int = 5) -> str:
+    """Replay of textops.bpe_fertility_by_lang: the unrolled train
+    chain, word -> n_tokens map, per-language token budgets, integer
+    ppm fertility."""
+    chain = ",".join(_bpe_stage_sql(r) for r in range(n_merges))
+    return f"""
+{_bpe_with_prefix(chain)},
+wmap AS MATERIALIZED (
+  SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_tokens
+  FROM s{n_merges}
+),
+dw AS MATERIALIZED (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS w FROM documents
+)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(m.n_tokens) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(m.n_tokens) * 1000000 // count(*) AS BIGINT)
+         AS fertility_ppm
+FROM dw d JOIN wmap m USING (w)
+WHERE length(d.w) >= 1
+GROUP BY d.lang
+"""
+
+
 def bpe_encode_corpus_sql(n_merges: int = 5) -> str:
     """Replay of textops.bpe_encode_corpus: the identical unrolled train
     chain, the word -> n_tokens map off the final symbol table, joined
