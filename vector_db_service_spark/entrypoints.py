@@ -888,6 +888,17 @@ register(
     opl.simhash_near_dups_sql(max_hamming=3),
 )
 register(
+    # simhash radius-tuning curve (r15): cumulative pair volume per
+    # hamming threshold — the knee a dedup operator reads before
+    # picking the radius (the simhash counterpart of the MinHash
+    # S-curve); lossless at every threshold <= 3 by pigeonhole,
+    # re-proven by the quadratic oracle per radius
+    "dedup_simhash_threshold_curve",
+    lambda s, d: dedup.simhash_threshold_curve(load(s, d, "documents"),
+                                               max_hamming=3),
+    opl.simhash_threshold_curve_sql(max_hamming=3),
+)
+register(
     # pointer-doubling variant (O(log diameter) rounds — the 100 TB
     # path); the oracle is the 10-round plain propagation, equal
     # whenever component diameter <= 10 (equality with the plain
@@ -2704,6 +2715,15 @@ register(
     "ann_ivf_multi_query",
     lambda s, d: ann.ivf_multi_query_topk(s, d, k=10, n_lists=7, nprobe=4),
     oracles_quant.ivf_multi_query_sql(k=10, n_lists=7, nprobe=4),
+)
+register(
+    # rerank-budget sweep (r15): recall@10 vs the exact-rerank budget
+    # over ONE ADC ranking (monotone prefix cuts, the nprobe-sweep
+    # trick on the other serving axis) — the knob that prices the
+    # second stage's full-precision reads
+    "ann_ivfpq_rerank_sweep",
+    lambda s, d: ann.ivfpq_rerank_sweep(s, d, query_id=0, k=10),
+    oracles_quant.ivfpq_rerank_sweep_sql(query_id=0, k=10),
 )
 register(
     # RESIDUAL-encoded IVF-PQ (r15): PQ trained and applied on

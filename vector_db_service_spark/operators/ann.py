@@ -1166,6 +1166,118 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_rerank_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    budgets: tuple = (25, 50, 100, 200),
+    n_lists: int = 7,
+    nprobe: int = 4,
+    n_subvectors: int = 8,
+    codebook_k: int = 16,
+    train_pct: int = 25,
+) -> DataFrame:
+    """The OTHER IVF-PQ serving knob, measured: recall@k as a function
+    of the exact-RERANK budget (ann_ivf_recall_sweep measures the
+    nprobe axis; this measures how many ADC survivors must be re-read
+    at full precision before recall saturates — the knob that prices
+    the second stage's random reads). The ADC candidate ranking is
+    computed ONCE; every budget is a prefix of it (the same monotone-
+    prefix trick as the nprobe sweep), so the whole curve costs one
+    routed ADC scan + one exact re-rank of max(budgets) rows + k-sized
+    overlap counts. Truth is the full-scan exact top-k under the same
+    euclidean order. All-integer output (budget, hits, recall_micro)."""
+    import numpy as np
+
+    from .knn import query_vector_row, validate_k
+
+    validate_k(k)
+    emb = load(spark, sf_dir, "embeddings")
+    qv, _ = query_vector_row(spark, sf_dir, query_id)
+    q = [float(x) for x in qv]
+
+    cents = _coarse_centers(spark, sf_dir, n_lists)
+    assigned = emb.select(
+        "vec_id", "label", "embedding", _list_id_expr(cents).alias("list_id")
+    )
+    centers = np.asarray(cents, dtype=np.float64)
+    d2u = np.floor(
+        ((centers - np.asarray(q)) ** 2).sum(axis=1) * 1e6 + 0.5
+    ).astype(np.int64)
+    probed = [int(i) for i in np.lexsort((np.arange(len(d2u)), d2u))[:nprobe]]
+
+    codebooks, sub_dim = _pq_train(
+        emb, n_subvectors=n_subvectors, codebook_k=codebook_k,
+        train_pct=train_pct,
+    )
+    codes_cols, _ = _pq_code_exprs(codebooks, sub_dim)
+    adc_terms = []
+    for s, cbs in enumerate(codebooks):
+        qs = q[s * sub_dim:(s + 1) * sub_dim]
+        lut = [
+            sum((qi - float(ci)) ** 2 for qi, ci in zip(qs, c)) for c in cbs
+        ]
+        lut_sql = "array(" + ", ".join(repr(float(x)) for x in lut) + ")"
+        adc_terms.append(f"element_at({lut_sql}, code{s} + 1)")
+    adc_us = F.round(
+        F.expr(" + ".join(adc_terms)) * F.lit(1e6), 0
+    ).cast("bigint")
+    maxb = max(budgets)
+    cand = (
+        assigned.filter(F.col("list_id").isin(probed))
+        .select("vec_id", *codes_cols)
+        .withColumn("adc_us", adc_us)
+        .orderBy(F.asc("adc_us"), F.asc("vec_id"))
+        .limit(maxb)
+    )
+    # rank over <= max(budgets) rows — bounded, never corpus-sized
+    rank_w = Window.orderBy(F.asc("adc_us"), F.asc("vec_id"))
+    cand = cand.withColumn("adc_rank", F.row_number().over(rank_w)).select(
+        "vec_id", "adc_rank"
+    ).localCheckpoint(eager=False)
+    qlit = sim.vector_lit(q)
+    dist_us = F.round(
+        sim.DISTANCES["euclidean"](F.col("embedding"), qlit) * F.lit(1e6), 0
+    ).cast("bigint")
+    rer = (
+        emb.join(F.broadcast(cand), "vec_id")
+        .withColumn("dist_us", dist_us)
+        .select("vec_id", "adc_rank", "dist_us")
+        .localCheckpoint(eager=False)
+    )
+    exact = (
+        emb.withColumn("dist_us", dist_us)
+        .orderBy(F.asc("dist_us"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id")
+        .localCheckpoint(eager=False)
+    )
+    got = None
+    for b in budgets:
+        g = (
+            rer.filter(F.col("adc_rank") <= b)
+            .orderBy(F.asc("dist_us"), F.asc("vec_id"))
+            .limit(k)
+            .select(F.lit(int(b)).cast("int").alias("budget"), "vec_id")
+        )
+        got = g if got is None else got.unionByName(g)
+    hits = (
+        got.join(exact, "vec_id", "left_semi")
+        .groupBy("budget")
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    bdf = spark.createDataFrame(
+        [(int(b),) for b in budgets], "budget int"
+    )
+    return bdf.join(hits, "budget", "left").select(
+        "budget",
+        F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+        F.expr(f"CAST(coalesce(hits, 0) * 1000000 DIV {k} AS BIGINT)")
+        .alias("recall_micro"),
+    )
+
+
 def _residual_pq_state(
     spark: SparkSession,
     sf_dir: str,

@@ -1510,3 +1510,37 @@ def dedup_mixture_shift(docs: "DataFrame",
         ded_ppm.cast("long").alias("share_dedup_ppm"),
         (ded_ppm - raw_ppm).cast("long").alias("shift_ppm"),
     )
+
+
+def simhash_threshold_curve(docs: "DataFrame",
+                            max_hamming: int = 3) -> "DataFrame":
+    """The SimHash radius-TUNING curve — cumulative near-dup pair
+    volume per hamming threshold, the number a dedup operator reads
+    before picking the radius (the simhash counterpart of the MinHash
+    S-curve table): too tight misses near-dups, too loose merges
+    distinct documents, and the knee of this curve is where the real
+    corpus separates the two. One lossless blocked pair scan (the
+    pigeonhole 4-block join is exact for every threshold <= 3), one
+    4-row grouped count, and a bounded threshold expansion — the curve
+    costs the same as the pair query it tunes. Exact quadratic-scan
+    oracle, so the curve also re-proves losslessness at every radius."""
+    pairs = simhash_near_dups(docs, max_hamming)
+    per = pairs.groupBy("hamming").agg(
+        F.count("*").cast("long").alias("n_at")
+    )
+    spark = docs.sparkSession
+    t = spark.range(0, max_hamming + 1).select(
+        F.col("id").cast("int").alias("threshold")
+    )
+    return (
+        t.join(per, per.hamming <= t.threshold, "left")
+        .groupBy("threshold")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(per.hamming == F.col("threshold"), per.n_at)),
+                F.lit(0),
+            ).cast("long").alias("n_pairs_at"),
+            F.coalesce(F.sum("n_at"), F.lit(0)).cast("long")
+            .alias("n_pairs_cum"),
+        )
+    )

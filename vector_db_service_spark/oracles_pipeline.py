@@ -1663,3 +1663,28 @@ SELECT lang, source, n_tokens_raw, n_tokens_dedup,
 FROM per, tot
 """
     )
+
+
+def simhash_threshold_curve_sql(max_hamming: int = 3) -> str:
+    """Oracle for dedup.simhash_threshold_curve: the naive quadratic
+    hamming scan grouped per distance, expanded cumulatively per
+    threshold."""
+    return f"""
+WITH fp AS (SELECT doc_id, {SIMHASH} AS sh FROM documents),
+per AS (
+  SELECT bit_count(xor(a.sh, b.sh)) AS hamming,
+         CAST(count(*) AS BIGINT) AS n_at
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+  GROUP BY 1
+),
+t AS (SELECT CAST(unnest(range(0, {max_hamming + 1})) AS INTEGER)
+        AS threshold)
+SELECT t.threshold,
+       CAST(coalesce(sum(CASE WHEN per.hamming = t.threshold
+                              THEN per.n_at END), 0) AS BIGINT)
+         AS n_pairs_at,
+       CAST(coalesce(sum(per.n_at), 0) AS BIGINT) AS n_pairs_cum
+FROM t LEFT JOIN per ON per.hamming <= t.threshold
+GROUP BY t.threshold
+"""

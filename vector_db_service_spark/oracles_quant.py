@@ -361,6 +361,82 @@ ORDER BY dist_us, e.vec_id LIMIT {k}
 """
 
 
+def ivfpq_rerank_sweep_sql(
+    query_id: int = 0,
+    k: int = 10,
+    budgets: tuple = (25, 50, 100, 200),
+    n_lists: int = 7,
+    nprobe: int = 4,
+    n_subvectors: int = 8,
+    sub_dim: int = 8,
+) -> str:
+    """Oracle for ann.ivfpq_rerank_sweep: one ADC ranking, per-budget
+    prefix cuts, exact re-rank, overlap against the full-scan exact
+    top-k under the identical euclidean micro-unit order."""
+    ts, tsum = _adc_terms(n_subvectors)
+    dist = oracles.euclidean_distance_sql("e.embedding", "q.embedding")
+    route = f"CAST(round({_l2sq('q.embedding', 'b.c')} * 1e6) AS BIGINT)"
+    blist = ", ".join(str(b) for b in budgets)
+    maxb = max(budgets)
+    return f"""
+WITH {coarse_fit_ctes(n_lists=n_lists)},
+{pq_fit_ctes(n_subvectors=n_subvectors, sub_dim=sub_dim)},
+{_coarse_assign_cte()},
+{_pq_encode_cte(sub_dim)},
+{_lut_cte(query_id, sub_dim)},
+probed AS (
+  SELECT CAST(b.cid AS INTEGER) AS list_id FROM ccb b, qv q
+  ORDER BY {route}, b.cid LIMIT {nprobe}
+),
+adcp AS MATERIALIZED (
+  SELECT e.vec_id, {ts}
+  FROM enc e
+  JOIN (SELECT vec_id FROM asg SEMI JOIN probed USING (list_id)) a
+    ON a.vec_id = e.vec_id
+  JOIN lut l ON l.sub_id = e.sub_id AND l.cid = e.cid
+  GROUP BY e.vec_id
+),
+cand AS MATERIALIZED (
+  SELECT vec_id,
+         row_number() OVER (
+           ORDER BY CAST(round(({tsum}) * 1e6) AS BIGINT), vec_id)
+           AS adc_rank
+  FROM adcp
+  QUALIFY adc_rank <= {maxb}
+),
+rer AS MATERIALIZED (
+  SELECT c.vec_id, c.adc_rank,
+         CAST(round(({dist}) * 1e6) AS BIGINT) AS dist_us
+  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, qv q
+),
+exact AS MATERIALIZED (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+           row_number() OVER (
+             ORDER BY CAST(round(({dist}) * 1e6) AS BIGINT), e.vec_id) AS rn
+    FROM embeddings e, qv q
+  ) WHERE rn <= {k}
+),
+budgets AS (SELECT CAST(unnest([{blist}]) AS INTEGER) AS budget),
+got AS (
+  SELECT budget, vec_id FROM (
+    SELECT bu.budget, r.vec_id,
+           row_number() OVER (PARTITION BY bu.budget
+                              ORDER BY r.dist_us, r.vec_id) AS rn
+    FROM budgets bu JOIN rer r ON r.adc_rank <= bu.budget
+  ) WHERE rn <= {k}
+),
+ov AS (
+  SELECT g.budget, CAST(count(*) AS BIGINT) AS hits
+  FROM got g SEMI JOIN exact e ON e.vec_id = g.vec_id
+  GROUP BY g.budget
+)
+SELECT bu.budget, CAST(coalesce(ov.hits, 0) AS BIGINT) AS hits,
+       CAST(coalesce(ov.hits, 0) * 1000000 // {k} AS BIGINT) AS recall_micro
+FROM budgets bu LEFT JOIN ov USING (budget)
+"""
+
+
 def recall_sweep_sql(
     query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
     k: int = 10,
