@@ -3915,7 +3915,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # tests/test_oracle_parity.py, which runs the identical compare over
 # ALL registered oracles.
 _PRIORITY_50 = [
-    # -- (a) never driver-sampled: the nineteen operators NEW this
+    # -- (a) never driver-sampled: the twenty-one operators NEW this
     # round --
     "stream_ivf_refit", "ann_ivf_multi_query", "ann_knn_classify",
     "ann_link_prediction", "text_bpe_encode_corpus", "mm_video_keyframes",
@@ -3924,7 +3924,8 @@ _PRIORITY_50 = [
     "ann_refit_recall_gain", "ann_ivf_filtered", "sketch_hll_intersection",
     "mm_audio_activity", "pipeline_dedup_mixture_shift", "emb_pca_top2",
     "ann_ivfpq_residual_topk", "sketch_countmin_merge",
-    "text_bpe_fertility_by_lang",
+    "text_bpe_fertility_by_lang", "dedup_simhash_threshold_curve",
+    "ann_ivfpq_rerank_sweep",
     # -- (b) changed this round (r15): the beam-search visited-set fix,
     # the fixed-count-anchor recall truth side, the BPE word-column
     # threading (train chain + encode outputs re-derived), and the PCA
@@ -3945,7 +3946,6 @@ _PRIORITY_50 = [
     "a1_count_by_library", "a9_two_level_agg", "dedup_components",
     "dedup_containment_pairs", "dedup_keep_canonical",
     "dedup_minhash_pairs", "dedup_minhash_recall_vs_exact",
-    "emb_norm_outliers", "emb_spectrum_audit",
 ]
 
 
