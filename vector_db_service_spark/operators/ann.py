@@ -3666,12 +3666,18 @@ def refit_recall_gain(
             .withColumn("label", F.lit(0)),
             k=k,
         ).select("query_id", "vec_id")
-        hits = got.join(exact, ["query_id", "vec_id"], "left_semi").groupBy(
-            "query_id"
-        ).agg(F.count("*").cast("long").alias("hits"))
+        # exact and hits are <= queries * k rows, but the localCheckpoint
+        # hides their size from Catalyst and the planner falls back to a
+        # SortMergeJoin + exchange per branch (plan-audited) — broadcast
+        # the bounded sides explicitly
+        hits = got.join(
+            F.broadcast(exact), ["query_id", "vec_id"], "left_semi"
+        ).groupBy("query_id").agg(
+            F.count("*").cast("long").alias("hits")
+        )
         return (
             queries.select("query_id")
-            .join(hits, "query_id", "left")
+            .join(F.broadcast(hits), "query_id", "left")
             .select(
                 F.lit(method).alias("method"),
                 "query_id",
