@@ -251,6 +251,10 @@ def main() -> None:
     # steal where the builder read 16.9 at the same HEAD) — this
     # counter only moves when OUR processes burn cpu
     cpu_proc: dict[str, float] = {}
+    # names whose process-tree delta underflowed (child exited and was
+    # reparented out of the tree mid-window) — floored to 0 above and
+    # published so compares treat them as "no busy evidence"
+    cpu_proc_underflow: list[str] = []
 
     def _time_one(name: str, fn, record_error: bool = True) -> float | None:
         """One fully-materialized timed execution; None on error."""
@@ -280,7 +284,17 @@ def main() -> None:
         # representative execution, which is all attribution needs
         cpu_busy[name] = round(b1 - b0, 2)
         cpu_steal[name] = round(s1 - s0, 2)
-        cpu_proc[name] = round(p1 - p0, 2)
+        dp = round(p1 - p0, 2)
+        if dp < 0:
+            # a long-lived child (streaming worker) exited mid-window and
+            # was reparented outside our tree, taking its cumulative time
+            # with it (r15 verdict #3: stream_click_purchase_join read
+            # -124.8). Floor at 0 and FLAG it: a flagged row carries NO
+            # busy evidence, and bench_compare must not read the floored
+            # 0 as "flat busy" when splitting plan flags from host noise.
+            cpu_proc_underflow.append(name)
+            dp = 0.0
+        cpu_proc[name] = dp
         return wall
 
     # pinned calibration probe: a fixed 1-row aggregate whose plan never
@@ -562,6 +576,7 @@ def main() -> None:
         "cpu_busy_sec": cpu_busy,
         "cpu_steal_sec": cpu_steal,
         "cpu_proc_sec": cpu_proc,
+        "cpu_proc_underflow": sorted(set(cpu_proc_underflow)),
         "sweep_pos": sweep_pos,
         "sf": sf,
     }

@@ -72,6 +72,16 @@ def main() -> None:
     qo, qn = old["queries"], new["queries"]
     bo = old.get("cpu_proc_sec") or {}
     bn = new.get("cpu_proc_sec") or {}
+    # rows whose process-tree counter underflowed (child reparented out
+    # of the tree mid-window; bench floors them to 0 and flags them)
+    # carry NO busy evidence — drop them from the busy maps so the
+    # flat-busy split cannot misread a floored 0 as "plan unchanged"
+    # (r15 verdict #3)
+    for uf in set(old.get("cpu_proc_underflow") or []) | set(
+        new.get("cpu_proc_underflow") or []
+    ):
+        bo.pop(uf, None)
+        bn.pop(uf, None)
 
     def _floors(detail: dict) -> dict[str, float]:
         out = dict(detail.get("spread", {}))

@@ -2717,13 +2717,15 @@ register(
     oracles_quant.ivf_multi_query_sql(k=10, n_lists=7, nprobe=4),
 )
 register(
-    # rerank-budget sweep (r15): recall@10 vs the exact-rerank budget
-    # over ONE ADC ranking (monotone prefix cuts, the nprobe-sweep
-    # trick on the other serving axis) — the knob that prices the
-    # second stage's full-precision reads
+    # rerank-budget sweep (r15; r16 averages it over the same 10-query
+    # set ann_ivf_multi_query serves — r15 verdict #4: one query's
+    # recall curve is too noisy to set a serving knob by): recall@10 vs
+    # the exact-rerank budget over ONE ADC ranking per query (monotone
+    # prefix cuts, the nprobe-sweep trick on the other serving axis) —
+    # the knob that prices the second stage's full-precision reads
     "ann_ivfpq_rerank_sweep",
-    lambda s, d: ann.ivfpq_rerank_sweep(s, d, query_id=0, k=10),
-    oracles_quant.ivfpq_rerank_sweep_sql(query_id=0, k=10),
+    lambda s, d: ann.ivfpq_rerank_sweep(s, d, query_ids=list(range(10)), k=10),
+    oracles_quant.ivfpq_rerank_sweep_sql(query_ids=tuple(range(10)), k=10),
 )
 register(
     # RESIDUAL-encoded IVF-PQ (r15): PQ trained and applied on

@@ -1169,7 +1169,7 @@ def ivfpq_topk(
 def ivfpq_rerank_sweep(
     spark: SparkSession,
     sf_dir: str,
-    query_id: int = 0,
+    query_ids: list[int] | None = None,
     k: int = 10,
     budgets: tuple = (25, 50, 100, 200),
     n_lists: int = 7,
@@ -1182,98 +1182,158 @@ def ivfpq_rerank_sweep(
     of the exact-RERANK budget (ann_ivf_recall_sweep measures the
     nprobe axis; this measures how many ADC survivors must be re-read
     at full precision before recall saturates — the knob that prices
-    the second stage's random reads). The ADC candidate ranking is
-    computed ONCE; every budget is a prefix of it (the same monotone-
-    prefix trick as the nprobe sweep), so the whole curve costs one
-    routed ADC scan + one exact re-rank of max(budgets) rows + k-sized
-    overlap counts. Truth is the full-scan exact top-k under the same
-    euclidean order. All-integer output (budget, hits, recall_micro)."""
+    the second stage's random reads), AVERAGED over a query set (r15
+    verdict #4: a one-query recall curve is too high-variance to set a
+    serving knob by; this uses the same id set ann_ivf_multi_query
+    serves, the discipline ann_refit_recall_gain already follows).
+
+    Per query the ADC candidate ranking is computed ONCE; every budget
+    is a prefix of it (the same monotone-prefix trick as the nprobe
+    sweep), so the whole curve costs one routed ADC scan, one exact
+    re-rank of queries x max(budgets) rows, and k-sized overlap counts.
+    The per-query top-max(budget) cut rides multi_query_topk's map-side
+    partial top-k (never a corpus-wide window); the budget-cut window
+    runs over the <= queries * max(budgets) re-ranked rows only. Truth
+    is the per-query full-scan exact top-k under the identical
+    euclidean micro-unit order. All-integer output
+    (budget, hits, recall_micro) where hits sums over the query set and
+    recall_micro = hits * 1e6 div (k * n_queries) — the mean curve."""
     import numpy as np
 
-    from .knn import query_vector_row, validate_k
+    from .knn import validate_k
 
     validate_k(k)
+    query_ids = list(query_ids if query_ids is not None else range(10))
+    nq = len(query_ids)
     emb = load(spark, sf_dir, "embeddings")
-    qv, _ = query_vector_row(spark, sf_dir, query_id)
-    q = [float(x) for x in qv]
+    # bounded collect: per-query vectors feed the driver-built probe
+    # maps and ADC LUTs (nq * n_lists + nq * n_sub * k_code doubles —
+    # index state, never data)
+    qrows = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(query_ids)).collect()
+    }
+    absent = sorted(set(query_ids) - set(qrows))
+    if absent:
+        raise ValueError(
+            f"ivfpq_rerank_sweep: query ids not in the corpus: {absent}"
+        )
 
     cents = _coarse_centers(spark, sf_dir, n_lists)
     assigned = emb.select(
         "vec_id", "label", "embedding", _list_id_expr(cents).alias("list_id")
     )
     centers = np.asarray(cents, dtype=np.float64)
-    d2u = np.floor(
-        ((centers - np.asarray(q)) ** 2).sum(axis=1) * 1e6 + 0.5
-    ).astype(np.int64)
-    probed = [int(i) for i in np.lexsort((np.arange(len(d2u)), d2u))[:nprobe]]
+    probe_rows = []
+    for qid in query_ids:
+        d2u = np.floor(
+            ((centers - np.asarray(qrows[qid])) ** 2).sum(axis=1) * 1e6 + 0.5
+        ).astype(np.int64)
+        probe_rows += [
+            (int(qid), int(lid))
+            for lid in np.lexsort((np.arange(len(d2u)), d2u))[:nprobe]
+        ]
+    probe_map = spark.createDataFrame(
+        probe_rows, "query_id bigint, list_id int"
+    )
 
     codebooks, sub_dim = _pq_train(
         emb, n_subvectors=n_subvectors, codebook_k=codebook_k,
         train_pct=train_pct,
     )
     codes_cols, _ = _pq_code_exprs(codebooks, sub_dim)
-    adc_terms = []
-    for s, cbs in enumerate(codebooks):
-        qs = q[s * sub_dim:(s + 1) * sub_dim]
-        lut = [
-            sum((qi - float(ci)) ** 2 for qi, ci in zip(qs, c)) for c in cbs
-        ]
-        lut_sql = "array(" + ", ".join(repr(float(x)) for x in lut) + ")"
-        adc_terms.append(f"element_at({lut_sql}, code{s} + 1)")
-    adc_us = F.round(
-        F.expr(" + ".join(adc_terms)) * F.lit(1e6), 0
-    ).cast("bigint")
-    maxb = max(budgets)
-    cand = (
-        assigned.filter(F.col("list_id").isin(probed))
-        .select("vec_id", *codes_cols)
-        .withColumn("adc_us", adc_us)
-        .orderBy(F.asc("adc_us"), F.asc("vec_id"))
-        .limit(maxb)
+    # per-query LUTs as one broadcast frame: luts[s][c] = ||q_s - cb||^2,
+    # the identical Python left-to-right accumulation the single-query
+    # form inlined as literals (parity: DuckDB's list_sum replays it)
+    lut_rows = []
+    for qid in query_ids:
+        q = qrows[qid]
+        luts = []
+        for s, cbs in enumerate(codebooks):
+            qs = q[s * sub_dim:(s + 1) * sub_dim]
+            luts.append([
+                float(sum((qi - float(ci)) ** 2 for qi, ci in zip(qs, c)))
+                for c in cbs
+            ])
+        lut_rows.append((int(qid), luts))
+    lutdf = spark.createDataFrame(
+        lut_rows, "query_id bigint, luts array<array<double>>"
     )
-    # rank over <= max(budgets) rows — bounded, never corpus-sized
-    rank_w = Window.orderBy(F.asc("adc_us"), F.asc("vec_id"))
-    cand = cand.withColumn("adc_rank", F.row_number().over(rank_w)).select(
-        "vec_id", "adc_rank"
+    adc_sum = " + ".join(
+        f"element_at(element_at(luts, {s + 1}), code{s} + 1)"
+        for s in range(len(codebooks))
+    )
+    adc_us = F.round(F.expr(adc_sum) * F.lit(1e6), 0).cast("bigint")
+    maxb = max(budgets)
+    # route: each vector joins exactly the queries probing its list
+    # (~nq * nprobe / n_lists of the corpus scored), then per-query
+    # top-max(budgets) by ADC via the map-side partial top-k — the
+    # -adc_us double is exact (|adc_us| << 2^53), so (score desc,
+    # vec_id) == (adc_us asc, vec_id asc)
+    cand = multi_query_topk(
+        assigned.join(F.broadcast(probe_map), "list_id")
+        .select("query_id", "vec_id", *codes_cols)
+        .join(F.broadcast(lutdf), "query_id")
+        .select(
+            "query_id", "vec_id",
+            (-adc_us).cast("double").alias("score"),
+        ),
+        k=maxb,
+        payload=(),
+    ).select(
+        "query_id", "vec_id", F.col("rnk").alias("adc_rank")
     ).localCheckpoint(eager=False)
-    qlit = sim.vector_lit(q)
+    qdf = spark.createDataFrame(
+        [(int(qid), qrows[qid]) for qid in query_ids],
+        "query_id bigint, qv array<double>",
+    )
     dist_us = F.round(
-        sim.DISTANCES["euclidean"](F.col("embedding"), qlit) * F.lit(1e6), 0
+        sim.DISTANCES["euclidean"](F.col("embedding"), F.col("qv"))
+        * F.lit(1e6),
+        0,
     ).cast("bigint")
     rer = (
         emb.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qdf), "query_id")
         .withColumn("dist_us", dist_us)
-        .select("vec_id", "adc_rank", "dist_us")
+        .select("query_id", "vec_id", "adc_rank", "dist_us")
         .localCheckpoint(eager=False)
     )
-    exact = (
-        emb.withColumn("dist_us", dist_us)
-        .orderBy(F.asc("dist_us"), F.asc("vec_id"))
-        .limit(k)
-        .select("vec_id")
-        .localCheckpoint(eager=False)
-    )
-    got = None
-    for b in budgets:
-        g = (
-            rer.filter(F.col("adc_rank") <= b)
-            .orderBy(F.asc("dist_us"), F.asc("vec_id"))
-            .limit(k)
-            .select(F.lit(int(b)).cast("int").alias("budget"), "vec_id")
+    exact = multi_query_topk(
+        emb.join(F.broadcast(qdf))
+        .withColumn("dist_us", dist_us)
+        .select(
+            "query_id", "vec_id",
+            (-F.col("dist_us")).cast("double").alias("score"),
+        ),
+        k=k,
+        payload=(),
+    ).select("query_id", "vec_id").localCheckpoint(eager=False)
+    bdf = spark.createDataFrame([(int(b),) for b in budgets], "budget int")
+    # the window runs over <= nq * max(budgets) * len(budgets) rows —
+    # bounded by the serving knobs, never corpus-sized
+    got = (
+        rer.join(F.broadcast(bdf), F.col("adc_rank") <= F.col("budget"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("budget", "query_id").orderBy(
+                    F.asc("dist_us"), F.asc("vec_id")
+                )
+            ),
         )
-        got = g if got is None else got.unionByName(g)
+        .filter(F.col("rn") <= k)
+        .select("budget", "query_id", "vec_id")
+    )
     hits = (
-        got.join(exact, "vec_id", "left_semi")
+        got.join(F.broadcast(exact), ["query_id", "vec_id"], "left_semi")
         .groupBy("budget")
         .agg(F.count("*").cast("long").alias("hits"))
-    )
-    bdf = spark.createDataFrame(
-        [(int(b),) for b in budgets], "budget int"
     )
     return bdf.join(hits, "budget", "left").select(
         "budget",
         F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
-        F.expr(f"CAST(coalesce(hits, 0) * 1000000 DIV {k} AS BIGINT)")
+        F.expr(f"CAST(coalesce(hits, 0) * 1000000 DIV {k * nq} AS BIGINT)")
         .alias("recall_micro"),
     )
 
@@ -2846,7 +2906,9 @@ def pca_power_iteration(
     return spark.createDataFrame(out, "dim_idx int, v_scaled long")
 
 
-def _pca_gram(spark: SparkSession, sf_dir: str, op_name: str):
+def _pca_gram(
+    spark: SparkSession, sf_dir: str, op_name: str, vmax_units: int = 2
+):
     """Shared Gram stage of the PCA family: the quantized integer
     second-moment matrix as a dict (dim^2 rows collected once — bounded
     by index state, never data) plus the measured-magnitude int64
@@ -2867,15 +2929,24 @@ def _pca_gram(spark: SparkSession, sf_dir: str, op_name: str):
     # covered max|x| up to ~sqrt(2) — a larger corpus component could
     # pass the guard yet wrap silently). One cheap aggregate gives
     # maxq = max|round(x * Q_SCALE)|; then |G[i,j]| <= n * maxq^2 and,
-    # with the rescale keeping max|v| < 2 * V_SCALE, each matvec term
-    # sum is < dim * n * maxq^2 * 2 * V_SCALE — require that < 2^63.
+    # with the rescale keeping max|v| < vmax_units * V_SCALE, each
+    # matvec term sum is < dim * n * maxq^2 * vmax_units * V_SCALE —
+    # require that < 2^63. The plain power chain rescales to
+    # max|v| < 2 * V_SCALE (vmax_units=2); the DEFLATED chain subtracts
+    # the v1 projection AFTER the rescale, which can grow a component by
+    # up to ||v||_2 <= sqrt(dim) * max|v|, so pca_top2 passes
+    # vmax_units = 2 * (1 + ceil(sqrt(dim))) (r15 advisor: the 2x
+    # headroom under-protected the second chain).
     maxq = (
         q.agg(
             F.max(F.expr("array_max(transform(qv, x -> abs(x)))")).alias("m")
         ).head()["m"]
         or 0
     )
-    if n * max(int(maxq), 1) ** 2 * PCA_V_SCALE * dim >= 2 ** 62:
+    if (
+        n * max(int(maxq), 1) ** 2 * PCA_V_SCALE * dim * vmax_units
+        >= 2 ** 63
+    ):
         raise ValueError(
             f"{op_name}: {n} rows x dim {dim} at measured "
             f"max|q|={maxq} exceeds the int64 envelope; shard the corpus "
@@ -2958,7 +3029,13 @@ def pca_top2(
     gap, and 64 rounds measured cos 0.987 vs numpy's e2 while 96
     reaches 0.9992 — the same gap-aware rounds choice the r14 PCA
     documented."""
-    dim, G = _pca_gram(spark, sf_dir, op_name="pca_top2")
+    import math
+
+    dim0 = embedding_dim(sf_dir)
+    dim, G = _pca_gram(
+        spark, sf_dir, op_name="pca_top2",
+        vmax_units=2 * (1 + math.isqrt(dim0 - 1) + 1),
+    )
     v1 = _pca_iterate(G, dim, rounds)
     v2 = _pca_iterate(G, dim, rounds2, project_out=v1)
     out = [(i + 1, v1[i], v2[i]) for i in range(dim)]
@@ -3627,6 +3704,13 @@ def refit_recall_gain(
         int(r["vec_id"]): list(r["embedding"])
         for r in post.filter(F.col("vec_id").isin(query_ids)).collect()
     }
+    absent = sorted(set(query_ids) - set(qrows))
+    if absent:
+        # mirror the knn paths' query_vector_rows contract instead of an
+        # opaque KeyError from qrows[qid] (r15 advisor)
+        raise ValueError(
+            f"refit_recall_gain: query ids not in the corpus: {absent}"
+        )
     queries = spark.createDataFrame(
         [(qid, [float(x) for x in qrows[qid]]) for qid in query_ids],
         "query_id bigint, qv array<double>",

@@ -440,8 +440,11 @@ def ivf_refit_sql(n_lists: int = 7, lloyd_iters: int = 8,
     )
     d2_old = oracles_quant._l2sq("e.embedding", "b.c")
     d2_new = oracles_quant._l2sq("e.embedding", "b.c")
+    # sub_dim is ignored at n_sub == 1: the chain takes the whole vector
+    # and is dimension-agnostic (r15 advisor — a 64 literal here
+    # silently truncated the fit on any non-64-dim corpus)
     fit = oracles_quant._fit_ctes(
-        "r", n_lists, lloyd_iters, 1, 64, None, train_cap, source="post"
+        "r", n_lists, lloyd_iters, 1, 0, None, train_cap, source="post"
     )
 
     def asg(cb: str, name: str) -> str:

@@ -704,10 +704,15 @@ def countmin_merge(
     ).select("k", "exact_n", "s.i", "s.bucket")
 
     def est(cells: DataFrame, out: str) -> DataFrame:
+        # LEFT join + coalesce-to-0: a key whose hashed bucket holds no
+        # cell in this table has counter 0 there, and the CM point
+        # estimate is min over ALL depth rows — an inner join would drop
+        # the key from a slice it never touched instead of estimating 0
+        # (r15 advisor)
         return (
-            probes.join(F.broadcast(cells), ["i", "bucket"])
+            probes.join(F.broadcast(cells), ["i", "bucket"], "left")
             .groupBy("k", "exact_n")
-            .agg(F.min("c").cast("long").alias(out))
+            .agg(F.min(F.coalesce("c", F.lit(0))).cast("long").alias(out))
         )
 
     e0 = est(cells_slice.filter(F.col("slc") == 0).drop("slc"), "est_slice0")
@@ -746,9 +751,10 @@ def countmin_merge_sql(key: str = "event_type") -> str:
     )
 
     def est(src: str, out: str) -> str:
+        # left join + coalesce mirrors the engine: empty counter cell = 0
         return f"""{out}_v AS (
-  SELECT p.k, p.exact_n, CAST(min(c.c) AS BIGINT) AS {out}
-  FROM probes p JOIN {src} c ON c.i = p.i AND c.bucket = p.bucket
+  SELECT p.k, p.exact_n, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS {out}
+  FROM probes p LEFT JOIN {src} c ON c.i = p.i AND c.bucket = p.bucket
   GROUP BY p.k, p.exact_n
 )"""
 

@@ -65,6 +65,23 @@ def _fit_ctes(
     on (the IVF refit oracle trains on the post-mutation corpus CTE)."""
     p = prefix
     where = f"WHERE {_BUCKET} < {train_pct}" if train_pct is not None else ""
+    # the COARSE quantizer (n_sub == 1) trains on the whole vector: take
+    # it directly and drive the mean-recompute index range off len(v),
+    # so the chain is dimension-agnostic — a sub_dim literal that
+    # disagreed with the corpus dim silently truncated the fit (r15
+    # advisor: refit chains hardcoded 64)
+    whole = n_sub == 1
+    slice_v = (
+        "embedding"
+        if whole
+        else (
+            f"list_slice(embedding, subs.sub_id * {sub_dim} + 1, "
+            f"(subs.sub_id + 1) * {sub_dim})"
+        )
+    )
+    di_range = (
+        "range(1, len(v) + 1)" if whole else f"range(1, {sub_dim} + 1)"
+    )
     ctes = [
         f"""{p}samp AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY {_H}, vec_id) AS rid, embedding
@@ -73,9 +90,7 @@ def _fit_ctes(
 )""",
         f"""{p}sub AS MATERIALIZED (
   SELECT rid, subs.sub_id,
-         list_transform(list_slice(embedding, subs.sub_id * {sub_dim} + 1,
-                                   (subs.sub_id + 1) * {sub_dim}),
-                        x -> CAST(x AS DOUBLE)) AS v
+         list_transform({slice_v}, x -> CAST(x AS DOUBLE)) AS v
   FROM {p}samp, (SELECT unnest(range({n_sub})) AS sub_id) subs
 )""",
         f"""{p}c0 AS MATERIALIZED (
@@ -102,7 +117,7 @@ def _fit_ctes(
     SELECT sub_id, cid, list(mv ORDER BY di) AS c FROM (
       SELECT sub_id, cid, di, round(avg(val), 6) AS mv
       FROM (SELECT sub_id, cid, unnest(v) AS val,
-                   unnest(range(1, {sub_dim} + 1)) AS di FROM {p}a{t})
+                   unnest({di_range}) AS di FROM {p}a{t})
       GROUP BY sub_id, cid, di
     ) GROUP BY sub_id, cid
   ) nxt ON nxt.sub_id = prev.sub_id AND nxt.cid = prev.cid
@@ -127,11 +142,13 @@ def pq_fit_ctes(
 def coarse_fit_ctes(
     n_lists: int = 7,
     iters: int = 8,
-    dim: int = 64,
+    dim: int = 0,  # unused: the n_sub==1 chain is dimension-agnostic
     train_cap: int = 100_000,
 ) -> str:
-    # prefix "c" -> final CTE name "ccb"
-    return _fit_ctes("c", n_lists, iters, 1, dim, None, train_cap)
+    # prefix "c" -> final CTE name "ccb"; sub_dim is irrelevant at
+    # n_sub == 1 (_fit_ctes takes the whole vector and drives the mean
+    # index range off len(v))
+    return _fit_ctes("c", n_lists, iters, 1, 0, None, train_cap)
 
 
 def _pq_encode_cte(sub_dim: int = 8, source: str = "embeddings",
@@ -362,7 +379,7 @@ ORDER BY dist_us, e.vec_id LIMIT {k}
 
 
 def ivfpq_rerank_sweep_sql(
-    query_id: int = 0,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9),
     k: int = 10,
     budgets: tuple = (25, 50, 100, 200),
     n_lists: int = 7,
@@ -370,12 +387,20 @@ def ivfpq_rerank_sweep_sql(
     n_subvectors: int = 8,
     sub_dim: int = 8,
 ) -> str:
-    """Oracle for ann.ivfpq_rerank_sweep: one ADC ranking, per-budget
-    prefix cuts, exact re-rank, overlap against the full-scan exact
-    top-k under the identical euclidean micro-unit order."""
+    """Oracle for ann.ivfpq_rerank_sweep: per-query ADC ranking over the
+    routed lists, per-budget prefix cuts, exact re-rank, overlap against
+    each query's full-scan exact top-k under the identical euclidean
+    micro-unit order — summed over the query set (mean recall in micro
+    units; r15 verdict #4 moved the curve from one query to a set)."""
     ts, tsum = _adc_terms(n_subvectors)
-    dist = oracles.euclidean_distance_sql("e.embedding", "q.embedding")
-    route = f"CAST(round({_l2sq('q.embedding', 'b.c')} * 1e6) AS BIGINT)"
+    dist = oracles.euclidean_distance_sql("e.embedding", "q.qv")
+    route = f"CAST(round({_l2sq('q.qv', 'b.c')} * 1e6) AS BIGINT)"
+    sl_q = (
+        f"list_slice(q.qv, b.sub_id * {sub_dim} + 1, "
+        f"(b.sub_id + 1) * {sub_dim})"
+    )
+    ids = ", ".join(str(i) for i in query_ids)
+    nq = len(query_ids)
     blist = ", ".join(str(b) for b in budgets)
     maxb = max(budgets)
     return f"""
@@ -383,56 +408,71 @@ WITH {coarse_fit_ctes(n_lists=n_lists)},
 {pq_fit_ctes(n_subvectors=n_subvectors, sub_dim=sub_dim)},
 {_coarse_assign_cte()},
 {_pq_encode_cte(sub_dim)},
-{_lut_cte(query_id, sub_dim)},
-probed AS (
-  SELECT CAST(b.cid AS INTEGER) AS list_id FROM ccb b, qv q
-  ORDER BY {route}, b.cid LIMIT {nprobe}
+qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       WHERE vec_id IN ({ids})),
+lut AS MATERIALIZED (
+  SELECT q.query_id, b.sub_id, b.cid, {_l2sq(sl_q, 'b.c')} AS qd2
+  FROM pqcb b, qs q
+),
+probed AS MATERIALIZED (
+  SELECT query_id, list_id FROM (
+    SELECT q.query_id, CAST(b.cid AS INTEGER) AS list_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {route}, b.cid) AS rn
+    FROM ccb b, qs q
+  ) WHERE rn <= {nprobe}
 ),
 adcp AS MATERIALIZED (
-  SELECT e.vec_id, {ts}
+  SELECT r.query_id, e.vec_id, {ts}
   FROM enc e
-  JOIN (SELECT vec_id FROM asg SEMI JOIN probed USING (list_id)) a
-    ON a.vec_id = e.vec_id
-  JOIN lut l ON l.sub_id = e.sub_id AND l.cid = e.cid
-  GROUP BY e.vec_id
+  JOIN (SELECT p.query_id, a.vec_id
+        FROM asg a JOIN probed p ON p.list_id = a.list_id) r
+    ON r.vec_id = e.vec_id
+  JOIN lut l ON l.query_id = r.query_id
+            AND l.sub_id = e.sub_id AND l.cid = e.cid
+  GROUP BY r.query_id, e.vec_id
 ),
 cand AS MATERIALIZED (
-  SELECT vec_id,
-         row_number() OVER (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
            ORDER BY CAST(round(({tsum}) * 1e6) AS BIGINT), vec_id)
            AS adc_rank
   FROM adcp
   QUALIFY adc_rank <= {maxb}
 ),
 rer AS MATERIALIZED (
-  SELECT c.vec_id, c.adc_rank,
+  SELECT c.query_id, c.vec_id, c.adc_rank,
          CAST(round(({dist}) * 1e6) AS BIGINT) AS dist_us
-  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, qv q
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN qs q ON q.query_id = c.query_id
 ),
 exact AS MATERIALIZED (
-  SELECT vec_id FROM (
-    SELECT e.vec_id,
-           row_number() OVER (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
              ORDER BY CAST(round(({dist}) * 1e6) AS BIGINT), e.vec_id) AS rn
-    FROM embeddings e, qv q
+    FROM embeddings e, qs q
   ) WHERE rn <= {k}
 ),
 budgets AS (SELECT CAST(unnest([{blist}]) AS INTEGER) AS budget),
 got AS (
-  SELECT budget, vec_id FROM (
-    SELECT bu.budget, r.vec_id,
-           row_number() OVER (PARTITION BY bu.budget
+  SELECT budget, query_id, vec_id FROM (
+    SELECT bu.budget, r.query_id, r.vec_id,
+           row_number() OVER (PARTITION BY bu.budget, r.query_id
                               ORDER BY r.dist_us, r.vec_id) AS rn
     FROM budgets bu JOIN rer r ON r.adc_rank <= bu.budget
   ) WHERE rn <= {k}
 ),
 ov AS (
   SELECT g.budget, CAST(count(*) AS BIGINT) AS hits
-  FROM got g SEMI JOIN exact e ON e.vec_id = g.vec_id
+  FROM got g SEMI JOIN exact e
+    ON e.query_id = g.query_id AND e.vec_id = g.vec_id
   GROUP BY g.budget
 )
 SELECT bu.budget, CAST(coalesce(ov.hits, 0) AS BIGINT) AS hits,
-       CAST(coalesce(ov.hits, 0) * 1000000 // {k} AS BIGINT) AS recall_micro
+       CAST(coalesce(ov.hits, 0) * 1000000 // {k * nq} AS BIGINT)
+         AS recall_micro
 FROM budgets bu LEFT JOIN ov USING (budget)
 """
 
@@ -547,11 +587,14 @@ def refit_recall_gain_sql(
     (ccb), the x4-drifted post corpus, the post-corpus refit chain
     (rcb via _fit_ctes(source='post')), both unrounded-argmin
     assignments, one scored pass, and per-query routed top-k overlap
-    against the exact top-k — all replayed with zero pinned state."""
+    against the exact top-k — all replayed with zero pinned state. The
+    fit chains are dimension-AGNOSTIC (r15 advisor: a hardcoded
+    sub_dim=64 silently truncated the fit on any other corpus —
+    _fit_ctes now takes the whole vector at n_sub == 1)."""
     cos_pair = oracles.cosine_sql("p.embedding", "q.qv")
     cos_pre = oracles.cosine_sql("b.c", "q.qv")
     ids = ", ".join(str(i) for i in query_ids)
-    refit = _fit_ctes("r", n_lists, lloyd_iters, 1, 64, None, train_cap,
+    refit = _fit_ctes("r", n_lists, lloyd_iters, 1, 0, None, train_cap,
                       source="post")
 
     def asg(cb: str, name: str, col: str) -> str:
