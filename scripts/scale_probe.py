@@ -116,6 +116,13 @@ PROBES = [
     "ann_refit_recall_gain",
     "emb_pca_top2",
     "mm_audio_activity",
+    # round-16: the maintained-graph SERVED walk (lifecycle + walk; the
+    # beam_walk_only row below isolates the walk itself), the chained
+    # refit->recall lifecycle on the stored bytes, and the rerank sweep
+    # now averaged over the 10-query serving set
+    "ann_beam_search_served",
+    "stream_ivf_refit_served",
+    "ann_ivfpq_rerank_sweep",
 ]
 # lineitem-backed queries only have real data at the source SFs; the
 # synthetic corpus scales documents/embeddings/events 10x and reuses

@@ -1605,11 +1605,15 @@ register(
 
 def _graph_beam_sql(
     query_id: int = 0, k: int = 10, beam: int = 8, rounds: int = 2,
-    sample_mod: int = 16, m: int = 3,
+    sample_mod: int = 16, m: int = 3, served: bool = False,
 ) -> str:
     """Mirror of ann.graph_beam_search: the identical walk unrolled —
     entry-layer scores, per-round frontier cut + neighbor expansion,
-    final top-k over the visited set."""
+    final top-k over the visited set. With `served`, the walk runs in
+    the MAINTAINED-index world (streaming.beam_search_served): corpus =
+    the post-mutation state, edges = the banded knn_join algebra over
+    it — exactly what the maintenance stream's store holds (pinned
+    equal in tests and by the stream_knn_graph_maintenance oracle)."""
     stages = []
     for r in range(rounds):
         stages.append(f"""
@@ -1628,13 +1632,28 @@ v{r + 1} AS MATERIALIZED (
 )""")
     chain = ",".join(stages)
     cos = oracles.METRIC_SQL["cosine"]("e.embedding", "q.qv")
+    if served:
+        src = "post"
+        pre = """post AS MATERIALIZED (
+  SELECT vec_id, label,
+         CASE WHEN label IN (1, 2) AND vec_id % 7 = 3
+              THEN list_transform(embedding, x -> -x)
+              ELSE embedding END AS embedding
+  FROM embeddings
+),
+"""
+        kj = _knn_join_post_body(m=m)
+    else:
+        src = "embeddings"
+        pre = ""
+        kj = _knn_join_sql(m=m)
     return f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_id}),
+WITH {pre}q AS (SELECT embedding AS qv FROM {src} WHERE vec_id = {query_id}),
 scored_all AS MATERIALIZED (
-  SELECT e.vec_id, e.label, round({cos}, 6) AS score FROM embeddings e, q
+  SELECT e.vec_id, e.label, round({cos}, 6) AS score FROM {src} e, q
 ),
 base_kj AS MATERIALIZED (
-  SELECT src, dst FROM ({_knn_join_sql(m=m)})
+  SELECT src, dst FROM ({kj})
 ),
 und AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (
@@ -2748,6 +2767,20 @@ register(
     oracles_quant.refit_recall_gain_sql(k=10, n_lists=7, nprobe=4),
 )
 register(
+    # trigger -> refit -> serving gain ON THE SAME BYTES (r16, r15
+    # verdict #6): the full stream_ivf_refit lifecycle runs first, then
+    # recall@10 is measured with post_refit routing read FROM the refit
+    # store's list_id column. The oracle is ann_refit_recall_gain's —
+    # the hash match proves serving from the stored artifact reproduces
+    # the re-derived numbers, chaining the two halves the r15 ops left
+    # independent.
+    "stream_ivf_refit_served",
+    lambda s, d: stream_ops.ivf_refit_lifecycle_recall(
+        s, d, k=10, n_lists=7, nprobe=4
+    ),
+    oracles_quant.refit_recall_gain_sql(k=10, n_lists=7, nprobe=4),
+)
+register(
     # FILTERED search on the trained index (r15): the metadata
     # predicate (documents lang semi-join) restricts candidates BEFORE
     # scoring, composing multiplicatively with the probe fraction —
@@ -2843,23 +2876,17 @@ register(
     lambda s, d: stream_ops.late_data_audit_stream(s, d),
     stream_ops.late_data_audit_sql(),
 )
-def _knn_join_post_sql(m: int = 3, dim: int = _DIM, band_bits: int = 2) -> str:
-    """The banded knn_join algebra over the POST-STATE embeddings (the
-    index-maintenance mutation log applied: labels 1/2, vec_id % 7 = 3,
-    IEEE-exact negation) — the oracle of the maintained k-NN graph."""
+def _knn_join_post_body(m: int = 3, dim: int = _DIM,
+                        band_bits: int = 2) -> str:
+    """The banded knn_join algebra over an in-scope `post` CTE — shared
+    by the maintained-graph oracle and the served-walk oracle (both
+    consume the graph the maintenance stream stores)."""
     from .operators.lsh import NUM_HASHES, SEED, hyperplanes
 
     planes = hyperplanes(dim, NUM_HASHES, SEED)
     cos = oracles.METRIC_SQL["cosine"]("a.embedding", "b.embedding")
     return f"""
-WITH post AS MATERIALIZED (
-  SELECT vec_id, label,
-         CASE WHEN label IN (1, 2) AND vec_id % 7 = 3
-              THEN list_transform(embedding, x -> -x)
-              ELSE embedding END AS embedding
-  FROM embeddings
-),
-banded AS MATERIALIZED (
+WITH banded AS MATERIALIZED (
 {oracles.banded_cte_sql(planes, band_bits, source="post")}
 ),
 cand AS (
@@ -2877,6 +2904,22 @@ QUALIFY rnk <= {m}
 """
 
 
+def _knn_join_post_sql(m: int = 3, dim: int = _DIM, band_bits: int = 2) -> str:
+    """The banded knn_join algebra over the POST-STATE embeddings (the
+    index-maintenance mutation log applied: labels 1/2, vec_id % 7 = 3,
+    IEEE-exact negation) — the oracle of the maintained k-NN graph."""
+    return f"""
+WITH post AS MATERIALIZED (
+  SELECT vec_id, label,
+         CASE WHEN label IN (1, 2) AND vec_id % 7 = 3
+              THEN list_transform(embedding, x -> -x)
+              ELSE embedding END AS embedding
+  FROM embeddings
+)
+SELECT * FROM ({_knn_join_post_body(m=m, dim=dim, band_bits=band_bits)})
+"""
+
+
 register(
     # incremental kNN-graph maintenance (r14b): knn_join is
     # label-scoped, so a mutation batch invalidates exactly its labels'
@@ -2885,6 +2928,18 @@ register(
     "stream_knn_graph_maintenance",
     lambda s, d: stream_ops.knn_graph_maintenance_stream(s, d),
     _knn_join_post_sql(m=3),
+)
+register(
+    # maintained-graph SERVING (r16, r15 verdict #2): the beam walk
+    # against the graph the maintenance stream keeps fresh — lifecycle
+    # (full build + mutation stream + partition-scoped rebuilds) runs
+    # first, then the query pays ONLY the walk over the stored edges
+    # and the post-state corpus. Turns the scale probe's build/walk
+    # split (sublinear serving) into an oracle-gated contract: the
+    # DuckDB side replays the identical walk in the post-state world.
+    "ann_beam_search_served",
+    lambda s, d: stream_ops.beam_search_served(s, d, query_id=0, k=10),
+    _graph_beam_sql(query_id=0, k=10, served=True),
 )
 register(
     # incremental view maintenance (r14b): the per-label stats view

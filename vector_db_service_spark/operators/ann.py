@@ -3399,6 +3399,7 @@ def graph_beam_search(
     sample_mod: int = 16,
     m: int = 3,
     prebuilt_edges: DataFrame | None = None,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Graph-NAVIGATED search — the HNSW-family serving shape, made
     deterministic and exactly replayable: score the query against a
@@ -3419,9 +3420,23 @@ def graph_beam_search(
     from .knn import query_vector_row, validate_k
 
     validate_k(k)
-    qvec, _ = query_vector_row(spark, sf_dir, query_id)
+    if corpus is None:
+        qvec, _ = query_vector_row(spark, sf_dir, query_id)
+        emb = load(spark, sf_dir, "embeddings")
+    else:
+        # serving against a provided (e.g. post-mutation) corpus: the
+        # query lives in that world too — same KeyError contract as
+        # query_vector_row
+        row = (
+            corpus.filter(F.col("vec_id") == query_id)
+            .select("embedding")
+            .head()
+        )
+        if row is None:
+            raise KeyError(f"query vector {query_id} not found")
+        qvec = [float(x) for x in row[0]]
+        emb = corpus
     q = sim.vector_lit(qvec)
-    emb = load(spark, sf_dir, "embeddings")
     scored_all = emb.select(
         "vec_id", "label",
         F.round(sim.score("cosine", F.col("embedding"), q), 6).alias("score"),
@@ -3728,6 +3743,27 @@ def refit_recall_gain(
         )
         .localCheckpoint(eager=False)
     )
+    return _routed_recall(
+        spark, scored, queries, qrows, query_ids, k, nprobe,
+        [("pre_refit", cents_pre, "list_pre"),
+         ("post_refit", cents_post, "list_post")],
+    )
+
+
+def _routed_recall(
+    spark: SparkSession,
+    scored: DataFrame,
+    queries: DataFrame,
+    qrows: dict,
+    query_ids: list,
+    k: int,
+    nprobe: int,
+    branches: list,
+) -> DataFrame:
+    """Shared recall measurement of refit_recall_gain and the chained
+    lifecycle op (streaming.ivf_refit_lifecycle_recall): one scored pass
+    feeds the exact branch and every ROUTED branch (method, centers,
+    list-column); output (method, query_id, hits, recall_micro)."""
     exact = multi_query_topk(
         scored.withColumn("label", F.lit(0)), k=k
     ).select("query_id", "vec_id").localCheckpoint(eager=False)
@@ -3772,9 +3808,11 @@ def refit_recall_gain(
             )
         )
 
-    return branch("pre_refit", cents_pre, "list_pre").unionByName(
-        branch("post_refit", cents_post, "list_post")
-    )
+    out = None
+    for method, cents, list_col in branches:
+        b = branch(method, cents, list_col)
+        out = b if out is None else out.unionByName(b)
+    return out
 
 
 def knn_classify(
