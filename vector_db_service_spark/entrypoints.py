@@ -3954,6 +3954,90 @@ register(
 )
 
 
+# --- round 16: serving autotune, PCA transform, index/graph health ----------
+
+def _graph_degree_audit_sql(m: int = 3) -> str:
+    """Mirror of ann.graph_degree_audit over the banded knn_join
+    algebra: reverse-edge semi-join for reciprocity, per-dst counts for
+    the in-degree max, integer micro-unit ratio."""
+    return f"""
+WITH g AS MATERIALIZED (
+  SELECT label, src, dst FROM ({_knn_join_sql(m=m)})
+),
+mut AS (
+  SELECT g.label, CAST(count(*) AS BIGINT) AS n_mutual
+  FROM g SEMI JOIN g r
+    ON r.label = g.label AND r.src = g.dst AND r.dst = g.src
+  GROUP BY g.label
+),
+per AS (
+  SELECT label, CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+         CAST(count(*) AS BIGINT) AS n_edges
+  FROM g GROUP BY label
+),
+indeg AS (
+  SELECT label, CAST(max(d) AS BIGINT) AS max_in_degree FROM (
+    SELECT label, dst, count(*) AS d FROM g GROUP BY label, dst
+  ) GROUP BY label
+)
+SELECT p.label, p.n_nodes, p.n_edges,
+       CAST(coalesce(m.n_mutual, 0) AS BIGINT) AS n_mutual,
+       CAST(coalesce(m.n_mutual, 0) * 1000000 // p.n_edges AS BIGINT)
+         AS reciprocity_micro,
+       i.max_in_degree
+FROM per p LEFT JOIN mut m ON m.label = p.label
+JOIN indeg i ON i.label = p.label
+"""
+
+
+register(
+    # serving-knob DECISION on top of the recall sweep (r16): smallest
+    # nprobe whose MEAN recall@10 over the query set meets the target,
+    # loud max-fallback when nothing qualifies — one sweep pass, then
+    # len(nprobes) rows of metadata
+    "ann_ivf_nprobe_autotune",
+    lambda s, d: ann.ivf_nprobe_autotune(
+        s, d, k=10, n_lists=7, target_recall_micro=800_000
+    ),
+    oracles_quant.nprobe_autotune_sql(
+        k=10, n_lists=7, target_recall_micro=800_000
+    ),
+)
+register(
+    # the top-2 PCA plane APPLIED as a transform (r16): integer-exact
+    # 2-D projection of every vector (the curation-UI scatter / first
+    # two whitening rows) — broadcast directions, row-parallel scan,
+    # zero shuffle; oracle unrolls both chains and replays the dot
+    "emb_pca_project2d",
+    lambda s, d: ann.pca_project2d(s, d),
+    ann.pca_project2d_sql(dim=_DIM),
+)
+register(
+    # k-NN graph health (r16): per-label reciprocity + max in-degree —
+    # reciprocity bounds what the mutual-kNN contraction keeps;
+    # in-degree skew is the hot-partition signal for frontier joins
+    "ann_graph_degree_audit",
+    lambda s, d: ann.graph_degree_audit(s, d, m=3),
+    _graph_degree_audit_sql(m=3),
+)
+register(
+    # IVF list-balance audit (r16): per-list share + imbalance ratio vs
+    # the uniform split, EMPTY lists kept — the tail-latency/skew stat
+    # that triggers refit or list-splitting before recall shows drift
+    "ann_ivf_balance_audit",
+    lambda s, d: ann.ivf_balance_audit(s, d, n_lists=7),
+    oracles_quant.ivf_balance_audit_sql(n_lists=7),
+)
+register(
+    # KMV mergeability proven (r16): bottom-K of the union of shard
+    # bottom-Ks == whole-corpus bottom-K; per-slice/merged/whole
+    # distinct estimates with the non-saturated guard (n < K -> exact)
+    "sketch_kmv_merge",
+    lambda s, d: sketches.kmv_merge(s, d),
+    sketches.kmv_merge_sql(),
+)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """entry() target: the §3.1 flagship read path end-to-end."""
     return knn_ops.knn(spark, sf_dir, query_id=0, k=10, metric="cosine", hydrate=True)

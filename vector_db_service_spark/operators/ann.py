@@ -3950,3 +3950,233 @@ def ood_zscore(
         .limit(top)
         .select("vec_id", "label", "ood_score")
     )
+
+
+# --- round 16: serving-knob autotune, PCA plane projection, index health ----
+
+def ivf_nprobe_autotune(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    n_lists: int = 7,
+    nprobes: tuple[int, ...] = (1, 2, 4, 8),
+    target_recall_micro: int = 800_000,
+) -> DataFrame:
+    """The DECISION on top of the recall sweep: pick the smallest nprobe
+    whose MEAN recall@k over the query set meets the target — the rule
+    an operator actually runs to set the serving knob (the sweep alone
+    answers "what does each nprobe cost/deliver"; this answers "which
+    one do I deploy"). Output is the aggregated curve plus the choice:
+    (nprobe, hits, recall_micro, meets_target, chosen), where chosen
+    marks the minimum qualifying probe point, falling back to the
+    largest point when none qualifies (degrade loudly, not silently —
+    max(nprobes) is the best the index can do).
+
+    Costs exactly one ivf_kmeans_recall_sweep (one quantizer fit, one
+    scored pass, probe points as window COLUMNS); the aggregation and
+    the argmin-over-curve window run over len(nprobes) rows — pure
+    index metadata. At 100 TB this is the query a deployment runs once
+    per corpus/index revision to pin its latency/recall contract."""
+    query_ids = query_ids or [0, 1, 2, 3, 4]
+    nq = len(query_ids)
+    curve = ivf_kmeans_recall_sweep(
+        spark, sf_dir, query_ids=query_ids, k=k, n_lists=n_lists,
+        nprobes=nprobes,
+    )
+    agg = (
+        curve.groupBy("nprobe")
+        .agg(F.sum("n_overlap").cast("long").alias("hits"))
+        .withColumn(
+            "recall_micro",
+            F.expr(f"CAST(hits * 1000000 DIV {k * nq} AS BIGINT)"),
+        )
+        .withColumn(
+            "meets_target",
+            F.col("recall_micro") >= F.lit(int(target_recall_micro)),
+        )
+    )
+    # the whole frame is len(nprobes) rows — the unbounded window is
+    # over index metadata, never data
+    w = Window.orderBy(F.asc("nprobe")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    chosen = F.coalesce(
+        F.min(F.when(F.col("meets_target"), F.col("nprobe"))).over(w),
+        F.max("nprobe").over(w),
+    )
+    return agg.select(
+        "nprobe", "hits", "recall_micro", "meets_target",
+        (F.col("nprobe") == chosen).alias("chosen"),
+    )
+
+
+def pca_project2d(
+    spark: SparkSession, sf_dir: str, rounds: int = PCA_ROUNDS,
+    rounds2: int = PCA2_ROUNDS,
+) -> DataFrame:
+    """The corpus PROJECTED into the top-2 principal plane — the 2-D
+    map a curation UI scatters the corpus in, and the first two rows of
+    a whitening rotation applied as a transform (pca_top2 produces the
+    directions; this APPLIES them). Integer-exact end to end: the same
+    quantized components the Gram stage uses (round(x * Q_SCALE) as
+    int64) dotted with the scaled iterate vectors, so p1/p2 are exact
+    int64 sums (|p| <= dim * maxq * headroom * V_SCALE, inside the same
+    envelope _pca_gram guards) and the oracle — which unrolls both
+    iteration chains and replays the dot — hash-matches bit-for-bit.
+
+    One corpus scan, no shuffle at all (the directions broadcast as
+    literals; output is row-parallel) — the transform shape that holds
+    at 100 TB."""
+    import math
+
+    dim0 = embedding_dim(sf_dir)
+    dim, G = _pca_gram(
+        spark, sf_dir, op_name="pca_project2d",
+        vmax_units=2 * (1 + math.isqrt(dim0 - 1) + 1),
+    )
+    v1 = _pca_iterate(G, dim, rounds)
+    v2 = _pca_iterate(G, dim, rounds2, project_out=v1)
+
+    def vec_lit(v: list) -> str:
+        return (
+            "array(" + ", ".join(f"CAST({int(x)} AS BIGINT)" for x in v) + ")"
+        )
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = (
+        f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) "
+        f"* {PCA_Q_SCALE}) AS BIGINT))"
+    )
+
+    def proj(v: list) -> str:
+        return (
+            f"aggregate(zip_with({qv}, {vec_lit(v)}, (a, b) -> a * b), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+
+    return emb.select(
+        "vec_id",
+        "label",
+        F.expr(proj(v1)).alias("p1_scaled"),
+        F.expr(proj(v2)).alias("p2_scaled"),
+    )
+
+
+def pca_project2d_sql(dim: int, rounds: int = PCA_ROUNDS,
+                      rounds2: int = PCA2_ROUNDS) -> str:
+    """Oracle for pca_project2d: the pca_top2 chain as a subquery (both
+    iteration chains unrolled), then the per-vector integer dot with
+    the quantized components — order-independent int64 sums, exact."""
+    return f"""
+WITH vs AS MATERIALIZED (
+  SELECT dim_idx, v1_scaled, v2_scaled FROM ({pca_top2_sql(dim, rounds, rounds2)})
+),
+q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {PCA_Q_SCALE})
+                                  AS BIGINT)) AS qv
+  FROM embeddings
+),
+terms AS (
+  SELECT vec_id, label, unnest(qv) AS c,
+         generate_subscripts(qv, 1) AS j
+  FROM q
+)
+SELECT t.vec_id, t.label,
+       CAST(sum(t.c * v.v1_scaled) AS BIGINT) AS p1_scaled,
+       CAST(sum(t.c * v.v2_scaled) AS BIGINT) AS p2_scaled
+FROM terms t JOIN vs v ON v.dim_idx = t.j
+GROUP BY t.vec_id, t.label
+"""
+
+
+def graph_degree_audit(
+    spark: SparkSession, sf_dir: str, m: int = 3
+) -> DataFrame:
+    """k-NN GRAPH HEALTH, per label: node/edge counts, reciprocity (the
+    fraction of directed edges whose reverse also exists, in micro
+    units) and the maximum in-degree. These are the numbers that decide
+    how the graph family behaves at 100 TB: reciprocity bounds how much
+    of the graph the mutual-kNN contraction keeps, and in-degree skew
+    is what makes a neighbor-expansion join hot-spot (a hub node whose
+    in-degree is 100x the mean concentrates that fraction of every
+    frontier expansion on one partition — the signal to salt or cap).
+    The graph is the banded knn_join (n*m rows); the self-join that
+    detects reverses runs on the EDGE LIST, never the corpus."""
+    g = knn_join(spark, sf_dir, m=m).select("label", "src", "dst")
+    g = g.localCheckpoint(eager=False)  # one banded join, read three times
+    rev = g.select(
+        "label", F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    mutual = g.join(rev, ["label", "src", "dst"], "left_semi")
+    per_edge = g.groupBy("label").agg(
+        F.countDistinct("src").cast("long").alias("n_nodes"),
+        F.count("*").cast("long").alias("n_edges"),
+    )
+    per_mut = mutual.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_mutual")
+    )
+    indeg = (
+        g.groupBy("label", "dst").agg(F.count("*").alias("d"))
+        .groupBy("label")
+        .agg(F.max("d").cast("long").alias("max_in_degree"))
+    )
+    return (
+        per_edge.join(per_mut, "label", "left")
+        .join(indeg, "label")
+        .select(
+            "label",
+            "n_nodes",
+            "n_edges",
+            F.coalesce("n_mutual", F.lit(0)).cast("long").alias("n_mutual"),
+            F.expr(
+                "CAST(coalesce(n_mutual, 0) * 1000000 DIV n_edges AS BIGINT)"
+            ).alias("reciprocity_micro"),
+            "max_in_degree",
+        )
+    )
+
+
+def ivf_balance_audit(
+    spark: SparkSession, sf_dir: str, n_lists: int = 7
+) -> DataFrame:
+    """IVF LIST-BALANCE audit: per list, its population, its share of
+    the corpus, and its imbalance ratio vs a perfectly uniform split
+    (1e6 = exactly corpus/n_lists). The number that prices the serving
+    path's tail latency at 100 TB: a list holding 3x its uniform share
+    makes every query probing it scan 3x the expected volume, and the
+    skew is invisible in mean-recall sweeps — this is the stat that
+    triggers a refit (or list splitting) BEFORE drift shows up in
+    recall. Lists the quantizer leaves EMPTY are reported as zero rows,
+    not dropped (an empty list is itself a balance defect). One
+    assignment projection + one count per list; everything after is
+    n_lists rows."""
+    cents = _coarse_centers(spark, sf_dir, n_lists)
+    emb = load(spark, sf_dir, "embeddings")
+    cmat_df = spark.createDataFrame(
+        [([list(map(float, c)) for c in cents],)], "cmat array<array<double>>"
+    )
+    counts = (
+        emb.crossJoin(F.broadcast(cmat_df))
+        .select(_list_id_matrix_expr().alias("list_id"))
+        .groupBy("list_id")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+    )
+    total = emb.count()  # one scalar job; the corpus size
+    lists = spark.createDataFrame(
+        [(int(i),) for i in range(len(cents))], "list_id int"
+    )
+    return lists.join(F.broadcast(counts), "list_id", "left").select(
+        "list_id",
+        F.coalesce("n_vectors", F.lit(0)).cast("long").alias("n_vectors"),
+        F.expr(
+            f"CAST(coalesce(n_vectors, 0) * 1000000 DIV {max(total, 1)} "
+            f"AS BIGINT)"
+        ).alias("share_micro"),
+        F.expr(
+            f"CAST(coalesce(n_vectors, 0) * {len(cents)} * 1000000 "
+            f"DIV {max(total, 1)} AS BIGINT)"
+        ).alias("imbalance_micro"),
+    )

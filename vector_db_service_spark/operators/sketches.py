@@ -1018,3 +1018,113 @@ SELECT CAST(n_orders AS BIGINT) AS n_orders,
             AS BIGINT) AS pruned_ppm
 FROM agg
 """
+
+
+def kmv_merge(spark: SparkSession, sf_dir: str, key: str = "user_id") -> DataFrame:
+    """KMV MERGEABILITY proven as a checkable query — the third
+    mergeable-sketch family (hll_merge: max-merge registers;
+    countmin_merge: sum-merge counters; here: bottom-K of the UNION of
+    two shards' bottom-K signatures == the whole-corpus bottom-K, a
+    theorem because any hash in the whole-corpus bottom-K is in its own
+    shard's bottom-K). Events split on event_id parity, one K={KMV_K}
+    signature per slice, merged = bottom-K of the union, and the
+    distinct-count estimate (K-1)/h_(K) per slice / merged / whole plus
+    the exact count. A signature smaller than K stores the full hash
+    set, so its estimate IS its size (no extrapolation from a
+    non-saturated sketch). merge == whole ships in the output.
+
+    Scale shape: each signature is a bottom-K TakeOrderedAndProject
+    over the distinct keys — constant state, partition-mergeable, the
+    shard-parallel distinct-count primitive."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col(key).alias("k"), (F.col("event_id") % 2).alias("slc")
+    )
+
+    def sig(keys: DataFrame) -> DataFrame:
+        return (
+            keys.distinct()
+            .select(_hash52(F.col("k"), "kmvm:").alias("h"))
+            .orderBy("h")
+            .limit(KMV_K)
+        )
+
+    s0 = sig(ev.filter(F.col("slc") == 0).select("k"))
+    s1 = sig(ev.filter(F.col("slc") == 1).select("k"))
+    merged = (
+        s0.unionByName(s1).distinct().orderBy("h").limit(KMV_K)
+    )
+    whole = sig(ev.select("k"))
+
+    def est(df: DataFrame, name: str) -> DataFrame:
+        stats = df.agg(
+            F.count("*").alias("n"), F.max("h").alias("hk")
+        )
+        e = F.when(
+            F.col("n") < KMV_K, F.col("n").cast("double")
+        ).otherwise(
+            F.round(
+                F.lit(float(KMV_K - 1))
+                / (F.col("hk").cast("double") / F.lit(float(1 << 52))),
+                4,
+            )
+        )
+        return stats.select(
+            e.alias(f"est_{name}"),
+            F.col("n").alias(f"n_{name}"),
+            F.col("hk").alias(f"hk_{name}"),
+        )
+
+    exact = ev.select("k").distinct().agg(
+        F.count("*").cast("long").alias("exact_distinct")
+    )
+    return (
+        est(s0, "slice0").crossJoin(est(s1, "slice1"))
+        .crossJoin(est(merged, "merged"))
+        .crossJoin(est(whole, "whole"))
+        .crossJoin(exact)
+        .select(
+            F.lit(KMV_K).alias("k"),
+            "est_slice0", "est_slice1", "est_merged", "est_whole",
+            "exact_distinct",
+            (
+                (F.col("n_merged") == F.col("n_whole"))
+                & (F.col("hk_merged") == F.col("hk_whole"))
+            ).alias("merge_matches_whole"),
+        )
+    )
+
+
+def kmv_merge_sql(key: str = "user_id") -> str:
+    h = (f"CAST(concat('0x', substr(md5(concat('kmvm:', "
+         f"CAST(k AS VARCHAR))), 1, {HLL_HASH_HEX})) AS BIGINT)")
+
+    def est(src: str, name: str) -> str:
+        return f"""{name}_v AS (
+  SELECT CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS DOUBLE)
+              ELSE round({KMV_K - 1}.0
+                         / (CAST(max(h) AS DOUBLE) / {float(1 << 52)!r}), 4)
+         END AS est_{name},
+         count(*) AS n_{name}, max(h) AS hk_{name}
+  FROM {src}
+)"""
+
+    return f"""
+WITH ev AS (SELECT {key} AS k, event_id % 2 AS slc FROM events),
+s0 AS (SELECT {h} AS h FROM (SELECT DISTINCT k FROM ev WHERE slc = 0)
+       ORDER BY h LIMIT {KMV_K}),
+s1 AS (SELECT {h} AS h FROM (SELECT DISTINCT k FROM ev WHERE slc = 1)
+       ORDER BY h LIMIT {KMV_K}),
+merged AS (SELECT DISTINCT h FROM (SELECT h FROM s0 UNION ALL SELECT h FROM s1)
+           ORDER BY h LIMIT {KMV_K}),
+whole AS (SELECT {h} AS h FROM (SELECT DISTINCT k FROM ev)
+          ORDER BY h LIMIT {KMV_K}),
+{est('s0', 'slice0')},
+{est('s1', 'slice1')},
+{est('merged', 'merged')},
+{est('whole', 'whole')},
+ex AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS exact_distinct FROM ev)
+SELECT {KMV_K} AS k, est_slice0, est_slice1, est_merged, est_whole,
+       exact_distinct,
+       n_merged = n_whole AND hk_merged = hk_whole AS merge_matches_whole
+FROM slice0_v, slice1_v, merged_v, whole_v, ex
+"""

@@ -861,3 +861,62 @@ SELECT n_vectors, tr_m,
             AS BIGINT) AS top_dim_share_ppm
 FROM n, traces, top
 """
+
+
+def nprobe_autotune_sql(
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 10,
+    n_lists: int = 7,
+    nprobes: tuple[int, ...] = (1, 2, 4, 8),
+    target_recall_micro: int = 800_000,
+) -> str:
+    """Oracle for ann.ivf_nprobe_autotune: the recall-sweep oracle as a
+    subquery, hits summed per probe point, mean recall in micro units,
+    and the min-qualifying-nprobe choice (falling back to the largest
+    point when nothing qualifies)."""
+    nq = len(query_ids)
+    return f"""
+WITH curve AS MATERIALIZED (
+  SELECT nprobe, n_overlap
+  FROM ({recall_sweep_sql(query_ids=query_ids, k=k, n_lists=n_lists,
+                          nprobes=nprobes)})
+),
+est AS (
+  SELECT nprobe, CAST(sum(n_overlap) AS BIGINT) AS hits,
+         CAST(sum(n_overlap) * 1000000 // {k * nq} AS BIGINT)
+           AS recall_micro
+  FROM curve GROUP BY nprobe
+),
+ch AS (
+  SELECT coalesce(
+           min(nprobe) FILTER (WHERE recall_micro >= {target_recall_micro}),
+           max(nprobe)) AS c
+  FROM est
+)
+SELECT e.nprobe, e.hits, e.recall_micro,
+       e.recall_micro >= {target_recall_micro} AS meets_target,
+       e.nprobe = ch.c AS chosen
+FROM est e, ch
+"""
+
+
+def ivf_balance_audit_sql(n_lists: int = 7) -> str:
+    """Oracle for ann.ivf_balance_audit: canonical fit replay, argmin
+    assignment, per-list counts with EMPTY lists kept (range join),
+    integer share/imbalance micro units."""
+    return f"""
+WITH {coarse_fit_ctes(n_lists=n_lists)},
+{_coarse_assign_cte()},
+counts AS (
+  SELECT list_id, CAST(count(*) AS BIGINT) AS n FROM asg GROUP BY list_id
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM embeddings),
+lists AS (SELECT CAST(unnest(range({n_lists})) AS INTEGER) AS list_id)
+SELECT l.list_id,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_vectors,
+       CAST(coalesce(c.n, 0) * 1000000 // greatest(t.t, 1) AS BIGINT)
+         AS share_micro,
+       CAST(coalesce(c.n, 0) * {n_lists} * 1000000 // greatest(t.t, 1)
+            AS BIGINT) AS imbalance_micro
+FROM lists l LEFT JOIN counts c USING (list_id), tot t
+"""
