@@ -4045,57 +4045,27 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 # --- Registration order ---------------------------------------------------
 # External correctness tooling samples the FIRST 50 registered queries.
-# Round-15 ROTATION (standing policy since round 10): (a) the ten
-# operators ADDED this round (never driver-sampled — zero driver rows
-# is the bigger blind spot, they always outrank stale-but-once-green
-# queries); (b) queries whose code paths changed materially this round;
-# (c) the FULL r9-stale cohort (r14 verdict #1 — at the 6-round
-# staleness ceiling, the round's only coverage debt); (d) the oldest
-# r10 rows as alphabetical fill so the ceiling never regrows (r14
-# verdict #8). Everything displaced stays green under
-# tests/test_oracle_parity.py, which runs the identical compare over
-# ALL registered oracles.
-_PRIORITY_50 = [
-    # -- (a) never driver-sampled: the twenty-one operators NEW this
-    # round --
-    "stream_ivf_refit", "ann_ivf_multi_query", "ann_knn_classify",
-    "ann_link_prediction", "text_bpe_encode_corpus", "mm_video_keyframes",
-    "s25_store_restore", "s26_store_incremental_read",
-    "rel_kanonymity_audit", "rel_bucketed_join_audit",
-    "ann_refit_recall_gain", "ann_ivf_filtered", "sketch_hll_intersection",
-    "mm_audio_activity", "pipeline_dedup_mixture_shift", "emb_pca_top2",
-    "ann_ivfpq_residual_topk", "sketch_countmin_merge",
-    "text_bpe_fertility_by_lang", "dedup_simhash_threshold_curve",
-    "ann_ivfpq_rerank_sweep",
-    # -- (b) changed this round (r15): the beam-search visited-set fix,
-    # the fixed-count-anchor recall truth side, the BPE word-column
-    # threading (train chain + encode outputs re-derived), and the PCA
-    # measured-magnitude guard --
-    "ann_graph_beam_search", "ann_nn_descent_recall",
-    "text_bpe_train_merges", "text_bpe_encode", "emb_pca_power_iteration",
-    # -- (c) the FULL r9 cohort (r14 verdict #1: 6-round staleness at
-    # r15, the round's only coverage debt — honored in full) --
-    "ann_scalar_quantize", "dedup_ngram_jaccard_topk",
-    "knn_dist_manhattan", "knn_flat_dot_product", "knn_flat_euclidean",
-    "knn_flat_manhattan", "knn_safe_flat", "mllib_minhash_jaccard_join",
-    "p4_exists_probe", "rel_docs_top_by_length",
-    "rel_order_priority_rollup", "rel_sessionize_events",
-    "rel_status_pivot", "rel_top_customers", "s13_partial_update",
-    "stream_embed_pending", "stream_stateful_user_totals",
-    # -- (d) the oldest r10 rows (alphabetical fill; r14 verdict #8 —
-    # keep the ceiling from regrowing) --
-    "a1_count_by_library", "a9_two_level_agg", "dedup_components",
-    "dedup_containment_pairs", "dedup_keep_canonical",
-    "dedup_minhash_pairs", "dedup_minhash_recall_vs_exact",
-]
+# Since round 16 the head is COMPUTED from the committed
+# CORRECTNESS_r*.json history (r15 verdict #1: the hand-curated list's
+# narrative drifted from the artifacts): rotationlib.priority_order
+# ranks never-green first, then the round's declared changed-path list,
+# then oldest-green-first, and scripts/gen_status.py materializes it
+# into rotation_generated.py. Everything displaced stays green under
+# tests/test_oracle_parity.py (the identical compare over ALL
+# registered oracles); tests/test_rotation.py pins the committed head
+# against a fresh computation.
+try:
+    from .rotation_generated import PRIORITY_50 as _PRIORITY_50
+except ImportError:  # bootstrap: scripts/gen_status.py writes the file
+    _PRIORITY_50 = []
 
 
 def _apply_registration_order() -> None:
-    assert len(_PRIORITY_50) == 50, len(_PRIORITY_50)
-    missing = [n for n in _PRIORITY_50 if n not in QUERIES]
-    assert not missing, f"priority queries not registered: {missing}"
-    head = set(_PRIORITY_50)
-    order = _PRIORITY_50 + [n for n in QUERIES if n not in head]
+    # tolerate names that left the registry mid-edit; the strict
+    # committed-equals-computed contract lives in tests/test_rotation.py
+    head = [n for n in _PRIORITY_50 if n in QUERIES]
+    seen = set(head)
+    order = head + [n for n in QUERIES if n not in seen]
     for registry in (QUERIES, ORACLES):
         reordered = {n: registry[n] for n in order if n in registry}
         registry.clear()
