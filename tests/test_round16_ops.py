@@ -138,3 +138,55 @@ def test_countmin_slice_missing_key_estimates_zero(spark, tmp_path):
     # and a slice the key never touched can only report collisions,
     # never the key's own mass
     assert r["est_slice1"] <= r["est_merged"]
+
+
+def test_ivf_list_split_reduces_max_share(spark):
+    """The split's point: the argmax list's share drops, every other
+    list's population is untouched, and the corpus is conserved."""
+    from vector_db_service_spark.operators import ann
+
+    rows = ann.ivf_list_split(spark, SF).collect()
+    pre = {r["list_id"]: r["n_vectors"] for r in rows
+           if r["stage"] == "pre_split"}
+    post = {r["list_id"]: r["n_vectors"] for r in rows
+            if r["stage"] == "post_split"}
+    assert sum(pre.values()) == sum(post.values())  # conservation
+    target = min(pre, key=lambda lid: (-pre[lid], lid))
+    n_lists = len(pre)
+    # untouched lists byte-identical in population
+    for lid in pre:
+        if lid != target:
+            assert post[lid] == pre[lid]
+    # the split halves land on (target, n_lists) and together conserve
+    assert post[target] + post.get(n_lists, 0) == pre[target]
+    assert max(post.values()) <= max(pre.values())
+
+
+def test_token_budget_fill_sums_and_caps(spark):
+    from vector_db_service_spark.operators import textops
+    from vector_db_service_spark.sources.tables import load
+
+    budget = 500_000
+    rows = textops.token_budget_fill(
+        load(spark, SF, "documents"), budget_tokens=budget
+    ).collect()
+    # uncapped allocations sum EXACTLY to the budget (largest-remainder
+    # contract); capped rows only ever shrink the total
+    uncapped_total = sum(
+        r["alloc_tokens"] if not r["capped"] else 0 for r in rows
+    )
+    assert sum(
+        r["alloc_tokens"] for r in rows
+    ) <= budget or any(r["capped"] for r in rows) is False
+    # per-row invariants
+    for r in rows:
+        assert 0 <= r["alloc_tokens"] <= max(r["n_tokens"], 0) or (
+            r["n_tokens"] == 0 and r["alloc_tokens"] == 0
+        )
+        assert r["capped"] == (r["alloc_tokens"] == r["n_tokens"]) or (
+            not r["capped"]
+        )
+        assert 0 <= r["fill_ppm"] <= 1_000_000
+    # with no capping the sum is exact
+    if not any(r["capped"] for r in rows):
+        assert uncapped_total == budget

@@ -4036,6 +4036,24 @@ register(
     lambda s, d: sketches.kmv_merge(s, d),
     sketches.kmv_merge_sql(),
 )
+register(
+    # the balance audit's CONSEQUENCE (r16, the detect->act discipline):
+    # deterministic argmax list split by a canonical two-means trained
+    # on the list's own sample — single-list blast radius (partition-
+    # scoped, like the maintenance rebuilds), shares before/after
+    "ann_ivf_list_split",
+    lambda s, d: ann.ivf_list_split(s, d, n_lists=7),
+    oracles_quant.ivf_list_split_sql(n_lists=7),
+)
+register(
+    # the mixture weights APPLIED (r16): epoch token-budget allocation
+    # across (lang, source) domains — largest-remainder integer
+    # rounding (uncapped allocs sum EXACTLY to the budget), availability
+    # caps reported as shortfall, windows only over the domain aggregate
+    "pipeline_token_budget_fill",
+    lambda s, d: textops.token_budget_fill(load(s, d, "documents")),
+    textops.token_budget_fill_sql(),
+)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -4180,3 +4180,104 @@ def ivf_balance_audit(
             f"DIV {max(total, 1)} AS BIGINT)"
         ).alias("imbalance_micro"),
     )
+
+
+def ivf_list_split(
+    spark: SparkSession,
+    sf_dir: str,
+    n_lists: int = 7,
+    lloyd_iters: int = 8,
+    train_cap: int = 100_000,
+) -> DataFrame:
+    """The balance audit's CONSEQUENCE (the detect -> act discipline
+    the refit lifecycle set: ann_ivf_balance_audit detects skew, this
+    acts on it): take the MOST POPULATED list (count desc, list_id asc
+    tie-break — fully deterministic), split it with a canonical
+    two-means trained on the list's own md5-ordered bounded sample, and
+    re-emit per-list populations for both states. Sub-center 0 keeps
+    the original list_id; sub-center 1 becomes list n_lists. The output
+    proves the act's value: the split list's share drops, every other
+    list is byte-untouched (only the oversized list's rows re-assign —
+    at 100 TB this is a single-list rewrite, the same partition-scoped
+    blast radius as the maintenance family's rebuilds, NOT a corpus
+    re-quantization like the refit).
+
+    Fully SQL-replayable: both fits are canonical Lloyd chains, the
+    argmax list is a scalar subquery, and all outputs are integer
+    micro-units."""
+    import numpy as np
+
+    cents = _coarse_centers(spark, sf_dir, n_lists)
+    emb = load(spark, sf_dir, "embeddings")
+    cmat_df = spark.createDataFrame(
+        [([list(map(float, c)) for c in cents],)], "cmat array<array<double>>"
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cmat_df))
+        .select(
+            "vec_id", "label", "embedding",
+            _list_id_matrix_expr().alias("list_id"),
+        )
+        .localCheckpoint(eager=False)  # one assignment, read three times
+    )
+    counts = {
+        int(r["list_id"]): int(r["n"])
+        for r in assigned.groupBy("list_id").agg(
+            F.count("*").alias("n")
+        ).collect()  # bounded: <= n_lists rows
+    }
+    total = sum(counts.values())
+    target = min(counts, key=lambda lid: (-counts[lid], lid))
+    rows = (
+        assigned.filter(F.col("list_id") == target)
+        .select(
+            "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+            "vec_id",
+        )
+        .orderBy("h", "vec_id")
+        .limit(train_cap)
+        .select("embedding")
+        .collect()
+    )
+    X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    sub = [
+        [float(x) for x in c]
+        for c in _lloyd_canonical(X, min(2, len(X)), lloyd_iters)
+    ]
+    smat_df = spark.createDataFrame(
+        [([list(map(float, c)) for c in sub],)], "smat array<array<double>>"
+    )
+    post = assigned.crossJoin(F.broadcast(smat_df)).select(
+        "vec_id",
+        F.when(
+            F.col("list_id") != target, F.col("list_id")
+        )
+        .otherwise(
+            F.when(
+                _list_id_matrix_expr(cmat_sql="smat") == 0,
+                F.lit(int(target)),
+            ).otherwise(F.lit(int(n_lists)))
+        )
+        .cast("int")
+        .alias("list_id"),
+    )
+
+    def stats(df: DataFrame, stage: str) -> DataFrame:
+        return (
+            df.groupBy("list_id")
+            .agg(F.count("*").cast("long").alias("n_vectors"))
+            .select(
+                F.lit(stage).alias("stage"),
+                "list_id",
+                "n_vectors",
+                F.expr(
+                    f"CAST(n_vectors * 1000000 DIV {max(total, 1)} "
+                    f"AS BIGINT)"
+                ).alias("share_micro"),
+            )
+        )
+
+    return stats(assigned, "pre_split").unionByName(
+        stats(post, "post_split")
+    )

@@ -497,6 +497,109 @@ def mixture_weights(docs: DataFrame) -> DataFrame:
     )
 
 
+def token_budget_fill(
+    docs: DataFrame, budget_tokens: int = 500_000
+) -> DataFrame:
+    """The mixture weights APPLIED (r16): allocate an epoch's token
+    budget across (lang, source) domains by the sqrt-temperature
+    weights, with largest-remainder integer rounding (so the uncapped
+    allocations sum EXACTLY to the budget) and an availability cap per
+    domain — the planning step a training run executes between
+    text_mixture_weights and pipeline_epoch_shuffle. A capped domain is
+    reported, not silently re-waterfilled: redistribution is a policy
+    decision (repeat epochs vs re-weight), and the honest artifact is
+    the shortfall.
+
+    All integer end-to-end (budget * w DIV total_w, remainders ranked
+    (rem desc, lang, source)), so the oracle replays it exactly. One
+    corpus scan into a ~|domains|-row aggregate; both windows run over
+    that aggregate, never data."""
+    toks = T.tokens(F.col("text"))
+    per = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+    )
+    per = per.withColumn(
+        "w_raw", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+    )
+    w = Window.partitionBy()
+    b = F.lit(int(budget_tokens))
+    per = per.withColumn("total_w", F.sum("w_raw").over(w).cast("long"))
+    ideal = (b * F.col("w_raw")).cast("long")
+    per = per.withColumn(
+        "rem", (ideal % F.col("total_w")).cast("long")
+    ).withColumn(
+        "base", F.expr(f"{int(budget_tokens)} * w_raw DIV total_w")
+        .cast("long")
+    )
+    per = per.withColumn(
+        "leftover", (b - F.sum("base").over(w)).cast("long")
+    ).withColumn(
+        "rrank",
+        F.row_number().over(
+            Window.orderBy(F.desc("rem"), F.asc("lang"), F.asc("source"))
+        ),
+    )
+    alloc_uncapped = F.col("base") + F.when(
+        F.col("rrank") <= F.col("leftover"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return per.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.col("w_raw").alias("weight_raw"),
+        F.least(alloc_uncapped, F.col("n_tokens"))
+        .cast("long")
+        .alias("alloc_tokens"),
+        (alloc_uncapped > F.col("n_tokens")).alias("capped"),
+        F.expr(
+            "CAST(least(base + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END,"
+            " n_tokens) * 1000000 DIV greatest(n_tokens, 1) AS BIGINT)"
+        ).alias("fill_ppm"),
+    )
+
+
+def token_budget_fill_sql(budget_tokens: int = 500_000) -> str:
+    """DuckDB mirror of token_budget_fill: same aggregate, same
+    largest-remainder ranking, same availability cap."""
+    from ..oracles_pipeline import TOKS
+
+    return f"""
+WITH per AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang, source
+),
+w AS (
+  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_raw
+  FROM per
+),
+tot AS (SELECT CAST(sum(w_raw) AS BIGINT) AS total_w FROM w),
+alloc AS (
+  SELECT w.*, t.total_w,
+         ({budget_tokens} * w_raw) // t.total_w AS base,
+         ({budget_tokens} * w_raw) % t.total_w AS rem
+  FROM w, tot t
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY rem DESC, lang, source) AS rrank,
+         {budget_tokens} - sum(base) OVER () AS leftover
+  FROM alloc
+)
+SELECT lang, source, n_docs, n_tokens, w_raw AS weight_raw,
+       CAST(least(base + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END,
+                  n_tokens) AS BIGINT) AS alloc_tokens,
+       base + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END > n_tokens
+         AS capped,
+       CAST(least(base + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END,
+                  n_tokens) * 1000000 // greatest(n_tokens, 1) AS BIGINT)
+         AS fill_ppm
+FROM ranked
+"""
+
+
 PACK_CAP = 256  # tokens per packed training sequence
 
 

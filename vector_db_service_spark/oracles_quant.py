@@ -920,3 +920,53 @@ SELECT l.list_id,
             AS BIGINT) AS imbalance_micro
 FROM lists l LEFT JOIN counts c USING (list_id), tot t
 """
+
+
+def ivf_list_split_sql(
+    n_lists: int = 7, lloyd_iters: int = 8, train_cap: int = 100_000
+) -> str:
+    """Oracle for ann.ivf_list_split: coarse fit + assignment replay,
+    argmax-list scalar subquery ((count desc, list_id) order), the
+    two-means split chain trained on the list's md5-ordered sample
+    (_fit_ctes over the `big` CTE), unrounded-argmin sub-assignment,
+    and per-stage integer share stats."""
+    split_fit = _fit_ctes(
+        "s", 2, lloyd_iters, 1, 0, None, train_cap, source="big"
+    )
+    d2 = _l2sq("e.embedding", "b.c")
+    return f"""
+WITH {coarse_fit_ctes(n_lists=n_lists)},
+{_coarse_assign_cte()},
+cnt AS (SELECT list_id, count(*) AS n FROM asg GROUP BY list_id),
+tgt AS (SELECT list_id FROM cnt ORDER BY n DESC, list_id LIMIT 1),
+big AS MATERIALIZED (
+  SELECT vec_id, embedding FROM asg SEMI JOIN tgt USING (list_id)
+),
+{split_fit},
+sub AS MATERIALIZED (
+  SELECT vec_id, CAST(cid AS INTEGER) AS sub_id FROM (
+    SELECT e.vec_id, b.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2}, b.cid) AS rn
+    FROM big e CROSS JOIN scb b
+  ) WHERE rn = 1
+),
+post AS (
+  SELECT a.vec_id,
+         CASE WHEN s.vec_id IS NULL THEN a.list_id
+              WHEN s.sub_id = 0 THEN a.list_id
+              ELSE {n_lists} END AS list_id
+  FROM asg a LEFT JOIN sub s ON s.vec_id = a.vec_id
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM embeddings),
+stages AS (
+  SELECT 'pre_split' AS stage, list_id, CAST(count(*) AS BIGINT) AS n
+  FROM asg GROUP BY list_id
+  UNION ALL
+  SELECT 'post_split', list_id, CAST(count(*) AS BIGINT)
+  FROM post GROUP BY list_id
+)
+SELECT stage, CAST(list_id AS INTEGER) AS list_id, n AS n_vectors,
+       CAST(n * 1000000 // greatest(t.t, 1) AS BIGINT) AS share_micro
+FROM stages, tot t
+"""
