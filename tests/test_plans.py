@@ -372,3 +372,43 @@ def test_phash_near_dups_no_cartesian(spark):
     plan = _plan(mm.phash_near_dups(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pca_project2d_is_shuffle_free(spark):
+    """The 2-D PCA transform must be a pure scan+project: directions are
+    broadcast literals, so the plan carries NO exchange and no join at
+    all — the row-parallel shape that holds at 100 TB."""
+    from vector_db_service_spark.operators import ann
+
+    plan = _plan(ann.pca_project2d(spark, SF))
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_refit_lifecycle_recall_has_no_sort_merge_join(spark):
+    """The chained lifecycle measurement must keep the r15 broadcast
+    discipline: every bounded side (exact top-k, probe maps, hits)
+    broadcasts — a SortMergeJoin would mean a full-width exchange per
+    branch."""
+    from vector_db_service_spark.streaming import pipeline as sp
+
+    plan = _plan(sp.ivf_refit_lifecycle_recall(spark, SF))
+    assert "SortMergeJoin" not in plan
+
+
+def test_rerank_sweep_windows_are_bounded(spark):
+    """The multi-query rerank sweep's only window must run over the
+    budget-cut frame (<= nq * max(budget) rows), never the corpus: the
+    corpus-sized per-query cut rides multi_query_topk's map-side
+    partial (ArrowEvalPython/mapInPandas stage), not a Window."""
+    from vector_db_service_spark.operators import ann
+
+    plan = _plan(
+        ann.ivfpq_rerank_sweep(spark, SF, query_ids=list(range(10)), k=10)
+    )
+    # exactly one Window OPERATOR (the bounded budget re-rank; its
+    # rn <= k predicate also shows up as WindowGroupLimit pushdown)
+    assert plan.count("+- Window ") + plan.count(":- Window ") == 1
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan

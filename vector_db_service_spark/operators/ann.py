@@ -1330,7 +1330,9 @@ def ivfpq_rerank_sweep(
         .groupBy("budget")
         .agg(F.count("*").cast("long").alias("hits"))
     )
-    return bdf.join(hits, "budget", "left").select(
+    # hits is <= len(budgets) rows but aggregation hides that from
+    # Catalyst — broadcast it or the 4-row left join plans as an SMJ
+    return bdf.join(F.broadcast(hits), "budget", "left").select(
         "budget",
         F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
         F.expr(f"CAST(coalesce(hits, 0) * 1000000 DIV {k * nq} AS BIGINT)")
@@ -4123,9 +4125,11 @@ def graph_degree_audit(
         .groupBy("label")
         .agg(F.max("d").cast("long").alias("max_in_degree"))
     )
+    # the three per-label aggregates are |labels| rows each; broadcast
+    # the probe sides so the bounded joins never plan as SMJs
     return (
-        per_edge.join(per_mut, "label", "left")
-        .join(indeg, "label")
+        per_edge.join(F.broadcast(per_mut), "label", "left")
+        .join(F.broadcast(indeg), "label")
         .select(
             "label",
             "n_nodes",
