@@ -76,3 +76,77 @@ def test_staleness_ceiling_honored_when_it_fits():
         assert len(never) + len(over) > 50, (
             f"ceiling cohort fits but is not fully sampled: {sorted(missed)}"
         )
+
+
+def test_priority_order_properties():
+    """Structural properties of the computed order on synthetic
+    histories: never-green first (alphabetical), changed next, then
+    strictly oldest-first; deterministic; total."""
+    from vector_db_service_spark.rotationlib import priority_order
+
+    reg = [f"q{i:02d}" for i in range(20)]
+    hist = {f"q{i:02d}": 10 + (i % 4) for i in range(15)}  # q15..q19 never
+    changed = ("q03", "q07", "q99")  # q99 unregistered -> ignored
+    pri = priority_order(reg, hist, changed=changed, head=20)
+    assert pri[:5] == ["q15", "q16", "q17", "q18", "q19"]  # never, alpha
+    assert pri[5:7] == ["q03", "q07"]  # changed, alpha, registered only
+    rest = pri[7:]
+    rounds = [hist[n] for n in rest]
+    assert rounds == sorted(rounds)  # oldest-green drains first
+    assert pri == priority_order(reg, hist, changed=changed, head=20)
+    assert len(set(pri)) == len(pri) == 20
+
+
+def test_staleness_histogram_total():
+    from vector_db_service_spark.rotationlib import staleness_histogram
+
+    reg = ["a", "b", "c", "d"]
+    hist = {"a": 10, "b": 10, "c": 12}
+    h = staleness_histogram(reg, hist)
+    assert h == {"never": 1, "r10": 2, "r12": 1}
+    assert sum(h.values()) == len(reg)
+
+
+def test_bench_compare_underflow_rows_are_not_flat_busy(tmp_path):
+    """A query whose process-tree counter underflowed must be treated as
+    having NO busy evidence: its over-floor wall move lands in the
+    plan-flag list, not the 'flat busy = host context' list (r15
+    verdict #3)."""
+    import json
+    import subprocess
+    import sys
+
+    def detail(wall, busy, underflow):
+        return {
+            "queries": {"q_uf": wall, "q_flat": wall},
+            "runs": {},
+            "spread": {"q_uf": 0.01, "q_flat": 0.01},
+            "calibration": [0.2, 0.2, 0.2],
+            "cpu_proc_sec": {"q_uf": busy, "q_flat": 5.0},
+            "cpu_steal_sec": {},
+            "cpu_proc_underflow": underflow,
+        }
+
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(json.dumps(detail(1.0, 5.0, [])))
+    # both queries' walls triple; q_uf's busy floored to 0 + flagged,
+    # q_flat's busy genuinely flat
+    new.write_text(json.dumps(detail(3.0, 0.0, ["q_uf"])))
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(_REPO, "scripts", "bench_compare.py"),
+         str(old), str(new)],
+        capture_output=True, text=True, timeout=60,
+    ).stdout
+    lines = out.splitlines()
+    plan_idx = next(
+        i for i, ln in enumerate(lines) if "WITH a process-tree busy" in ln
+    )
+    flat_idx = next(
+        i for i, ln in enumerate(lines) if "FLAT process-tree busy" in ln
+    )
+    plan_block = "\n".join(lines[plan_idx:flat_idx])
+    flat_block = "\n".join(lines[flat_idx:])
+    assert "q_uf" in plan_block and "q_uf" not in flat_block
+    assert "q_flat" in flat_block and "q_flat" not in plan_block
