@@ -190,3 +190,62 @@ def test_token_budget_fill_sums_and_caps(spark):
     # with no capping the sum is exact
     if not any(r["capped"] for r in rows):
         assert uncapped_total == budget
+
+
+def test_degree_audit_consistent_with_mutual_pairs(spark):
+    """Cross-op consistency: the audit's n_mutual counts DIRECTED edges
+    whose reverse exists, so per label it must equal exactly 2x the
+    unordered mutual-kNN pair count (same m, same banded graph)."""
+    from vector_db_service_spark.operators import ann
+
+    audit = {r["label"]: r for r in
+             ann.graph_degree_audit(spark, SF, m=3).collect()}
+    pairs = ann.mutual_knn_pairs(spark, SF, m=3).groupBy("label").count()
+    mutual = {r["label"]: r["count"] for r in pairs.collect()}
+    for label, row in audit.items():
+        assert row["n_mutual"] % 2 == 0
+        assert row["n_mutual"] == 2 * mutual.get(label, 0)
+        assert 0 <= row["reciprocity_micro"] <= 1_000_000
+        assert row["max_in_degree"] >= 1
+
+
+def test_kmv_merge_saturated_branch_exercised(spark):
+    """At the DRIVER GATE scale (sf0.01: 150 distinct users per slice,
+    K=32) the (K-1)/h_(K) estimate branch — not just the n<K exact
+    fallback — is what the driver hash actually pins. (sf0.001 has only
+    15 distinct users, which exercises the fallback branch instead.)"""
+    import os
+
+    from vector_db_service_spark.operators import sketches
+
+    sf = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+    row = sketches.kmv_merge(spark, sf).collect()[0]
+    assert row["merge_matches_whole"] is True
+    assert row["exact_distinct"] > sketches.KMV_K  # saturated
+    # a saturated KMV estimate is an extrapolation, not the exact count
+    for c in ("est_slice0", "est_slice1", "est_merged", "est_whole"):
+        assert row[c] > 0
+    assert row["est_merged"] == row["est_whole"]
+
+
+def test_nprobe_autotune_choice_matches_curve(spark):
+    """The chosen flag must mark exactly the smallest probe point whose
+    mean recall meets the target (recomputed from the sweep curve)."""
+    from vector_db_service_spark.operators import ann
+
+    target = 800_000
+    rows = sorted(
+        ann.ivf_nprobe_autotune(
+            spark, SF, k=10, n_lists=7, target_recall_micro=target
+        ).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    qualifying = [r["nprobe"] for r in rows if r["recall_micro"] >= target]
+    expect = min(qualifying) if qualifying else max(r["nprobe"] for r in rows)
+    chosen = [r["nprobe"] for r in rows if r["chosen"]]
+    assert chosen == [expect]
+    for r in rows:
+        assert r["meets_target"] == (r["recall_micro"] >= target)
+    # monotone: more probes can only add hits
+    hits = [r["hits"] for r in rows]
+    assert hits == sorted(hits)
