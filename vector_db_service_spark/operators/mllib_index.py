@@ -64,10 +64,25 @@ def brp_bucket_index(spark: SparkSession, sf_dir: str, bucket_length: float = 1.
 
 def brp_approx_knn(spark: SparkSession, sf_dir: str, query_id: int = 0,
                    k: int = 10, bucket_length: float = 1.0) -> DataFrame:
-    """approxNearestNeighbors over the trained BRP model — MLlib's ANN
-    probe (Euclidean), the idiomatic counterpart of lsh.search."""
-    emb = _emb_vectors(load(spark, sf_dir, "embeddings"))
-    qrow = emb.filter(F.col("vec_id") == query_id).select("vec").head()
+    """approxNearestNeighbors SEMANTICS over the trained BRP model —
+    MLlib's ANN probe (Euclidean), the idiomatic counterpart of
+    lsh.search. The MLlib model supplies the hash family (fit +
+    transform) and the candidate rule is approxNearestNeighbors'
+    single-probe set (hashDistance 0: shares >= 1 bucket with the
+    query), but the final top-k cut is done HERE with the explicit
+    (distance, vec_id) order. approxNearestNeighbors itself sorts on
+    the distance column alone, so with duplicate vectors tied at the
+    k-boundary its survivor is partition-order-dependent — the ties
+    fixture (tests/test_ties_parity.py) caught the engine and oracle
+    disagreeing on WHICH duplicate survives. The explicit cut is also
+    the shape that serves at scale: bucket semi-join (a pruned scan
+    when the index is partitioned by bucket) + TakeOrderedAndProject,
+    instead of a per-query driver-side call."""
+    from ..functions import similarity as sim
+
+    emb0 = load(spark, sf_dir, "embeddings")
+    emb = _emb_vectors(emb0)
+    qrow = emb.filter(F.col("vec_id") == query_id).select("embedding").head()
     if qrow is None:
         raise KeyError(f"query vector {query_id} not found")
     brp = BucketedRandomProjectionLSH(
@@ -75,8 +90,31 @@ def brp_approx_knn(spark: SparkSession, sf_dir: str, query_id: int = 0,
         bucketLength=bucket_length, numHashTables=4, seed=SEED,
     )
     model = brp.fit(emb)
-    res = model.approxNearestNeighbors(emb, qrow["vec"], k, distCol="dist")
-    return res.select("vec_id", "label", F.round(F.col("dist"), 6).alias("dist"))
+    buckets = model.transform(emb).select(
+        "vec_id", F.posexplode("hashes").alias("t", "bv")
+    ).select(
+        "vec_id", "t",
+        F.element_at(vector_to_array(F.col("bv")), 1).alias("b"),
+    ).localCheckpoint(eager=False)  # one hash pass feeds probe + scan
+    # the query lives in the corpus, so its bucket row group IS the
+    # probe — exactly the single-probe candidate set
+    probe = buckets.filter(F.col("vec_id") == query_id).select("t", "b")
+    cand = (
+        buckets.join(F.broadcast(probe), ["t", "b"], "left_semi")
+        .select("vec_id")
+        .distinct()
+    )
+    qlit = sim.vector_lit([float(x) for x in qrow["embedding"]])
+    return (
+        emb0.join(cand, "vec_id", "left_semi")
+        .select(
+            "vec_id", "label",
+            sim.DISTANCES["euclidean"](F.col("embedding"), qlit).alias("d"),
+        )
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "label", F.round(F.col("d"), 6).alias("dist"))
+    )
 
 
 MINHASH_NUM_FEATURES = 4096

@@ -1181,15 +1181,27 @@ def version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def version_diff_sql() -> str:
     """Mirror: the CDC feed only deletes (vec_id%13==7) and updates
     (vec_id%11==5, not deleted); nothing is added, so per label
-    n_added = 0, n_removed = deletes, n_changed = surviving updates,
-    n_identical = the rest."""
+    n_added = 0, n_removed = deletes, n_changed = surviving updates
+    WHOSE PAYLOAD ACTUALLY CHANGED, n_identical = the rest. The
+    payload condition matters: the diff's documented contract is
+    'changed = same vec_id, different payload' (a COW manifest diff
+    compares bytes, not intent), and the update is the IEEE-exact
+    reversal — so an update applied to a PALINDROMIC vector (e.g. the
+    ties fixture's zero vectors) is a no-op write and counts as
+    identical. On the gate corpora (random floats, no palindromes) the
+    condition is vacuously true; the ties fixture is where it is
+    load-bearing (tests/test_ties_parity.py caught the unconditioned
+    count diverging from the engine)."""
     return """
 SELECT label,
        CAST(0 AS BIGINT) AS n_added,
        CAST(count(*) FILTER (WHERE vec_id % 13 = 7) AS BIGINT) AS n_removed,
-       CAST(count(*) FILTER (WHERE vec_id % 13 != 7 AND vec_id % 11 = 5)
+       CAST(count(*) FILTER (WHERE vec_id % 13 != 7 AND vec_id % 11 = 5
+                             AND list_reverse(embedding) != embedding)
             AS BIGINT) AS n_changed,
-       CAST(count(*) FILTER (WHERE vec_id % 13 != 7 AND vec_id % 11 != 5)
+       CAST(count(*) FILTER (WHERE vec_id % 13 != 7
+                             AND (vec_id % 11 != 5
+                                  OR list_reverse(embedding) = embedding))
             AS BIGINT) AS n_identical
 FROM embeddings
 GROUP BY label
@@ -1312,7 +1324,13 @@ def store_incremental_read_sql() -> str:
     deletes (vec_id%13==7) surface as 'removed' with NULL payload,
     surviving updates (vec_id%11==5) as 'changed' whose new first
     component is the ORIGINAL embedding's last component (the update is
-    the IEEE-exact reversal)."""
+    the IEEE-exact reversal). 'Changed' additionally requires the
+    payload to actually differ (list_reverse != original): the feed is
+    a payload diff between two committed snapshots, so an update that
+    writes back an identical vector (reversal of a palindrome — the
+    ties fixture's zero vectors) produces NO feed row, matching the
+    engine's full-outer-join comparison. Vacuous on the gate corpora;
+    load-bearing under ties (tests/test_ties_parity.py)."""
     return """
 SELECT vec_id, label, 'removed' AS change, CAST(NULL AS BIGINT) AS e0_us
 FROM embeddings WHERE vec_id % 13 = 7
@@ -1320,4 +1338,5 @@ UNION ALL
 SELECT vec_id, label, 'changed',
        CAST(round(CAST(embedding[len(embedding)] AS DOUBLE) * 1e6) AS BIGINT)
 FROM embeddings WHERE vec_id % 13 != 7 AND vec_id % 11 = 5
+  AND list_reverse(embedding) != embedding
 """
