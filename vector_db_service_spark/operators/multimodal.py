@@ -579,7 +579,14 @@ def utf8_bytes_sql(col: str = "text") -> str:
     byte math only on pure-ASCII corpora (caught by the round-9 UTF-8
     fixture)."""
     u = "unicode(c)"
-    return f"""flatten(list_transform(string_split({col}, ''), c ->
+    # list_filter: DuckDB string_split('', '') is [''] (one EMPTY
+    # element) and unicode('') is -1, so an empty document produced a
+    # phantom byte of -1 — every downstream n=0 guard then never fired
+    # (the dup-text fixture caught rms/peak 257 = 1+256 on empty docs
+    # where the engine's zero payload is correct). A non-empty split
+    # never yields '' elements, so the filter only affects empty text.
+    return f"""flatten(list_transform(
+  list_filter(string_split({col}, ''), c -> c != ''), c ->
   CASE WHEN {u} < 128 THEN [{u}]
        WHEN {u} < 2048 THEN [192 + ({u} // 64), 128 + ({u} % 64)]
        WHEN {u} < 65536 THEN [224 + ({u} // 4096), 128 + (({u} // 64) % 64), 128 + ({u} % 64)]

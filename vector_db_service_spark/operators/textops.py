@@ -33,8 +33,16 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         6,
     )
     stop_ratio = F.round(T.stopword_hits(F.col("text"), "en").cast("double") / n_tokens, 6)
+    # try_divide: an EMPTY document has length 0 and Spark 4 ANSI raises
+    # on double/0 where DuckDB yields NULL — the dup-text fixture
+    # (tests/test_duptext_parity.py) crashed here. NULL is the honest
+    # value for "alpha density of nothing" and matches the oracle.
     alpha_density = F.round(
-        T.alpha_chars(F.col("text")).cast("double") / F.length("text").cast("double"), 6
+        F.try_divide(
+            T.alpha_chars(F.col("text")).cast("double"),
+            F.length("text").cast("double"),
+        ),
+        6,
     )
     return docs.select(
         "doc_id",
@@ -106,8 +114,12 @@ def curation_funnel(docs: DataFrame) -> DataFrame:
     This is the composite the other text ops exist to feed."""
     toks = T.tokens(F.col("text"))
     n_tokens = F.size(toks)
-    alpha_density = (
-        T.alpha_chars(F.col("text")).cast("double") / F.length("text").cast("double")
+    # try_divide: empty text -> NULL (not an ANSI divide-by-zero raise);
+    # NULL >= 0.6 is NULL, so empty docs drop out of `keep` exactly as
+    # the DuckDB oracle's NULL-yielding division does
+    alpha_density = F.try_divide(
+        T.alpha_chars(F.col("text")).cast("double"),
+        F.length("text").cast("double"),
     )
     keep = (n_tokens >= 10) & (alpha_density >= 0.6)
     return (
@@ -221,8 +233,12 @@ def curation_pipeline(docs: DataFrame) -> DataFrame:
     curation keeps at 100 TB."""
     toks = T.tokens(F.col("text"))
     n_tokens = F.size(toks)
-    alpha_density = (
-        T.alpha_chars(F.col("text")).cast("double") / F.length("text").cast("double")
+    # try_divide: empty text -> NULL (not an ANSI divide-by-zero raise);
+    # NULL >= 0.6 is NULL, so empty docs drop out of `keep` exactly as
+    # the DuckDB oracle's NULL-yielding division does
+    alpha_density = F.try_divide(
+        T.alpha_chars(F.col("text")).cast("double"),
+        F.length("text").cast("double"),
     )
     kept = docs.filter((n_tokens >= 10) & (alpha_density >= 0.6))
     canonical = kept.groupBy(F.md5("text").alias("h")).agg(

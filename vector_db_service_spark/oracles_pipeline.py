@@ -624,11 +624,17 @@ FROM embeddings GROUP BY label
 
 
 def frame_stats_sql() -> str:
+    """Closed-form frame accounting. The WHERE clause mirrors
+    sample_frames' documented contract — a zero-byte blob produces ZERO
+    frames, so the doc has no row at all (without it the closed form
+    fabricated n_frames=0/tail=256 rows for empty documents; caught by
+    the dup-text fixture, vacuous on the never-empty gate corpora)."""
     return """
 SELECT doc_id,
        CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS n_frames,
        CAST(strlen(text) - (ceil(strlen(text) / 256.0) - 1) * 256 AS BIGINT) AS tail_bytes
 FROM documents
+WHERE strlen(text) > 0
 """
 
 
