@@ -412,3 +412,17 @@ def test_rerank_sweep_windows_are_bounded(spark):
     assert plan.count("+- Window ") + plan.count(":- Window ") == 1
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_brp_approx_knn_deterministic_cut_plan(spark):
+    """The rewritten BRP probe (ties-fixture fix) must keep the serving
+    shape it claims: the final cut compiles to TakeOrderedAndProject
+    (never a full-corpus sort exchange), the probe side broadcasts, and
+    no SortMergeJoin or Python UDF appears anywhere in the plan."""
+    from vector_db_service_spark.operators import mllib_index
+
+    plan = _plan(mllib_index.brp_approx_knn(spark, SF, query_id=0, k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # probe + candidate semi-joins
