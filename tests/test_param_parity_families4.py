@@ -122,3 +122,19 @@ def test_knn_query_stream_other_workload_parity(spark, con):
         sp.knn_query_stream(spark, SF, query_ids=[2, 4, 6], k=3), con,
         brute_force_topk_sql(query_ids=[2, 4, 6], k=3),
     )
+
+
+def test_session_windows_other_gap_parity(spark, con):
+    """gap='15 minutes': every session boundary moves — the engine's
+    gap parameter must generalize. The oracle is the registered SQL
+    with its 30-minute microsecond constant (1800000000) rewritten to
+    15 minutes; the session algebra itself is unchanged."""
+    import __spark_entry__ as entry_mod
+    from vector_db_service_spark.streaming import pipeline as sp
+
+    sql = entry_mod.oracle_sql()["stream_session_windows"]
+    assert sql.count("1800000000") == 3  # gap appears as split/close/wm
+    _parity(
+        sp.session_window_counts(spark, SF, gap="15 minutes"), con,
+        sql.replace("1800000000", "900000000"),
+    )
