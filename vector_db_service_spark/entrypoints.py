@@ -1160,9 +1160,15 @@ def _knn_join_sql(m: int = 3, dim: int = _DIM, band_bits: int = 2) -> str:
     seed-42 sign-band candidate join, exact cosine re-rank per source.
     `dim` must equal the corpus dimension (the operator infers it; this
     static SQL mirrors the driver data's _DIM)."""
-    from .operators.lsh import NUM_HASHES, SEED, hyperplanes
+    from .operators.lsh import N_SIGN_BANDS, SEED, hyperplanes
 
-    planes = hyperplanes(dim, NUM_HASHES, SEED)
+    # N_SIGN_BANDS * band_bits, NOT the static NUM_HASHES: the engine
+    # builds 5 bands of band_bits planes each, and the two layouts only
+    # coincide at band_bits=2 (5*2 == NUM_HASHES). The scale-parity
+    # sweep caught pipeline_hard_negatives diverging at sf0.1, where
+    # auto_band_bits resolves the GLOBAL (n_labels=1) banding to 4 —
+    # a width this builder previously could not express.
+    planes = hyperplanes(dim, N_SIGN_BANDS * band_bits, SEED)
     cos = oracles.METRIC_SQL["cosine"]("a.embedding", "b.embedding")
     return f"""
 WITH banded AS MATERIALIZED (
@@ -1194,9 +1200,15 @@ def _hard_negatives_sql(dim: int = _DIM, band_bits: int = 2) -> str:
     """Mirror of ann.hard_negative_mining: the knn_join banding WITHOUT
     the label scope, label-mismatch filter, top-1 per anchor on the
     (score desc, negative_id asc) total order."""
-    from .operators.lsh import NUM_HASHES, SEED, hyperplanes
+    from .operators.lsh import N_SIGN_BANDS, SEED, hyperplanes
 
-    planes = hyperplanes(dim, NUM_HASHES, SEED)
+    # N_SIGN_BANDS * band_bits, NOT the static NUM_HASHES: the engine
+    # builds 5 bands of band_bits planes each, and the two layouts only
+    # coincide at band_bits=2 (5*2 == NUM_HASHES). The scale-parity
+    # sweep caught pipeline_hard_negatives diverging at sf0.1, where
+    # auto_band_bits resolves the GLOBAL (n_labels=1) banding to 4 —
+    # a width this builder previously could not express.
+    planes = hyperplanes(dim, N_SIGN_BANDS * band_bits, SEED)
     cos = oracles.METRIC_SQL["cosine"]("a.embedding", "b.embedding")
     return f"""
 WITH banded AS MATERIALIZED (
@@ -1815,9 +1827,15 @@ def _band_skew_sql(dim: int = _DIM, band_bits: int = 2,
                    threshold: float = 50.0) -> str:
     """Mirror of operators/ann.py::band_skew_report over the identical
     seed-42 banded keys."""
-    from .operators.lsh import NUM_HASHES, SEED, hyperplanes
+    from .operators.lsh import N_SIGN_BANDS, SEED, hyperplanes
 
-    planes = hyperplanes(dim, NUM_HASHES, SEED)
+    # N_SIGN_BANDS * band_bits, NOT the static NUM_HASHES: the engine
+    # builds 5 bands of band_bits planes each, and the two layouts only
+    # coincide at band_bits=2 (5*2 == NUM_HASHES). The scale-parity
+    # sweep caught pipeline_hard_negatives diverging at sf0.1, where
+    # auto_band_bits resolves the GLOBAL (n_labels=1) banding to 4 —
+    # a width this builder previously could not express.
+    planes = hyperplanes(dim, N_SIGN_BANDS * band_bits, SEED)
     return f"""
 WITH banded AS MATERIALIZED (
 {oracles.banded_cte_sql(planes, band_bits)}
@@ -2881,9 +2899,15 @@ def _knn_join_post_body(m: int = 3, dim: int = _DIM,
     """The banded knn_join algebra over an in-scope `post` CTE — shared
     by the maintained-graph oracle and the served-walk oracle (both
     consume the graph the maintenance stream stores)."""
-    from .operators.lsh import NUM_HASHES, SEED, hyperplanes
+    from .operators.lsh import N_SIGN_BANDS, SEED, hyperplanes
 
-    planes = hyperplanes(dim, NUM_HASHES, SEED)
+    # N_SIGN_BANDS * band_bits, NOT the static NUM_HASHES: the engine
+    # builds 5 bands of band_bits planes each, and the two layouts only
+    # coincide at band_bits=2 (5*2 == NUM_HASHES). The scale-parity
+    # sweep caught pipeline_hard_negatives diverging at sf0.1, where
+    # auto_band_bits resolves the GLOBAL (n_labels=1) banding to 4 —
+    # a width this builder previously could not express.
+    planes = hyperplanes(dim, N_SIGN_BANDS * band_bits, SEED)
     cos = oracles.METRIC_SQL["cosine"]("a.embedding", "b.embedding")
     return f"""
 WITH banded AS MATERIALIZED (
