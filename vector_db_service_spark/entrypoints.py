@@ -170,8 +170,15 @@ register(
     "p3_json_filter",
     lambda s, d: catalog.filter_by_json(load(s, d, "events"), "props", {"$.k": "42"})
     .select("event_id", "user_id", "event_type", F.round("value", 2).alias("value")),
+    # json_valid guard: Spark's get_json_object returns NULL on
+    # malformed JSON where DuckDB's json_extract_string RAISES — at
+    # 100 TB malformed props rows exist and must filter out, not crash
+    # the oracle (tests/test_badjson_parity.py; vacuous on the
+    # all-valid gate corpora). Known engine-level leniency difference,
+    # documented there: Spark additionally accepts single-QUOTED JSON.
     "SELECT event_id, user_id, event_type, round(value, 2) AS value FROM events "
-    "WHERE json_extract_string(props, '$.k') = '42'",
+    "WHERE CASE WHEN json_valid(props) "
+    "THEN json_extract_string(props, '$.k') END = '42'",
 )
 register(
     "p5_create_or_get",
@@ -483,10 +490,15 @@ QUALIFY rnk <= 3
 register(
     "rel_events_json_stats",
     relational.events_json_stats,
+    # json_valid guard mirrors get_json_object's NULL-on-malformed
+    # (see p3_json_filter's note; tests/test_badjson_parity.py)
     """
 SELECT event_type, count(*) AS n_events,
-       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
-       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+       round(avg(CAST(CASE WHEN json_valid(props)
+                      THEN json_extract_string(props, '$.k') END AS INT)), 4)
+         AS avg_k,
+       max(CAST(CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS INT)) AS max_k,
        round(sum(value), 4) AS sum_value
 FROM events GROUP BY event_type
 """,
