@@ -80,7 +80,12 @@ def query_vector_row(
     )
     if row is None:
         raise KeyError(f"query vector {query_id} not found")
-    _QVEC_CACHE[key] = (list(row[0]), int(row[1]))
+    # label is OPTIONAL metadata (nullable at the source); a NULL label
+    # rides through as None so consumers surface it as SQL NULL, the
+    # same value the oracle reads from the table.
+    _QVEC_CACHE[key] = (
+        list(row[0]), int(row[1]) if row[1] is not None else None,
+    )
     return _QVEC_CACHE[key]
 
 
@@ -106,7 +111,8 @@ def query_vector_rows(
         )
         for r in rows:
             _QVEC_CACHE[(*sig, int(r["vec_id"]))] = (
-                list(r["embedding"]), int(r["label"]),
+                list(r["embedding"]),
+                int(r["label"]) if r["label"] is not None else None,
             )
         still = [q for q in missing if (*sig, q) not in _QVEC_CACHE]
         if still:
