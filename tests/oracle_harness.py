@@ -22,11 +22,23 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _null_norm(x):
+    """One spelling for SQL NULL regardless of the pandas dtype it rode
+    in on: Spark hands a NULL boolean as None (object dtype), DuckDB as
+    NaN (float64) — same NULL, different repr. Scalars only; arrays
+    pass through untouched."""
+    if x is None:
+        return None
+    if isinstance(x, float) and math.isnan(x):
+        return None
+    return x
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            df[c] = df[c].map(_null_norm).astype(str)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
@@ -45,7 +57,11 @@ def compare(spark_df, oracle_df: pd.DataFrame, float_tol: float = 0.0) -> list[s
             for i, (a, b) in enumerate(zip(sv, ov)):
                 if a is None and b is None:
                     continue
-                fa, fb = float(a), float(b)
+                # NULL in a float column may arrive as None (object
+                # dtype on the other frame) — treat it as NaN so a
+                # NULL-vs-NULL pair compares equal across dtypes.
+                fa = float("nan") if a is None else float(a)
+                fb = float("nan") if b is None else float(b)
                 if math.isnan(fa) and math.isnan(fb):
                     continue
                 if fa != fb and abs(fa - fb) > float_tol:

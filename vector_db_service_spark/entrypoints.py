@@ -1549,7 +1549,7 @@ top AS MATERIALIZED (
 ),
 votes AS (
   SELECT query_id, label, CAST(count(*) AS BIGINT) AS n_votes
-  FROM top GROUP BY query_id, label
+  FROM top WHERE label IS NOT NULL GROUP BY query_id, label
 ),
 pred AS (
   SELECT query_id, label AS pred_label, n_votes FROM (
@@ -3929,7 +3929,12 @@ register(
 # as a deterministic label -> algorithm mapping)
 register(
     "i12_index_info",
-    lambda s, d: load(s, d, "embeddings").groupBy("label").agg(
+    # per-LIBRARY info: NULL labels are excluded (the registry contract,
+    # lifecycle.algorithm_registry — a vector without a library id has
+    # no per-library index to report on)
+    lambda s, d: load(s, d, "embeddings")
+    .filter(F.col("label").isNotNull())
+    .groupBy("label").agg(
         F.count("*").alias("n_vectors"),
         F.first(F.size("embedding")).alias("dim"),
     ).withColumn(
@@ -3940,7 +3945,7 @@ register(
     """
 SELECT label, count(*) AS n_vectors, first(len(embedding)) AS dim,
        ['flat', 'lsh', 'grid'][(label % 3) + 1] AS algorithm
-FROM embeddings GROUP BY label
+FROM embeddings WHERE label IS NOT NULL GROUP BY label
 """,
 )
 

@@ -3862,8 +3862,15 @@ def knn_classify(
         )
     )
     top = multi_query_topk(scored, k=k)
-    votes = top.groupBy("query_id", "label").agg(
-        F.count("*").cast("long").alias("n_votes")
+    # Unlabeled neighbors (NULL label) do not vote: a label election is
+    # over the labeled population, and a NULL "majority label" is
+    # meaningless. Also keeps the (n_votes desc, label asc) tie order
+    # engine/oracle-identical — Spark sorts ASC nulls first, DuckDB
+    # nulls last, so a NULL vote group would break the argmax contract.
+    votes = (
+        top.filter(F.col("label").isNotNull())
+        .groupBy("query_id", "label")
+        .agg(F.count("*").cast("long").alias("n_votes"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("n_votes"), F.asc("label")

@@ -33,9 +33,16 @@ ALGORITHMS = ("flat", "lsh", "grid")
 def algorithm_registry(emb: DataFrame) -> DataFrame:
     """Default per-library algorithm config: deterministic label -> algo
     mapping (the analog of Library.preferred_index_algorithm,
-    reference database/models.py:28-34)."""
+    reference database/models.py:28-34). A NULL label is excluded: the
+    registry is keyed by library id, and a vector without one cannot be
+    routed to a per-library index (the service addresses indexes by
+    library_id throughout vector_service.py). The isNotNull guard also
+    dodges a Spark 4.1 DataFrame-path hazard where element_at on a
+    LITERAL array with a NULL index constant-folds to the LAST element
+    instead of NULL (the SQL path returns NULL correctly)."""
     return (
         emb.select("label").distinct()
+        .filter(F.col("label").isNotNull())
         .withColumn(
             "algorithm",
             F.element_at(

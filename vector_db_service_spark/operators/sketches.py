@@ -132,8 +132,16 @@ def countmin_heavy_hitters(
     point estimate = min over rows of the addressed counter. The CMS
     estimate always >= exact count; `overestimate` shows the collision
     error the sketch admits. Integer arithmetic end-to-end -> exact
-    oracle parity."""
-    ev = load(spark, sf_dir, "events").select(F.col(key).alias("k"))
+    oracle parity. NULL keys are excluded — a sketch estimates the
+    non-null key distribution, the same population COUNT(DISTINCT)
+    describes (null hashes to NULL on Spark but to the hash of the bare
+    salt in DuckDB's null-skipping concat, so no phantom key exists on
+    either side)."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col(key).isNotNull())
+        .select(F.col(key).alias("k"))
+    )
     rows = F.array(
         *[
             F.struct(
@@ -174,7 +182,9 @@ def countmin_sql(key: str = "event_type") -> str:
         )
 
     cell_union = "\nUNION ALL\n".join(
-        f"SELECT {i} AS i, {h(i, key)} AS bucket FROM events" for i in range(CMS_DEPTH)
+        f"SELECT {i} AS i, {h(i, key)} AS bucket FROM events"
+        f" WHERE {key} IS NOT NULL"
+        for i in range(CMS_DEPTH)
     )
     probe_union = "\nUNION ALL\n".join(
         f"SELECT k, exact_n, {i} AS i, {h(i, 'k')} AS bucket FROM ex"
@@ -184,7 +194,8 @@ def countmin_sql(key: str = "event_type") -> str:
 WITH cells AS (
   SELECT i, bucket, count(*) AS c FROM ({cell_union}) GROUP BY i, bucket
 ),
-ex AS (SELECT {key} AS k, count(*) AS exact_n FROM events GROUP BY {key}),
+ex AS (SELECT {key} AS k, count(*) AS exact_n FROM events
+       WHERE {key} IS NOT NULL GROUP BY {key}),
 probes AS ({probe_union})
 SELECT p.k AS {key}, CAST(p.exact_n AS BIGINT) AS exact_n,
        CAST(min(c.c) AS BIGINT) AS cms_estimate,
@@ -299,8 +310,9 @@ def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: each signature is a bottom-K TakeOrderedAndProject over
     the distinct keys — constant state, partition-mergeable, the corpus-
-    overlap primitive (e.g. contamination checks between two crawls)."""
-    ev = load(spark, sf_dir, "events")
+    overlap primitive (e.g. contamination checks between two crawls).
+    NULL user ids are excluded (the COUNT(DISTINCT) population)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
 
     def sig(event_type: str) -> DataFrame:
         return (
@@ -349,11 +361,13 @@ def kmv_overlap_sql() -> str:
          f" 1, {HLL_HASH_HEX})) AS BIGINT)")
     return f"""
 WITH a AS (
-  SELECT {h} AS h FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+  SELECT {h} AS h FROM (SELECT DISTINCT user_id FROM events
+                      WHERE event_type = 'click' AND user_id IS NOT NULL)
   ORDER BY h LIMIT {KMV_K}
 ),
 b AS (
-  SELECT {h} AS h FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+  SELECT {h} AS h FROM (SELECT DISTINCT user_id FROM events
+                      WHERE event_type = 'purchase' AND user_id IS NOT NULL)
   ORDER BY h LIMIT {KMV_K}
 ),
 u AS (
@@ -577,8 +591,10 @@ def hll_merge(spark: SparkSession, sf_dir: str, key: str = "user_id") -> DataFra
 
     One scan builds the per-slice registers; every later frame is at
     most 2 x HLL_M rows (broadcast scalar combines)."""
-    ev = load(spark, sf_dir, "events").select(
-        F.col(key).alias("k"), (F.col("event_id") % 2).alias("slc")
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col(key).isNotNull())  # the COUNT(DISTINCT) population
+        .select(F.col(key).alias("k"), (F.col("event_id") % 2).alias("slc"))
     )
     h = _hash52(F.col("k"), "hll:")
     w = (h / F.lit(HLL_M)).cast("long")
@@ -673,8 +689,10 @@ def countmin_merge(
 
     One scan builds the per-slice cells; everything after is
     counter-table-sized (depth x width x 2 rows)."""
-    ev = load(spark, sf_dir, "events").select(
-        F.col(key).alias("k"), (F.col("event_id") % 2).alias("slc")
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col(key).isNotNull())  # the COUNT(DISTINCT) population
+        .select(F.col(key).alias("k"), (F.col("event_id") % 2).alias("slc"))
     )
     rows = F.array(
         *[
@@ -759,7 +777,8 @@ def countmin_merge_sql(key: str = "event_type") -> str:
 )"""
 
     return f"""
-WITH ev AS (SELECT {key} AS k, event_id % 2 AS slc FROM events),
+WITH ev AS (SELECT {key} AS k, event_id % 2 AS slc FROM events
+            WHERE {key} IS NOT NULL),
 exact AS (SELECT k, CAST(count(*) AS BIGINT) AS exact_n FROM ev GROUP BY k),
 probes AS ({probes}),
 cells_slice AS (
@@ -1036,8 +1055,10 @@ def kmv_merge(spark: SparkSession, sf_dir: str, key: str = "user_id") -> DataFra
     Scale shape: each signature is a bottom-K TakeOrderedAndProject
     over the distinct keys — constant state, partition-mergeable, the
     shard-parallel distinct-count primitive."""
-    ev = load(spark, sf_dir, "events").select(
-        F.col(key).alias("k"), (F.col("event_id") % 2).alias("slc")
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col(key).isNotNull())  # the COUNT(DISTINCT) population
+        .select(F.col(key).alias("k"), (F.col("event_id") % 2).alias("slc"))
     )
 
     def sig(keys: DataFrame) -> DataFrame:
@@ -1109,7 +1130,8 @@ def kmv_merge_sql(key: str = "user_id") -> str:
 )"""
 
     return f"""
-WITH ev AS (SELECT {key} AS k, event_id % 2 AS slc FROM events),
+WITH ev AS (SELECT {key} AS k, event_id % 2 AS slc FROM events
+            WHERE {key} IS NOT NULL),
 s0 AS (SELECT {h} AS h FROM (SELECT DISTINCT k FROM ev WHERE slc = 0)
        ORDER BY h LIMIT {KMV_K}),
 s1 AS (SELECT {h} AS h FROM (SELECT DISTINCT k FROM ev WHERE slc = 1)
