@@ -2036,7 +2036,7 @@ register(
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS weight_tokens,
        CAST(len(string_split(text, ' ')) AS DOUBLE) * 4294967296.0
-         / CAST(CAST(concat('0x', substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1 AS DOUBLE)
+         / CAST(CAST(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1 AS DOUBLE)
          AS priority
 FROM documents
 ORDER BY priority DESC, doc_id ASC
@@ -3001,7 +3001,11 @@ def _embed_components(s: SparkSession, d: str) -> DataFrame:
     from .sources.tables import spread_for_compute
 
     return (
-        spread_for_compute(load(s, d, "documents"))
+        # embed-source contract: a NULL text cannot be embedded -> no row
+        # (oracle: embed_components_sql's WHERE text IS NOT NULL)
+        spread_for_compute(
+            load(s, d, "documents").filter(F.col("text").isNotNull())
+        )
         .select("doc_id", let(hash_embedding(F.col("text")), _proj).alias("st"))
         .select("doc_id", "st.*")
     )
@@ -3396,9 +3400,9 @@ WITH pos AS (
 ),
 sharded AS (
   SELECT doc_id, text,
-         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
            % {dedup.CONTRASTIVE_SHARDS} AS shard
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 ranked AS (
   SELECT doc_id, shard,
@@ -3425,7 +3429,7 @@ register(
     lambda s, d: textops.stratified_sample(load(s, d, "documents"), rate_pct=20),
     """
 SELECT lang, count(*) AS n_docs,
-       CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       CAST(sum(CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                      % 100 < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
 FROM documents GROUP BY lang
 """,
@@ -3468,7 +3472,7 @@ surv AS (
 )
 SELECT lang, count(*) AS n_curated,
        CAST(sum(len({opl.TOKS})) AS BIGINT) AS total_tokens,
-       CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       CAST(sum(CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                      % 100 < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
 FROM surv GROUP BY lang
 """,

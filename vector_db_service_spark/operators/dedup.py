@@ -89,6 +89,7 @@ def _pair_join(keyed: DataFrame, key_cols: list[str], payload: list[str],
 def minhash_near_dups(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: band-bucket candidate join,
     then EXACT jaccard on distinct-shingle sets as the verify step."""
+    docs = docs.filter(F.col("text").isNotNull())  # content population (no NULL-text docs)
     # one materialization of (band keys, shingle set) feeds the candidate
     # join AND both verify joins — the shingle/md5 pipeline runs once per
     # doc, not once per branch (the persisted-signature-table shape)
@@ -126,6 +127,7 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     bits. The block join (4 blocks, 7 bits each) is lossless for this
     radius by pigeonhole, so results equal the all-pairs scan the oracle
     performs."""
+    docs = docs.filter(F.col("text").isNotNull())  # content population (no NULL-text docs)
     # localCheckpoint: both join sides + the verify read the SAME tiny
     # materialized fingerprint frame instead of re-hashing the corpus per
     # branch (measured 2.2x). At scale this is the index-build write: the
@@ -294,6 +296,7 @@ def _dup_graph(docs: DataFrame, max_hamming: int) -> DataFrame:
     query at local[32]). The node set is NOT materialized here:
     consumers derive it for free (the contraction's groupBy emits every
     node; the plain variant dedups src)."""
+    docs = docs.filter(F.col("text").isNotNull())  # content population (no NULL-text docs)
     spark = docs.sparkSession
     iter_parts = max(4, spark.sparkContext.defaultParallelism // 8)
     pairs = simhash_near_dups(docs, max_hamming).select("doc_id_1", "doc_id_2")
@@ -396,6 +399,7 @@ def containment_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     (quote extraction, boilerplate wrapping), which symmetric jaccard
     misses. Same banded candidate join as minhash_near_dups; both
     directed containments are emitted per unordered candidate pair."""
+    docs = docs.filter(F.col("text").isNotNull())  # content population (no NULL-text docs)
     sig = H.minhash_signature("text")
     pre = spread_for_compute(docs).select(
         "doc_id",
@@ -507,6 +511,7 @@ def near_dup_labels_fast(docs: DataFrame, max_hamming: int = 3,
     REGISTERED dedup_components variant (the 10-round plain-propagation
     oracle matches whenever component diameter <= 10, which the
     equality test pins for the test corpora)."""
+    docs = docs.filter(F.col("text").isNotNull())  # content population (no NULL-text docs)
     # edges arrive already narrowed to iteration width and checkpointed
     # (see _dup_graph) — one materialization instead of the former two
     edges = _dup_graph(docs, max_hamming)
@@ -627,6 +632,7 @@ def near_dup_keep_canonical(docs: "DataFrame", max_hamming: int = 3,
     doc_id) and the accounting is one map-side-combinable groupBy over
     |sources| groups. The survivor SET (doc_id == comp) is available to
     a writer as the same frame pre-aggregation."""
+    docs = docs.filter(F.col("text").isNotNull())  # content population (no NULL-text docs)
     if labels is None:
         labels = near_dup_labels_fast(docs, max_hamming, rounds)
     per_doc = docs.join(labels, docs.doc_id == labels.node).select(
@@ -670,6 +676,7 @@ def contrastive_pairs(docs: DataFrame, threshold: float = 0.2,
     statistics don't (the ring order is arbitrary by design), and for a
     FIXED n_shards the draw is exactly reproducible (the oracle replays
     the same sharded ring)."""
+    docs = docs.filter(F.col("text").isNotNull())  # content population (no NULL-text docs)
     pos = minhash_near_dups(docs, threshold=threshold).select(
         F.col("doc_id_1").alias("anchor_id"),
         F.col("doc_id_2").alias("other_id"),
@@ -743,6 +750,7 @@ def substring_span_stats(docs: DataFrame, n: int = 5,
     between two already-gh-partitioned frames. Everything downstream of
     tokenization moves only (int64, int64) rows.
     """
+    docs = docs.filter(F.col("text").isNotNull())  # content population (no NULL-text docs)
     from ..functions import hashing as H
 
     ex = docs.select(
@@ -789,6 +797,7 @@ def paragraph_dedup(docs: DataFrame, para_tokens: int = 20) -> DataFrame:
     the keep-first group-by (map-side combinable min); the verdict join
     back is an equi-join on the paragraph hash; accounting is a
     |sources|-group aggregate. The full text never shuffles."""
+    docs = docs.filter(F.col("text").isNotNull())  # content population (no NULL-text docs)
     toks = F.split(F.col("text"), " ")
     n_paras = F.greatest(
         F.ceil(F.size("toks") / F.lit(para_tokens)).cast("int"), F.lit(1)
@@ -863,6 +872,7 @@ def winnowing_fingerprints(docs: DataFrame, window: int = WINNOW_WINDOW) -> Data
     span-level contamination signal at fingerprint (not full-shingle)
     cost. Selection is one zero-shuffle projection; only the distinct
     (doc_id, fp) pairs shuffle for the doc-frequency count."""
+    docs = docs.filter(F.col("text").isNotNull())  # content population (no NULL-text docs)
     gh = F.expr(H.shingle_hashes_sql("text", 3))
     fps = F.array_distinct(
         F.when(
@@ -1020,6 +1030,7 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
     shape of the MinHash family, but with a deterministic completeness
     guarantee); verification joins only candidate pairs. tau is the
     volume knob: higher tau -> shorter prefixes -> fewer candidates."""
+    docs = docs.filter(F.col("text").isNotNull())  # content population (no NULL-text docs)
     from pyspark.sql import Window
 
     p2, q2 = tau_num * tau_num, tau_den * tau_den
@@ -1365,6 +1376,7 @@ def minhash_vs_exact_recall(docs: DataFrame, threshold: float = 0.2,
     integer micros (ratios of exact integer counts). Both inputs are
     bucketed equi-join pipelines; the overlap join is on (id, id)
     pairs."""
+    docs = docs.filter(F.col("text").isNotNull())  # content population (no NULL-text docs)
     shard = docs.filter(_shard4("doc_id"))
     if truth_pairs is None:
         truth_pairs = allpairs_cosine(docs)
@@ -1428,6 +1440,7 @@ def leakage_safe_split(docs: DataFrame, val_pct: int = 10,
     replays the same count from its own quadratic pair CTE — a wrong
     assignment keying would show up as a nonzero, hash-mismatched
     column)."""
+    docs = docs.filter(F.col("text").isNotNull())  # content population (no NULL-text docs)
     if labels is None:
         labels = near_dup_labels_fast(docs, max_hamming)
     bucket = (
@@ -1480,6 +1493,7 @@ def dedup_mixture_shift(docs: "DataFrame",
     grouped conditional aggregation over |domains| groups, totals via
     an unpartitioned window over the aggregated frame (the
     mixture_weights discipline — the corpus scans once)."""
+    docs = docs.filter(F.col("text").isNotNull())  # content population (no NULL-text docs)
     from pyspark.sql import Window
 
     if labels is None:
@@ -1524,6 +1538,7 @@ def simhash_threshold_curve(docs: "DataFrame",
     4-row grouped count, and a bounded threshold expansion — the curve
     costs the same as the pair query it tunes. Exact quadratic-scan
     oracle, so the curve also re-proves losslessness at every radius."""
+    docs = docs.filter(F.col("text").isNotNull())  # content population (no NULL-text docs)
     pairs = simhash_near_dups(docs, max_hamming)
     per = pairs.groupBy("hamming").agg(
         F.count("*").cast("long").alias("n_at")

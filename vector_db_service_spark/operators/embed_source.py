@@ -137,7 +137,7 @@ def embed_resilient_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document-deterministic encoder it only buys parallelism."""
     from ..sources.tables import spread_for_compute
 
-    return embed_resilient(spread_for_compute(load(spark, sf_dir, "documents")))
+    return embed_resilient(spread_for_compute(load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())))
 
 
 def embed_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,7 +157,7 @@ def embed_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import let
     from ..sources.tables import spread_for_compute
 
-    docs = spread_for_compute(load(spark, sf_dir, "documents"))
+    docs = spread_for_compute(load(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
 
     def _both(t):
         def _with_tokens(tk):
@@ -192,6 +192,7 @@ def validation_report(
     quarantined (status='failed') and the max attempts any batch needed.
     Under the default deterministic encoder nothing fails (oracle pins
     0 / 1); tests inject a flaky encoder and watch the counts move."""
+    # NO null-text filter here: validation's whole job is to see bad rows
     docs = load(spark, sf_dir, "documents")
     base = docs.agg(
         F.count("*").alias("total_docs"),

@@ -166,9 +166,12 @@ def minhash_jaccard_join(spark: SparkSession, sf_dir: str,
 
     from ..sources.tables import spread_for_compute
 
-    docs = spread_for_compute(load(spark, sf_dir, "documents")).select(
-        "doc_id", F.array_distinct(shingles("text")).alias("sh")
-    )
+    docs = spread_for_compute(
+        # content population: a NULL text has no shingles; its [NULL]
+        # fallback shingle would featurize to an all-zero vector, which
+        # MinHashLSHModel rejects ("at least 1 non zero entry")
+        load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ).select("doc_id", F.array_distinct(shingles("text")).alias("sh"))
 
     def to_idx(s):
         return (
@@ -220,12 +223,12 @@ def minhash_jaccard_join_sql(threshold: float = MINHASH_JOIN_THRESHOLD,
     )
     idxs = (
         f"list_sort(list_distinct(list_transform({opl.SHINGLES}, "
-        f"s -> CAST(CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) "
+        f"s -> CAST(CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) "
         f"% {num_features} AS INTEGER))))"
     )
     return f"""
 WITH feats AS (
-  SELECT doc_id, {idxs} AS idxs FROM documents
+  SELECT doc_id, {idxs} AS idxs FROM documents WHERE text IS NOT NULL
 ),
 coef AS (SELECT * FROM (VALUES {coef_vals}) AS t(tbl, a, b)),
 ex AS (SELECT doc_id, unnest(idxs) AS i FROM feats),

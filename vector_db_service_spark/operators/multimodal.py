@@ -62,7 +62,12 @@ def blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, and a one-row-group source would serialize it on one worker."""
     from ..sources.tables import spread_for_compute
 
-    docs = spread_for_compute(load(spark, sf_dir, "documents"))
+    docs = spread_for_compute(
+        # a NULL-text document has no bytes to derive media from:
+        # no payload -> no blob row (every mm oracle mirrors with
+        # WHERE text IS NOT NULL)
+        load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
     return docs.select(
         "doc_id",
         F.encode("text", "utf-8").alias("blob"),
@@ -597,7 +602,7 @@ def utf8_bytes_sql(col: str = "text") -> str:
 def blob_resize_sql(target: int = RESIZE_TARGET) -> str:
     return f"""
 WITH raw AS (
-  SELECT doc_id, {utf8_bytes_sql()} AS bl FROM documents
+  SELECT doc_id, {utf8_bytes_sql()} AS bl FROM documents WHERE text IS NOT NULL
 ),
 base AS (
   SELECT doc_id, bl, len(bl) AS n,
@@ -662,7 +667,9 @@ def image_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import spread_for_compute
 
     docs = spread_for_compute(
-        load(spark, sf_dir, "documents").select("doc_id", "text")
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
     )
     return docs.mapInPandas(_make, schema)
 
@@ -705,7 +712,9 @@ def png_image_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import spread_for_compute
 
     docs = spread_for_compute(
-        load(spark, sf_dir, "documents").select("doc_id", "text")
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
     )
     return docs.mapInPandas(_make, schema)
 
@@ -750,7 +759,9 @@ def _fused_decode(spark: SparkSession, sf_dir: str, encode) -> DataFrame:
     from ..sources.tables import spread_for_compute
 
     docs = spread_for_compute(
-        load(spark, sf_dir, "documents").select("doc_id", "text")
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
     )
     return docs.mapInPandas(_synth_decode_batches(encode), DECODE_SCHEMA).select(
         "doc_id",
@@ -849,7 +860,7 @@ def mm_decode_sql() -> str:
     )
     return f"""
 WITH raw AS (
-  SELECT doc_id, {utf8_bytes_sql()} AS bl FROM documents
+  SELECT doc_id, {utf8_bytes_sql()} AS bl FROM documents WHERE text IS NOT NULL
 ),
 base AS (
   SELECT doc_id, bl, len(bl) AS n FROM raw
@@ -952,7 +963,9 @@ def embed_documents_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import spread_for_compute
 
     docs = spread_for_compute(
-        load(spark, sf_dir, "documents").select("doc_id", "text")
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
     )
     return docs.mapInPandas(_embed_batches, EMBED_SCHEMA)
 
@@ -975,7 +988,13 @@ def _centroid_group(pdf):
 
     vecs = pdf["embedding"].tolist()
     n = len(vecs)
-    out = {"label": [int(pdf["label"].iloc[0])], "n_vectors": [n]}
+    # plain GROUP BY semantics: the NULL label is a group like any other
+    # (Arrow hands it to the kernel as NaN; emit it back as SQL NULL)
+    lab = pdf["label"].iloc[0]
+    out = {
+        "label": [None if pd.isna(lab) else int(lab)],
+        "n_vectors": [n],
+    }
     for i in range(4):
         s = 0.0
         for v in vecs:
@@ -1057,7 +1076,9 @@ def phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "phash": hashes})
 
     docs = spread_for_compute(
-        load(spark, sf_dir, "documents").select("doc_id", "text")
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
     )
     return docs.mapInPandas(gen, schema)
 
@@ -1134,7 +1155,7 @@ def phash_near_dups_sql(max_hamming: int = 3) -> str:
     ) + " END"
     min_long = "-9223372036854775808"
     return f"""
-WITH raw AS (SELECT doc_id, {utf8_bytes_sql()} AS bl FROM documents),
+WITH raw AS (SELECT doc_id, {utf8_bytes_sql()} AS bl FROM documents WHERE text IS NOT NULL),
 base AS (SELECT doc_id, bl, len(bl) AS n FROM raw),
 px AS (
   SELECT doc_id, CAST(j // 3 AS BIGINT) AS p,
@@ -1220,7 +1241,9 @@ def waveform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     docs = spread_for_compute(
-        load(spark, sf_dir, "documents").select("doc_id", "text")
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
     )
     return docs.mapInPandas(gen, schema).select(
         "doc_id",
@@ -1238,7 +1261,7 @@ def waveform_stats_sql() -> str:
     sign(x_{i+1}) with sign = (x < 0)."""
     n_bytes = WAV_SAMPLES * 2
     return f"""
-WITH raw AS (SELECT doc_id, {utf8_bytes_sql()} AS bl FROM documents),
+WITH raw AS (SELECT doc_id, {utf8_bytes_sql()} AS bl FROM documents WHERE text IS NOT NULL),
 base AS (SELECT doc_id, bl, len(bl) AS n FROM raw),
 smp AS (
   SELECT doc_id, i,
@@ -1340,7 +1363,9 @@ def audio_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     docs = spread_for_compute(
-        load(spark, sf_dir, "documents").select("doc_id", "text")
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
     )
     return docs.mapInPandas(gen, schema)
 
@@ -1352,7 +1377,7 @@ def audio_activity_sql() -> str:
     fv = VAD_FRAME
 
     return f"""
-WITH raw AS (SELECT doc_id, {utf8_bytes_sql()} AS bl FROM documents),
+WITH raw AS (SELECT doc_id, {utf8_bytes_sql()} AS bl FROM documents WHERE text IS NOT NULL),
 base AS (SELECT doc_id, bl, len(bl) AS n FROM raw),
 smp AS (
   SELECT doc_id, i,
@@ -1493,7 +1518,9 @@ def audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     docs = spread_for_compute(
-        load(spark, sf_dir, "documents").select("doc_id", "text")
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
     )
     return docs.mapInPandas(gen, schema)
 
@@ -1507,7 +1534,7 @@ def audio_spectral_sql() -> str:
         f"({i}, {k}, {c}, {s})" for i, k, c, s in tab
     )
     return f"""
-WITH raw AS (SELECT doc_id, {utf8_bytes_sql()} AS bl FROM documents),
+WITH raw AS (SELECT doc_id, {utf8_bytes_sql()} AS bl FROM documents WHERE text IS NOT NULL),
 base AS (SELECT doc_id, bl, len(bl) AS n FROM raw),
 smp AS (
   SELECT doc_id, i,
@@ -1601,7 +1628,9 @@ def scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     docs = spread_for_compute(
-        load(spark, sf_dir, "documents").select("doc_id", "text")
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
     )
     return docs.mapInPandas(gen, schema)
 
@@ -1612,7 +1641,7 @@ def scene_cuts_sql() -> str:
     same integer arithmetic."""
     fb = FRAME_BYTES
     return f"""
-WITH raw AS (SELECT doc_id, {utf8_bytes_sql()} AS bl FROM documents),
+WITH raw AS (SELECT doc_id, {utf8_bytes_sql()} AS bl FROM documents WHERE text IS NOT NULL),
 base AS (
   SELECT doc_id, bl, len(bl) AS n,
          (len(bl) + {fb} - 1) // {fb} AS nf
@@ -1715,7 +1744,9 @@ def video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     docs = spread_for_compute(
-        load(spark, sf_dir, "documents").select("doc_id", "text")
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
     )
     return docs.mapInPandas(gen, schema)
 
@@ -1727,7 +1758,7 @@ def video_keyframes_sql() -> str:
     argmax."""
     fb = FRAME_BYTES
     return f"""
-WITH raw AS (SELECT doc_id, {utf8_bytes_sql()} AS bl FROM documents),
+WITH raw AS (SELECT doc_id, {utf8_bytes_sql()} AS bl FROM documents WHERE text IS NOT NULL),
 base AS (
   SELECT doc_id, bl, len(bl) AS n,
          (len(bl) + {fb} - 1) // {fb} AS nf
@@ -1807,8 +1838,12 @@ def phash_components(
     rep = _min_contract_components(
         edges, iter_parts, max_rounds, op_name="phash_components"
     )
-    nodes = load(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("node")
+    # node set = the IMAGE corpus (docs with a payload; null-text docs
+    # have no image and so no cluster membership — same filter as blobs)
+    nodes = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.col("doc_id").alias("node"))
     )
     if rep is None:
         full = nodes.withColumn("comp", F.col("node"))
@@ -1845,7 +1880,8 @@ edges AS MATERIALIZED (
   UNION ALL
   SELECT doc_id_2, doc_id_1 FROM prs
 ),
-l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS comp FROM documents),
+l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS comp FROM documents
+                    WHERE text IS NOT NULL),
 {chain}
 SELECT comp, CAST(count(*) AS BIGINT) AS n_docs
 FROM l{rounds} GROUP BY comp

@@ -192,7 +192,9 @@ def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
     (Streaming form: session_window / applyInPandasWithState —
     streaming/maintenance.py.)"""
     ev = load(spark, sf_dir, "events")
-    order = [F.asc("ts_us"), F.asc("event_id")]
+    # NULLS LAST = DuckDB's default null order; Spark ASC defaults to
+    # nulls FIRST, so every window over a nullable key states it
+    order = [F.asc_nulls_last("ts_us"), F.asc("event_id")]
     w = Window.partitionBy("user_id").orderBy(*order)
     wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     gap_us = gap_minutes * 60 * 1_000_000
@@ -242,7 +244,7 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts_us", "event_id")
+        .orderBy(F.asc_nulls_last("ts_us"), "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     last_click = F.last(
@@ -307,7 +309,9 @@ def value_deciles(spark: SparkSession, sf_dir: str, buckets: int = 10) -> DataFr
     from pyspark.sql import Window as W
 
     ev = load(spark, sf_dir, "events")
-    w = W.partitionBy("event_type").orderBy(F.col("value"), F.col("event_id"))
+    w = W.partitionBy("event_type").orderBy(
+        F.asc_nulls_last("value"), F.col("event_id")
+    )
     return (
         ev.withColumn("decile", F.ntile(buckets).over(w))
         .groupBy("event_type", "decile")
@@ -400,7 +404,7 @@ def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts_us", "event_id")
+        .orderBy(F.asc_nulls_last("ts_us"), "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
@@ -484,7 +488,7 @@ def moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts_us", "event_id")
+        .orderBy(F.asc_nulls_last("ts_us"), "event_id")
         .rowsBetween(-2, W.currentRow)
     )
     return ev.select(
@@ -502,7 +506,9 @@ def percent_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
-    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.asc_nulls_last("o_totalprice"), "o_orderkey"
+    )
     return orders.select(
         "o_orderkey",
         "o_orderpriority",

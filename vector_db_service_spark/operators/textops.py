@@ -155,6 +155,9 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
     stride = chunk_tokens - overlap
+    # a NULL-text document has nothing to chunk: no chunk rows (the SQL
+    # mirror filters identically; empty text still yields one chunk)
+    docs = docs.filter(F.col("text").isNotNull())
     toks = F.split(F.col("text"), " ")
     n_chunks = F.greatest(
         F.ceil(F.size("toks") / F.lit(stride)).cast("int"), F.lit(1)
@@ -185,6 +188,7 @@ def chunk_documents_sql(chunk_tokens: int = 16, overlap: int = 4) -> str:
     return f"""
 WITH t AS (
   SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+  WHERE text IS NOT NULL
 ),
 c AS (
   SELECT doc_id, lang, toks,

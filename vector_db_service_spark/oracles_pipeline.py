@@ -23,7 +23,7 @@ TOKS = "string_split(lower(text), ' ')"
 
 
 def _token_hash(t: str) -> str:
-    return f"CAST(concat('0x', substr(md5({t}), 1, 8)) AS BIGINT) % {MOD_P}"
+    return f"CAST(('0x' || substr(md5({t}), 1, 8)) AS BIGINT) % {MOD_P}"
 
 
 SHINGLES = f"""
@@ -147,7 +147,8 @@ def simhash_near_dups_sql(max_hamming: int = 3) -> str:
     """NAIVE all-pairs hamming scan — the Spark side uses the lossless
     4-block LSH join; identical results prove losslessness."""
     return f"""
-WITH fp AS (SELECT doc_id, {SIMHASH} AS sh FROM documents)
+WITH fp AS (SELECT doc_id, {SIMHASH} AS sh FROM documents
+            WHERE text IS NOT NULL)
 SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
        bit_count(xor(a.sh, b.sh)) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
@@ -176,7 +177,8 @@ def _components_with_clause(max_hamming: int, rounds: int) -> str:
 )""")
     chain = ",".join(stages)
     return f"""
-WITH fp AS MATERIALIZED (SELECT doc_id, {SIMHASH} AS sh FROM documents),
+WITH fp AS MATERIALIZED (SELECT doc_id, {SIMHASH} AS sh FROM documents
+                         WHERE text IS NOT NULL),
 pairs AS MATERIALIZED (
   SELECT a.doc_id AS d1, b.doc_id AS d2
   FROM fp a JOIN fp b ON a.doc_id < b.doc_id
@@ -186,7 +188,8 @@ edges AS MATERIALIZED (
   SELECT d1 AS src, d2 AS dst FROM pairs
   UNION ALL SELECT d2, d1 FROM pairs
 ),
-l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS comp FROM documents),{chain}
+l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS comp FROM documents
+                    WHERE text IS NOT NULL),{chain}
 """
 
 
@@ -287,7 +290,7 @@ def blocked_pair_recall_sql(threshold: float = 0.5, dim: int = 64,
     return f"""
 WITH s AS MATERIALIZED (
   SELECT label, vec_id, embedding FROM embeddings
-  WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+  WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
         % 100 < {eff_pct}
 ),
 banded AS MATERIALIZED (
@@ -433,6 +436,7 @@ SELECT doc_id,
        round({byte_sum}
              / CAST(strlen(text) AS DOUBLE), 6) AS mean_byte
 FROM documents
+WHERE text IS NOT NULL
 """
 
 
@@ -460,7 +464,8 @@ list_transform(generate_series(0, {dim - 1}), i ->
     norm_col = ", round(CASE WHEN nrm = 0 THEN 0.0 ELSE 1.0 END, 6) AS unit_norm" \
         if include_norm else ""
     return f"""
-WITH hashed AS (SELECT {ks}, {TOKEN_HASHES} AS hs FROM {source}),
+WITH hashed AS (SELECT {ks}, {TOKEN_HASHES} AS hs FROM {source}
+                WHERE text IS NOT NULL),
 rawv AS (SELECT {ks}, {raw} AS raw FROM hashed),
 normed AS (SELECT {ks}, raw,
                   sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
@@ -508,7 +513,7 @@ def embed_asymmetry_sql(dim: int = 16) -> str:
 WITH hashed AS (
   SELECT doc_id, {TOKEN_HASHES} AS hd,
          list_transform({TOKS}, t -> {_token_hash("'q|' || t")}) AS hq
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 rawv AS (
   SELECT doc_id, {_raw_embed('hd', dim)} AS rd, {_raw_embed('hq', dim)} AS rq
@@ -878,7 +883,7 @@ full_k AS MATERIALIZED (
 
 def train_val_split_sql(val_pct: int = 5, test_pct: int = 5) -> str:
     bucket = (
-        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
         " % 100"
     )
     return f"""
@@ -954,7 +959,7 @@ def quality_resample_sql(accept_ppm: dict[str, int] | None = None) -> str:
     unigram-logprob replay), same md5 draw, same ppm thresholds."""
     accept_ppm = accept_ppm or {"head": 1_000_000, "middle": 500_000, "tail": 100_000}
     draw = (
-        "CAST(concat('0x', substr(md5('resample:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+        "CAST(('0x' || substr(md5('resample:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
         "AS BIGINT) % 1000000"
     )
     ppm = (
@@ -986,7 +991,7 @@ def resample_verdicts_sql(accept_ppm: dict[str, int] | None = None) -> str:
     per-doc row form of quality_resample_sql."""
     accept_ppm = accept_ppm or {"head": 1_000_000, "middle": 500_000, "tail": 100_000}
     draw = (
-        "CAST(concat('0x', substr(md5('resample:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+        "CAST(('0x' || substr(md5('resample:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
         "AS BIGINT) % 1000000"
     )
     ppm = (
@@ -1050,7 +1055,7 @@ SELECT source, lang,
        count(*) AS n_docs,
        CAST(sum(len({TOKS})) AS BIGINT) AS n_tokens,
        CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
-       bit_xor(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT))
+       bit_xor(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
          AS content_sig
 FROM documents
 GROUP BY source, lang
@@ -1076,7 +1081,7 @@ p AS (
 paras AS (
   SELECT doc_id, source, para_idx,
          md5({piece}) AS h,
-         CAST(concat('0x', substr(md5({piece}), 1, 8)) AS BIGINT) AS h32,
+         CAST(('0x' || substr(md5({piece}), 1, 8)) AS BIGINT) AS h32,
          doc_id * 1000000 + para_idx AS okey
   FROM p
 ),
@@ -1181,10 +1186,12 @@ def allpairs_cosine_sql(tau_num: int = 4, tau_den: int = 5,
     real parameter, not post-hoc string surgery on the generated SQL."""
     p2, q2 = tau_num * tau_num, tau_den * tau_den
     return f"""
-WITH toks AS (SELECT doc_id, unnest({SHINGLE_HASHES}) AS tok FROM {source}),
+WITH toks AS (SELECT doc_id, unnest({SHINGLE_HASHES}) AS tok FROM {source}
+              WHERE text IS NOT NULL),
 tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
        FROM toks GROUP BY doc_id, tok),
-n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM {source}),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM {source}
+      WHERE text IS NOT NULL),
 idf AS (
   SELECT tok,
          CAST(round(ln(n_docs / CAST(count(*) AS DOUBLE)) * 1000, 0) AS BIGINT)
@@ -1225,7 +1232,7 @@ def minhash_vs_exact_recall_sql(threshold: float = 0.2) -> str:
 
     def shard(col: str) -> str:
         return (
-            f"CAST(concat('0x', substr(md5(CAST({col} AS VARCHAR)), 1, 8))"
+            f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8))"
             " AS BIGINT) % 10 < 4"
         )
 
@@ -1261,7 +1268,7 @@ def heaps_curve_sql(buckets: int = 10) -> str:
     """Replay of textops.heaps_curve: same md5 bucket draw, same
     first-appearance inversion, same cumulative sums."""
     bucket = (
-        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
         f" AS BIGINT) % {buckets}"
     )
     return f"""
@@ -1492,7 +1499,7 @@ def leakage_safe_split_sql(val_pct: int = 10, max_hamming: int = 3,
     (the Spark side counts over its banded dup graph — agreeing zeros
     certify the no-leakage claim from two unrelated pair pipelines)."""
     bucket = (
-        "CAST(concat('0x', substr(md5(CAST(comp AS VARCHAR)), 1, 8)) AS BIGINT)"
+        "CAST(('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 8)) AS BIGINT)"
         " % 100"
     )
     return _components_with_clause(max_hamming, rounds) + f""",
@@ -1676,7 +1683,8 @@ def simhash_threshold_curve_sql(max_hamming: int = 3) -> str:
     hamming scan grouped per distance, expanded cumulatively per
     threshold."""
     return f"""
-WITH fp AS (SELECT doc_id, {SIMHASH} AS sh FROM documents),
+WITH fp AS (SELECT doc_id, {SIMHASH} AS sh FROM documents
+            WHERE text IS NOT NULL),
 per AS (
   SELECT bit_count(xor(a.sh, b.sh)) AS hamming,
          CAST(count(*) AS BIGINT) AS n_at

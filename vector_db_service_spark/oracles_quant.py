@@ -32,7 +32,7 @@ from . import oracles
 
 # Spark: F.md5(vec_id.cast("string")); init/sample order is (md5 hex, vec_id)
 _H = "md5(CAST(vec_id AS VARCHAR))"
-_BUCKET = f"CAST(concat('0x', substr({_H}, 1, 8)) AS BIGINT) % 100"
+_BUCKET = f"CAST(('0x' || substr({_H}, 1, 8)) AS BIGINT) % 100"
 
 
 def _l2sq(a: str, b: str) -> str:

@@ -173,9 +173,12 @@ def embed_pending_stream(
     def _process(batch: DataFrame, batch_id: int) -> None:
         from ..sources.tables import spread_for_compute
 
-        pending = batch
+        # embed-source contract: a NULL text cannot be embedded — such a
+        # document never becomes "pending" work (it stays unembeddable,
+        # same filter as every batch S15 path)
+        pending = batch.filter(F.col("text").isNotNull())
         if already_ids is not None:
-            pending = batch.join(already_ids, "doc_id", "left_anti")
+            pending = pending.join(already_ids, "doc_id", "left_anti")
         (
             # file-source micro-batches arrive as one partition per file;
             # spread so the per-token embed hash runs on all cores
