@@ -622,6 +622,7 @@ register(
     """
 WITH ev AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+  WHERE user_id IS NOT NULL
 ),
 lagged AS (
   SELECT coalesce(lag(event_type)
@@ -2276,7 +2277,10 @@ register(
     "rel_parts_by_type_size",
     relational.parts_by_type_size,
     """
-SELECT p_type, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price,
+SELECT p_type, count(*) AS n_parts,
+       round(CASE WHEN count(p_retailprice) = 0 THEN NULL
+                  ELSE sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0
+                       / count(p_retailprice) END, 4) AS avg_price,
        max(p_size) AS max_size
 FROM part GROUP BY p_type
 """,
@@ -2565,12 +2569,13 @@ WITH pts AS (
   SELECT o_orderpriority, o_orderkey, o_totalprice AS price,
          date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d_day
   FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
 )
 SELECT o_orderpriority, o_orderkey, price, d_day
 FROM pts p
 WHERE NOT EXISTS (
   SELECT 1 FROM pts q
-  WHERE q.o_orderpriority = p.o_orderpriority
+  WHERE q.o_orderpriority IS NOT DISTINCT FROM p.o_orderpriority
     AND q.price <= p.price AND q.d_day >= p.d_day
     AND (q.price < p.price OR q.d_day > p.d_day)
 )
@@ -2610,6 +2615,7 @@ register(
     """
 WITH ev AS (
   SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+  WHERE user_id IS NOT NULL
 ), u1 AS (
   SELECT user_id,
          min(CASE WHEN event_type = 'signup' THEN ts_us END) AS t_signup
@@ -3186,6 +3192,7 @@ register(
 SELECT CAST(floor(epoch_us(ts) / 1800000000) - d AS BIGINT) AS slide_id,
        count(*) AS n_events
 FROM events CROSS JOIN (SELECT unnest([0, 1]) AS d)
+WHERE ts IS NOT NULL
 GROUP BY slide_id
 """,
 )
@@ -3219,6 +3226,7 @@ register(
     """
 WITH base AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+  WHERE ts IS NOT NULL
 ),
 flagged AS (
   SELECT user_id, ts_us,
@@ -3295,7 +3303,7 @@ WITH post AS (
   SELECT vec_id, label,
          CASE WHEN vec_id % 11 = 5 THEN list_reverse(embedding)
               ELSE embedding END AS embedding
-  FROM embeddings WHERE vec_id % 13 != 7
+  FROM embeddings WHERE label IS NOT NULL AND vec_id % 13 != 7
 )
 SELECT vec_id, label,
        round(CAST(embedding[1] AS DOUBLE), 6) AS e0,

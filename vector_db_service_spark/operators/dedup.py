@@ -45,13 +45,22 @@ def exact_dedup_summary(docs: DataFrame) -> DataFrame:
 
 def exact_dedup_keep_first(docs: DataFrame) -> DataFrame:
     """Canonicalization: keep the min doc_id per distinct text — the
-    standard keep-one policy. Post-state row count per source."""
+    standard keep-one policy. Post-state row count per source.
+
+    A NULL text survives unconditionally: keep-first removes rows whose
+    content is IDENTICAL, and SQL equality says NULL equals nothing —
+    grouping unknowns together would destroy all-but-one of every
+    unknown-content document at 100 TB (both engines' GROUP BY would
+    happily do it; the null fixture is where this is load-bearing)."""
     w_key = F.md5(F.col("text"))
     keep = (
-        docs.groupBy(w_key.alias("h")).agg(F.min("doc_id").alias("doc_id"))
+        docs.filter(F.col("text").isNotNull())
+        .groupBy(w_key.alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
     )
+    survivors = docs.join(keep.select("doc_id"), "doc_id", "left_semi")
     return (
-        docs.join(keep.select("doc_id"), "doc_id", "left_semi")
+        survivors.unionByName(docs.filter(F.col("text").isNull()))
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"))
     )

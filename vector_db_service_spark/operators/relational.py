@@ -288,13 +288,24 @@ def range_join_purchase_context(spark: SparkSession, sf_dir: str,
 
 
 def parts_by_type_size(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped stats over the part dimension."""
+    """Grouped stats over the part dimension. The mean price sums EXACT
+    integer cents (prices are 2-dp by construction) and divides once:
+    a double-summed avg() depends on partition summation order, and a
+    group whose sum lands on a rounding knife-edge diverges from the
+    oracle by 1e-4 (caught by the null fixture, which reshapes groups;
+    same discipline as the micro-unit stats elsewhere)."""
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
     return (
         load(spark, sf_dir, "part")
         .groupBy("p_type")
         .agg(
             F.count("*").alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.round(
+                F.try_divide(
+                    F.sum(cents) / F.lit(100.0), F.count("p_retailprice")
+                ),
+                4,
+            ).alias("avg_price"),
             F.max("p_size").alias("max_size"),
         )
     )
@@ -587,11 +598,15 @@ def _skyline_survivors(pts: DataFrame, part_cols: list[str]) -> DataFrame:
         (F.col("run_lt").isNotNull() & (F.col("run_lt") >= F.col("d_day")))
         | (F.col("dmax") > F.col("d_day"))
     )
-    return (
-        pts.join(pp, [*part_cols, "price"])
-        .filter(~dominated)
-        .drop("dmax", "run_lt")
-    )
+    # NULL-SAFE join back: part_cols may carry a NULL class (e.g. an
+    # unclassified priority) which is a real partition of the skyline —
+    # a name-list equi-join would silently drop the whole class
+    left, right = pts.alias("_sl"), pp.alias("_sr")
+    cond = None
+    for c in [*part_cols, "price"]:
+        clause = F.col(f"_sl.{c}").eqNullSafe(F.col(f"_sr.{c}"))
+        cond = clause if cond is None else cond & clause
+    return left.join(right, cond).filter(~dominated).select("_sl.*")
 
 
 def skyline_orders(spark: SparkSession, sf_dir: str,
@@ -620,7 +635,12 @@ def skyline_orders(spark: SparkSession, sf_dir: str,
     Hash surface: price stays the parquet double (bit-identical on both
     engines, never recomputed); recency is integer days since
     1992-01-01."""
-    o = load(spark, sf_dir, "orders")
+    # Pareto comparison needs BOTH dims: a NULL price/date row can
+    # neither dominate nor be dominated (every comparison is unknown),
+    # so it is outside the skyline population on both engines
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
     pts = o.select(
         "o_orderpriority",
         "o_orderkey",
@@ -735,7 +755,13 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial row per task. The DuckDB oracle builds the same stage
     times via grouped-CTE self-joins — different logic shape, same
     semantics. Rates are NULL-guarded (nullif) under ANSI mode."""
-    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts_us")
+    # identified users only: an unattributed (NULL user_id) event has no
+    # funnel to belong to (the oracle's USING-joins drop it the same way)
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_type", "ts_us")
+    )
     w = Window.partitionBy("user_id")
     df = ev.withColumn(
         "t_signup",
@@ -805,7 +831,7 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "event_type", "ts_us"
     )
     w = Window.partitionBy("user_id").orderBy(
-        F.asc("ts_us"), F.asc("event_id")
+        F.asc_nulls_last("ts_us"), F.asc("event_id")
     )
     flagged = ev.withColumn(
         "chg",
@@ -942,7 +968,7 @@ def temporal_tier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").cast("long").alias("is_p"),
     )
     w = Window.partitionBy("user_id").orderBy(
-        F.asc("ts_us"), F.asc("event_id")
+        F.asc_nulls_last("ts_us"), F.asc("event_id")
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tiered = ev.withColumn("tier", F.sum("is_p").over(w))
     return (
@@ -965,11 +991,13 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one hash exchange on user_id, |types|^2-bounded output."""
     from ..sources.tables import load
 
-    ev = load(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type", "ts_us"
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())  # journeys need an identity
+        .select("user_id", "event_id", "event_type", "ts_us")
     )
     w = Window.partitionBy("user_id").orderBy(
-        F.asc("ts_us"), F.asc("event_id")
+        F.asc_nulls_last("ts_us"), F.asc("event_id")
     )
     return (
         ev.withColumn(

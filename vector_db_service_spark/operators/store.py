@@ -661,8 +661,13 @@ def versioned_cdc_merge(
     out_dir); version 0 is the pre-CDC bootstrap."""
     import tempfile
 
-    base = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding"
+    # the store partitions by library id (label); the reference schema
+    # makes library_id a REQUIRED FK (database/models.py), so a vector
+    # without one is not storable — same insert-time validation here
+    base = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("label").isNotNull())
+        .select("vec_id", "label", "embedding")
     )
     out_dir = out_dir or tempfile.mkdtemp(prefix="vdbs_timetravel_")
     manifest: dict = {}
@@ -765,13 +770,14 @@ def store_time_travel_sql() -> str:
 
     def ver(conds: str) -> str:
         if not conds:
-            return "SELECT vec_id, label, embedding FROM embeddings"
+            return ("SELECT vec_id, label, embedding FROM embeddings"
+                    " WHERE label IS NOT NULL")
         return f"""
   SELECT vec_id, label,
          CASE WHEN vec_id % 11 = 5 AND vec_id % 13 != 7 AND ({conds})
               THEN list_reverse(embedding) ELSE embedding END AS embedding
   FROM embeddings
-  WHERE NOT (vec_id % 13 = 7 AND ({conds}))"""
+  WHERE label IS NOT NULL AND NOT (vec_id % 13 = 7 AND ({conds}))"""
 
     def summ(v: int, body: str) -> str:
         return f"""
@@ -853,7 +859,7 @@ WITH post AS (
          CASE WHEN vec_id % 11 = 5 AND vec_id % 13 != 7
               THEN list_reverse(embedding) ELSE embedding END AS embedding
   FROM embeddings
-  WHERE vec_id % 13 != 7
+  WHERE label IS NOT NULL AND vec_id % 13 != 7
 ),
 summ AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -867,7 +873,7 @@ dirs AS (
                                   THEN label END)
             + COUNT(DISTINCT CASE WHEN {in_log} AND vec_id % 2 = 1
                                   THEN label END) AS BIGINT) AS extra
-  FROM embeddings
+  FROM embeddings WHERE label IS NOT NULL
 )
 SELECT s.n_rows, s.sum_e0_us, d.kept AS n_dirs_kept,
        d.extra AS n_dirs_removed
@@ -947,7 +953,7 @@ def store_compaction_sql() -> str:
          CASE WHEN vec_id % 11 = 5 AND vec_id % 13 != 7
               THEN list_reverse(embedding) ELSE embedding END AS embedding
   FROM embeddings
-  WHERE vec_id % 13 != 7"""
+  WHERE label IS NOT NULL AND vec_id % 13 != 7"""
 
     def summ(v: int) -> str:
         return f"""
@@ -1107,7 +1113,7 @@ def store_clone_sql() -> str:
          CASE WHEN vec_id % 11 = 5 AND vec_id % 13 != 7
               THEN list_reverse(embedding) ELSE embedding END AS embedding
   FROM embeddings
-  WHERE vec_id % 13 != 7"""
+  WHERE label IS NOT NULL AND vec_id % 13 != 7"""
     return f"""
 WITH merged AS MATERIALIZED ({post})
 SELECT 'source_head' AS side, CAST(count(*) AS BIGINT) AS n_rows,
@@ -1204,6 +1210,7 @@ SELECT label,
                                   OR list_reverse(embedding) = embedding))
             AS BIGINT) AS n_identical
 FROM embeddings
+WHERE label IS NOT NULL
 GROUP BY label
 """
 
@@ -1269,7 +1276,8 @@ UNION ALL
 SELECT 3 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT))
             AS BIGINT) AS sum_e0_us
-FROM (SELECT vec_id, label, embedding FROM embeddings)"""
+FROM (SELECT vec_id, label, embedding FROM embeddings
+      WHERE label IS NOT NULL)"""
     )
 
 
@@ -1333,10 +1341,10 @@ def store_incremental_read_sql() -> str:
     load-bearing under ties (tests/test_ties_parity.py)."""
     return """
 SELECT vec_id, label, 'removed' AS change, CAST(NULL AS BIGINT) AS e0_us
-FROM embeddings WHERE vec_id % 13 = 7
+FROM embeddings WHERE label IS NOT NULL AND vec_id % 13 = 7
 UNION ALL
 SELECT vec_id, label, 'changed',
        CAST(round(CAST(embedding[len(embedding)] AS DOUBLE) * 1e6) AS BIGINT)
-FROM embeddings WHERE vec_id % 13 != 7 AND vec_id % 11 = 5
-  AND list_reverse(embedding) != embedding
+FROM embeddings WHERE label IS NOT NULL AND vec_id % 13 != 7
+  AND vec_id % 11 = 5 AND list_reverse(embedding) != embedding
 """

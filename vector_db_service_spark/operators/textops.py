@@ -340,6 +340,10 @@ def decontamination(
     it ONCE from the static table and reuses it per micro-batch."""
     from ..functions import hashing as H
 
+    # content population: a NULL text has no n-grams (its [NULL]
+    # fallback shingle would otherwise surface as a phantom 1-gram
+    # "clean" row that the oracle's per-gram stream never produces)
+    docs = docs.filter(F.col("text").isNotNull())
     grams = F.array_distinct(F.expr(H.shingle_hashes_sql("text", n)))
     g = docs.select("doc_id", F.explode(grams).alias("gh"))
     hold = (
@@ -1331,6 +1335,10 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
     Beyond the reference (no scrubbing surface); standard training-data
     hygiene (cf. C4/Gopher/RefinedWeb pipeline stages).
     """
+    # content population: no text, nothing to scrub (and DuckDB's
+    # null-skipping concat would otherwise fabricate a synthetic
+    # PII-only document where Spark's concat propagates NULL)
+    docs = docs.filter(F.col("text").isNotNull())
 
     def luhn16(c):
         # Luhn sum of a 16-digit string: i counts 0..15 from the RIGHT,

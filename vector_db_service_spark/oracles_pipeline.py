@@ -233,9 +233,10 @@ FROM documents
 
 def exact_dedup_keep_first_sql() -> str:
     return """
-WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
+              WHERE text IS NOT NULL GROUP BY md5(text))
 SELECT source, count(*) AS n_docs FROM documents
-WHERE doc_id IN (SELECT doc_id FROM keep)
+WHERE text IS NULL OR doc_id IN (SELECT doc_id FROM keep)
 GROUP BY source
 """
 
@@ -607,7 +608,7 @@ def windowed_event_counts_sql() -> str:
     return """
 SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_id,
        event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
 
 
@@ -1374,7 +1375,8 @@ def pii_scrub_sql(source: str = "documents") -> str:
         f" '{CARD_RE}', '<CARD>', 'g')"
     )
     return f"""
-WITH base AS (SELECT doc_id, {pii} AS pii_text FROM {source})
+WITH base AS (SELECT doc_id, {pii} AS pii_text FROM {source}
+              WHERE text IS NOT NULL)
 SELECT doc_id,
        CAST(len(regexp_extract_all(pii_text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
        CAST(len(regexp_extract_all(pii_text, '{PHONE_RE}')) AS BIGINT) AS n_phones,

@@ -872,7 +872,10 @@ def cdc_upserts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     components rounded (the stream_embed_pending value-hash contract);
     exact oracle = the batch CASE/WHERE merge over the same log
     predicates."""
-    base = load(spark, sf_dir, "embeddings")
+    # store contract: label (library id) is a required FK — see
+    # operators/store.py versioned_cdc_merge; unlabeled rows are not
+    # storable and the partitionBy(label) store never carries them
+    base = load(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
     out_dir = tempfile.mkdtemp(prefix="vdbs_cdc_")
     store = os.path.join(out_dir, "vector_store")
     log_dir = os.path.join(out_dir, "cdc_log")
@@ -1505,7 +1508,13 @@ def ingestion_dedup_stream(
     ckpt = os.path.join(out_dir, "ckpt")
 
     def _fingerprint(df: DataFrame) -> DataFrame:
-        return spread_for_compute(df).select(
+        # fingerprints exist only for docs WITH content (dedup.py's
+        # population rule): a NULL text's [NULL] fallback shingle gives
+        # every such doc identical all-skip band keys, mutually pairing
+        # them; the verdict rows below still cover the FULL feed
+        return spread_for_compute(
+            df.filter(F.col("text").isNotNull())
+        ).select(
             "doc_id",
             H.minhash_bands("text").alias("bands"),
             F.array_distinct(H.shingles("text")).alias("sh"),
@@ -1589,7 +1598,9 @@ def ingestion_dedup_stream(
             .agg(F.min("cand_id").alias("dup_of"))
         )
         res = (
-            fp.select("doc_id")
+            # one verdict row per FEED doc (contentless docs are novel
+            # by definition — no fingerprint, no match)
+            batch.select("doc_id")
             .join(ver, "doc_id", "left")
             .select(
                 "doc_id",
@@ -1846,7 +1857,8 @@ def ivm_init(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> di
         "log": os.path.join(out_dir, "cdc_log"),
         "ckpt": os.path.join(out_dir, "ckpt"),
     }
-    base = load(spark, sf_dir, "embeddings")
+    # same store contract as cdc_upserts_stream: labeled rows only
+    base = load(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
     stats0 = base.groupBy("label").agg(
         F.count("*").cast("long").alias("n_vectors"),
         F.sum(F.expr(_E0_US)).cast("long").alias("sum_e0_us"),
@@ -1971,6 +1983,7 @@ SELECT label,
          ELSE CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT)
        END) AS BIGINT) AS sum_e0_us
 FROM embeddings
+WHERE label IS NOT NULL
 GROUP BY label
 """
 
