@@ -85,6 +85,15 @@ def main() -> None:
     from tests.test_oracle_parity import _PINNED_SF
 
     names = sorted(entry_mod.queries())
+    # optional subset re-certification (e.g. after a contract change):
+    # SCALE_PARITY_ONLY=name1,name2 runs just those rows
+    only = os.environ.get("SCALE_PARITY_ONLY")
+    if only:
+        want = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = want - set(names)
+        if unknown:
+            raise SystemExit(f"unknown queries in SCALE_PARITY_ONLY: {sorted(unknown)}")
+        names = [n for n in names if n in want]
     sf_map = {n: _PINNED_SF.get(n, SF) for n in names}
     results: dict[str, dict] = {}
 

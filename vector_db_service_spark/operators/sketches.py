@@ -56,7 +56,12 @@ def hll_distinct(spark: SparkSession, sf_dir: str, key: str = "user_id") -> Data
     estimate = alpha * m^2 / sum(2^-M_j) with the standard small-range
     correction. Every step is integer or exact-power-of-two double math,
     so the DuckDB oracle reproduces the estimate bit-for-bit."""
-    ev = load(spark, sf_dir, "events").select(F.col(key).alias("k"))
+    # NULL keys excluded: the COUNT(DISTINCT) population (whole family)
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col(key).isNotNull())
+        .select(F.col(key).alias("k"))
+    )
     h = _hash52(F.col("k"), "hll:")
     w = (h / F.lit(HLL_M)).cast("long")  # high 46 bits
     rank = F.when(w == 0, F.lit(47)).otherwise(F.lit(47) - F.length(F.bin(w)))
@@ -95,7 +100,7 @@ def hll_distinct_sql(key: str = "user_id") -> str:
 WITH hashed AS (
   SELECT {h} % {HLL_M} AS bucket,
          CAST(floor({h} / {HLL_M}.0) AS BIGINT) AS w
-  FROM events
+  FROM events WHERE {key} IS NOT NULL
 ),
 ranked AS (
   SELECT bucket, CASE WHEN w = 0 THEN 47 ELSE 47 - length(bin(w)) END AS r
@@ -105,7 +110,8 @@ regs AS (SELECT bucket, max(r) AS m_j FROM ranked GROUP BY bucket),
 agg AS (
   SELECT count(*) AS n_nonempty, sum(power(2.0, -m_j)) AS s_nonempty FROM regs
 ),
-ex AS (SELECT count(DISTINCT {key}) AS exact_distinct FROM events),
+ex AS (SELECT count(DISTINCT {key}) AS exact_distinct FROM events
+       WHERE {key} IS NOT NULL),
 est AS (
   SELECT n_nonempty, s_nonempty, exact_distinct,
          {HLL_ALPHA * HLL_M * HLL_M} / (s_nonempty + ({HLL_M} - n_nonempty)) AS e_raw
@@ -410,7 +416,11 @@ def hll_distinct_by_group(
     frame is (group x m) rows — the dimension-sliced mergeable-summary
     layout: per-partition partial registers combine with max(), so the
     same plan serves streaming accumulation and 100 TB batch."""
-    ev = load(spark, sf_dir, "events").select(F.col(group).alias("g"), F.col(key).alias("k"))
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col(key).isNotNull())  # COUNT(DISTINCT) population
+        .select(F.col(group).alias("g"), F.col(key).alias("k"))
+    )
     h = _hash52(F.col("k"), "hll:")
     w = (h / F.lit(HLL_M)).cast("long")
     rank = F.when(w == 0, F.lit(47)).otherwise(F.lit(47) - F.length(F.bin(w)))
@@ -446,7 +456,7 @@ def hll_distinct_by_group_sql(key: str = "user_id", group: str = "event_type") -
 WITH hashed AS (
   SELECT {group} AS g, {h} % {HLL_M} AS bucket,
          CAST(floor({h} / {HLL_M}.0) AS BIGINT) AS w
-  FROM events
+  FROM events WHERE {key} IS NOT NULL
 ),
 ranked AS (
   SELECT g, bucket, CASE WHEN w = 0 THEN 47 ELSE 47 - length(bin(w)) END AS r
@@ -654,7 +664,7 @@ WITH sliced AS (
          CASE WHEN CAST(floor({h} / {HLL_M}.0) AS BIGINT) = 0 THEN 47
               ELSE 47 - length(bin(CAST(floor({h} / {HLL_M}.0) AS BIGINT)))
          END AS r
-  FROM events
+  FROM events WHERE {key} IS NOT NULL
 ),
 regs_slice AS (SELECT slc, bucket, max(r) AS m_j FROM sliced GROUP BY slc, bucket),
 s0 AS (SELECT bucket, m_j FROM regs_slice WHERE slc = 0),
@@ -665,7 +675,8 @@ whole AS (SELECT bucket, max(r) AS m_j FROM sliced GROUP BY bucket),
 {est('s1', 'est_slice1')[1:]},
 {est('merged', 'est_merged')[1:]},
 {est('whole', 'est_whole')[1:]},
-ex AS (SELECT CAST(count(DISTINCT {key}) AS BIGINT) AS exact_distinct FROM events)
+ex AS (SELECT CAST(count(DISTINCT {key}) AS BIGINT) AS exact_distinct
+       FROM events WHERE {key} IS NOT NULL)
 SELECT est_slice0, est_slice1, est_merged, est_whole, exact_distinct,
        est_merged = est_whole AS merge_matches_whole
 FROM est_slice0_v, est_slice1_v, est_merged_v, est_whole_v, ex
@@ -829,6 +840,7 @@ def hll_intersection(
     is in the output."""
     ev = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin(type_a, type_b)
+        & F.col(key).isNotNull()  # COUNT(DISTINCT) population
     ).select(F.col(key).alias("k"), "event_type")
     h = _hash52(F.col("k"), "hll:")
     w = (h / F.lit(HLL_M)).cast("long")
@@ -898,7 +910,7 @@ def hll_intersection_sql(
     return f"""
 WITH ev AS (
   SELECT {key} AS k, event_type FROM events
-  WHERE event_type IN ('{type_a}', '{type_b}')
+  WHERE event_type IN ('{type_a}', '{type_b}') AND {key} IS NOT NULL
 ),
 sliced AS (
   SELECT event_type, {h} % {HLL_M} AS bucket,
