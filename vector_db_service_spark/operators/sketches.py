@@ -348,7 +348,12 @@ def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est_union = (F.lit(KMV_K - 1).cast("double")
                  / (F.col("h_k").cast("double") / F.lit(float(1 << 52))))
-    jac = F.col("n_both").cast("double") / F.col("n_union_k").cast("double")
+    # try_divide: an EMPTY key population (a shard whose user ids were
+    # never populated) makes n_union_k = 0 — ANSI raises on the plain
+    # division where DuckDB yields NULL (void-fixture find)
+    jac = F.try_divide(
+        F.col("n_both").cast("double"), F.col("n_union_k").cast("double")
+    )
     return (
         in_both.crossJoin(kth).crossJoin(exact)
         .select(
