@@ -3366,8 +3366,12 @@ def nn_descent_recall(
     total = true_top.count()
 
     def stage(name: str, graph: DataFrame) -> DataFrame:
+        # true_top is <= anchors*m rows (fixed count at ANY corpus size)
+        # but the localCheckpoint hides that from Catalyst, which planned
+        # each of the three stage joins as a SortMergeJoin with two
+        # exchanges (plan-audited r16) — broadcast the bounded side
         hits = graph.select("src", "dst").join(
-            true_top, ["src", "dst"], "left_semi"
+            F.broadcast(true_top), ["src", "dst"], "left_semi"
         )
         return hits.agg(
             F.lit(name).alias("stage"),

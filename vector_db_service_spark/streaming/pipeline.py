@@ -1074,18 +1074,17 @@ def ivf_maintenance_run(spark: SparkSession, sf_dir: str, paths: dict) -> None:
         new = _ivf_assign(batch, cents).localCheckpoint(eager=True)
         ids = new.select("vec_id")
         idx = spark.read.parquet(paths["idx"])
+        # one distinct collect for BOTH sides of the affected set (old
+        # list of every mutated id ∪ new assignments' lists) — the former
+        # two separate collect jobs returned the same information in two
+        # scheduling round-trips (r16 opt: guide §1.2, fewer passes)
         affected = sorted(
-            {
-                int(r["list_id"])
-                for r in idx.join(ids, "vec_id", "left_semi")
-                .select("list_id")
-                .distinct()
-                .collect()
-            }
-            | {
-                int(r["list_id"])
-                for r in new.select("list_id").distinct().collect()
-            }
+            int(r["list_id"])
+            for r in idx.join(ids, "vec_id", "left_semi")
+            .select("list_id")
+            .unionByName(new.select("list_id"))
+            .distinct()
+            .collect()
         )  # bounded by n_lists, never by batch volume
         if not affected:
             return
@@ -1100,12 +1099,12 @@ def ivf_maintenance_run(spark: SparkSession, sf_dir: str, paths: dict) -> None:
             .localCheckpoint(eager=True)
         )
         _dynamic_overwrite(post, paths["idx"], col="list_id")
-        # drift monitor over the lists this batch touched
-        now = _ivf_list_stats(
-            spark.read.parquet(paths["idx"]).filter(
-                F.col("list_id").isin(affected)
-            )
-        )
+        # drift monitor over the lists this batch touched: `post` IS the
+        # affected lists' post-state (it is what the overwrite just
+        # wrote, already checkpointed), so aggregate it directly instead
+        # of re-reading the parquet the previous line produced (r16 opt:
+        # one fewer scan per micro-batch, same rows by construction)
+        now = _ivf_list_stats(post)
         base_stats = spark.read.parquet(paths["base_stats"]).select(
             "list_id",
             F.col("n").alias("n_base"),
@@ -1327,7 +1326,13 @@ def ivf_refit_stream(
                 F.col("n").alias("n_vectors"),
                 "sum_qerr_us",
             )
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint: both parents (`post`, `refit_idx`) are
+            # already eagerly materialized, so this frame survives the
+            # working-tree rmtree without its own up-front job — and the
+            # chained lifecycle op (ivf_refit_lifecycle_recall) discards
+            # this frame entirely, so an eager job here was pure waste
+            # on the serving path (r16 opt)
+            .localCheckpoint(eager=False)
         )
         if keep_paths is not None:
             keep_paths.update(paths)
@@ -2122,15 +2127,20 @@ def beam_search_served(
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
+        # LAZY: `kj` above is the only frame that reads the soon-removed
+        # working tree, and it is already eagerly materialized; `und` and
+        # `mut` derive from kj / the durable embeddings table, so their
+        # former eager checkpoints were two extra up-front jobs that the
+        # final walk job can absorb (r16 opt: fewer passes, guide §1.2)
         und = (
             kj.unionByName(
                 kj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         base = load(spark, sf_dir, "embeddings")
-        mut = _index_maintenance_mutations(base).localCheckpoint(eager=True)
+        mut = _index_maintenance_mutations(base).localCheckpoint(eager=False)
         post = (
             base.join(mut.select("vec_id"), "vec_id", "left_anti")
             .select("vec_id", "label", "embedding")
