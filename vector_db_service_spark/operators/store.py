@@ -685,13 +685,24 @@ def versioned_cdc_merge(
         for label in labels:
             manifest[(version, label)] = os.path.join(vdir, f"label={label}")
 
-    all_labels = [
-        r["label"] for r in base.select("label").distinct().collect()
-    ]
-    _commit(base, 0, sorted(all_labels))
-
     is_del = F.col("vec_id") % 13 == 7
     is_upd = F.col("vec_id") % 11 == 5
+    # ONE distinct scan answers all three label questions (every label
+    # for the v0 commit + each CDC half-batch's affected set) — the
+    # former three separate collect jobs each re-scanned the corpus for
+    # information this single (label, parity) frame already carries
+    # (r16 opt: guide §1.2, fewer passes; x6 across the store family)
+    label_parity = {
+        (r["label"], r["parity"])
+        for r in base.select(
+            "label",
+            F.when(is_del | is_upd, F.col("vec_id") % 2)
+            .cast("int").alias("parity"),
+        ).distinct().collect()
+    }
+    all_labels = sorted({lab for lab, _p in label_parity})
+    _commit(base, 0, all_labels)
+
     log = base.filter(is_del | is_upd).select(
         "vec_id",
         "label",
@@ -703,7 +714,7 @@ def versioned_cdc_merge(
     for b, parity in ((1, 0), (2, 1)):
         batch = log.filter(F.col("vec_id") % 2 == parity)
         affected = sorted(
-            r["label"] for r in batch.select("label").distinct().collect()
+            lab for lab, p in label_parity if p == parity
         )
         if not affected:
             continue

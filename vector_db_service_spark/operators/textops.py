@@ -1461,6 +1461,13 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count("*").cast("long").alias("c_d"))
+        # the pair table feeds THREE lineage paths (c12 model, c1
+        # histogram, per-doc scoring join) and their differing pruned
+        # columns defeat exchange reuse — without this checkpoint the
+        # tokenize+explode+aggregate subtree executes 3x (plan-audited
+        # r16). One lazy checkpoint = one pass over the token stream;
+        # at 100 TB this is "materialize the pair table once".
+        .localCheckpoint(eager=False)
     )
     pair = dc.groupBy("w1", "w2").agg(F.sum("c_d").cast("long").alias("c12"))
     hist = pair.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
@@ -1747,11 +1754,19 @@ def rake_keyphrases(docs: DataFrame, k: int = 3) -> DataFrame:
     ).withColumn("island", F.sum(F.col("stop").cast("int")).over(w_doc))
     words = flagged.filter(~F.col("stop")).select(
         "doc_id", "island", "pos", "w"
-    )
+        # tokenize + posexplode + island window feeds two consumers
+        # (phrase lengths and occurrences) and the occurrence join feeds
+        # two more (word stats and phrase scoring) — differing pruned
+        # columns defeat exchange reuse, so the token subtree executed
+        # 4x (14 Exchanges in the r16 before-plan). Two lazy
+        # checkpoints = one token pass + one join pass.
+    ).localCheckpoint(eager=False)
     plen = words.groupBy("doc_id", "island").agg(
         F.count("*").alias("phrase_len")
     )
-    occurrences = words.join(plen, ["doc_id", "island"])
+    occurrences = words.join(plen, ["doc_id", "island"]).localCheckpoint(
+        eager=False
+    )
     wstats = occurrences.groupBy("doc_id", "w").agg(
         F.count("*").alias("freq"),
         F.sum("phrase_len").alias("degree"),

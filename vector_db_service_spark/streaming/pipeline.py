@@ -1540,15 +1540,25 @@ def ingestion_dedup_stream(
     # the file source processes (mtime, path) ascending, so b0 then b1
     os.makedirs(feed_dir, exist_ok=True)
     feed = docs.filter(F.col("doc_id") % 5 == 0)
-    for i, parity in ((0, 0), (1, 5)):
-        tmp = os.path.join(out_dir, f"feed_tmp_{i}")
-        feed.filter(F.col("doc_id") % 10 == parity).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-        shutil.move(os.path.join(tmp, part),
-                    os.path.join(feed_dir, f"b{i}.parquet"))
-        shutil.rmtree(tmp, ignore_errors=True)
+    # ONE partitioned write stages both batch files (formerly two
+    # sequential coalesce(1) jobs over the same scan — r16 opt, guide
+    # §1.2); coalesce(1) keeps a single task so each bno directory
+    # holds exactly one part file
+    tmp = os.path.join(out_dir, "feed_stage")
+    feed.withColumn(
+        "bno", F.when(F.col("doc_id") % 10 == 0, 0).otherwise(1)
+    ).coalesce(1).write.mode("overwrite").partitionBy("bno").parquet(tmp)
+    _now = int(time.time())
+    for i in (0, 1):
+        bdir = os.path.join(tmp, f"bno={i}")
+        part = [f for f in os.listdir(bdir) if f.endswith(".parquet")][0]
+        dst = os.path.join(feed_dir, f"b{i}.parquet")
+        shutil.move(os.path.join(bdir, part), dst)
+        # arrival order pinned by mtime (the two files now come out of
+        # one write job, so sequential-move timestamps no longer order
+        # them)
+        os.utime(dst, (_now - 100 + i, _now - 100 + i))
+    shutil.rmtree(tmp, ignore_errors=True)
 
     stream = (
         spark.readStream.schema(docs.schema)
@@ -1716,16 +1726,27 @@ def late_data_audit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed = os.path.join(out_dir, "feed")
         os.makedirs(feed)
         now = int(time.time())
-        for i, pred in enumerate(batches):
-            stage = os.path.join(out_dir, f"stage{i}")
-            sched.filter(pred).select(
-                "event_id", "slot", "m4", "ts_us"
-            ).coalesce(1).write.parquet(stage)
+        # ONE partitioned write stages all four batch files (the former
+        # per-batch coalesce(1) loop paid four sequential job
+        # round-trips for one scan's worth of rows — r16 opt, guide
+        # §1.2): coalesce(1) keeps a single task, so each bno partition
+        # directory holds exactly one part file, renamed into the feed
+        stage = os.path.join(out_dir, "stage")
+        bno = F.when(batches[0], 0)
+        for i in (1, 2, 3):
+            bno = bno.when(batches[i], i)
+        sched.select(
+            "event_id", "slot", "m4", "ts_us", bno.alias("bno")
+        ).filter(F.col("bno").isNotNull()).coalesce(1).write.partitionBy(
+            "bno"
+        ).parquet(stage)
+        for i in range(len(batches)):
+            bdir = os.path.join(stage, f"bno={i}")
             part = next(
-                f for f in os.listdir(stage) if f.endswith(".parquet")
+                f for f in os.listdir(bdir) if f.endswith(".parquet")
             )
             dst = os.path.join(feed, f"b{i}.parquet")
-            os.rename(os.path.join(stage, part), dst)
+            os.rename(os.path.join(bdir, part), dst)
             # file order pinned by mtime: the source picks oldest first
             os.utime(dst, (now - 100 + i, now - 100 + i))
         schema = spark.read.parquet(os.path.join(feed, "b0.parquet")).schema
