@@ -1071,7 +1071,13 @@ def ivf_maintenance_run(spark: SparkSession, sf_dir: str, paths: dict) -> None:
     )
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        new = _ivf_assign(batch, cents).localCheckpoint(eager=True)
+        # LAZY: the affected-list collect below is the first action and
+        # materializes this checkpoint as part of its own job — an eager
+        # checkpoint here was one extra up-front job per micro-batch
+        # (r16 opt). It must still be pinned before _dynamic_overwrite
+        # rewrites the idx partitions `post` reads, which the collect
+        # guarantees (it runs first, unconditionally).
+        new = _ivf_assign(batch, cents).localCheckpoint(eager=False)
         ids = new.select("vec_id")
         idx = spark.read.parquet(paths["idx"])
         # one distinct collect for BOTH sides of the affected set (old
