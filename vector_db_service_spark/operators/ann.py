@@ -3769,56 +3769,100 @@ def _routed_recall(
     """Shared recall measurement of refit_recall_gain and the chained
     lifecycle op (streaming.ivf_refit_lifecycle_recall): one scored pass
     feeds the exact branch and every ROUTED branch (method, centers,
-    list-column); output (method, query_id, hits, recall_micro)."""
+    list-column); output (method, query_id, hits, recall_micro).
+
+    All branches ride ONE partial-top-k pass (r16 opt): the per-branch
+    form paid a createDataFrame + mapInPandas subtree + semi-join +
+    groupBy PER branch, twice the Python-boundary and plan-construction
+    cost for the same rows. The branches unpivot into (midx, list_id)
+    rows joined against one broadcast probe map, and the composite key
+    query_id * n_branches + midx makes the single multi_query_topk rank
+    every (branch, query) group under the identical (score desc,
+    vec_id) total order — per group the ranked set is exactly what the
+    per-branch call produced, so the output rows are unchanged."""
+    nb = len(branches)
     exact = multi_query_topk(
         scored.withColumn("label", F.lit(0)), k=k
     ).select("query_id", "vec_id").localCheckpoint(eager=False)
 
-    def branch(method: str, cents: list, list_col: str) -> DataFrame:
-        probe_rows = []
+    probe_rows = []
+    for midx, (_method, cents, _list_col) in enumerate(branches):
         for qid in query_ids:
             ranked = sorted(
                 (-_py_round6(_py_score("cosine", c, qrows[qid])), i)
                 for i, c in enumerate(cents)
             )
             probe_rows += [
-                (int(qid), int(lid)) for _, lid in ranked[:nprobe]
+                (int(midx), int(qid), int(lid)) for _, lid in ranked[:nprobe]
             ]
-        probed = spark.createDataFrame(
-            probe_rows, f"query_id bigint, {list_col} int"
+    probed = spark.createDataFrame(
+        probe_rows, "midx int, query_id bigint, list_id int"
+    )
+    unp = scored.select(
+        "query_id",
+        "vec_id",
+        "score",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).cast("int").alias("midx"),
+                    F.col(lc).cast("int").alias("list_id"),
+                )
+                for i, (_m, _c, lc) in enumerate(branches)
+            ])
+        ).alias("ml"),
+    ).select(
+        "query_id", "vec_id", "score",
+        F.col("ml.midx").alias("midx"), F.col("ml.list_id").alias("list_id"),
+    )
+    got = multi_query_topk(
+        unp.join(F.broadcast(probed), ["midx", "query_id", "list_id"])
+        .select(
+            (F.col("query_id") * nb + F.col("midx")).alias("query_id"),
+            "vec_id",
+            "score",
+        ),
+        k=k,
+        payload=(),
+    ).select(
+        F.col("query_id").alias("qm"), "vec_id"
+    )
+    # exact and hits are <= queries * k rows, but the localCheckpoint
+    # hides their size from Catalyst and the planner falls back to a
+    # SortMergeJoin + exchange (plan-audited) — broadcast the bounded
+    # sides explicitly
+    hits = (
+        got.select(
+            # qm >= 0 always (query ids are non-negative), so pmod/DIV
+            # decode the composite exactly
+            F.pmod(F.col("qm"), F.lit(nb)).cast("int").alias("midx"),
+            F.expr(f"CAST(qm DIV {nb} AS BIGINT)").alias("query_id"),
+            "vec_id",
         )
-        got = multi_query_topk(
-            scored.join(F.broadcast(probed), ["query_id", list_col])
-            .withColumn("label", F.lit(0)),
-            k=k,
-        ).select("query_id", "vec_id")
-        # exact and hits are <= queries * k rows, but the localCheckpoint
-        # hides their size from Catalyst and the planner falls back to a
-        # SortMergeJoin + exchange per branch (plan-audited) — broadcast
-        # the bounded sides explicitly
-        hits = got.join(
-            F.broadcast(exact), ["query_id", "vec_id"], "left_semi"
-        ).groupBy("query_id").agg(
-            F.count("*").cast("long").alias("hits")
-        )
-        return (
-            queries.select("query_id")
-            .join(F.broadcast(hits), "query_id", "left")
-            .select(
-                F.lit(method).alias("method"),
-                "query_id",
-                F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
-                F.expr(
-                    f"CAST(coalesce(hits, 0) * 1000000 DIV {k} AS BIGINT)"
-                ).alias("recall_micro"),
+        .join(F.broadcast(exact), ["query_id", "vec_id"], "left_semi")
+        .groupBy("midx", "query_id")
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    method_name = F.element_at(
+        F.array(*[F.lit(m) for m, _c, _lc in branches]), F.col("midx") + 1
+    )
+    return (
+        queries.select("query_id")
+        .crossJoin(
+            F.broadcast(
+                spark.range(nb).select(F.col("id").cast("int").alias("midx"))
             )
         )
-
-    out = None
-    for method, cents, list_col in branches:
-        b = branch(method, cents, list_col)
-        out = b if out is None else out.unionByName(b)
-    return out
+        .join(F.broadcast(hits), ["midx", "query_id"], "left")
+        .select(
+            method_name.alias("method"),
+            "query_id",
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.expr(
+                f"CAST(coalesce(hits, 0) * 1000000 DIV {k} AS BIGINT)"
+            ).alias("recall_micro"),
+        )
+    )
 
 
 def knn_classify(
