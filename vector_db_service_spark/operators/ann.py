@@ -989,6 +989,60 @@ def _pq_code_exprs(codebooks: list, sub_dim: int) -> tuple[list, list]:
     return codes_cols, err_terms
 
 
+def _pq_cbm_frame(spark: SparkSession, codebooks: list) -> DataFrame:
+    """The trained PQ codebooks as ONE broadcast 1-row tensor frame
+    cbm[s][c][d] — the _list_id_matrix_expr discipline applied to the
+    PQ encode: Catalyst optimization of the literal form (n_sub x
+    k_code x sub_dim doubles inlined per code column) measured 4-7 s of
+    pure driver time per plan compile on the rerank sweep; the tensor-
+    column form plans in milliseconds and codegens the same per-row
+    work. createDataFrame doubles round-trip exactly (binary64 both
+    ways), so the arithmetic is bit-identical to the literal form."""
+    return spark.createDataFrame(
+        [([[ [float(x) for x in c] for c in cb] for cb in codebooks],)],
+        "cbm array<array<array<double>>>",
+    )
+
+
+def _pq_code_matrix_exprs(
+    n_subvectors: int, sub_dim: int, cbm_sql: str = "cbm"
+) -> tuple[list, list]:
+    """_pq_code_exprs against the codebook TENSOR COLUMN built by
+    _pq_cbm_frame: same zip_with fold, same element order, same
+    array_position-of-min tiebreak (the parity-critical surface) — the
+    only change is where the center doubles come from (a broadcast
+    column instead of literals). Returns (codes_cols, err_terms)."""
+    codes_cols = []
+    err_terms = []
+    for s in range(n_subvectors):
+        lo = s * sub_dim + 1  # slice is 1-based
+        darr = (
+            f"transform(element_at({cbm_sql}, {s + 1}), c -> aggregate("
+            f"zip_with(slice(embedding, {lo}, {sub_dim}), c, "
+            f"(x, ci) -> (CAST(x AS DOUBLE) - ci) * (CAST(x AS DOUBLE) - ci)), "
+            f"CAST(0.0 AS DOUBLE), (a, x) -> a + x))"
+        )
+        codes_cols.append(F.expr(
+            f"CAST(element_at(transform(array({darr}), "
+            f"d -> array_position(d, array_min(d)) - 1), 1) AS INT)"
+        ).alias(f"code{s}"))
+        err_terms.append(
+            f"element_at(transform(array({darr}), d -> array_min(d)), 1)"
+        )
+    return codes_cols, err_terms
+
+
+def _cmat_frame(spark: SparkSession, centers: list,
+                name: str = "cmat") -> DataFrame:
+    """Coarse quantizer centers as a broadcast 1-row matrix frame for
+    _list_id_matrix_expr — shared builder so every consumer constructs
+    the identical column."""
+    return spark.createDataFrame(
+        [([[float(x) for x in c] for c in centers],)],
+        f"{name} array<array<double>>",
+    )
+
+
 def pq_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -1220,8 +1274,12 @@ def ivfpq_rerank_sweep(
         )
 
     cents = _coarse_centers(spark, sf_dir, n_lists)
-    assigned = emb.select(
-        "vec_id", "label", "embedding", _list_id_expr(cents).alias("list_id")
+    # matrix-column forms of the assignment + PQ encode: the literal
+    # forms cost 4-7 s of pure Catalyst optimization on this op's 8
+    # code columns (measured via opt_profile; guide §1.4 driver time) —
+    # identical arithmetic, plans in milliseconds
+    assigned = emb.crossJoin(F.broadcast(_cmat_frame(spark, cents))).select(
+        "vec_id", "label", "embedding", _list_id_matrix_expr().alias("list_id")
     )
     centers = np.asarray(cents, dtype=np.float64)
     probe_rows = []
@@ -1241,7 +1299,7 @@ def ivfpq_rerank_sweep(
         emb, n_subvectors=n_subvectors, codebook_k=codebook_k,
         train_pct=train_pct,
     )
-    codes_cols, _ = _pq_code_exprs(codebooks, sub_dim)
+    codes_cols, _ = _pq_code_matrix_exprs(len(codebooks), sub_dim)
     # per-query LUTs as one broadcast frame: luts[s][c] = ||q_s - cb||^2,
     # the identical Python left-to-right accumulation the single-query
     # form inlined as literals (parity: DuckDB's list_sum replays it)
@@ -1269,10 +1327,18 @@ def ivfpq_rerank_sweep(
     # (~nq * nprobe / n_lists of the corpus scored), then per-query
     # top-max(budgets) by ADC via the map-side partial top-k — the
     # -adc_us double is exact (|adc_us| << 2^53), so (score desc,
-    # vec_id) == (adc_us asc, vec_id asc)
+    # vec_id) == (adc_us asc, vec_id asc). PQ codes are computed ONCE
+    # per vector BEFORE the probe-map join: with the encode downstream
+    # of the join each vector was re-encoded once per probing query
+    # (~nq*nprobe/n_lists times — measured 5.6-8.6 s of duplicated
+    # lambda work at sf0.1; guide §2.2 shuffle/compute less by
+    # projecting early)
+    coded = assigned.crossJoin(
+        F.broadcast(_pq_cbm_frame(spark, codebooks))
+    ).select("vec_id", "list_id", *codes_cols)
     cand = multi_query_topk(
-        assigned.join(F.broadcast(probe_map), "list_id")
-        .select("query_id", "vec_id", *codes_cols)
+        coded.join(F.broadcast(probe_map), "list_id")
+        .select("query_id", "vec_id", *[f"code{s}" for s in range(len(codebooks))])
         .join(F.broadcast(lutdf), "query_id")
         .select(
             "query_id", "vec_id",
