@@ -2356,34 +2356,37 @@ def mutual_knn_pairs(
     criterion dataset-pruning pipelines use to find genuinely-redundant
     embedding pairs (a one-directional neighbor is often just a hub
     vector; mutuality filters hubness). Built ON the banded knn_join
-    (same seed-42 candidate generation the oracle mirrors), then a
-    self-equi-join of the (label, src, dst) edge list against its own
-    reversal — n*m skinny rows per side, a linear shuffle, never a pair
-    blow-up. Emits each mutual pair once (src < dst) with its symmetric
-    score (the cosine kernel is exactly commutative: per-element
-    multiplies and the fold order are identical both ways)."""
-    # localCheckpoint: both the forward side and its reversal read the
-    # SAME materialized n*m edge list — without it the banded join +
-    # top-m window lineage appears twice in the plan (4 corpus scans, 6
-    # window nodes measured) and nothing guarantees runtime exchange
-    # reuse across the semi-join. Same discipline as
-    # dedup.simhash_near_dups' fingerprint frame; at scale this is
-    # "persist the k-NN graph once, then query it".
-    kj = (
-        knn_join(spark, sf_dir, m=m, metric=metric)
-        .select("label", "src", "dst", "score")
-        .localCheckpoint(eager=False)
+    (same seed-42 candidate generation the oracle mirrors), then ONE
+    aggregation over the undirected pair key: knn_join emits each
+    (src, dst) at most once, so a pair is mutual exactly when its
+    (least, greatest) key carries BOTH directions — count(*) == 2 per
+    group. The former self-semi-join of the edge list against its own
+    reversal paid a localCheckpoint materialization plus two sorted
+    exchanges and a SortMergeJoin for the same verdict (r16 opt, plan
+    audited; guide §2.1 remove the shuffle); the groupBy form is one
+    hash exchange of the same n*m skinny rows — still never a pair
+    blow-up. Emits each mutual pair once (vec_id_a < vec_id_b) with
+    its symmetric score: the cosine kernel is exactly commutative
+    (zip_with multiplies elementwise — IEEE multiply is commutative —
+    and the fold order is identical both ways), so the two directions'
+    rounded scores are bit-identical and min() selects that value."""
+    kj = knn_join(spark, sf_dir, m=m, metric=metric).select(
+        "label", "src", "dst", "score"
     )
-    rev = kj.select("label", F.col("dst").alias("src"), F.col("src").alias("dst"))
     return (
-        kj.join(rev, ["label", "src", "dst"], "left_semi")
-        .filter(F.col("src") < F.col("dst"))
-        .select(
+        kj.select(
             "label",
-            F.col("src").alias("vec_id_a"),
-            F.col("dst").alias("vec_id_b"),
+            F.least("src", "dst").alias("vec_id_a"),
+            F.greatest("src", "dst").alias("vec_id_b"),
             "score",
         )
+        .groupBy("label", "vec_id_a", "vec_id_b")
+        .agg(
+            F.min("score").alias("score"),
+            F.count("*").alias("_dirs"),
+        )
+        .filter(F.col("_dirs") == 2)
+        .select("label", "vec_id_a", "vec_id_b", "score")
     )
 
 
@@ -2553,14 +2556,30 @@ def mutual_knn_components(
     blow-up. The oracle replays plain min propagation unrolled 40
     rounds (>= the measured diameters; this side is exact, so a deeper
     future corpus fails loudly as a parity mismatch)."""
-    pairs = mutual_knn_pairs(spark, sf_dir, m=m).select(
-        F.col("vec_id_a").alias("src"), F.col("vec_id_b").alias("dst")
-    )
+    # undirect via explode-both-directions off ONE reference: a
+    # unionByName of `pairs` with its own reversal puts the (now
+    # checkpoint-free) knn_join+aggregate subtree in the plan twice —
+    # 8 parquet scans, 2 Window passes, 0 ReusedExchange measured —
+    # while the explode emits the same rows from a single subtree
+    # (r16 opt, guide §1.2 fewer passes)
     iter_parts = max(4, spark.sparkContext.defaultParallelism // 8)
     edges = (
-        pairs.unionByName(
-            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        mutual_knn_pairs(spark, sf_dir, m=m)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("vec_id_a").alias("src"),
+                        F.col("vec_id_b").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("vec_id_b").alias("src"),
+                        F.col("vec_id_a").alias("dst"),
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .coalesce(iter_parts)
         .localCheckpoint(eager=False)
     )
@@ -2614,14 +2633,27 @@ def mutual_knn_pagerank(
     stabilizes in a few steps on these small-diameter redundancy
     graphs, and a fixed unroll is what keeps the DuckDB oracle exact —
     same design bargain as near_dup_components' bounded propagation."""
-    pairs = mutual_knn_pairs(spark, sf_dir, m=m).select(
-        F.col("vec_id_a").alias("src"), F.col("vec_id_b").alias("dst")
-    )
+    # single-reference undirect (same explode form and rationale as
+    # mutual_knn_components — the double-reference union re-planned the
+    # whole pair subtree twice)
     iter_parts = max(4, spark.sparkContext.defaultParallelism // 8)
     edges = (
-        pairs.unionByName(
-            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        mutual_knn_pairs(spark, sf_dir, m=m)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("vec_id_a").alias("src"),
+                        F.col("vec_id_b").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("vec_id_b").alias("src"),
+                        F.col("vec_id_a").alias("dst"),
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .coalesce(iter_parts)
         .localCheckpoint(eager=False)
     )
