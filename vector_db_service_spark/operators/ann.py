@@ -436,19 +436,26 @@ def index_recall_report(
         .filter(F.col("c_rnk") <= nprobe)
         .select("query_id", "label")
     )
+    # probed is <= |queries| * nprobe rows and exact <= |queries| * k —
+    # bounded index/serving state the checkpoints hide from Catalyst,
+    # which planned every one of these joins as a SortMergeJoin with
+    # two sorted exchanges (plan-audited r16) — broadcast the bounded
+    # sides explicitly, same discipline as nn_descent_recall's stages
     ivf_topk_df = (
-        pairs.join(probed, ["query_id", "label"])
+        pairs.join(F.broadcast(probed), ["query_id", "label"])
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "vec_id")
     )
 
     def _recall(approx: DataFrame, method: str) -> DataFrame:
-        overlap = exact.join(approx, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        overlap = approx.join(
+            F.broadcast(exact), ["query_id", "vec_id"]
+        ).groupBy("query_id").agg(
             F.count("*").alias("n_overlap")
         )
         return (
-            queries.select("query_id").join(overlap, "query_id", "left")
+            queries.select("query_id").join(F.broadcast(overlap), "query_id", "left")
             .select(
                 "query_id",
                 F.lit(method).alias("method"),
@@ -744,13 +751,17 @@ def ivf_kmeans_recall_sweep(
     )
     # the (query, nprobe) result grid is fully known driver-side; the
     # left join keeps 0-overlap points present even for a query whose
-    # probed lists are all empty
+    # probed lists are all empty. overlap is <= |queries| * |probes|
+    # rows (aggregation output) but Catalyst cannot see that bound —
+    # without the explicit broadcast the tail join planned as a
+    # SortMergeJoin with two sorted exchanges (plan-audited r16; same
+    # fix as the rerank sweep's budget join)
     grid_qp = spark.createDataFrame(
         [(int(p), int(qid)) for p in nprobes for qid in query_ids],
         "nprobe int, query_id bigint",
     )
     return (
-        grid_qp.join(overlap, ["nprobe", "query_id"], "left")
+        grid_qp.join(F.broadcast(overlap), ["nprobe", "query_id"], "left")
         .select(
             "query_id",
             "nprobe",

@@ -259,10 +259,19 @@ def bloom_membership(
         .groupBy("probe_key")
         .agg(F.count("*").alias("n_hit"))
     )
-    actual = ev.select(F.col("k").alias("probe_key")).distinct()
+    # presence restricted to the probe set FIRST (broadcast semi-join
+    # into the data-sized distinct-key scan — no shuffle of `actual`),
+    # then both bounded sides (<= 24 rows each) broadcast into the
+    # probe-frame joins: the former shape exchanged and sorted the full
+    # distinct-key set for a 24-row left join (2 SortMergeJoins,
+    # plan-audited r16)
+    actual = ev.select(F.col("k").alias("probe_key"))
+    present = actual.join(
+        F.broadcast(probes), "probe_key", "left_semi"
+    ).distinct().withColumn("_a", F.lit(1))
     return (
-        probes.join(hit_counts, "probe_key", "left")
-        .join(actual.withColumn("_a", F.lit(1)), "probe_key", "left")
+        probes.join(F.broadcast(hit_counts), "probe_key", "left")
+        .join(F.broadcast(present), "probe_key", "left")
         .select(
             "probe_key",
             (F.coalesce(F.col("n_hit"), F.lit(0)) == BLOOM_K).alias("bloom_hit"),
