@@ -255,6 +255,11 @@ def main() -> None:
     # reparented out of the tree mid-window) — floored to 0 above and
     # published so compares treat them as "no busy evidence"
     cpu_proc_underflow: list[str] = []
+    # r16 verdict #1: per-RUN steal series (parallel to runs[]) — a
+    # median whose outlier runs carry elevated steal is adjudicated as
+    # host burst, not plan movement, without needing a second sweep
+    runs_steal: dict[str, list[float]] = {}
+    runs_busy: dict[str, list[float]] = {}
 
     def _time_one(name: str, fn, record_error: bool = True) -> float | None:
         """One fully-materialized timed execution; None on error."""
@@ -284,6 +289,8 @@ def main() -> None:
         # representative execution, which is all attribution needs
         cpu_busy[name] = round(b1 - b0, 2)
         cpu_steal[name] = round(s1 - s0, 2)
+        runs_steal.setdefault(name, []).append(round(s1 - s0, 2))
+        runs_busy.setdefault(name, []).append(round(b1 - b0, 2))
         dp = round(p1 - p0, 2)
         if dp < 0:
             # a long-lived child (streaming worker) exited mid-window and
@@ -443,6 +450,15 @@ def main() -> None:
             "text_decontamination": 2,
             "text_char_entropy": 2,
             "text_dsir_importance": 2,
+            # r16 verdict #1: the four serving/graph heavies drew driver
+            # spreads of 17-65 s under host bursts (their 8-core runs of
+            # the same code ran 3-4x FASTER) — five runs + the per-run
+            # steal series published below let a median survive one or
+            # two burst-stalled runs and let PERF attribute the outliers
+            "ann_beam_search_served": 4,
+            "stream_ivf_refit_served": 4,
+            "ann_ivfpq_rerank_sweep": 4,
+            "ann_mutual_knn_components": 4,
         }
         if n_rerun > 0 else {}
     )
@@ -549,7 +565,8 @@ def main() -> None:
         spread[name] = round(rs[-1] - rs[0], 4)
         print(
             f"# {name}: median {timings[name]:.3f}s of {rs} "
-            f"(spread {spread[name]:.3f}s)",
+            f"(spread {spread[name]:.3f}s, "
+            f"steal/run {runs_steal.get(name, [])})",
             file=sys.stderr,
         )
 
@@ -576,6 +593,8 @@ def main() -> None:
         "cpu_busy_sec": cpu_busy,
         "cpu_steal_sec": cpu_steal,
         "cpu_proc_sec": cpu_proc,
+        "runs_steal": runs_steal,
+        "runs_busy": runs_busy,
         "cpu_proc_underflow": sorted(set(cpu_proc_underflow)),
         "sweep_pos": sweep_pos,
         "sf": sf,
@@ -597,6 +616,7 @@ def main() -> None:
         "error_penalty_sec_each": penalty if errors else 0.0,
         "queries": top10,
         "spread": {n: spread[n] for n in top10 if n in spread},
+        "steal_runs": {n: runs_steal[n] for n in top10 if n in runs_steal},
         "calibration": calibration,
         "calibration_busy": calibration_busy,
         "cpu_busy_total_sec": round(sum(cpu_busy.values()), 1),

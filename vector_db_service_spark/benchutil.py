@@ -53,6 +53,7 @@ def index_state_caches() -> list[dict]:
         grid._BOUNDS_CACHE,
         store._FPRINT_CACHE,
         store._STORED_FPRINT_CACHE,
+        store._CDC_TREE_CACHE,
         tables._ROW_COUNT_CACHE,
         tables._DIM_CACHE,
         relational._BUCKETED_CACHE,

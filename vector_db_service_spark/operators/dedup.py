@@ -538,12 +538,37 @@ def near_dup_labels_fast(docs: DataFrame, max_hamming: int = 3,
     # one supernode, so the loop input is |E'| ~ cross-clique links
     # only). For chain-shaped graphs nothing contracts and this degrades
     # gracefully to the original cost + one extra pass.
-    m = (
+    # TWO-hop hook (r17, ported from ann._min_contract_components where
+    # it measured 4->3 rounds / 13->8 jobs): m(n) = min over the closed
+    # 2-hop neighborhood — min(m1(n), min over nbrs u of m1(u)) with m1
+    # the closed 1-hop min. Every candidate is a node of n's component
+    # and <= the 1-hop hook, so the contraction stays
+    # component-preserving and monotone; the extra join+agg rides the
+    # same pre-pass job while the contracted graph (and therefore the
+    # doubling loop's input and round count) shrinks by another hop.
+    m1 = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("min_nbr"))
         .select(
             F.col("src").alias("node"),
             F.least(F.col("src"), F.col("min_nbr")).alias("comp"),
+        )
+    )
+    nbr2 = (
+        edges.join(
+            m1.select(F.col("node").alias("dst"), F.col("comp").alias("dc")),
+            "dst",
+        )
+        .groupBy("src")
+        .agg(F.min("dc").alias("nbr2"))
+    )
+    m = (
+        m1.join(
+            nbr2.select(F.col("src").alias("node"), "nbr2"), "node", "left"
+        )
+        .select(
+            "node",
+            F.least("comp", F.coalesce("nbr2", "comp")).alias("comp"),
         )
         .coalesce(iter_parts)
         .localCheckpoint(eager=False)
@@ -1248,6 +1273,10 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
             F.first("norm2_1").alias("norm2_1"),
             F.first("norm2_2").alias("norm2_2"),
         )
+        # checkpointed because THREE consumers read it below (the id
+        # prune's two endpoint projections + the dot join) — without
+        # the cut the whole prefix-join subtree would plan three times
+        .localCheckpoint(eager=False)
     )
     # exact verification: per-doc feature MAPS, one map-side zip-merge
     # dot per surviving pair. The naive verify (candidates exploded
@@ -1255,7 +1284,20 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
     # |candidates| x |features-per-doc| rows — ~500M on the syn10x
     # probe; attaching the two bounded maps keeps the shuffle at
     # |candidates| rows and the O(features) merge row-local.
-    vecs = wn.groupBy("doc_id").agg(
+    # PRUNE the map aggregation to candidate endpoints first (r17,
+    # guide §2.3 shuffle fewer bytes): feature maps are only ever
+    # probed for docs that survived candidate generation, and on a
+    # sparse-duplicate corpus (the 100 TB case) those are a small
+    # fraction of the corpus — the former aggregate built (and
+    # shuffled) a map for EVERY doc. The semi-join shares its doc_id
+    # hash partitioning with the groupBy that follows, so the prune
+    # costs one skinny id-side exchange, never a second pass over wn.
+    cand_ids = (
+        cand.select(F.col("doc_id_1").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_id_2").alias("doc_id")))
+        .distinct()
+    )
+    vecs = wn.join(cand_ids, "doc_id", "left_semi").groupBy("doc_id").agg(
         F.map_from_entries(F.collect_list(F.struct("tok", "w"))).alias("vec")
     )
     dots = (

@@ -733,45 +733,101 @@ def versioned_cdc_merge(
     return manifest, out_dir
 
 
+_CDC_TREE_CACHE: dict[tuple, tuple[dict, str]] = {}
+_DEFERRED_DIRS: list[str] = []
+
+
+def _defer_cleanup(path: str) -> None:
+    """Register a working directory for atexit removal instead of an
+    inline rmtree — so a consumer can return a LAZY frame over it (the
+    noop-sink/collect that consumes the query materializes it; the
+    former return-time eager checkpoint was one extra scheduled job per
+    store query whose only purpose was to outlive an immediate
+    rmtree). Everything registered here is test/bench plumbing scale
+    (sf working trees, few MB); a real deployment's store is durable
+    and never removed."""
+    import atexit
+    import shutil
+
+    if not _DEFERRED_DIRS:
+        def _sweep() -> None:
+            for p in _DEFERRED_DIRS:
+                shutil.rmtree(p, ignore_errors=True)
+        atexit.register(_sweep)
+    _DEFERRED_DIRS.append(path)
+
+
+def versioned_cdc_tree(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict, str]:
+    """Shared PRISTINE committed CDC history for the read-only store
+    lifecycle consumers (time travel, diff, restore-as-metadata,
+    incremental read, clone source, compaction source) — the
+    materialize-once discipline of near_dup_labels_cached applied to
+    the version store itself: a store is committed ONCE and every
+    lifecycle query reads the same committed tree; re-committing the
+    identical deterministic history per query was 5x the same three
+    write jobs per bench sweep. Keyed by source-file identity
+    (path_signature), so a changed corpus invalidates the tree; the
+    returned manifest is a COPY (consumers may add metadata commits),
+    and the returned directories are READ-ONLY by contract — any
+    consumer that must mutate or delete directories (store_vacuum)
+    builds its own private tree via versioned_cdc_merge."""
+    import tempfile
+
+    from ..sources.tables import path_signature
+
+    key = (
+        *path_signature(os.path.join(sf_dir, "embeddings.parquet")),
+        "cdc_tree",
+    )
+    hit = _CDC_TREE_CACHE.get(key)
+    if hit is not None:
+        return dict(hit[0]), hit[1]
+    out_dir = tempfile.mkdtemp(prefix="vdbs_timetravel_shared_")
+    _defer_cleanup(out_dir)
+    manifest, _ = versioned_cdc_merge(spark, sf_dir, out_dir=out_dir)
+    _CDC_TREE_CACHE[key] = (manifest, out_dir)
+    return dict(manifest), out_dir
+
+
 def store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry surface: commit the CDC history, then read EVERY
     version back through the manifest and summarize each snapshot
     (row count + a BIGINT micro-unit checksum of the first embedding
     component — order-independent, so the hash compares exactly).
     Exact oracle: per-version CDC predicate replay
-    (store_time_travel_sql). Working tree removed after the eager
-    materialization."""
+    (store_time_travel_sql). Reads the SHARED committed tree
+    (versioned_cdc_tree) and returns lazily — the consumer's own
+    action materializes the one aggregation job (r17 opt: the former
+    private-tree + return-time eager checkpoint paid the three commit
+    writes plus one pinning job per query for an identical result)."""
     import functools
-    import shutil
 
-    manifest, out_dir = versioned_cdc_merge(spark, sf_dir)
-    try:
-        versions = sorted({v for (v, _l) in manifest})
-        # ONE aggregation job over the union of version-tagged snapshot
-        # reads (three separate agg jobs paid ~0.4 s of scheduling each
-        # at local[32] for trivial data)
-        tagged = [
-            _versioned_read(spark, manifest, v).select(
-                F.lit(v).cast("int").alias("version"), "embedding"
-            )
-            for v in versions
-        ]
-        out = (
-            functools.reduce(lambda a, b: a.unionByName(b), tagged)
-            .groupBy("version")
-            .agg(
-                F.count("*").cast("long").alias("n_rows"),
-                F.sum(
-                    F.expr(
-                        "CAST(round(CAST(element_at(embedding, 1) AS DOUBLE)"
-                        " * 1e6) AS BIGINT)"
-                    )
-                ).cast("long").alias("sum_e0_us"),
-            )
+    manifest, _out_dir = versioned_cdc_tree(spark, sf_dir)
+    versions = sorted({v for (v, _l) in manifest})
+    # ONE aggregation job over the union of version-tagged snapshot
+    # reads (three separate agg jobs paid ~0.4 s of scheduling each
+    # at local[32] for trivial data)
+    tagged = [
+        _versioned_read(spark, manifest, v).select(
+            F.lit(v).cast("int").alias("version"), "embedding"
         )
-        return out.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+        for v in versions
+    ]
+    return (
+        functools.reduce(lambda a, b: a.unionByName(b), tagged)
+        .groupBy("version")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(
+                F.expr(
+                    "CAST(round(CAST(element_at(embedding, 1) AS DOUBLE)"
+                    " * 1e6) AS BIGINT)"
+                )
+            ).cast("long").alias("sum_e0_us"),
+        )
+    )
 
 
 def store_time_travel_sql() -> str:
@@ -922,37 +978,37 @@ def store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     side by side — parity between the two rows proves the rewrite
     moved bytes, not data. The file-count reduction itself is pinned
     in tests (engine-artifact, not SQL-derivable); the oracle replays
-    both rows from the CDC predicates. Working tree removed after the
-    eager materialization."""
+    both rows from the CDC predicates. Reads the SHARED committed tree;
+    the compaction COMMIT (a new version — the COW discipline means a
+    commit may live in any directory the manifest points at) goes to a
+    PRIVATE dir so the shared tree stays pristine (r17 opt)."""
     import functools
-    import shutil
+    import tempfile
 
-    manifest, out_dir = versioned_cdc_merge(spark, sf_dir)
-    try:
-        before = max(v for (v, _l) in manifest)
-        after = compact_latest(spark, manifest, out_dir)
-        tagged = [
-            _versioned_read(spark, manifest, v).select(
-                F.lit(v).cast("int").alias("version"), "embedding"
-            )
-            for v in (before, after)
-        ]
-        out = (
-            functools.reduce(lambda a, b: a.unionByName(b), tagged)
-            .groupBy("version")
-            .agg(
-                F.count("*").cast("long").alias("n_rows"),
-                F.sum(
-                    F.expr(
-                        "CAST(round(CAST(element_at(embedding, 1) AS DOUBLE)"
-                        " * 1e6) AS BIGINT)"
-                    )
-                ).cast("long").alias("sum_e0_us"),
-            )
+    manifest, _src_dir = versioned_cdc_tree(spark, sf_dir)
+    priv = tempfile.mkdtemp(prefix="vdbs_compaction_")
+    _defer_cleanup(priv)
+    before = max(v for (v, _l) in manifest)
+    after = compact_latest(spark, manifest, priv)
+    tagged = [
+        _versioned_read(spark, manifest, v).select(
+            F.lit(v).cast("int").alias("version"), "embedding"
         )
-        return out.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+        for v in (before, after)
+    ]
+    return (
+        functools.reduce(lambda a, b: a.unionByName(b), tagged)
+        .groupBy("version")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(
+                F.expr(
+                    "CAST(round(CAST(element_at(embedding, 1) AS DOUBLE)"
+                    " * 1e6) AS BIGINT)"
+                )
+            ).cast("long").alias("sum_e0_us"),
+        )
+    )
 
 
 def store_compaction_sql() -> str:
@@ -990,38 +1046,35 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: per (version, has_quality) counts plus the BIGINT sum of
     the new column where present — proving NULL-backfill semantics
     byte-exactly rather than asserting them."""
-    import shutil
     import tempfile
 
     base = load(spark, sf_dir, "embeddings").select("vec_id", "label")
     out_dir = tempfile.mkdtemp(prefix="vdbs_schema_evo_")
-    try:
-        v0 = os.path.join(out_dir, "v0")
-        v1 = os.path.join(out_dir, "v1")
-        base.filter(F.col("vec_id") % 2 == 1).write.parquet(v0)
-        base.filter(F.col("vec_id") % 2 == 0).withColumn(
-            "quality", (F.col("vec_id") % 97).cast("long")
-        ).write.parquet(v1)
-        merged = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(v0, v1)
-            .withColumn(
-                "version",
-                F.when(F.col("quality").isNull(), F.lit(0)).otherwise(
-                    F.lit(1)
-                ).cast("int"),
-            )
+    _defer_cleanup(out_dir)
+    v0 = os.path.join(out_dir, "v0")
+    v1 = os.path.join(out_dir, "v1")
+    base.filter(F.col("vec_id") % 2 == 1).write.parquet(v0)
+    base.filter(F.col("vec_id") % 2 == 0).withColumn(
+        "quality", (F.col("vec_id") % 97).cast("long")
+    ).write.parquet(v1)
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(v0, v1)
+        .withColumn(
+            "version",
+            F.when(F.col("quality").isNull(), F.lit(0)).otherwise(
+                F.lit(1)
+            ).cast("int"),
         )
-        out = merged.groupBy("version").agg(
-            F.count("*").cast("long").alias("n_rows"),
-            F.count("quality").cast("long").alias("n_with_quality"),
-            F.coalesce(F.sum("quality"), F.lit(0)).cast("long").alias(
-                "sum_quality"
-            ),
-        )
-        return out.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+    )
+    out = merged.groupBy("version").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count("quality").cast("long").alias("n_with_quality"),
+        F.coalesce(F.sum("quality"), F.lit(0)).cast("long").alias(
+            "sum_quality"
+        ),
+    )
+    return out
 
 
 def schema_evolution_sql() -> str:
@@ -1055,64 +1108,63 @@ def store_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     HEAD vs clone HEAD side by side. Divergence shows in the checksum;
     the source row doubles as the byte-untouched proof (its checksum
     equals the plain CDC merge), and the no-copy property is pinned in
-    tests (clone tree contains only the delta commit's files)."""
+    tests (clone tree contains only the delta commit's files).
+    Reads the SHARED committed source tree; the clone's own COW tree is
+    a PRIVATE dir (r17 opt) — which is also truer to the contract: a
+    clone never writes inside the source's directory at all."""
     import functools
-    import shutil
+    import tempfile
 
-    manifest, out_dir = versioned_cdc_merge(spark, sf_dir)
-    try:
-        latest = max(v for (v, _l) in manifest)
-        # shallow clone: a NEW manifest whose v0 points at the source's
-        # newest-per-label directories — no data moves
-        pick: dict = {}
-        for (v, label), d in manifest.items():
-            if v <= latest and (label not in pick or pick[label][0] < v):
-                pick[label] = (v, d)
-        clone_manifest = {(0, label): d for label, (_v, d) in pick.items()}
-        clone_dir = os.path.join(out_dir, "clone")
-        os.makedirs(clone_dir)
-        # mutate the CLONE: one COW commit into the clone's own tree
-        cur = _versioned_read(spark, clone_manifest, 0)
-        is_mut = F.col("vec_id") % 19 == 3
-        affected = sorted(
-            r["label"]
-            for r in cur.filter(is_mut).select("label").distinct().collect()
+    manifest, _src_dir = versioned_cdc_tree(spark, sf_dir)
+    latest = max(v for (v, _l) in manifest)
+    # shallow clone: a NEW manifest whose v0 points at the source's
+    # newest-per-label directories — no data moves
+    pick: dict = {}
+    for (v, label), d in manifest.items():
+        if v <= latest and (label not in pick or pick[label][0] < v):
+            pick[label] = (v, d)
+    clone_manifest = {(0, label): d for label, (_v, d) in pick.items()}
+    clone_dir = tempfile.mkdtemp(prefix="vdbs_clone_")
+    _defer_cleanup(clone_dir)
+    # mutate the CLONE: one COW commit into the clone's own tree
+    cur = _versioned_read(spark, clone_manifest, 0)
+    is_mut = F.col("vec_id") % 19 == 3
+    affected = sorted(
+        r["label"]
+        for r in cur.filter(is_mut).select("label").distinct().collect()
+    )
+    post = cur.filter(F.col("label").isin(affected)).select(
+        "vec_id",
+        F.when(
+            is_mut, F.transform("embedding", lambda x: -x)
+        ).otherwise(F.col("embedding")).alias("embedding"),
+        "label",
+    )
+    v1 = os.path.join(clone_dir, "v1")
+    post.write.mode("overwrite").partitionBy("label").parquet(v1)
+    for label in affected:
+        clone_manifest[(1, label)] = os.path.join(v1, f"label={label}")
+    frames = [
+        _versioned_read(spark, manifest, latest).select(
+            F.lit("source_head").alias("side"), "embedding"
+        ),
+        _versioned_read(spark, clone_manifest, 1).select(
+            F.lit("clone_head").alias("side"), "embedding"
+        ),
+    ]
+    return (
+        functools.reduce(lambda a, b: a.unionByName(b), frames)
+        .groupBy("side")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(
+                F.expr(
+                    "CAST(round(CAST(element_at(embedding, 1) AS DOUBLE)"
+                    " * 1e6) AS BIGINT)"
+                )
+            ).cast("long").alias("sum_e0_us"),
         )
-        post = cur.filter(F.col("label").isin(affected)).select(
-            "vec_id",
-            F.when(
-                is_mut, F.transform("embedding", lambda x: -x)
-            ).otherwise(F.col("embedding")).alias("embedding"),
-            "label",
-        )
-        v1 = os.path.join(clone_dir, "v1")
-        post.write.mode("overwrite").partitionBy("label").parquet(v1)
-        for label in affected:
-            clone_manifest[(1, label)] = os.path.join(v1, f"label={label}")
-        frames = [
-            _versioned_read(spark, manifest, latest).select(
-                F.lit("source_head").alias("side"), "embedding"
-            ),
-            _versioned_read(spark, clone_manifest, 1).select(
-                F.lit("clone_head").alias("side"), "embedding"
-            ),
-        ]
-        out = (
-            functools.reduce(lambda a, b: a.unionByName(b), frames)
-            .groupBy("side")
-            .agg(
-                F.count("*").cast("long").alias("n_rows"),
-                F.sum(
-                    F.expr(
-                        "CAST(round(CAST(element_at(embedding, 1) AS DOUBLE)"
-                        " * 1e6) AS BIGINT)"
-                    )
-                ).cast("long").alias("sum_e0_us"),
-            )
-        )
-        return out.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+    )
 
 
 def store_clone_sql() -> str:
@@ -1156,43 +1208,38 @@ def version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Diffs v0 (bootstrap) against the final CDC version: the oracle
     recomputes every cell from the CDC predicates."""
-    import shutil
-
-    manifest, out_dir = versioned_cdc_merge(spark, sf_dir)
-    try:
-        latest = max(v for (v, _l) in manifest)
-        a = _versioned_read(spark, manifest, 0).select(
-            "vec_id", "label", F.col("embedding").alias("ea")
+    manifest, _out_dir = versioned_cdc_tree(spark, sf_dir)
+    latest = max(v for (v, _l) in manifest)
+    a = _versioned_read(spark, manifest, 0).select(
+        "vec_id", "label", F.col("embedding").alias("ea")
+    )
+    b = _versioned_read(spark, manifest, latest).select(
+        "vec_id", F.col("label").alias("label_b"),
+        F.col("embedding").alias("eb"),
+    )
+    j = a.join(b, "vec_id", "full_outer")
+    out = (
+        j.select(
+            F.coalesce("label", "label_b").alias("label"),
+            F.when(F.col("ea").isNull(), F.lit("added"))
+            .when(F.col("eb").isNull(), F.lit("removed"))
+            .when(F.col("ea") != F.col("eb"), F.lit("changed"))
+            .otherwise(F.lit("identical"))
+            .alias("status"),
         )
-        b = _versioned_read(spark, manifest, latest).select(
-            "vec_id", F.col("label").alias("label_b"),
-            F.col("embedding").alias("eb"),
+        .groupBy("label")
+        .pivot("status", ["added", "removed", "changed", "identical"])
+        .count()
+        .na.fill(0)
+        .select(
+            "label",
+            F.col("added").cast("long").alias("n_added"),
+            F.col("removed").cast("long").alias("n_removed"),
+            F.col("changed").cast("long").alias("n_changed"),
+            F.col("identical").cast("long").alias("n_identical"),
         )
-        j = a.join(b, "vec_id", "full_outer")
-        out = (
-            j.select(
-                F.coalesce("label", "label_b").alias("label"),
-                F.when(F.col("ea").isNull(), F.lit("added"))
-                .when(F.col("eb").isNull(), F.lit("removed"))
-                .when(F.col("ea") != F.col("eb"), F.lit("changed"))
-                .otherwise(F.lit("identical"))
-                .alias("status"),
-            )
-            .groupBy("label")
-            .pivot("status", ["added", "removed", "changed", "identical"])
-            .count()
-            .na.fill(0)
-            .select(
-                "label",
-                F.col("added").cast("long").alias("n_added"),
-                F.col("removed").cast("long").alias("n_removed"),
-                F.col("changed").cast("long").alias("n_changed"),
-                F.col("identical").cast("long").alias("n_identical"),
-            )
-        )
-        return out.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+    )
+    return out
 
 
 def version_diff_sql() -> str:
@@ -1239,41 +1286,36 @@ def store_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     row exactly, and v1/v2 keep their post-CDC counts — both facts are
     in the driver-compared artifact, not just a test."""
     import functools
-    import shutil
-
-    manifest, out_dir = versioned_cdc_merge(spark, sf_dir)
-    try:
-        latest = max(v for (v, _l) in manifest)
-        # restore-as-commit: point the new version at v0's directories
-        pick: dict = {}
-        for (v, label), d in manifest.items():
-            if v == 0:
-                pick[label] = d
-        for label, d in pick.items():
-            manifest[(latest + 1, label)] = d
-        versions = sorted({v for (v, _l) in manifest})
-        tagged = [
-            _versioned_read(spark, manifest, v).select(
-                F.lit(v).cast("int").alias("version"), "embedding"
-            )
-            for v in versions
-        ]
-        out = (
-            functools.reduce(lambda a, b: a.unionByName(b), tagged)
-            .groupBy("version")
-            .agg(
-                F.count("*").cast("long").alias("n_rows"),
-                F.sum(
-                    F.expr(
-                        "CAST(round(CAST(element_at(embedding, 1) AS DOUBLE)"
-                        " * 1e6) AS BIGINT)"
-                    )
-                ).cast("long").alias("sum_e0_us"),
-            )
+    manifest, _out_dir = versioned_cdc_tree(spark, sf_dir)
+    latest = max(v for (v, _l) in manifest)
+    # restore-as-commit: point the new version at v0's directories
+    pick: dict = {}
+    for (v, label), d in manifest.items():
+        if v == 0:
+            pick[label] = d
+    for label, d in pick.items():
+        manifest[(latest + 1, label)] = d
+    versions = sorted({v for (v, _l) in manifest})
+    tagged = [
+        _versioned_read(spark, manifest, v).select(
+            F.lit(v).cast("int").alias("version"), "embedding"
         )
-        return out.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+        for v in versions
+    ]
+    out = (
+        functools.reduce(lambda a, b: a.unionByName(b), tagged)
+        .groupBy("version")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(
+                F.expr(
+                    "CAST(round(CAST(element_at(embedding, 1) AS DOUBLE)"
+                    " * 1e6) AS BIGINT)"
+                )
+            ).cast("long").alias("sum_e0_us"),
+        )
+    )
+    return out
 
 
 def store_restore_sql() -> str:
@@ -1304,38 +1346,33 @@ def store_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointers differ (pointer-equal label dirs cannot contain changes —
     the clone/COW invariant), so the feed costs O(changed partitions),
     not O(corpus)."""
-    import shutil
-
-    manifest, out_dir = versioned_cdc_merge(spark, sf_dir)
-    try:
-        latest = max(v for (v, _l) in manifest)
-        a = _versioned_read(spark, manifest, 0).select(
-            "vec_id", "label", F.col("embedding").alias("ea")
+    manifest, _out_dir = versioned_cdc_tree(spark, sf_dir)
+    latest = max(v for (v, _l) in manifest)
+    a = _versioned_read(spark, manifest, 0).select(
+        "vec_id", "label", F.col("embedding").alias("ea")
+    )
+    b = _versioned_read(spark, manifest, latest).select(
+        "vec_id", F.col("label").alias("label_b"),
+        F.col("embedding").alias("eb"),
+    )
+    j = a.join(b, "vec_id", "full_outer")
+    out = (
+        j.select(
+            "vec_id",
+            F.coalesce("label", "label_b").alias("label"),
+            F.when(F.col("ea").isNull(), F.lit("added"))
+            .when(F.col("eb").isNull(), F.lit("removed"))
+            .when(F.col("ea") != F.col("eb"), F.lit("changed"))
+            .otherwise(F.lit("identical"))
+            .alias("change"),
+            F.expr(
+                "CAST(round(CAST(element_at(eb, 1) AS DOUBLE) * 1e6)"
+                " AS BIGINT)"
+            ).alias("e0_us"),
         )
-        b = _versioned_read(spark, manifest, latest).select(
-            "vec_id", F.col("label").alias("label_b"),
-            F.col("embedding").alias("eb"),
-        )
-        j = a.join(b, "vec_id", "full_outer")
-        out = (
-            j.select(
-                "vec_id",
-                F.coalesce("label", "label_b").alias("label"),
-                F.when(F.col("ea").isNull(), F.lit("added"))
-                .when(F.col("eb").isNull(), F.lit("removed"))
-                .when(F.col("ea") != F.col("eb"), F.lit("changed"))
-                .otherwise(F.lit("identical"))
-                .alias("change"),
-                F.expr(
-                    "CAST(round(CAST(element_at(eb, 1) AS DOUBLE) * 1e6)"
-                    " AS BIGINT)"
-                ).alias("e0_us"),
-            )
-            .filter(F.col("change").isin("added", "removed", "changed"))
-        )
-        return out.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+        .filter(F.col("change").isin("added", "removed", "changed"))
+    )
+    return out
 
 
 def store_incremental_read_sql() -> str:
