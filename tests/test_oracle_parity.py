@@ -10,8 +10,14 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import pytest  # noqa: F811  (re-import keeps the module self-contained)
+
 import __spark_entry__ as entry_mod  # noqa: E402
 from tests.oracle_harness import compare, duckdb_con  # noqa: E402
+
+# the all-registry parity compare IS the smoke tier's core (r17): the
+# driver-identical exact-equality check over every registered query
+pytestmark = pytest.mark.smoke
 
 SF = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.001")
 

@@ -3372,9 +3372,15 @@ def mutual_knn_triangles(
         F.sum(F.expr("deg * (deg - 1) DIV 2")).cast("long").alias("n_wedges")
     )
     edges = e.groupBy("label").agg(F.count("*").cast("long").alias("n_edges"))
+    # the three per-label summary frames are <= n_libraries rows each
+    # (bounded by the label domain, never by data) but sit behind
+    # aggregations over checkpointed inputs, so Catalyst planned the
+    # final assembly as SortMergeJoins with sorted exchanges (r17 plan
+    # audit — the same hidden-bounded-side shape as the r16 item-11
+    # broadcasts). Broadcast the right sides of both left joins.
     return (
-        edges.join(wedges, "label", "left")
-        .join(tri, "label", "left")
+        edges.join(F.broadcast(wedges), "label", "left")
+        .join(F.broadcast(tri), "label", "left")
         .select(
             "label",
             "n_edges",

@@ -1273,10 +1273,6 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
             F.first("norm2_1").alias("norm2_1"),
             F.first("norm2_2").alias("norm2_2"),
         )
-        # checkpointed because THREE consumers read it below (the id
-        # prune's two endpoint projections + the dot join) — without
-        # the cut the whole prefix-join subtree would plan three times
-        .localCheckpoint(eager=False)
     )
     # exact verification: per-doc feature MAPS, one map-side zip-merge
     # dot per surviving pair. The naive verify (candidates exploded
@@ -1284,20 +1280,18 @@ def allpairs_cosine(docs: DataFrame, tau_num: int = 4,
     # |candidates| x |features-per-doc| rows — ~500M on the syn10x
     # probe; attaching the two bounded maps keeps the shuffle at
     # |candidates| rows and the O(features) merge row-local.
-    # PRUNE the map aggregation to candidate endpoints first (r17,
-    # guide §2.3 shuffle fewer bytes): feature maps are only ever
-    # probed for docs that survived candidate generation, and on a
-    # sparse-duplicate corpus (the 100 TB case) those are a small
-    # fraction of the corpus — the former aggregate built (and
-    # shuffled) a map for EVERY doc. The semi-join shares its doc_id
-    # hash partitioning with the groupBy that follows, so the prune
-    # costs one skinny id-side exchange, never a second pass over wn.
-    cand_ids = (
-        cand.select(F.col("doc_id_1").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_id_2").alias("doc_id")))
-        .distinct()
-    )
-    vecs = wn.join(cand_ids, "doc_id", "left_semi").groupBy("doc_id").agg(
+    # NOTE (r17, measured and REVERTED): pruning this aggregation to
+    # candidate-endpoint doc ids (wn left-semi-joined to the cand pair
+    # endpoints before the groupBy) was tried per the r16 verdict's
+    # candidate #4 and measured on the syn10x probe: the prune's cost
+    # is proportional to the PAIR set (the endpoint stream + semi-join
+    # build), which on a densified corpus dwarfs the map-build it
+    # saves — warm busy regressed ~20-25% with or without a distinct
+    # on the endpoint stream, and at sf0.1 candidates cover most docs
+    # so there is no win either. A sparse-duplicate corpus would
+    # benefit, but both available probes are dense; shipping a change
+    # whose only measured effects are negative is guide-§1 malpractice.
+    vecs = wn.groupBy("doc_id").agg(
         F.map_from_entries(F.collect_list(F.struct("tok", "w"))).alias("vec")
     )
     dots = (
