@@ -861,6 +861,38 @@ FROM ({body})"""
     )
 
 
+def _vacuum_private_tree(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict, str]:
+    """A PRIVATE copy of the committed CDC tree that a destructive
+    consumer (vacuum) may delete from: hardlink-clone of the shared
+    pristine tree when the filesystem supports it (no data copied; the
+    clone's manifest mirrors the source layout under the private
+    root), falling back to a fresh versioned_cdc_merge on any link
+    failure (cross-device, permission, non-POSIX store)."""
+    import tempfile
+
+    src_manifest, src_root = versioned_cdc_tree(spark, sf_dir)
+    priv = tempfile.mkdtemp(prefix="vdbs_vacuum_")
+    try:
+        for root, dirs, files in os.walk(src_root):
+            rel = os.path.relpath(root, src_root)
+            dst = priv if rel == "." else os.path.join(priv, rel)
+            os.makedirs(dst, exist_ok=True)
+            for f in files:
+                os.link(os.path.join(root, f), os.path.join(dst, f))
+    except OSError:
+        import shutil
+
+        shutil.rmtree(priv, ignore_errors=True)
+        return versioned_cdc_merge(spark, sf_dir)
+    manifest = {
+        k: os.path.join(priv, os.path.relpath(d, src_root))
+        for k, d in src_manifest.items()
+    }
+    return manifest, priv
+
+
 def store_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention/vacuum for the versioned store — the lifecycle step
     that makes COW versioning sustainable: keep exactly the directories
@@ -876,11 +908,19 @@ def store_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row — post-vacuum n_rows + BIGINT micro-unit checksum
     of the latest snapshot, plus the kept/removed directory accounting
     (both derivable from the CDC predicates, so the oracle recomputes
-    them from label algebra alone)."""
+    them from label algebra alone).
+
+    r17: vacuum DELETES directories, so it cannot read the shared
+    pristine tree in place — instead of re-committing the whole history
+    (three label-partitioned writes per call), it HARDLINK-clones the
+    shared tree into a private dir (O(metadata), the filesystem
+    snapshot/reflink pattern: unlinking a hardlinked dir never touches
+    the source bytes) and vacuums the clone. Identical layout,
+    identical deletions, zero Spark jobs for the setup."""
     import functools
     import shutil
 
-    manifest, out_dir = versioned_cdc_merge(spark, sf_dir)
+    manifest, out_dir = _vacuum_private_tree(spark, sf_dir)
     try:
         pick: dict = {}
         for (v, label), d in manifest.items():
