@@ -72,8 +72,21 @@ def test_staleness_ceiling_honored_when_it_fits():
     )
     missed = over - set(PRIORITY_50)
     if missed:
+        # mandatory tiers = never-green + CHANGED_THIS_ROUND + the
+        # over-ceiling cohort (the docstring's contract; the original
+        # assert omitted the changed tier, so with the cohort at
+        # exactly 50 ANY changed entry failed it — r17 fix to match
+        # the documented intent)
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "gen_status", os.path.join(_REPO, "scripts", "gen_status.py")
+        )
+        gen = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(gen)
         never = [n for n in PRIORITY_50 if n not in hist]
-        assert len(never) + len(over) > 50, (
+        mandatory = set(never) | set(gen.CHANGED_THIS_ROUND) | over
+        assert len(mandatory) > 50, (
             f"ceiling cohort fits but is not fully sampled: {sorted(missed)}"
         )
 
